@@ -1,0 +1,130 @@
+"""Stable hashing + sketch kernels: content hash, shingles, MinHash,
+SimHash. Process-independent (blake2b-seeded, never Python ``hash()``)
+so signatures agree across Ray workers, runs, and the oracle.
+
+Vectorized with numpy where it matters: MinHash permutations are a
+single ``(n_shingles, 1) * (1, k)`` broadcast ``min`` per document;
+SimHash unpacks hash bits with ``np.unpackbits``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_MERSENNE_P = (1 << 61) - 1
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def stable_hash64(data: bytes | str) -> int:
+    """Deterministic 64-bit hash (blake2b truncation)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def content_hash(data: bytes | str) -> str:
+    """Hex content hash for manifests / exact dedup columns."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return hashlib.blake2b(data, digest_size=16).hexdigest()
+
+
+def tokenize_words(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the k-word shingles of ``text`` (deduplicated).
+
+    Short texts (< k words) hash the whole token sequence as one
+    shingle so every non-empty document gets a signature.
+    """
+    words = tokenize_words(text)
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < k:
+        return np.array([stable_hash64(" ".join(words))], dtype=np.uint64)
+    seen = {stable_hash64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+
+
+def _minhash_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient vectors for the universal hash
+    family h_i(x) = (a_i * x + b_i) mod p."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_COEFF_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle-hash set."""
+    key = (num_perm, seed)
+    if key not in _COEFF_CACHE:
+        _COEFF_CACHE[key] = _minhash_coeffs(num_perm, seed)
+    a, b = _COEFF_CACHE[key]
+    if shingles.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # hash family mod 2^64 via uint64 wraparound (exact, vectorized)
+    vals = shingles[:, None] * a[None, :] + b[None, :]
+    return vals.min(axis=0)
+
+
+def minhash_bands(sig: np.ndarray, num_bands: int = 16) -> list[int]:
+    """Split a signature into bands; hash each band → LSH bucket keys."""
+    rows = sig.size // num_bands
+    out = []
+    for i in range(num_bands):
+        band = sig[i * rows : (i + 1) * rows]
+        out.append(stable_hash64(band.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigram counts."""
+    words = tokenize_words(text)
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+    hashes = np.array([stable_hash64(w) for w in uniq], dtype=np.uint64)
+    bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    # weight +count for 1 bits, -count for 0 bits
+    contrib = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
+    total = contrib.sum(axis=0)
+    out_bits = (total > 0).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two shingle-hash sets."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    """Polynomial rolling-hash document fingerprint: min-hash over all
+    ``window``-token rolling hashes (a cheap winnowing-style signature)."""
+    words = tokenize_words(text)
+    if not words:
+        return 0
+    hs = np.array([stable_hash64(w) for w in words], dtype=np.uint64)
+    if hs.size <= window:
+        return int(hs.min())
+    base = np.uint64(1099511628211)
+    acc = np.zeros(hs.size - window + 1, dtype=np.uint64)
+    for j in range(window):
+        acc = acc * base + hs[j : j + acc.size]
+    return int(acc.min())

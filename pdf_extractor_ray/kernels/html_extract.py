@@ -1,0 +1,200 @@
+"""HTML main-content extraction: boilerplate stripping via text-density
+and link-density scoring over a lightweight block model.
+
+Design per the north rule: "trafilatura/readability-style DOM heuristics
+(boilerplate strip via text-density + link-density scoring over a node
+tree)". No lxml in this environment, so the node model is built with
+the stdlib ``html.parser`` — a single streaming pass that attributes
+every text chunk to its *innermost* enclosing block element, then keeps
+blocks whose link density is low enough and whose text is long enough.
+
+Deterministic: output depends only on the input bytes. Used unchanged by
+the sequential oracle and by the Ray stage, so extracted text is
+byte-identical per url by construction.
+
+Output: ``(extracted_text, char_spans)`` where ``char_spans`` is a list
+of dicts ``{start, end, page, bbox}`` (page = block ordinal, bbox =
+None for HTML — positions are a PDF concept; offsets index into
+``extracted_text``).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pdf_extractor_ray.kernels.normalize import collapse_ws, normalize_ligatures
+
+# Subtrees that never contribute main content.
+SKIP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "svg",
+        "head",
+        "iframe",
+        "form",
+        "button",
+        "select",
+        "option",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+    }
+)
+
+# Elements that delimit a text block (innermost wins).
+BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "div",
+        "section",
+        "article",
+        "main",
+        "li",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "td",
+        "th",
+        "blockquote",
+        "pre",
+        "figcaption",
+        "dd",
+        "dt",
+        "body",
+    }
+)
+
+VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "base", "col", "embed", "source", "track", "wbr"})
+
+MAX_LINK_DENSITY = 0.33
+MIN_BLOCK_CHARS = 8
+
+
+class _Block:
+    __slots__ = ("tag", "order", "parts", "link_chars", "total_chars")
+
+    def __init__(self, tag: str, order: int):
+        self.tag = tag
+        self.order = order
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.total_chars = 0
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._block_stack: list[_Block] = []
+        self._done: list[_Block] = []
+        self._order = 0
+
+    # -- tag events ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in VOID_TAGS:
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._order += 1
+            self._block_stack.append(_Block(tag, self._order))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        if tag in SKIP_TAGS:
+            if self._skip_depth:
+                self._skip_depth -= 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a" and self._link_depth:
+            self._link_depth -= 1
+        if tag in BLOCK_TAGS:
+            # pop the innermost matching block (tolerate unbalanced HTML)
+            for i in range(len(self._block_stack) - 1, -1, -1):
+                if self._block_stack[i].tag == tag:
+                    for blk in self._block_stack[i:]:
+                        self._done.append(blk)
+                    del self._block_stack[i:]
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data or data.isspace():
+            return
+        if not self._block_stack:
+            # text outside any block element: give it an implicit block
+            self._order += 1
+            self._block_stack.append(_Block("body", self._order))
+        blk = self._block_stack[-1]
+        blk.parts.append(data)
+        n = len(data.strip())
+        blk.total_chars += n
+        if self._link_depth:
+            blk.link_chars += n
+
+    # -- result --------------------------------------------------------
+    def blocks(self) -> list[_Block]:
+        out = self._done + self._block_stack  # flush unclosed blocks
+        out.sort(key=lambda b: b.order)
+        return out
+
+
+def html_extract(raw: bytes) -> tuple[str, list[dict]]:
+    """Strip boilerplate; return ``(text, char_spans)``.
+
+    A block survives when its text is >= MIN_BLOCK_CHARS after collapse
+    and its link density (linked chars / total chars) <= MAX_LINK_DENSITY.
+    Surviving blocks are joined with ``\\n`` in document order.
+    """
+    html = raw.decode("utf-8", errors="replace")
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # html.parser is forgiving; anything else → best effort with what
+        # was parsed so far (callers decide quarantine by empty output).
+        pass
+
+    pieces: list[str] = []
+    spans: list[dict] = []
+    offset = 0
+    block_ordinal = 0
+    for blk in parser.blocks():
+        if blk.total_chars == 0:
+            continue
+        density = blk.link_chars / blk.total_chars
+        if density > MAX_LINK_DENSITY:
+            continue
+        text = collapse_ws(normalize_ligatures("".join(blk.parts)))
+        if len(text) < MIN_BLOCK_CHARS:
+            continue
+        if pieces:
+            offset += 1  # the "\n" joiner
+        start = offset
+        offset += len(text)
+        pieces.append(text)
+        spans.append(
+            {
+                "start": start,
+                "end": offset,
+                "page": block_ordinal,
+                "bbox": None,
+            }
+        )
+        block_ordinal += 1
+    return "\n".join(pieces), spans

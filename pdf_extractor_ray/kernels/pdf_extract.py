@@ -1,0 +1,312 @@
+"""Miniature PDF layout parse: object walk → content streams → text runs
+→ y/x reading-order sort → ligature normalization.
+
+This is the engine's analog of the reference's PyMuPDF page walk
+(``pdf_extractor/services/pdf_service.py:13-41``: page → block → line →
+span tree flattened into position records) and its reading-order
+reconstruction (group spans by rounded y = line, sort lines by y, spans
+within a line by x — ``finetune_commands/excel2training.py:283-316``).
+PyMuPDF is not available here, so the parser is self-contained pure
+Python over the PDF subset our corpus uses (and that any
+"mini-PDF-with-text-operators" generator produces):
+
+- body objects ``N 0 obj … endobj``; pages are ``/Type /Page`` dicts
+  with ``/Contents N 0 R`` and optional ``/MediaBox``;
+- content streams, raw or ``/FlateDecode`` (zlib);
+- text operators ``BT/ET``, ``Tf`` (font size), ``Tm`` (set matrix →
+  position), ``Td``/``TD`` (relative move), ``Tj`` and ``TJ`` (show
+  text), literal strings with standard escapes, UTF-8 payloads.
+
+Real-world font cmaps / ToUnicode decoding are out of scope (documented
+limitation); the *pipeline* semantics — layout walk, deterministic
+reading order, span/offset emission — are the capability being rebuilt.
+
+Output spans carry top-down y coordinates (like PyMuPDF): the reading
+order sort key is ``(page, round(y_top), x0)``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from pdf_extractor_ray.kernels.normalize import normalize_ligatures
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
+
+# content-stream tokens: literal string | number | operator
+_TOKEN_RE = re.compile(
+    rb"""
+    (?P<str>\((?:\\.|[^\\()])*\))
+  | (?P<num>[-+]?(?:\d+\.\d*|\.\d+|\d+))
+  | (?P<op>[A-Za-z'"*]+)
+  | (?P<arr>[\[\]])
+    """,
+    re.X,
+)
+
+_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+# deterministic average glyph width as a fraction of font size — used to
+# synthesize x-extents (the reference gets exact widths from PyMuPDF;
+# our corpus is generated with the same constant so bboxes round-trip).
+CHAR_WIDTH_FRAC = 0.5
+DEFAULT_PAGE_HEIGHT = 792.0
+
+
+def _decode_pdf_string(payload: bytes) -> str:
+    """Literal string body (without parens) → str, handling escapes."""
+    out = bytearray()
+    i = 0
+    n = len(payload)
+    while i < n:
+        c = payload[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = payload[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape \ddd
+                j = i + 1
+                digits = b""
+                while j < n and len(digits) < 3 and payload[j : j + 1].isdigit():
+                    digits += payload[j : j + 1]
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out += c
+        i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def _parse_content_stream(data: bytes, page: int, page_height: float) -> list[dict]:
+    """Walk text operators, emit span dicts with top-down coordinates."""
+    spans: list[dict] = []
+    x = 0.0
+    y = 0.0
+    size = 12.0
+    leading = 0.0
+    stack: list[float] = []  # pending numeric operands
+    pending_strings: list[tuple[str, float]] = []  # (text, x_at_emit) inside TJ
+    in_text = False
+    in_array = False
+    arr_parts: list[tuple[str, float]] = []
+
+    def emit(text: str, x0: float) -> float:
+        """Append a span; return the advance width."""
+        if not text:
+            return 0.0
+        width = CHAR_WIDTH_FRAC * size * len(text)
+        y_top = page_height - y
+        spans.append(
+            {
+                "page": page,
+                "x0": x0,
+                "y0": y_top - size,
+                "x1": x0 + width,
+                "y1": y_top,
+                "text": text,
+                "font_size": size,
+            }
+        )
+        return width
+
+    for m in _TOKEN_RE.finditer(data):
+        kind = m.lastgroup
+        if kind == "num":
+            val = float(m.group("num"))
+            if in_array:
+                x -= val / 1000.0 * size  # TJ kerning adjustment
+            else:
+                stack.append(val)
+        elif kind == "str":
+            body = m.group("str")[1:-1]
+            text = _decode_pdf_string(body)
+            if in_array:
+                arr_parts.append((text, x))
+                x += CHAR_WIDTH_FRAC * size * len(text)
+            else:
+                pending_strings.append((text, x))
+            stack.clear()
+        elif kind == "arr":
+            if m.group("arr") == b"[":
+                in_array = True
+                arr_parts = []
+            else:
+                in_array = False
+            stack.clear()
+        elif kind == "op":
+            op = m.group("op")
+            if op == b"BT":
+                in_text = True
+                x = y = 0.0
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and stack:
+                size = stack[-1]
+            elif op == b"Tm" and len(stack) >= 6:
+                x, y = stack[-2], stack[-1]
+            elif op == b"Td" and len(stack) >= 2:
+                x += stack[-2]
+                y += stack[-1]
+            elif op == b"TD" and len(stack) >= 2:
+                x += stack[-2]
+                y += stack[-1]
+                leading = -stack[-1]
+            elif op == b"TL" and stack:
+                leading = stack[-1]
+            elif op == b"T*":
+                y -= leading
+            elif op == b"Tj":
+                if in_text:
+                    for text, x0 in pending_strings:
+                        emit(text, x0)
+                        x = x0 + CHAR_WIDTH_FRAC * size * len(text)
+                pending_strings = []
+            elif op == b"TJ":
+                if in_text:
+                    for text, x0 in arr_parts:
+                        emit(text, x0)
+                arr_parts = []
+            stack.clear()
+    return spans
+
+
+def pdf_extract(raw: bytes) -> tuple[str, list[dict]]:
+    """Parse PDF bytes → ``(extracted_text, char_spans)``.
+
+    Reading order: spans sorted by ``(page, round(line_y), x0)`` — the
+    y/x line sort of ``excel2training.py:305-308``; spans on one line
+    join with a space, lines with ``\\n`` (pages too: the reference
+    joins page texts with ``\\n``, ``pdf_service.py:38``).
+
+    Raises ``ValueError`` on structurally unparseable input (caller
+    routes the row to quarantine).
+    """
+    if raw[:5] != b"%PDF-":
+        raise ValueError("not a PDF: missing %PDF- header")
+
+    objects: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(raw):
+        objects[int(m.group(1))] = m.group(2)
+    if not objects:
+        raise ValueError("no PDF body objects found")
+
+    # pages in document order of their object definitions
+    pages: list[tuple[int, float]] = []  # (contents obj num, page height)
+    for num in sorted(objects):
+        body = objects[num]
+        if _PAGE_RE.search(body):
+            cm = _CONTENTS_RE.search(body)
+            if not cm:
+                continue
+            height = DEFAULT_PAGE_HEIGHT
+            mb = _MEDIABOX_RE.search(body)
+            if mb:
+                height = float(mb.group(4))
+            pages.append((int(cm.group(1)), height))
+    if not pages:
+        raise ValueError("no /Type /Page objects with /Contents found")
+
+    all_spans: list[dict] = []
+    for page_idx, (contents_num, height) in enumerate(pages):
+        body = objects.get(contents_num)
+        if body is None:
+            continue
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        data = sm.group(1)
+        if b"/FlateDecode" in body[: sm.start()]:
+            try:
+                data = zlib.decompress(data.rstrip(b"\r\n"))
+            except zlib.error as e:
+                raise ValueError(f"bad FlateDecode stream: {e}") from e
+        all_spans.extend(_parse_content_stream(data, page_idx, height))
+
+    return assemble_reading_order(all_spans)
+
+
+def assemble_reading_order(spans: list[dict]) -> tuple[str, list[dict]]:
+    """Sort spans into reading order and build (text, char_spans).
+
+    Pure function of the span set — independent of emission order, which
+    is what makes the pipeline's output invariant under any upstream
+    ordering. Ligatures are normalized per span *before* offsets are
+    assigned, so char offsets index the normalized text.
+    """
+    ordered = sorted(
+        spans,
+        key=lambda s: (s["page"], round(s["y1"]), s["x0"], s["text"]),
+    )
+    pieces: list[str] = []
+    char_spans: list[dict] = []
+    offset = 0
+    prev_page = None
+    prev_line = None
+    for s in ordered:
+        text = normalize_ligatures(s["text"]).strip()
+        if not text:
+            continue
+        line_key = (s["page"], round(s["y1"]))
+        if prev_page is None:
+            sep = ""
+        elif line_key == (prev_page, prev_line):
+            sep = " "
+        else:
+            sep = "\n"
+        offset += len(sep)
+        if sep:
+            pieces.append(sep)
+        start = offset
+        offset += len(text)
+        pieces.append(text)
+        char_spans.append(
+            {
+                "start": start,
+                "end": offset,
+                "page": s["page"],
+                "bbox": [s["x0"], s["y0"], s["x1"], s["y1"]],
+            }
+        )
+        prev_page, prev_line = line_key
+    return "".join(pieces), char_spans
+
+
+def find_value_position(spans: list[dict], value: str) -> tuple[int, list[float]] | None:
+    """First span whose text contains ``value`` (first-match-wins
+    containment join, reference ``core/extractor.py:279-293``); the
+    sub-bbox is interpolated by proportional char width
+    (``pdf_service.py:43-73``). Returns ``(page, bbox)`` or None."""
+    needle = value.strip()
+    if not needle:
+        return None
+    for s in spans:
+        text = s["text"]
+        idx = text.find(needle)
+        if idx < 0:
+            continue
+        if len(text) == 0:
+            continue
+        char_w = (s["x1"] - s["x0"]) / len(text)
+        x0 = s["x0"] + idx * char_w
+        x1 = x0 + len(needle) * char_w
+        return s["page"], [x0, s["y0"], x1, s["y1"]]
+    return None

@@ -1,0 +1,69 @@
+"""Ray Data stages for the flagship extraction pipeline.
+
+- ``sniff_batch``: stateless vectorized sniff + size-bucket columns
+  (cheap; lets downstream stages and metrics split by kind/bucket).
+- ``ExtractPages``: the stateful actor-pool stage. Parser state (compiled
+  regexes, per-actor counters) is pinned once per actor in ``__init__``
+  — the fix for the reference's per-document schema refetch
+  (``core/extractor.py:222-223``, see SURVEY.md §4.4.1) generalized:
+  *nothing* is re-initialized per batch.
+
+Batches are ``pyarrow`` (zero-copy in); per-document parsing is
+inherently per-row Python (same as any layout parser), but all
+column assembly is Arrow. Skew handling: the actor processes rows
+largest-first *within* a batch only as a no-op (order inside a batch is
+irrelevant); the real lever is upstream ``batch_size`` + size-bucket
+routing (see ``pipelines/flagship.py``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pdf_extractor_ray.kernels.record import extract_record
+from pdf_extractor_ray.kernels.sniff import SIZE_BUCKET_BOUNDS
+from pdf_extractor_ray.stages.schema import records_to_arrow
+
+
+def sniff_batch(batch: pa.Table) -> pa.Table:
+    """Add ``n_bytes`` and ``size_bucket`` columns (vectorized)."""
+    n_bytes = pc.binary_length(batch.column("html")).cast(pa.int64())
+    n_bytes = pc.coalesce(n_bytes, pa.scalar(0, pa.int64()))
+    nb = n_bytes.to_numpy(zero_copy_only=False)
+    buckets = np.digitize(nb, SIZE_BUCKET_BOUNDS).astype("int8")
+    out = batch.append_column("n_bytes", n_bytes)
+    out = out.append_column("size_bucket", pa.array(buckets, pa.int8()))
+    return out
+
+
+class ExtractPages:
+    """Actor-pool extraction stage: ``(url, html) batch → extraction batch``.
+
+    Use as ``ds.map_batches(ExtractPages, batch_format="pyarrow",
+    concurrency=N, batch_size=B, num_cpus=1)``.
+    """
+
+    def __init__(self) -> None:
+        # Per-actor pinned state. The kernel modules compile their
+        # regexes at import; importing here forces that cost into actor
+        # init (once), not the first batch. Counters feed metrics.
+        import pdf_extractor_ray.kernels.pdf_extract  # noqa: F401
+        import pdf_extractor_ray.kernels.html_extract  # noqa: F401
+
+        self.docs = 0
+        self.bytes = 0
+        self.failures = 0
+        self.started = time.monotonic()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        records = [extract_record(u, h) for u, h in zip(urls, htmls)]
+        self.docs += len(records)
+        self.bytes += sum(r["n_bytes"] for r in records)
+        self.failures += sum(1 for r in records if r["status"].startswith("quarantined"))
+        return records_to_arrow(records)

@@ -1,0 +1,206 @@
+"""Unit tests for the pure kernels (no Ray)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pdf_extractor_ray.kernels.html_extract import html_extract
+from pdf_extractor_ray.kernels.normalize import (
+    collapse_ws,
+    format_value,
+    normalize_compare,
+    normalize_key,
+    normalize_ligatures,
+)
+from pdf_extractor_ray.kernels.pdf_extract import (
+    assemble_reading_order,
+    find_value_position,
+    pdf_extract,
+)
+from pdf_extractor_ray.kernels.record import extract_record
+from pdf_extractor_ray.kernels.sniff import sniff, size_bucket
+from pdf_extractor_ray.kernels import hashing, textstats
+from pdf_extractor_ray.sources.pages import make_html_page, make_pdf
+
+
+# ---------------------------------------------------------------- sniff
+def test_sniff_kinds():
+    assert sniff(b"%PDF-1.4 x") == "pdf"
+    assert sniff(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff(b"") == "empty"
+    assert sniff(None) == "empty"
+    assert sniff(b"\xff\xfe\x00garbage") == "binary"
+    assert sniff(b"plain old text") == "text"
+
+
+def test_size_bucket():
+    assert size_bucket(0) == 0
+    assert size_bucket(16 * 1024) == 1
+    assert size_bucket(300 * 1024) == 2
+    assert size_bucket(10 * 1024 * 1024) == 3
+
+
+# ----------------------------------------------------------- normalizers
+def test_format_value():
+    assert format_value("$1,234.50") == "1234.50"
+    assert format_value("(123)") == "-123"
+    assert format_value("( 45.0 )") == "-45.0"
+    assert format_value("  plain  ") == "plain"
+    assert format_value(None) == ""
+
+
+def test_normalize_key():
+    assert normalize_key("My-File_Name (v2).PDF") == "my file name v2"
+    assert normalize_key("  A   B  ") == "a b"
+
+
+def test_normalize_compare():
+    assert normalize_compare(" Foo  Bar ") == "foobar"
+
+
+def test_collapse_ws_and_ligatures():
+    assert collapse_ws(" a\n b\t c ") == "a b c"
+    assert normalize_ligatures("eﬃcient ﬁre ﬂow") == "efficient fire flow"
+
+
+# ----------------------------------------------------------------- html
+def test_html_extract_strips_boilerplate():
+    rng = random.Random(11)
+    raw, main = make_html_page(rng, 4)
+    text, spans = html_extract(raw)
+    assert text == main
+    assert "BOILER" not in text
+    # char spans index the text exactly
+    for s in spans:
+        assert text[s["start"] : s["end"]] == text[s["start"] : s["end"]].strip()
+    assert spans[0]["start"] == 0
+
+
+def test_html_extract_malformed_is_best_effort():
+    text, spans = html_extract(b"<div><p>hello world this is content</p><nav>BOILER</nav>")
+    assert "hello world this is content" in text
+    assert "BOILER" not in text
+
+
+# ------------------------------------------------------------------ pdf
+def test_pdf_reading_order_invariant_to_emission_order():
+    runs = [
+        (72.0, 700.0, 12.0, "first line"),
+        (200.0, 700.0, 12.0, "still first"),
+        (72.0, 676.0, 12.0, "second line"),
+    ]
+    shuffled = [runs[2], runs[1], runs[0]]
+    t1, _ = pdf_extract(make_pdf([runs]))
+    t2, _ = pdf_extract(make_pdf([shuffled]))
+    assert t1 == t2 == "first line still first\nsecond line"
+
+
+def test_pdf_multipage_and_flate():
+    pages = [[(72.0, 700.0, 12.0, "page one")], [(72.0, 700.0, 12.0, "page two")]]
+    for compress in (False, True):
+        text, spans = pdf_extract(make_pdf(pages, compress=compress))
+        assert text == "page one\npage two"
+        assert [s["page"] for s in spans] == [0, 1]
+        for s in spans:
+            assert text[s["start"] : s["end"]] in ("page one", "page two")
+
+
+def test_pdf_ligature_normalization():
+    text, _ = pdf_extract(make_pdf([[(72.0, 700.0, 12.0, "eﬃcient ﬁnding")]]))
+    assert text == "efficient finding"
+
+
+def test_pdf_escapes_and_tj_array():
+    text, _ = pdf_extract(make_pdf([[(72.0, 700.0, 12.0, r"a(b)c\d")]]))
+    assert text == r"a(b)c\d"
+
+
+def test_pdf_malformed_raises():
+    with pytest.raises(ValueError):
+        pdf_extract(b"%PDF-1.4\nnot really a pdf")
+    with pytest.raises(ValueError):
+        pdf_extract(b"nope")
+
+
+def test_find_value_position_interpolates():
+    spans = [{"page": 0, "x0": 0.0, "y0": 0.0, "x1": 100.0, "y1": 12.0, "text": "abcdefghij", "font_size": 12.0}]
+    page, bbox = find_value_position(spans, "cde")
+    assert page == 0
+    assert bbox[0] == pytest.approx(20.0)
+    assert bbox[2] == pytest.approx(50.0)
+    assert find_value_position(spans, "zzz") is None
+
+
+def test_assemble_reading_order_pure():
+    spans = [
+        {"page": 0, "x0": 10.0, "y0": 0, "x1": 20.0, "y1": 100.0, "text": "b", "font_size": 12.0},
+        {"page": 0, "x0": 5.0, "y0": 0, "x1": 9.0, "y1": 100.0, "text": "a", "font_size": 12.0},
+    ]
+    t1, cs = assemble_reading_order(spans)
+    t2, _ = assemble_reading_order(list(reversed(spans)))
+    assert t1 == t2 == "a b"
+    assert [(c["start"], c["end"]) for c in cs] == [(0, 1), (2, 3)]
+
+
+# ----------------------------------------------------------- extract_record
+def test_extract_record_quarantines():
+    r = extract_record("u", b"%PDF-1.4\ngarbage")
+    assert r["status"] == "quarantined:parse-error"
+    r = extract_record("u", b"")
+    assert r["status"] == "empty"
+    r = extract_record("u", b"\xff\xfe\x00bin")
+    assert r["status"].startswith("quarantined:unsupported")
+
+
+# --------------------------------------------------------------- hashing
+def test_stable_hash_deterministic():
+    assert hashing.stable_hash64("abc") == hashing.stable_hash64(b"abc")
+    assert hashing.content_hash("x") == hashing.content_hash("x")
+
+
+def test_minhash_similarity_monotone():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " with a tiny suffix change"
+    c = "completely different words describing unrelated machinery parts"
+    sa = hashing.minhash_signature(hashing.shingle_hashes(a))
+    sb = hashing.minhash_signature(hashing.shingle_hashes(b))
+    sc = hashing.minhash_signature(hashing.shingle_hashes(c))
+    sim_ab = (sa == sb).mean()
+    sim_ac = (sa == sc).mean()
+    assert sim_ab > sim_ac
+
+
+def test_simhash_near_duplicates_close():
+    a = " ".join(["alpha beta gamma delta epsilon zeta eta theta"] * 10)
+    b = a + " iota"
+    c = " ".join(["one two three four five six seven eight"] * 10)
+    da = hashing.simhash64(a)
+    db = hashing.simhash64(b)
+    dc = hashing.simhash64(c)
+    assert hashing.hamming64(da, db) < hashing.hamming64(da, dc)
+
+
+def test_jaccard():
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    b = np.array([2, 3, 4], dtype=np.uint64)
+    assert hashing.jaccard(a, b) == pytest.approx(0.5)
+
+
+# -------------------------------------------------------------- textstats
+def test_token_counts():
+    assert textstats.token_count_ws("a b  c") == 3
+    assert textstats.token_count_ws("") == 0
+    assert textstats.token_count_bpeish("hello world") >= 2
+
+
+def test_lang_id():
+    assert textstats.lang_id("the cat sat on the mat and it was happy for a while") == "en"
+    assert textstats.lang_id("der hund und die katze ist nicht im haus für immer") == "de"
+    assert textstats.lang_id("xyzzy plugh") == "und"
+
+
+def test_quality_score_ordering():
+    good = "The quick brown fox jumps over the lazy dog and runs into the forest with great speed today." * 3
+    bad = "@@@@ #### !!!! %%%%"
+    assert textstats.quality_score(good) > textstats.quality_score(bad)
