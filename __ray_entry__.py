@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction on sf0.001; ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2 +
+the training-data-scale extensions); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query. Money doubles are summed as
+integer cents (see ``pdf_extractor_ray/functions/exact.py``) so Ray and
+DuckDB results hash identically; non-SQL-expressible pipelines
+(extraction, sketch dedup, ANN, heuristic scoring) are registered
+without oracle SQL → rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +20,75 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (pages derived
+    deterministically from documents.parquet)."""
+    from pdf_extractor_ray.pipelines.webdocs import extract_documents_summary
+
+    return extract_documents_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _training_examples(sf_dir: str):
+        import os
+
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.training import build_training_examples, validate_examples
+
+        docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        ex = validate_examples(build_training_examples(docs))
+        return ex.select_columns(["example_id", "valid", "error"])
+
+    return {
+        # -- relational / analytics (SQL-checked) -----------------------
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_top_building_orders": analytics.q3_top_building_orders,
+        "q5_region_nation_revenue": analytics.q5_region_nation_revenue,
+        "top_orders_by_price": analytics.top_orders_by_price,
+        "customers_without_big_orders": analytics.customers_without_big_orders,
+        "events_hourly": analytics.events_hourly,
+        "distinct_event_types": analytics.distinct_event_types,
+        "supplier_balance_by_nation": analytics.supplier_balance_by_nation,
+        # -- dedup (exact ones SQL-checked) -----------------------------
+        "dedup_exact_documents": dedup.dedup_exact,
+        "dedup_normalized_documents": dedup.dedup_normalized,
+        "dedup_minhash_documents": dedup.dedup_minhash,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_near_dups": dedup.simhash_near_dups,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "embedding_near_dups": dedup.embedding_near_dups,
+        # -- similarity search ------------------------------------------
+        "knn_cosine_topk": similarity.knn_brute_force,
+        "knn_ivf_topk": similarity.knn_ivf,
+        # -- text analysis ----------------------------------------------
+        "doc_token_stats": textops.doc_token_stats,
+        "lang_count_documents": textops.lang_count,
+        "lang_id_documents": textops.lang_id_documents,
+        "quality_documents": textops.quality_documents,
+        "fingerprint_documents": textops.fingerprint_documents,
+        # -- extraction flagship + training (rows-only) -----------------
+        "extract_flagship": webdocs.extract_documents_summary,
+        "training_examples": _training_examples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops
+
+    return {
+        "q1_pricing_summary": analytics.Q1_SQL,
+        "q3_top_building_orders": analytics.Q3_SQL,
+        "q5_region_nation_revenue": analytics.Q5_SQL,
+        "top_orders_by_price": analytics.TOP_ORDERS_SQL,
+        "customers_without_big_orders": analytics.CUSTOMERS_WITHOUT_BIG_ORDERS_SQL,
+        "events_hourly": analytics.EVENTS_HOURLY_SQL,
+        "distinct_event_types": analytics.DISTINCT_EVENT_TYPES_SQL,
+        "supplier_balance_by_nation": analytics.SUPPLIER_BALANCE_SQL,
+        "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
+        "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,
+        "knn_cosine_topk": similarity.KNN_SQL,
+        "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
+        "lang_count_documents": textops.LANG_COUNT_SQL,
+    }

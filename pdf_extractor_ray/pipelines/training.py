@@ -1,0 +1,113 @@
+"""Training-data pipeline analogs (``pdf-extractor-finetune``):
+
+- ``build_training_examples`` — excel2training/data_processor analog
+  (``fine_tuning/data_processor.py:104-117``): per-document chat
+  example ``messages=[{role:user,...},{role:assistant,...}]``, with the
+  whitespace-collapsed document text in the user turn.
+- ``validate_examples`` — structure validation partition
+  (``finetune_commands/train.py:142-172``): valid/invalid split with
+  error reasons; invalids are quarantined, not dropped.
+- ``distinct_field_keys`` — global distinct + sort
+  (``fine_tuning/data_processor.py:124-148``).
+- ``validation_metrics`` — the A3 aggregate
+  (``validation/model_validator.py:100-211``): global accuracy /
+  precision / recall / F1 + per-field accuracy via groupby, computed
+  from a (golden, extracted) pair table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from pdf_extractor_ray.kernels.normalize import collapse_ws, normalize_compare
+
+MIN_TRAINING_EXAMPLES = 10  # reference guard: train.py:277-281
+
+PROMPT_TEMPLATE = (
+    "Extract the requested fields from this document.\n\n{content}"
+)
+
+
+def build_training_examples(docs: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """documents → chat-format examples (messages list<struct>)."""
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        msgs = [
+            [
+                {"role": "user", "content": PROMPT_TEMPLATE.format(content=collapse_ws(t))},
+                {"role": "assistant", "content": '{"fields": []}'},
+            ]
+            for t in b[text_col]
+        ]
+        return pd.DataFrame({"example_id": b[id_col], "messages": msgs})
+
+    return docs.map_batches(build, batch_format="pandas")
+
+
+def validate_examples(examples: ray.data.Dataset) -> ray.data.Dataset:
+    """Adds valid:bool + error:string; callers filter / quarantine."""
+
+    def check(b: pd.DataFrame) -> pd.DataFrame:
+        valid, errors = [], []
+        prefix = PROMPT_TEMPLATE.format(content="")
+        for m in b["messages"]:
+            if len(m) < 2:
+                valid.append(False)
+                errors.append("missing turns")
+            elif not m[0]["content"].removeprefix(prefix).strip():
+                valid.append(False)
+                errors.append("empty document content")
+            else:
+                valid.append(True)
+                errors.append("")
+        b = b.copy()
+        b["valid"] = valid
+        b["error"] = errors
+        return b
+
+    return examples.map_batches(check, batch_format="pandas")
+
+
+def validation_metrics(pairs: ray.data.Dataset) -> dict:
+    """pairs columns: (url, field_key, expected, actual). Returns the
+    ValidationMetrics analog: global accuracy/precision/recall/F1 and
+    per-field accuracy (groupby on field_key)."""
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        exp_n = b["expected"].map(normalize_compare)
+        act_n = b["actual"].map(normalize_compare)
+        has_exp = exp_n != ""
+        has_act = act_n != ""
+        tp = (has_exp & has_act & (exp_n == act_n)).astype("int64")
+        fp = (has_act & (exp_n != act_n)).astype("int64")
+        fn = (has_exp & ~has_act).astype("int64")
+        return pd.DataFrame(
+            {"field_key": b["field_key"], "tp": tp, "fp": fp, "fn": fn, "correct": tp, "total": 1}
+        )
+
+    scored = pairs.map_batches(score, batch_format="pandas")
+    per_field = (
+        scored.groupby("field_key")
+        .aggregate(Sum("correct", alias_name="n_correct"), Count(alias_name="n_total"))
+        .to_pandas()
+    )
+    per_field["accuracy"] = per_field["n_correct"] / per_field["n_total"]
+    per_field = per_field.sort_values("accuracy", ascending=False).reset_index(drop=True)
+
+    totals = scored.aggregate(
+        Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"), Sum("fn", alias_name="fn"),
+        Sum("correct", alias_name="correct"), Sum("total", alias_name="total"),
+    )
+    tp, fp, fn = totals["tp"] or 0, totals["fp"] or 0, totals["fn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "accuracy": (totals["correct"] or 0) / totals["total"] if totals["total"] else 0.0,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "per_field": per_field,
+    }

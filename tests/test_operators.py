@@ -1,0 +1,192 @@
+"""Operator tests: joins, dedup family, sync-merge, similarity,
+training pipelines — tiny in-memory tables + the sf0.001 testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+
+
+# ------------------------------------------------------------- joins
+def test_bucket_join_matches_pandas_merge():
+    from pdf_extractor_ray.joins import bucket_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": ["x", "y", "z", "w", "v"]})
+    right = pd.DataFrame({"k": [2, 2, 3, 4], "b": [10, 20, 30, 40]})
+    got = (
+        bucket_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_broadcast_semi_and_anti():
+    from pdf_extractor_ray.joins import broadcast_semi
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": list("abcd")}))
+    semi = broadcast_semi(ds, {2, 4}, "k").to_pandas()
+    anti = broadcast_semi(ds, {2, 4}, "k", keep=False).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3]
+
+
+# ------------------------------------------------------------- dedup
+def test_dedup_exact_keeps_min_doc_id(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 2, 3],
+            "text": ["same text", "same text", "other", "same text"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [9, 9, 5, 9],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), str(d / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.dedup import dedup_exact
+
+    out = dedup_exact(str(d)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_minhash_lsh_finds_planted_near_dups(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain stays "
+        "mainly in the plain and every good boy deserves fudge for dinner tonight"
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " extra suffix words", "completely unrelated machinery manual content about torque wrenches and bolts"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(str(d), jaccard_threshold=0.3).to_pandas()
+    assert {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])} == {(1, 2)}
+
+
+def test_simhash_planted_near_dups(tmp_path):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    base = " ".join(f"word{i}" for i in range(120))
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, base + " tail", " ".join(f"other{i}" for i in range(120))]}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(str(d), max_hamming=6).to_pandas()
+    assert (1, 2) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (1, 3) not in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+# --------------------------------------------------------- sync merge
+def test_merge_into_sink_two_level_dedup():
+    from pdf_extractor_ray.pipelines.sync_merge import merge_into_sink
+
+    sink = pd.DataFrame({"file_name": ["Report-A.pdf"], "total": ["100"]})
+    new = pd.DataFrame(
+        {
+            "file_name": ["report a", "Report-B.pdf", "REPORT B!!", "fresh.pdf"],
+            "total": ["999", "200", "201", "300"],
+        }
+    )
+    out = merge_into_sink(
+        ray.data.from_pandas(sink), ray.data.from_pandas(new), key_col="file_name", tie_break_col="file_name"
+    ).to_pandas()
+    # "report a" normalizes to existing sink row → sink wins (100 kept)
+    assert set(out.loc[out["total"] == "100", "file_name"]) == {"Report-A.pdf"}
+    assert "999" not in set(out["total"])
+    # Report-B.pdf and REPORT B!! collide on the normalized key → one deterministic winner
+    b_rows = out[out["file_name"].str.lower().str.contains("report")]
+    assert len(out) == 3  # A(sink), one B, fresh
+    # idempotent: merging the same new rows again changes nothing
+    out2 = merge_into_sink(
+        ray.data.from_pandas(out), ray.data.from_pandas(new), key_col="file_name", tie_break_col="file_name"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["file_name", "total"]).reset_index(drop=True),
+        out2.sort_values(["file_name", "total"]).reset_index(drop=True),
+    )
+
+
+# --------------------------------------------------------- similarity
+def test_knn_ivf_recall_vs_brute_force():
+    from pdf_extractor_ray.pipelines.similarity import knn_brute_force, knn_ivf
+
+    exact = knn_brute_force(SF_DIR, k=10)
+    approx = knn_ivf(SF_DIR, k=10, num_lists=8, n_probe=4)
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+# ----------------------------------------------------------- training
+def test_training_examples_and_validation():
+    from pdf_extractor_ray.pipelines.training import (
+        build_training_examples,
+        validate_examples,
+        validation_metrics,
+    )
+
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["hello  world", ""]}))
+    ex = validate_examples(build_training_examples(docs)).to_pandas()
+    assert list(ex["valid"]) == [True, False]
+    assert "hello world" in ex.loc[0, "messages"][0]["content"]  # ws collapsed
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "url": ["u1", "u1", "u2", "u2"],
+                "field_key": ["total", "date", "total", "name"],
+                "expected": ["100", "2024-01-01", "55", ""],
+                "actual": ["100", "wrong", "", "extra"],
+            }
+        )
+    )
+    m = validation_metrics(pairs)
+    # tp=1 (total@u1), fp=2 (date wrong, name extra), fn=1 (total@u2 missing)
+    assert m["precision"] == pytest.approx(1 / 3)
+    assert m["recall"] == pytest.approx(1 / 2)
+    assert 0 < m["f1"] < 1
+    assert set(m["per_field"]["field_key"]) == {"total", "date", "name"}
+
+
+# ------------------------------------------------------------ webdocs
+def test_extract_documents_recovers_text():
+    """HTML-derived rows must extract exactly the documents' text."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.webdocs import extract_documents
+
+    out = extract_documents(SF_DIR, concurrency=2).to_pandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    n_checked = 0
+    for _, row in out.iterrows():
+        doc_id = int(row["url"].rsplit("/", 1)[1])
+        if row["kind"] == "html":
+            assert row["extracted_text"] == texts[doc_id], f"doc {doc_id}"
+            n_checked += 1
+        else:
+            assert row["status"] == "ok"
+            assert row["extracted_text"].split() == texts[doc_id].split()
+    assert n_checked > 0
