@@ -1,0 +1,185 @@
+"""Benchmark runner.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: run the headline extraction twice in FRESH subprocesses
+(num_cpus = N/4 and N on the same input) and report both throughputs +
+scaling efficiency (BASELINE.md protocol; target ≥ 0.8).
+
+The headline input is a deterministic synthetic pages corpus (seeded,
+cached under /tmp) sized to the scale factor: ~20 pages per documents
+row → ~100k pages at sf0.1, written as multiple parquet files so
+partitioning is real.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def ensure_bench_corpus(sf_dir: str) -> tuple[str, int]:
+    """Deterministic pages corpus sized to the sf (cached)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_pages = max(2_000, n_docs * 20)
+    out = f"/tmp/graft_bench_pages_{n_pages}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        from pdf_extractor_ray.sources.pages import write_pages_corpus
+
+        n_files = max(8, n_pages // 12_500)
+        write_pages_corpus(out, n_rows=n_pages, n_files=n_files, seed=42)
+        with open(marker, "w") as f:
+            f.write(str(n_pages))
+    return out, n_pages
+
+
+def run_headline(corpus_dir: str, num_cpus: int) -> dict:
+    """Extraction throughput over the bench corpus (consume = count by
+    status; no driver materialization of text)."""
+    import glob
+
+    import ray
+
+    from pdf_extractor_ray.pipelines.flagship import build_extraction_pipeline, extraction_summary
+
+    paths = sorted(glob.glob(os.path.join(corpus_dir, "pages_*.parquet")))
+    n_bytes_in = sum(os.path.getsize(p) for p in paths)
+    t0 = time.monotonic()
+    ds = build_extraction_pipeline(
+        paths,
+        concurrency=(2, max(2, num_cpus - 2)),
+        batch_size=64,
+    )
+    summary = extraction_summary(ds).to_pandas()
+    wall = time.monotonic() - t0
+    n_docs = int(summary["n_docs"].sum())
+    return {
+        "wall_s": round(wall, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(n_bytes_in / wall / 1e6, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-query wall times for the registered operator suite."""
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    bench_set = [
+        "q1_pricing_summary",
+        "q3_top_building_orders",
+        "q5_region_nation_revenue",
+        "events_hourly",
+        "dedup_exact_documents",
+        "dedup_minhash_documents",
+        "knn_cosine_topk",
+        "doc_token_stats",
+        "extract_flagship",
+    ]
+    times = {}
+    for name in bench_set:
+        t0 = time.monotonic()
+        result = qs[name](sf_dir)
+        # consume lazily-built datasets without keeping data
+        if hasattr(result, "count"):
+            result.count()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    corpus, _ = ensure_bench_corpus(args.sf_dir)
+    headline = run_headline(corpus, args.cpus)
+    queries = {} if args.headline_only else run_queries(args.sf_dir)
+
+    total = headline["wall_s"] + sum(queries.values())
+    out = {
+        "metric": "docs/sec extraction throughput (byte-identical text per url)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"extract_headline": headline["wall_s"], **queries},
+        "sf": args.sf_dir,
+        "num_cpus": args.cpus,
+        "docs_per_sec": headline["docs_per_sec"],
+        "mb_per_sec": headline["mb_per_sec"],
+        "headline_docs": headline["docs"],
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_scaling(args) -> None:
+    """Fresh process per parallelism level, same input."""
+    low = max(1, args.cpus // 4)
+    results = {}
+    for cpus in (low, args.cpus):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only", "--cpus", str(cpus), "--sf-dir", args.sf_dir],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tp_low = results[low]["docs_per_sec"]
+    tp_high = results[args.cpus]["docs_per_sec"]
+    eff = (tp_high / tp_low) / (args.cpus / low)
+    out = {
+        "metric": "scaling efficiency (docs/sec, fresh processes, same input)",
+        "cpus_low": low,
+        "cpus_high": args.cpus,
+        "docs_per_sec_low": tp_low,
+        "docs_per_sec_high": tp_high,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "sf": args.sf_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,10 +6,11 @@ as Ray Data pipelines, each with an exact DuckDB oracle in
 ``__ray_entry__.oracle_sql``.
 
 Scale notes baked into every query:
-- column pruning at ``read_parquet`` (never scan unused columns);
-- partial aggregation inside ``map_batches`` (one row per key per
-  batch) before the ``groupby`` shuffle — the shuffle moves per-key
-  partials, not raw rows;
+- column pruning + row-group predicate pushdown at ``read_parquet``;
+- partial aggregation inside ``map_batches`` before any exchange — the
+  shuffle moves per-key partials, not raw rows;
+- grouped aggregation via ``ops.grouped_sum`` (bucketed hash exchange;
+  Ray's built-in aggregate costs ~5 ms/group — see ops.py);
 - money doubles summed as integer cents (``functions.exact``) so
   results are order-independent and bit-identical to the SQL oracle;
 - dimension tables broadcast, large-large joins via ``joins.bucket_join``
@@ -24,10 +25,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from pdf_extractor_ray.functions.exact import cents_np
 from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, bucket_join
+from pdf_extractor_ray.ops import distinct, grouped_sum
 
 
 def _pq(sf_dir: str, table: str) -> str:
@@ -36,12 +37,7 @@ def _pq(sf_dir: str, table: str) -> str:
 
 # ----------------------------------------------------------------- Q1
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
-    """TPC-H Q1-style grouped pricing summary with exact-cents sums.
-
-    Partial-aggregates per batch, then a tiny groupby over ≤ (batches ×
-    6 flag/status combos) partial rows — the shuffle is O(keys), not
-    O(rows).
-    """
+    """TPC-H Q1-style grouped pricing summary with exact-cents sums."""
     cutoff = np.datetime64("1998-09-01")
 
     ds = ray.data.read_parquet(
@@ -49,13 +45,9 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"].to_numpy() < cutoff]
-        if b.empty:
-            return pd.DataFrame(
-                columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
-            )
-        g = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
@@ -64,17 +56,16 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
                 "sum_disc_cents": cents_np(
                     b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
                 ),
-                "count_order": 1,
+                "count_order": np.ones(len(b), dtype=np.int64),
             }
         )
-        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
-        Sum("count_order", alias_name="count_order"),
+    derived = ds.map_batches(derive, batch_format="pandas", batch_size=65536)
+    return grouped_sum(
+        derived,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"],
+        num_buckets=4,
     )
 
 
@@ -94,10 +85,9 @@ GROUP BY l_returnflag, l_linestatus
 def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
     """Top-10 revenue orders for BUILDING-segment customers.
 
-    customer is reduced to a broadcast key set (semi-join filter pushed
-    into the orders scan side); orders ⋈ lineitem goes through the
-    partitioned hash bucket join; per-order revenue partial-aggregates;
-    final sort desc + deterministic o_orderkey tie-break + limit 10.
+    customer → broadcast key set (semi-join filter); orders ⋈ lineitem
+    through the partitioned hash bucket join; per-order revenue via
+    bucketed grouped_sum; final global sort + deterministic tie-break.
     """
     import pyarrow.compute as pc
 
@@ -109,7 +99,7 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
     )
     building_keys = [r["c_custkey"] for r in cust.take_all()]  # small key set
 
-    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
     orders = broadcast_semi(orders, building_keys, "o_custkey")
     lineitem = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -121,10 +111,13 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
             }
         ).groupby("o_orderkey", as_index=False).sum(),
         batch_format="pandas",
-        batch_size=32768,
+        batch_size=65536,
     )
     joined = bucket_join(orders, lineitem, on="o_orderkey", num_buckets=16)
-    per_order = joined.groupby("o_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    per_order = grouped_sum(joined.select_columns(["o_orderkey", "rev_cents"]), ["o_orderkey"], ["rev_cents"])
+    per_order = per_order.map_batches(
+        lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas"
+    )
     top = per_order.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
     return top.to_pandas()
 
@@ -144,10 +137,10 @@ LIMIT 10
 
 # ----------------------------------------------------------------- Q5-ish
 def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
-    """Revenue by nation for one region: three broadcast dimension hops
-    (region → nation → customer) collapse to ONE broadcast dict
+    """Revenue by nation for one region: the three dimension hops
+    (region → nation → customer) collapse into ONE broadcast dict
     custkey→nation-name; the only big join (orders ⋈ lineitem) is the
-    bucket join; aggregation is partial-then-global."""
+    bucket join; aggregation is partial-then-bucketed."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
@@ -174,10 +167,11 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
             }
         ).groupby("o_orderkey", as_index=False).sum(),
         batch_format="pandas",
-        batch_size=32768,
+        batch_size=65536,
     )
     joined = bucket_join(orders, lineitem, on="o_orderkey", num_buckets=16)
-    return joined.groupby("n_name").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    out = grouped_sum(joined.select_columns(["n_name", "rev_cents"]), ["n_name"], ["rev_cents"], num_buckets=4)
+    return out.map_batches(lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas")
 
 
 Q5_SQL = """
@@ -214,15 +208,19 @@ FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 10
 def customers_without_big_orders(sf_dir: str, min_price: float = 400_000.0) -> ray.data.Dataset:
     """J5-style anti-join: customers with no order above ``min_price``.
     The qualifying order-custkey set is filtered at the read (row-group
-    predicate pushdown), distinct-projected, and broadcast; at 10^12
-    rows this becomes a Bloom filter with identical shape."""
+    predicate pushdown), distinct-projected (bucketed), and broadcast;
+    at 10^12 rows this becomes a Bloom filter with identical shape."""
     import pyarrow.compute as pc
 
-    okeys = ray.data.read_parquet(
-        _pq(sf_dir, "orders"),
-        columns=["o_custkey"],
-        filter=pc.field("o_totalprice") > min_price,
-    ).unique("o_custkey")
+    okeys_ds = distinct(
+        ray.data.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey"],
+            filter=pc.field("o_totalprice") > min_price,
+        ),
+        ["o_custkey"],
+    )
+    okeys = [r["o_custkey"] for r in okeys_ds.take_all()]
     cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
     return broadcast_semi(cust, okeys, "c_custkey", keep=False)
 
@@ -238,25 +236,29 @@ WHERE NOT EXISTS (
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling-hour aggregate per event type (the engine's windowed
     aggregate; Ray Data has no event-time windows, so the window is a
-    derived grouping column — SURVEY.md §2.9)."""
+    derived grouping column — SURVEY.md §2.9). Shuffle key is int64
+    epoch-hours; the timestamp is restored on the small result."""
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame(
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
                 "event_type": b["event_type"],
-                "hour": b["ts"].dt.floor("h"),
+                "hour_epoch": (b["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000),
                 "value_cents": cents_np(b["value"]),
-                "n_events": 1,
+                "n_events": np.ones(len(b), dtype=np.int64),
             }
         )
-        return g.groupby(["event_type", "hour"], as_index=False).sum()
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=32768)
-    return partials.groupby(["event_type", "hour"]).aggregate(
-        Sum("value_cents", alias_name="value_cents"),
-        Sum("n_events", alias_name="n_events"),
-    )
+    derived = ds.map_batches(derive, batch_format="pandas", batch_size=65536)
+    agg = grouped_sum(derived, ["event_type", "hour_epoch"], ["value_cents", "n_events"])
+
+    def restore_hour(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hour"] = (b["hour_epoch"] * 3_600_000_000).astype("datetime64[us]")
+        return b.drop(columns=["hour_epoch"])
+
+    return agg.map_batches(restore_hour, batch_format="pandas")
 
 
 EVENTS_HOURLY_SQL = """
@@ -267,10 +269,13 @@ FROM events GROUP BY 1, 2
 """
 
 
-def distinct_event_types(sf_dir: str) -> pa.Table:
-    """A1-style global distinct (shuffle on the key)."""
-    vals = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type"]).unique("event_type")
-    return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """A1-style global distinct (bucketed partial-distinct shuffle)."""
+    return distinct(
+        ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type"]),
+        ["event_type"],
+        num_buckets=4,
+    )
 
 
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
@@ -286,16 +291,17 @@ def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
     sup = ray.data.read_parquet(_pq(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
     sup = broadcast_map(sup, natmap, "s_nationkey", "n_name")
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = pd.DataFrame(
-            {"n_name": b["n_name"], "acctbal_cents": cents_np(b["s_acctbal"]), "n_suppliers": 1}
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": b["n_name"],
+                "acctbal_cents": cents_np(b["s_acctbal"]),
+                "n_suppliers": np.ones(len(b), dtype=np.int64),
+            }
         )
-        return g.groupby("n_name", as_index=False).sum()
 
-    return sup.map_batches(partial, batch_format="pandas").groupby("n_name").aggregate(
-        Sum("acctbal_cents", alias_name="acctbal_cents"),
-        Sum("n_suppliers", alias_name="n_suppliers"),
-    )
+    derived = sup.map_batches(derive, batch_format="pandas")
+    return grouped_sum(derived, ["n_name"], ["acctbal_cents", "n_suppliers"], num_buckets=4)
 
 
 SUPPLIER_BALANCE_SQL = """

@@ -23,6 +23,7 @@ import pandas as pd
 import ray.data
 
 from pdf_extractor_ray.kernels import hashing
+from pdf_extractor_ray.ops import grouped_apply, keep_first
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
@@ -38,9 +39,6 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_char
 
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
 
-
-def _keep_min_doc(g: pd.DataFrame) -> pd.DataFrame:
-    return g.nsmallest(1, "doc_id")
 
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
@@ -58,7 +56,7 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
         return b
 
     ds = ds.map_batches(add_hash, batch_format="pandas")
-    out = ds.groupby("__h").map_groups(_keep_min_doc, batch_format="pandas")
+    out = keep_first(ds, ["__h"], "doc_id")
     return out.drop_columns(["__h", "text"])
 
 
@@ -80,7 +78,7 @@ def dedup_normalized(sf_dir: str) -> ray.data.Dataset:
         return b
 
     ds = ds.map_batches(add_key, batch_format="pandas")
-    out = ds.groupby("__h").map_groups(_keep_min_doc, batch_format="pandas")
+    out = keep_first(ds, ["__h"], "doc_id")
     return out.drop_columns(["__h", "text"])
 
 
@@ -152,10 +150,17 @@ def minhash_lsh_pairs(
             {"doc_a": "int64", "doc_b": "int64", "jaccard_sim": "float64"}
         )
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands → distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    def all_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_hash"], sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else bucket_pairs(g.head(0))
+
+    pairs = grouped_apply(bands, ["band_id", "band_hash"], all_bucket_pairs, num_buckets=32)
+    # a pair can surface from several bands → distinct (deterministic:
+    # sim is identical for every copy of the pair)
+    return grouped_apply(
+        pairs, ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]),
+        num_buckets=16,
     )
 
 
@@ -205,8 +210,16 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
 
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    def all_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_val"], sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else bucket_pairs(g.head(0))
+
+    pairs = grouped_apply(bands, ["band_id", "band_val"], all_bucket_pairs, num_buckets=32)
+    return grouped_apply(
+        pairs, ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"]),
+        num_buckets=16,
+    )
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, k: int = 3) -> ray.data.Dataset:

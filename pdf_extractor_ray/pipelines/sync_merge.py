@@ -48,11 +48,20 @@ def merge_into_sink(
     )
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        sink_rows = g[g["__side"] == 0]
-        if len(sink_rows):
-            out = sink_rows  # existing rows win (exact-level skip)
-        else:
-            out = g.sort_values([tie, key_col]).head(1)  # first-writer-wins, deterministic
+        # vectorized per-key resolution over a whole hash bucket:
+        # keys with any sink row keep ALL their sink rows; keys with
+        # only new rows keep the single deterministic winner.
+        has_sink = g.groupby("__norm", sort=False)["__side"].transform("min") == 0
+        keep_sink = (g["__side"] == 0) & has_sink
+        new_only = g[~has_sink]
+        winners_idx = (
+            new_only.sort_values([tie, key_col]).groupby("__norm", sort=False).head(1).index
+            if len(new_only)
+            else []
+        )
+        out = g[keep_sink | g.index.isin(winners_idx)]
         return out.drop(columns=["__side", "__norm"])
 
-    return both.groupby("__norm").map_groups(resolve, batch_format="pandas")
+    from pdf_extractor_ray.ops import grouped_apply
+
+    return grouped_apply(both, ["__norm"], resolve, num_buckets=16)

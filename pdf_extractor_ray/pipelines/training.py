@@ -87,12 +87,12 @@ def validation_metrics(pairs: ray.data.Dataset) -> dict:
             {"field_key": b["field_key"], "tp": tp, "fp": fp, "fn": fn, "correct": tp, "total": 1}
         )
 
+    from pdf_extractor_ray.ops import grouped_sum
+
     scored = pairs.map_batches(score, batch_format="pandas")
-    per_field = (
-        scored.groupby("field_key")
-        .aggregate(Sum("correct", alias_name="n_correct"), Count(alias_name="n_total"))
-        .to_pandas()
-    )
+    per_field = grouped_sum(
+        scored.select_columns(["field_key", "correct", "total"]), ["field_key"], ["correct", "total"]
+    ).to_pandas().rename(columns={"correct": "n_correct", "total": "n_total"})
     per_field["accuracy"] = per_field["n_correct"] / per_field["n_total"]
     per_field = per_field.sort_values("accuracy", ascending=False).reset_index(drop=True)
 
