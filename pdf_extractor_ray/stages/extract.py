@@ -44,7 +44,8 @@ class ExtractPages:
     """Actor-pool extraction stage: ``(url, html) batch → extraction batch``.
 
     Use as ``ds.map_batches(ExtractPages, batch_format="pyarrow",
-    concurrency=N, batch_size=B, num_cpus=1)``.
+    concurrency=N, batch_size=B, num_cpus=1)``. Handles every content
+    kind (single-stage pipeline variant).
     """
 
     def __init__(self) -> None:
@@ -67,3 +68,55 @@ class ExtractPages:
         self.bytes += sum(r["n_bytes"] for r in records)
         self.failures += sum(1 for r in records if r["status"].startswith("quarantined"))
         return records_to_arrow(records)
+
+
+# ---------------------------------------------------------------------
+# Two-stage split (SURVEY.md §7.1), single scan, no union:
+#   stage 1 (stateless tasks)  — sniff + extract HTML/text rows, drop
+#     their payload bytes, forward PDF payloads untouched;
+#   stage 2 (stateful actor pool) — parse ONLY the pending PDF rows
+#     (parser state pinned per worker, north rule), pass the rest
+#     through. Non-PDF rows reach stage 2 without their multi-KB
+#     payloads, so the pass-through cost is a few small columns.
+# ---------------------------------------------------------------------
+
+def extract_all_batch(batch: pa.Table) -> pa.Table:
+    """Fused single-stage extraction (stateless tasks): sniff + dispatch
+    + extract per row. Parser state (compiled regexes) is module-level
+    and Ray reuses worker processes across tasks, so per-worker state
+    pinning holds without an actor pool. Fastest shape on Ray 2.49 —
+    see ``pipelines.flagship.build_extraction_pipeline``."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    return records_to_arrow([extract_record(u, h) for u, h in zip(urls, htmls)])
+
+
+_PDF_MAGIC = b"%PDF-"
+
+
+def is_pdf_mask(batch: pa.Table) -> pa.ChunkedArray:
+    """Vectorized %PDF- magic test over the binary payload column."""
+    head = pc.binary_slice(batch.column("html"), 0, 5)
+    return pc.equal(head, _PDF_MAGIC)
+
+
+def extract_non_pdf_batch(batch: pa.Table) -> pa.Table:
+    """HTML/text/edge branch (stateless tasks): drop PDF rows (the
+    actor-pool branch owns them), extract everything else."""
+    keep = batch.filter(pc.invert(is_pdf_mask(batch)))
+    urls = keep.column("url").to_pylist()
+    htmls = keep.column("html").to_pylist()
+    return records_to_arrow([extract_record(u, h) for u, h in zip(urls, htmls)])
+
+
+def project_pdf_rows(batch: pa.Table) -> pa.Table:
+    """PDF branch head: early filter+project so only PDF payloads flow
+    into the actor pool (≈15% of a crawl)."""
+    return batch.filter(is_pdf_mask(batch)).select(["url", "html"])
+
+
+# The PDF layout parse runs in the stateful ExtractPages actor pool
+# (parser state pinned per worker in __init__ — the hoist of the
+# reference's per-document re-init, SURVEY.md §4.4.1). ExtractPages
+# dispatches per row, so feeding it the PDF-only branch specializes it.
+PdfExtractActor = ExtractPages

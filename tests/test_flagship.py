@@ -58,6 +58,18 @@ def test_quarantine_rows_present(pipeline_output):
     assert len(status) == 300
 
 
+def test_actor_pool_shape_identical(pages_corpus, goldens):
+    """use_actor_pool=True (branch+union, stateful PDF pool) must be
+    row-identical to the fused task shape and to the oracle."""
+    ds = build_extraction_pipeline(pages_corpus, use_actor_pool=True, concurrency=2)
+    out = ds.to_pandas()
+    exp = _by_url(goldens)
+    assert len(out) == goldens.num_rows
+    for u, t, s in zip(out["url"], out["extracted_text"], out["status"]):
+        assert t == exp[u][0]
+        assert s == exp[u][1]
+
+
 def test_extraction_summary_aggregate(pages_corpus):
     ds = build_extraction_pipeline(pages_corpus, concurrency=2)
     summary = extraction_summary(ds).to_pandas()
