@@ -68,14 +68,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_documents": textops.lang_id_documents,
         "quality_documents": textops.quality_documents,
         "fingerprint_documents": textops.fingerprint_documents,
-        # -- extraction flagship + training (rows-only) -----------------
+        # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
+        "extract_fields_documents": webdocs.extract_fields_documents,
+        "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "training_examples": _training_examples,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops
+    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs
 
     return {
         "q1_pricing_summary": analytics.Q1_SQL,
@@ -90,5 +92,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,
         "knn_cosine_topk": similarity.KNN_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
+        "extract_fields_documents": webdocs.EXTRACT_FIELDS_SQL,
         "lang_count_documents": textops.LANG_COUNT_SQL,
     }

@@ -36,19 +36,49 @@ def tokenize_words(text: str) -> list[str]:
     return _WORD_RE.findall(text.lower())
 
 
+# Per-worker word→hash cache: crawl vocabularies repeat heavily, and
+# blake2b per shingle was the dedup hotspot (10s for 5k docs). Bounded
+# so a pathological vocabulary can't grow worker heaps.
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 1_000_000
+_SHINGLE_BASE = np.uint64(1099511628211)
+
+
+def word_hashes(words: list[str]) -> np.ndarray:
+    out = np.empty(len(words), dtype=np.uint64)
+    cache = _WORD_HASH_CACHE
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = stable_hash64(w)
+            if len(cache) < _WORD_HASH_CACHE_MAX:
+                cache[w] = h
+        out[i] = h
+    return out
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-word shingles of ``text`` (deduplicated).
 
-    Short texts (< k words) hash the whole token sequence as one
-    shingle so every non-empty document gets a signature.
+    Vectorized: per-word blake2b (cached across calls) combined by a
+    rolling polynomial in uint64 wraparound arithmetic. Short texts
+    (< k words) hash as a single shingle so every non-empty document
+    gets a signature.
     """
     words = tokenize_words(text)
     if not words:
         return np.empty(0, dtype=np.uint64)
+    hs = word_hashes(words)
     if len(words) < k:
-        return np.array([stable_hash64(" ".join(words))], dtype=np.uint64)
-    seen = {stable_hash64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
-    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+        acc = np.uint64(0)
+        for h in hs:
+            acc = acc * _SHINGLE_BASE + h
+        return np.array([acc], dtype=np.uint64)
+    n_out = len(words) - k + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _SHINGLE_BASE + hs[j : j + n_out]
+    return np.unique(acc)
 
 
 def _minhash_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -92,7 +122,7 @@ def simhash64(text: str) -> int:
     if not words:
         return 0
     uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
-    hashes = np.array([stable_hash64(w) for w in uniq], dtype=np.uint64)
+    hashes = word_hashes(list(uniq))
     bits = np.unpackbits(hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     # weight +count for 1 bits, -count for 0 bits
     contrib = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
@@ -120,7 +150,7 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     words = tokenize_words(text)
     if not words:
         return 0
-    hs = np.array([stable_hash64(w) for w in words], dtype=np.uint64)
+    hs = word_hashes(words)
     if hs.size <= window:
         return int(hs.min())
     base = np.uint64(1099511628211)

@@ -32,8 +32,9 @@ import zlib
 
 from pdf_extractor_ray.kernels.normalize import normalize_ligatures
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
@@ -203,22 +204,20 @@ def pdf_extract(raw: bytes) -> tuple[str, list[dict]]:
     if raw[:5] != b"%PDF-":
         raise ValueError("not a PDF: missing %PDF- header")
 
-    objects: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(raw):
-        objects[int(m.group(1))] = m.group(2)
+    objects = _parse_objects(raw)
     if not objects:
         raise ValueError("no PDF body objects found")
 
     # pages in document order of their object definitions
     pages: list[tuple[int, float]] = []  # (contents obj num, page height)
     for num in sorted(objects):
-        body = objects[num]
-        if _PAGE_RE.search(body):
-            cm = _CONTENTS_RE.search(body)
+        head, _stream = objects[num]
+        if _PAGE_RE.search(head):
+            cm = _CONTENTS_RE.search(head)
             if not cm:
                 continue
             height = DEFAULT_PAGE_HEIGHT
-            mb = _MEDIABOX_RE.search(body)
+            mb = _MEDIABOX_RE.search(head)
             if mb:
                 height = float(mb.group(4))
             pages.append((int(cm.group(1)), height))
@@ -227,21 +226,66 @@ def pdf_extract(raw: bytes) -> tuple[str, list[dict]]:
 
     all_spans: list[dict] = []
     for page_idx, (contents_num, height) in enumerate(pages):
-        body = objects.get(contents_num)
-        if body is None:
+        entry = objects.get(contents_num)
+        if entry is None:
             continue
-        sm = _STREAM_RE.search(body)
-        if not sm:
+        head, data = entry
+        if data is None:
             continue
-        data = sm.group(1)
-        if b"/FlateDecode" in body[: sm.start()]:
+        if b"/FlateDecode" in head:
+            # /Length delimits the stream exactly — do NOT strip trailing
+            # newline bytes, they can be legitimate deflate data.
             try:
-                data = zlib.decompress(data.rstrip(b"\r\n"))
-            except zlib.error as e:
-                raise ValueError(f"bad FlateDecode stream: {e}") from e
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:  # writers that pad the stream with an EOL
+                    data = zlib.decompress(data.rstrip(b"\r\n"))
+                except zlib.error as e:
+                    raise ValueError(f"bad FlateDecode stream: {e}") from e
         all_spans.extend(_parse_content_stream(data, page_idx, height))
 
     return assemble_reading_order(all_spans)
+
+
+def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Sequential object walk → {num: (dict_head, stream_data|None)}.
+
+    Stream payloads are delimited by the dict's ``/Length`` (falling
+    back to an ``endstream`` scan) — NEVER by regexing across the data:
+    Flate-compressed bytes routinely contain ``endobj``/``endstream``
+    byte sequences, which a naive regex scan mis-splits on.
+    """
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        m = _OBJ_HEAD_RE.search(raw, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        end_obj = raw.find(b"endobj", body_start)
+        sm = _STREAM_START_RE.search(raw, body_start, end_obj if end_obj != -1 else n)
+        if sm is None:
+            head = raw[body_start : end_obj if end_obj != -1 else n]
+            objects[num] = (head, None)
+            pos = (end_obj + 6) if end_obj != -1 else n
+            continue
+        head = raw[body_start : sm.start()]
+        data_start = sm.end()
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            data_end = data_start + int(lm.group(1))
+            if data_end > n:
+                raise ValueError("stream /Length beyond EOF")
+        else:
+            data_end = raw.find(b"endstream", data_start)
+            if data_end == -1:
+                raise ValueError("unterminated stream")
+        objects[num] = (head, raw[data_start:data_end])
+        e2 = raw.find(b"endobj", data_end)
+        pos = (e2 + 6) if e2 != -1 else data_end
+    return objects
 
 
 def assemble_reading_order(spans: list[dict]) -> tuple[str, list[dict]]:

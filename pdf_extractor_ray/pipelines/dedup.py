@@ -151,6 +151,9 @@ def minhash_lsh_pairs(
         )
 
     def all_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton band-buckets (the overwhelming majority) can't form
+        # pairs — drop them vectorized before the per-group Python loop
+        g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
         outs = [bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_hash"], sort=False)]
         return pd.concat(outs, ignore_index=True) if outs else bucket_pairs(g.head(0))
 
@@ -211,6 +214,7 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
         )
 
     def all_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["band_id", "band_val"], keep=False)]
         outs = [bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_val"], sort=False)]
         return pd.concat(outs, ignore_index=True) if outs else bucket_pairs(g.head(0))
 

@@ -23,21 +23,28 @@ from pdf_extractor_ray.stages.extract import ExtractPages, sniff_batch
 from pdf_extractor_ray.sources.pages import make_html_page, make_pdf
 
 
-def _doc_to_page(doc_id: int, text: str) -> bytes:
+def _doc_to_page(doc_id: int, text: str, lang: str = "", source: str = "") -> bytes:
+    """Page bytes for one document. A trailing details block plants
+    labeled fields (DOC ID / LANG / SOURCE) so the schema-driven field
+    extraction stage has a SQL-checkable ground truth."""
     rng = random.Random(doc_id * 2654435761 % (1 << 31))
+    meta_lines = [f"DOC ID: {doc_id}", f"LANG CODE: {lang}", f"SOURCE NAME: {source}"]
     if doc_id % 7 == 3:  # PDF row: text lines as runs, shuffled emission
         words = text.split()
         lines = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
-        runs = [(72.0, 720.0 - 24.0 * i, 12.0, ln) for i, ln in enumerate(lines[:28]) if ln]
+        runs = [(72.0, 720.0 - 24.0 * i, 12.0, ln) for i, ln in enumerate(lines[:26]) if ln]
+        for j, ml in enumerate(meta_lines):
+            runs.append((72.0, 60.0 - 18.0 * j, 12.0, ml))
         rng.shuffle(runs)
         return make_pdf([runs], compress=doc_id % 2 == 0)
-    # HTML row: doc text as single main paragraph inside boilerplate
+    # HTML row: doc text as main paragraph + details block, in boilerplate
     nav = "".join(f'<li><a href="/c/{i}">BOILER nav {i}</a></li>' for i in range(8))
     side = "".join(f'<a href="/r/{i}">BOILER rel {i}</a> ' for i in range(12))
+    meta_html = "".join(f"<p>{ml}</p>" for ml in meta_lines)
     html = (
         "<!DOCTYPE html><html><head><title>BOILER t</title></head><body>"
         f"<nav><ul>{nav}</ul></nav>"
-        f'<article><p>{text}</p></article>'
+        f'<article><p>{text}</p></article><section id="details">{meta_html}</section>'
         f"<aside>{side}</aside>"
         "<footer><p><a href='/x'>BOILER x</a> <a href='/y'>BOILER y</a></p></footer>"
         "</body></html>"
@@ -47,13 +54,18 @@ def _doc_to_page(doc_id: int, text: str) -> bytes:
 
 def pages_from_documents(sf_dir: str) -> ray.data.Dataset:
     """documents.parquet → pages Dataset (url, html) — vectorized derive."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang", "source"]
+    )
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "url": [f"https://docs.example.com/{d}" for d in b["doc_id"]],
-                "html": [_doc_to_page(int(d), t) for d, t in zip(b["doc_id"], b["text"])],
+                "html": [
+                    _doc_to_page(int(d), t, lg, sc)
+                    for d, t, lg, sc in zip(b["doc_id"], b["text"], b["lang"], b["source"])
+                ],
             }
         )
 
@@ -72,6 +84,43 @@ def extract_documents(sf_dir: str, concurrency=(1, 8), batch_size: int = 128) ->
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def extract_fields_documents(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end extract → schema-driven field extraction, returning
+    (doc_id, lang, source) recovered FROM THE PAGE BYTES — the DuckDB
+    oracle compares against the documents table directly, making the
+    whole extraction+field path SQL-checked."""
+    import pandas as pd
+
+    from pdf_extractor_ray.stages.fields import FieldSpec, with_fields
+
+    specs = [
+        FieldSpec("DOC ID", alt_names=["document id"]),
+        FieldSpec("LANG CODE", alt_names=["language"]),
+        FieldSpec("SOURCE NAME", alt_names=["origin"]),
+    ]
+    ds = with_fields(extract_documents(sf_dir), specs)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for url, fields in zip(b["url"], b["fields"]):
+            vals = {f["key"]: f["value"] for f in fields}
+            rows.append(
+                {
+                    "doc_id": int(vals.get("DOC ID", -1)),
+                    "lang": vals.get("LANG CODE", ""),
+                    "source": vals.get("SOURCE NAME", ""),
+                }
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "lang", "source"]).astype(
+            {"doc_id": "int64", "lang": "str", "source": "str"}
+        )
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+EXTRACT_FIELDS_SQL = "SELECT doc_id, lang, source FROM documents"
 
 
 def extract_documents_summary(sf_dir: str) -> ray.data.Dataset:

@@ -1,0 +1,106 @@
+"""Field-extraction stage + multimodal pipeline tests."""
+
+import json
+
+import pandas as pd
+import pytest
+import ray.data
+
+from pdf_extractor_ray.stages.fields import (
+    FieldSpec,
+    extract_fields_record,
+    is_filename_field,
+    resolve_position,
+    with_fields,
+)
+
+
+def test_field_spec_patterns_and_numbered():
+    spec = FieldSpec("ITEM_1")
+    assert spec.patterns()[0].search("ITEM_3: widget\n")  # KEY_1 → KEY_\d+
+    spec2 = FieldSpec("TOTAL", alt_names=["amount due"])
+    pats = spec2.patterns()
+    assert pats[0].search("total: 5")
+    assert pats[1].search("Amount Due = 7")
+
+
+def test_filename_field_bypass():
+    assert is_filename_field("FILE NAME")
+    assert is_filename_field("document_name")
+    assert not is_filename_field("total")
+    fields = extract_fields_record("https://x.com/report-7", "no labels here at all", [], [FieldSpec("FILE NAME")])
+    assert fields == [{"key": "FILE NAME", "value": "report-7", "page": None, "bbox": None}]
+
+
+def test_extract_fields_first_match_and_normalize():
+    text = "INVOICE: A-1\nTOTAL: $1,234.50\nTOTAL: $999.99\nBALANCE: (42)"
+    specs = [FieldSpec("TOTAL"), FieldSpec("BALANCE"), FieldSpec("MISSING")]
+    fields = extract_fields_record("u", text, [], specs)
+    vals = {f["key"]: f["value"] for f in fields}
+    assert vals["TOTAL"] == "1234.50"  # first match wins, $/comma stripped
+    assert vals["BALANCE"] == "-42"  # parens → negative
+    assert "MISSING" not in vals  # absent fields omitted, not empty
+
+
+def test_resolve_position_interpolates():
+    spans = [
+        {"start": 0, "end": 10, "page": 0, "bbox": [0.0, 0.0, 100.0, 12.0]},
+        {"start": 11, "end": 20, "page": 1, "bbox": None},
+    ]
+    page, bbox = resolve_position(spans, 5, 8)
+    assert page == 0
+    assert bbox[0] == pytest.approx(50.0)
+    assert bbox[2] == pytest.approx(80.0)
+    page, bbox = resolve_position(spans, 12, 15)
+    assert page == 1 and bbox is None
+    assert resolve_position(spans, 99, 100) == (None, None)
+
+
+def test_with_fields_dataset():
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "url": ["https://a/x", "https://a/y"],
+                "extracted_text": ["KEY: val1", "nothing"],
+                "char_spans": [[{"start": 0, "end": 9, "page": 0, "bbox": None}], []],
+            }
+        )
+    )
+    out = with_fields(ds, [FieldSpec("KEY")], concurrency=1).to_pandas()
+    assert len(out.loc[0, "fields"]) == 1
+    assert out.loc[0, "fields"][0]["value"] == "val1"
+    assert len(out.loc[1, "fields"]) == 0
+
+
+# ------------------------------------------------------------- multimodal
+def test_media_pipeline_decodes_and_quarantines():
+    from pdf_extractor_ray.pipelines.multimodal import (
+        decode_audio,
+        decode_image,
+        generate_media_table,
+        make_fake_audio,
+        make_fake_image,
+        media_features_pipeline,
+    )
+
+    img = make_fake_image(7, 16, 8)
+    feats = decode_image(img)
+    assert feats["width"] == 16 and feats["height"] == 8
+    aud = make_fake_audio(7, 100)
+    af = decode_audio(aud)
+    assert af["n_samples"] == 100 and af["sample_rate"] == 16000
+
+    media = ray.data.from_arrow(generate_media_table(200))
+    out = media_features_pipeline(media, concurrency=2).to_pandas()
+    assert len(out) == 200
+    ok = out[out["status"] == "ok"]
+    quar = out[out["status"].str.startswith("quarantined")]
+    assert len(ok) > 100
+    assert len(quar) > 0  # planted video + truncated rows
+    f = json.loads(ok.iloc[0]["features"])
+    assert f  # non-empty features dict
+    # deterministic: same media_id → same features on rerun
+    out2 = media_features_pipeline(ray.data.from_arrow(generate_media_table(200)), concurrency=2).to_pandas()
+    m1 = dict(zip(out["media_id"], out["features"]))
+    m2 = dict(zip(out2["media_id"], out2["features"]))
+    assert m1 == m2
