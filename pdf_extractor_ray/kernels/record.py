@@ -14,9 +14,8 @@ from __future__ import annotations
 
 import time
 
-from pdf_extractor_ray.kernels.html_extract import html_extract
-from pdf_extractor_ray.kernels.pdf_extract import pdf_extract
 from pdf_extractor_ray.kernels.normalize import collapse_ws, normalize_ligatures
+from pdf_extractor_ray.kernels.registry import get_kernel
 from pdf_extractor_ray.kernels.sniff import (
     KIND_BINARY,
     KIND_EMPTY,
@@ -61,10 +60,9 @@ def extract_record(url: str, raw: bytes | None) -> dict:
         return rec
     t0 = time.monotonic()
     try:
-        if kind == KIND_PDF:
-            text, spans = pdf_extract(raw)
-        elif kind == KIND_HTML:
-            text, spans = html_extract(raw)
+        kernel = get_kernel(kind)
+        if kernel is not None:  # registry: pdf, html, user-registered kinds
+            text, spans = kernel(raw)
         elif kind == KIND_TEXT:
             text = collapse_ws(normalize_ligatures(raw.decode("utf-8", errors="replace")))
             spans = [{"start": 0, "end": len(text), "page": 0, "bbox": None}] if text else []

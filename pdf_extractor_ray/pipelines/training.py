@@ -70,6 +70,44 @@ def validate_examples(examples: ray.data.Dataset) -> ray.data.Dataset:
     return examples.map_batches(check, batch_format="pandas")
 
 
+def write_training_jsonl(examples: ray.data.Dataset, out_dir: str) -> None:
+    """K3 sink: chat examples → JSONL directory (one line per example,
+    ``{"messages": [...]}`` — the reference's training-file format,
+    ``data_processor.py:202-230``)."""
+    examples.select_columns(["messages"]).write_json(out_dir)
+
+
+def training_quality_stats(examples: ray.data.Dataset) -> dict:
+    """A2 aggregate (``train.py:37-90``): counts of examples
+    with/without coordinate markers, mean markers per example."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.markers import marker_stats
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        ms = [marker_stats(m[0]["content"] if len(m) else "") for m in b["messages"]]
+        return pd.DataFrame(
+            {
+                "n_markers": np.array([s["n_markers"] for s in ms], dtype=np.int64),
+                "with_coords": np.array([int(s["has_coordinates"]) for s in ms], dtype=np.int64),
+                "one": np.ones(len(ms), dtype=np.int64),
+            }
+        )
+
+    agg = examples.map_batches(stats, batch_format="pandas").aggregate(
+        Sum("n_markers", alias_name="total_markers"),
+        Sum("with_coords", alias_name="with_coords"),
+        Sum("one", alias_name="total"),
+    )
+    total = agg["total"] or 0
+    return {
+        "total_examples": total,
+        "with_coordinates": agg["with_coords"] or 0,
+        "without_coordinates": total - (agg["with_coords"] or 0),
+        "mean_markers_per_example": (agg["total_markers"] or 0) / total if total else 0.0,
+    }
+
+
 def validation_metrics(pairs: ray.data.Dataset) -> dict:
     """pairs columns: (url, field_key, expected, actual). Returns the
     ValidationMetrics analog: global accuracy/precision/recall/F1 and

@@ -1,0 +1,93 @@
+"""Marker-DSL compat, robust JSON parsing, kernel registry, training
+sinks/aggregates."""
+
+import json
+
+import pandas as pd
+import ray.data
+
+from pdf_extractor_ray.functions.jsonparse import parse_robust_json, response_to_fields
+from pdf_extractor_ray.functions.markers import (
+    marker_stats,
+    parse_first_coordinates,
+    parse_markers,
+    strip_markers,
+    to_marker_text,
+)
+
+
+def test_marker_roundtrip():
+    text = "hello world"
+    spans = [
+        {"start": 0, "end": 5, "page": 0, "bbox": [10.0, 20.0, 30.0, 40.0]},
+        {"start": 6, "end": 11, "page": 1, "bbox": None},
+    ]
+    mt = to_marker_text(text, spans)
+    assert mt == "[hello]<@0:10.0,20.0,30.0,40.0> world"
+    parsed = parse_markers(mt)
+    assert parsed == [{"text": "hello", "page": 0, "bbox": [10.0, 20.0, 30.0, 40.0]}]
+    assert parse_first_coordinates(mt) == (0, [10.0, 20.0, 30.0, 40.0])
+    assert strip_markers("[v]<@2:1.0,2.0,3.0,4.0>") == "v"
+    st = marker_stats(mt)
+    assert st["n_markers"] == 1 and st["n_pages"] == 1 and st["has_coordinates"]
+
+
+def test_robust_json_parse():
+    assert parse_robust_json('{"a": 1}')[0] == {"a": 1}
+    obj, err = parse_robust_json('noise before {"fields": [{"key": "k", "value": "v"}]} after')
+    assert obj["fields"][0]["key"] == "k"
+    assert parse_robust_json("")[0] is None
+    assert parse_robust_json("[1,2]")[0] is None
+    assert parse_robust_json("not json at all")[0] is None
+
+    fields, errs = response_to_fields({"fields": [{"key": "a", "value": 1}, "bad", {"novalue": 1}]})
+    assert fields == [{"key": "a", "value": "1"}]
+    assert len(errs) == 2
+
+
+def test_kernel_registry_extension():
+    from pdf_extractor_ray.kernels.record import extract_record
+    from pdf_extractor_ray.kernels.registry import get_kernel, register_kernel, registered_kinds
+
+    assert set(registered_kinds()) >= {"pdf", "html"}
+    # plug a custom kernel for plain-text kind and confirm dispatch
+    def upper_kernel(raw: bytes):
+        t = raw.decode("utf-8").upper()
+        return t, [{"start": 0, "end": len(t), "page": 0, "bbox": None}]
+
+    register_kernel("text", upper_kernel)
+    try:
+        rec = extract_record("u", b"hello kernel")
+        assert rec["extracted_text"] == "HELLO KERNEL"
+    finally:
+        import pdf_extractor_ray.kernels.registry as reg
+
+        del reg._REGISTRY["text"]
+
+
+def test_training_jsonl_sink_and_quality(tmp_path):
+    from pdf_extractor_ray.pipelines.training import (
+        build_training_examples,
+        training_quality_stats,
+        write_training_jsonl,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["[a]<@0:1.0,2.0,3.0,4.0> plain", "no markers"]})
+    )
+    ex = build_training_examples(docs)
+    out = str(tmp_path / "jsonl")
+    write_training_jsonl(ex, out)
+    import glob
+
+    lines = []
+    for p in glob.glob(out + "/*.json"):
+        with open(p) as f:
+            lines += [json.loads(l) for l in f if l.strip()]
+    assert len(lines) == 2
+    assert lines[0]["messages"][0]["role"] == "user"
+
+    stats = training_quality_stats(ex)
+    assert stats["total_examples"] == 2
+    assert stats["with_coordinates"] == 1
+    assert stats["without_coordinates"] == 1
