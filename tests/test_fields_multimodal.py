@@ -104,3 +104,35 @@ def test_media_pipeline_decodes_and_quarantines():
     m1 = dict(zip(out["media_id"], out["features"]))
     m2 = dict(zip(out2["media_id"], out2["features"]))
     assert m1 == m2
+
+
+# ---------------------------------------------------------- annotation
+def test_annotate_pdf_sink():
+    from pdf_extractor_ray.kernels.annotate import annotate_pdf
+    from pdf_extractor_ray.kernels.pdf_extract import pdf_extract
+    from pdf_extractor_ray.sources.pages import make_pdf
+
+    raw = make_pdf(
+        [[(72.0, 700.0, 12.0, "TOTAL: 123"), (72.0, 676.0, 12.0, "other line")]],
+        compress=True,
+    )
+    _, spans = pdf_extract(raw)
+    fields = [
+        {"key": "TOTAL", "value": "123", "page": 0, "bbox": spans[0]["bbox"]},
+        {"key": "TOTAL", "value": "123", "page": 0, "bbox": spans[0]["bbox"]},  # dup
+        {"key": "NOPOS", "value": "x", "page": None, "bbox": None},  # skipped
+    ]
+    ann = annotate_pdf(raw, fields)
+    assert ann.count(b"re f Q") == 1  # per-doc key:value dedup (O9)
+    assert b"(TOTAL) Tj" in ann
+    text, _ = pdf_extract(ann)  # annotated copy remains a valid PDF
+    assert "TOTAL: 123" in text and "other line" in text
+
+
+def test_oversize_payload_quarantined(monkeypatch):
+    import pdf_extractor_ray.kernels.record as rec
+
+    monkeypatch.setattr(rec, "MAX_DOC_BYTES", 100)
+    r = rec.extract_record("u", b"<html><p>" + b"x" * 200 + b"</p></html>")
+    assert r["status"] == "quarantined:oversize"
+    assert r["size_bucket"] == 0  # bucket still computed for metrics
