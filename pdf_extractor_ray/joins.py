@@ -64,6 +64,24 @@ def broadcast_semi(ds: ray.data.Dataset, keys: Iterable, key: str, keep: bool = 
     return ds.map_batches(filt, batch_format="pandas")
 
 
+def join_datasets(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Large-large join: Ray's built-in hash-partitioned ``Dataset.join``
+    when available (Ray ≥ 2.46), else the portable ``bucket_join``
+    below — both are the same hash-exchange shape."""
+    if hasattr(left, "join"):
+        return left.join(
+            right, join_type=how, num_partitions=num_partitions, on=(on,)
+        )
+    return bucket_join(left, right, on=on, how=how, num_buckets=num_partitions)
+
+
 def bucket_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray.data
 
 from pdf_extractor_ray.functions.exact import cents_np
-from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, bucket_join
+from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, join_datasets
 from pdf_extractor_ray.ops import distinct, grouped_sum
 
 
@@ -113,7 +113,7 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
         batch_size=65536,
     )
-    joined = bucket_join(orders, lineitem, on="o_orderkey", num_buckets=16)
+    joined = join_datasets(orders, lineitem, on="o_orderkey", num_partitions=16)
     per_order = grouped_sum(joined.select_columns(["o_orderkey", "rev_cents"]), ["o_orderkey"], ["rev_cents"])
     per_order = per_order.map_batches(
         lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas"
@@ -169,7 +169,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
         batch_format="pandas",
         batch_size=65536,
     )
-    joined = bucket_join(orders, lineitem, on="o_orderkey", num_buckets=16)
+    joined = join_datasets(orders, lineitem, on="o_orderkey", num_partitions=16)
     out = grouped_sum(joined.select_columns(["n_name", "rev_cents"]), ["n_name"], ["rev_cents"], num_buckets=4)
     return out.map_batches(lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas")
 
