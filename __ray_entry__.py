@@ -28,7 +28,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs
+    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs, windows
 
     def _training_examples(sf_dir: str):
         import os
@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analytics.events_hourly,
         "distinct_event_types": analytics.distinct_event_types,
         "supplier_balance_by_nation": analytics.supplier_balance_by_nation,
+        "sessionize_events": windows.sessionize,
+        "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
         "dedup_normalized_documents": dedup.dedup_normalized,
@@ -77,7 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs
+    from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs, windows
 
     return {
         "q1_pricing_summary": analytics.Q1_SQL,
@@ -88,6 +90,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": analytics.EVENTS_HOURLY_SQL,
         "distinct_event_types": analytics.DISTINCT_EVENT_TYPES_SQL,
         "supplier_balance_by_nation": analytics.SUPPLIER_BALANCE_SQL,
+        "sessionize_events": windows.SESSIONIZE_SQL,
+        "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,
         "knn_cosine_topk": similarity.KNN_SQL,

@@ -1,0 +1,139 @@
+"""Stream-shaped operators over the events log (SURVEY.md §2.9: Ray
+Data has no event-time windows, so windows are derived grouping columns
+and per-key ordered computations inside bucketed groups — the ordering
+assumption is (user_id, ts, event_id), stated per the guide).
+
+- ``sessionize``: gap-based session assignment (30-min default) — the
+  canonical stateful per-key stream computation, vectorized per user
+  with pandas inside ``ops.grouped_apply`` buckets.
+- ``top_orders_per_segment``: per-group top-k (window ``row_number``
+  analog) via bucketed nlargest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pdf_extractor_ray.functions.exact import cents_np
+from pdf_extractor_ray.joins import broadcast_map
+from pdf_extractor_ray.ops import grouped_apply
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> ray.data.Dataset:
+    """events → per-user sessions: (user_id, session_id, n_events,
+    value_cents, session_start). One bucketed exchange on user_id; the
+    per-user gap/cumsum logic is vectorized over the whole bucket."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events".rstrip() + ".parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(len(g), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap
+        new_sess = (new_user | gap_break).astype(np.int64)
+        # per-user running session ordinal: global cumsum minus the
+        # cumsum value at each user's first row
+        cs = np.cumsum(new_sess)
+        first_of_user = np.where(new_user)[0]
+        base = np.repeat(cs[first_of_user] - 1, np.diff(np.append(first_of_user, len(g))))
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_id": cs - base,
+                "value_cents": cents_np(g["value"]),
+                "ts": g["ts"].to_numpy(),
+            }
+        )
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts", "size"),
+            value_cents=("value_cents", "sum"),
+            session_start=("ts", "min"),
+        )
+
+    out = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    return out.map_batches(
+        lambda b: b.astype({"session_id": "int64", "n_events": "int64", "value_cents": "int64"}),
+        batch_format="pandas",
+    )
+
+
+SESSIONIZE_SQL = """
+WITH d AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       MIN(ts) AS session_start
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-group top-k (window row_number analog): the k most expensive
+    orders per customer market segment, deterministic tie-break on
+    o_orderkey. Segment comes from a broadcast customer→segment map;
+    the top-k shrinks inside map_batches (per-batch nsmallest-style
+    prune) before one bucketed exchange on segment."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    orders = broadcast_map(orders, seg_map, "o_custkey", "c_mktsegment")
+
+    def local_prune(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["c_mktsegment"]).copy()
+        b["totalprice_cents"] = cents_np(b["o_totalprice"])
+        b = b.sort_values(["totalprice_cents", "o_orderkey"], ascending=[False, True])
+        return b.groupby("c_mktsegment", sort=False).head(k)[
+            ["c_mktsegment", "o_orderkey", "totalprice_cents"]
+        ]
+
+    pruned = orders.map_batches(local_prune, batch_format="pandas", batch_size=65536)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["totalprice_cents", "o_orderkey"], ascending=[False, True])
+        return g.groupby("c_mktsegment", sort=False).head(k)
+
+    return grouped_apply(pruned, ["c_mktsegment"], final_topk, num_buckets=4)
+
+
+TOP_ORDERS_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY row_number() OVER (
+    PARTITION BY c_mktsegment
+    ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey) <= 3
+"""
