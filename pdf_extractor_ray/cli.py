@@ -1,0 +1,143 @@
+"""CLI — the engine's answer to the reference's three entry points
+(``pdf-extractor``, ``sync-extracted-fields``, ``pdf-extractor-finetune``;
+``pyproject.toml:27-29``):
+
+    python -m pdf_extractor_ray extract   --input 'pages/*.parquet' --output out/
+    python -m pdf_extractor_ray merge     --sink sink.parquet --new new.parquet --key file_name --output merged/
+    python -m pdf_extractor_ray validate  --pairs pairs.parquet
+    python -m pdf_extractor_ray gen-corpus --rows 10000 --output pages/
+
+``extract`` is resumable: re-running after a crash skips committed
+partitions via the manifest. The CLI owns its Ray session (guarded);
+library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ray_session(cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_extract(args) -> int:
+    ray = _ray_session(args.cpus)
+    from pdf_extractor_ray.state.manifest import run_partitioned_extraction
+
+    paths = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [args.input]
+    if not paths:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    summary = run_partitioned_extraction(
+        paths,
+        args.output,
+        files_per_partition=args.files_per_partition,
+        concurrency=(1, 8) if not args.cpus else (1, max(2, args.cpus // 3)),
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    ray = _ray_session(args.cpus)
+    import ray.data as rd
+
+    from pdf_extractor_ray.pipelines.sync_merge import merge_into_sink
+
+    merged = merge_into_sink(
+        rd.read_parquet(args.sink),
+        rd.read_parquet(args.new),
+        key_col=args.key,
+        tie_break_col=args.tie_break or args.key,
+    )
+    merged.write_parquet(args.output)
+    print(json.dumps({"rows": merged.count(), "output": args.output}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """pairs parquet columns: url, field_key, expected, actual."""
+    ray = _ray_session(args.cpus)
+    import ray.data as rd
+
+    from pdf_extractor_ray.pipelines.training import validation_metrics
+
+    m = validation_metrics(rd.read_parquet(args.pairs))
+    out = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in m.items() if k != "per_field"}
+    out["per_field"] = m["per_field"].to_dict(orient="records")
+    # reference acceptance thresholds (validate.py:84-104)
+    out["pass"] = bool(
+        m["accuracy"] >= 0.90 and m["precision"] >= 0.85 and m["recall"] >= 0.85 and m["f1"] >= 0.85
+    )
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+def cmd_gen_corpus(args) -> int:
+    from pdf_extractor_ray.sources.pages import write_pages_corpus
+
+    paths = write_pages_corpus(args.output, n_rows=args.rows, n_files=args.files, seed=args.seed)
+    print(json.dumps({"files": len(paths), "rows": args.rows, "output": args.output}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pdf_extractor_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract", help="resumable extraction over pages parquet")
+    p.add_argument("--input", required=True, help="parquet file or glob")
+    p.add_argument("--output", required=True)
+    p.add_argument("--files-per-partition", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("merge", help="dedup-merge new rows into a sink table")
+    p.add_argument("--sink", required=True)
+    p.add_argument("--new", required=True)
+    p.add_argument("--key", required=True)
+    p.add_argument("--tie-break", default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_merge)
+
+    p = sub.add_parser("validate", help="score extraction pairs (url, field_key, expected, actual)")
+    p.add_argument("--pairs", required=True)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_validate)
+
+    p = sub.add_parser("gen-corpus", help="write a deterministic synthetic pages corpus")
+    p.add_argument("--rows", type=int, default=10_000)
+    p.add_argument("--files", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_gen_corpus)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
