@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
         "extract_fields_documents": webdocs.extract_fields_documents,
+        "extraction_metrics_by_bucket": webdocs.extraction_metrics_by_bucket,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "training_examples": _training_examples,
     }

@@ -72,18 +72,24 @@ def pages_from_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(derive, batch_format="pandas", batch_size=1024)
 
 
-def extract_documents(sf_dir: str, concurrency=(1, 8), batch_size: int = 128) -> ray.data.Dataset:
+def extract_documents(sf_dir: str, concurrency=None, batch_size: int = 256) -> ray.data.Dataset:
     """The flagship pipeline over derived pages; returns the full
-    extraction table (url, kind, status, extracted_text, ...)."""
+    extraction table (url, kind, status, extracted_text, ...). Uses the
+    fused task shape (see pipelines.flagship for the measured
+    rationale); pass ``concurrency`` to force the actor-pool stage."""
+    from pdf_extractor_ray.stages.extract import extract_all_batch
+
     pages = pages_from_documents(sf_dir)
-    pages = pages.map_batches(sniff_batch, batch_format="pyarrow")
-    return pages.map_batches(
-        ExtractPages,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        pages = pages.map_batches(sniff_batch, batch_format="pyarrow")
+        return pages.map_batches(
+            ExtractPages,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    return pages.map_batches(extract_all_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def extract_fields_documents(sf_dir: str) -> ray.data.Dataset:
@@ -121,6 +127,35 @@ def extract_fields_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 EXTRACT_FIELDS_SQL = "SELECT doc_id, lang, source FROM documents"
+
+
+def extraction_metrics_by_bucket(sf_dir: str) -> ray.data.Dataset:
+    """§4.6 metrics report: per-(size_bucket, status) doc counts and
+    byte totals — the per-partition metrics the manifest also records,
+    expressed as a pipeline aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = extract_documents(sf_dir)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "size_bucket": b["size_bucket"].astype("int64"),
+                "status": b["status"],
+                "n_docs": np.ones(len(b), dtype=np.int64),
+                "total_bytes": b["n_bytes"].astype("int64"),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["size_bucket", "status"],
+        ["n_docs", "total_bytes"],
+        num_buckets=4,
+    )
 
 
 def extract_documents_summary(sf_dir: str) -> ray.data.Dataset:
