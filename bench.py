@@ -99,6 +99,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "knn_cosine_topk",
         "doc_token_stats",
         "extract_flagship",
+        "extract_fields_documents",
+        "sessionize_events",
     ]
     times = {}
     for name in bench_set:

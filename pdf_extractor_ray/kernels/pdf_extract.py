@@ -70,6 +70,8 @@ DEFAULT_PAGE_HEIGHT = 792.0
 
 def _decode_pdf_string(payload: bytes) -> str:
     """Literal string body (without parens) → str, handling escapes."""
+    if b"\\" not in payload:  # fast path: no escapes
+        return payload.decode("utf-8", errors="replace")
     out = bytearray()
     i = 0
     n = len(payload)
