@@ -34,10 +34,14 @@ def _norm_key(text: str) -> str:
     return _NORM_RE.sub(" ", text.lower()).strip()
 
 
-def _read_docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")):
+def _docs_path(sf_dir: str) -> str:
     import os
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=list(columns))
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text", "lang", "source", "n_chars")):
+    return ray.data.read_parquet(_docs_path(sf_dir), columns=list(columns))
 
 
 
@@ -231,10 +235,26 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, k: int = 3) -> ray.
     O(n²) pair space; the exact Jaccard re-verifies with true shingle
     sets, not signatures)."""
     cand = minhash_lsh_pairs(sf_dir, shingle_k=k, jaccard_threshold=0.2)
-    docs = _read_docs(sf_dir, columns=("doc_id", "text"))
-    texts = {r["doc_id"]: r["text"] for r in docs.take_all()}  # small at test sf; broadcast
+    # Only candidate documents' texts are fetched and broadcast — the
+    # candidate set is tiny relative to the corpus (LSH pruned), so the
+    # broadcast stays small at any scale; the read pushes an id filter
+    # into the parquet scan.
+    import pyarrow.compute as pc_
     import ray as _ray
 
+    cand_ids = set()
+    for r in cand.select_columns(["doc_a", "doc_b"]).take_all():
+        cand_ids.add(r["doc_a"])
+        cand_ids.add(r["doc_b"])
+    if cand_ids:
+        docs = ray.data.read_parquet(
+            _docs_path(sf_dir),
+            columns=["doc_id", "text"],
+            filter=pc_.field("doc_id").isin(sorted(cand_ids)),
+        )
+        texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
+    else:
+        texts = {}
     ref = _ray.put(texts)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:

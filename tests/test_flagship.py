@@ -75,3 +75,34 @@ def test_extraction_summary_aggregate(pages_corpus):
     summary = extraction_summary(ds).to_pandas()
     assert summary["n_docs"].sum() == 300
     assert set(summary.columns) == {"kind", "status", "n_docs", "total_bytes"}
+
+
+def test_mega_doc_skew(tmp_path):
+    """A ~5MB doc (bucket 3, ~2000x median) must neither stall nor
+    poison the run — it lands in the top size bucket and extracts."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.sources.pages import generate_pages_table, make_html_page
+
+    tab = generate_pages_table(500, seed=5)
+    raw, _ = make_html_page(random.Random(1), 9000)  # ~5MB
+    mega = pa.table(
+        {
+            "url": pa.array(["https://mega.example.com/0"], pa.string()),
+            "warc_ts": pa.array([None], tab.schema.field("warc_ts").type),
+            "html": pa.array([raw], pa.binary()),
+            "text": pa.array([""], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.concat_tables([tab, mega]), path)
+    out = build_extraction_pipeline([path]).to_pandas()
+    assert len(out) == 501
+    mrow = out[out["url"] == "https://mega.example.com/0"].iloc[0]
+    assert mrow["status"] == "ok"
+    assert mrow["size_bucket"] == 3
+    assert len(mrow["extracted_text"]) > 1_000_000
