@@ -52,11 +52,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": analytics.distinct_event_types,
         "supplier_balance_by_nation": analytics.supplier_balance_by_nation,
         "sessionize_events": windows.sessionize,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "events_props_k_sum": analytics.events_props_k_sum,
         "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
         "dedup_normalized_documents": dedup.dedup_normalized,
         "dedup_minhash_documents": dedup.dedup_minhash,
+        "dedup_clusters": dedup.dedup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -92,6 +95,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": analytics.DISTINCT_EVENT_TYPES_SQL,
         "supplier_balance_by_nation": analytics.SUPPLIER_BALANCE_SQL,
         "sessionize_events": windows.SESSIONIZE_SQL,
+        "q6_forecast_revenue": analytics.Q6_SQL,
+        "events_props_k_sum": analytics.EVENTS_PROPS_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,

@@ -281,6 +281,78 @@ def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
 DISTINCT_EVENT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 
+# ----------------------------------------------------------------- Q6
+def q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q6-style global filter + sum: one row out, zero shuffle
+    (per-batch partials + a single global combine)."""
+    import pyarrow.compute as pc
+
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_discount"].to_numpy() >= 0.05)
+            & (b["l_discount"].to_numpy() <= 0.07)
+            & (b["l_quantity"].to_numpy() < 24)
+        )
+        sel = b[m]
+        rev = cents_np(sel["l_extendedprice"].to_numpy() * sel["l_discount"].to_numpy())
+        return pd.DataFrame({"one": [1], "revenue_cents": [int(rev.sum())], "n_items": [int(m.sum())]})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return grouped_sum(partials, ["one"], ["revenue_cents", "n_items"], num_buckets=1).map_batches(
+        lambda b: b.drop(columns=["one"]), batch_format="pandas"
+    )
+
+
+Q6_SQL = """
+SELECT SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------- JSON props
+def events_props_k_sum(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured column: parse the JSON ``props`` payload and
+    aggregate the extracted integer per event type. Parsing is a
+    vectorized regex extract (the props schema is {"k": int}); a real
+    pipeline would use a JSON kernel per batch — either way the parse
+    happens inside map_batches, never on the driver."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": b["event_type"], "k_sum": k, "n_events": np.ones(len(b), dtype=np.int64)}
+        )
+
+    return grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        ["k_sum", "n_events"],
+        num_buckets=4,
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ------------------------------------------------- dimension broadcast
 def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Broadcast dimension join (nation) + grouped exact-cents aggregate."""

@@ -181,6 +181,50 @@ def dedup_minhash(sf_dir: str, **kw) -> ray.data.Dataset:
     return broadcast_semi(ds, losers, "doc_id", keep=False)
 
 
+def dedup_clusters(sf_dir: str, **kw) -> ray.data.Dataset:
+    """Connected components over MinHash near-dup pairs:
+    (doc_id, cluster_id) with cluster_id = min doc_id of the component;
+    docs with no near-dup edge are their own cluster.
+
+    The edge list is the LSH candidate-pair output — orders of magnitude
+    smaller than the corpus — so components are solved with union-find
+    on the collected pairs (driver-side, bounded by the pair count, not
+    the corpus). If the pair set ever approached corpus scale, the same
+    result is an iterated min-label propagation: repeat
+    ``labels = grouped_apply(edges ⋈ labels, min)`` until fixpoint —
+    each round is one bucketed exchange.
+    """
+    pairs = minhash_lsh_pairs(sf_dir, **kw).select_columns(["doc_a", "doc_b"]).take_all()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    cluster_of = {x: find(x) for x in parent}
+    import ray as _ray
+
+    ref = _ray.put(cluster_of)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "cluster_id": b["doc_id"].map(lambda d: m.get(d, d)).astype("int64"),
+            }
+        )
+
+    return _read_docs(sf_dir, columns=("doc_id",)).map_batches(assign, batch_format="pandas")
+
+
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     """SimHash near-dup pairs: 64-bit simhash per doc; LSH by splitting
     the hash into 4 × 16-bit bands (any pair within Hamming distance 3
