@@ -255,14 +255,20 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
     def restore_hour(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["hour"] = (b["hour_epoch"] * 3_600_000_000).astype("datetime64[us]")
+        # ISO string, not a timestamp dtype: immune to the driver's
+        # ns-vs-us canonicalization when hashing vs the SQL oracle
+        b["hour"] = (
+            (b["hour_epoch"] * 3_600_000_000)
+            .astype("datetime64[us]")
+            .dt.strftime("%Y-%m-%d %H:%M:%S")
+        )
         return b.drop(columns=["hour_epoch"])
 
     return agg.map_batches(restore_hour, batch_format="pandas")
 
 
 EVENTS_HOURLY_SQL = """
-SELECT event_type, date_trunc('hour', ts) AS hour,
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2

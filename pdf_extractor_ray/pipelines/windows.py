@@ -66,10 +66,14 @@ def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> ray.data.Data
         )
 
     out = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
-    return out.map_batches(
-        lambda b: b.astype({"session_id": "int64", "n_events": "int64", "value_cents": "int64"}),
-        batch_format="pandas",
-    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.astype({"session_id": "int64", "n_events": "int64", "value_cents": "int64"})
+        # ISO string for canonicalization-proof oracle hashing
+        b["session_start"] = b["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        return b
+
+    return out.map_batches(finalize, batch_format="pandas")
 
 
 SESSIONIZE_SQL = """
@@ -89,7 +93,7 @@ WITH d AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events,
        SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
-       MIN(ts) AS session_start
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
 FROM s GROUP BY user_id, session_id
 """
 
