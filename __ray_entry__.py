@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_metrics_by_bucket": webdocs.extraction_metrics_by_bucket,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "training_examples": _training_examples,
+        "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
+        "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
     }
 
 

@@ -1,0 +1,99 @@
+"""Composed training-corpus pipeline — the end-to-end story a 100 TB
+training-data build runs, assembled from this engine's stages:
+
+    extract (flagship) → quality score → language ID → exact dedup →
+    deterministic embedding (batched-inference pattern) → per-lang stats
+
+``embed_documents`` stands in for batched model inference: the "model"
+is a deterministic feature-hash projection (no ML libs in this
+container), but the Ray shape is the real one — an actor pool with the
+model loaded once in ``__init__``, fixed-size float32 vectors out,
+batch-sized for GPU-style throughput.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from pdf_extractor_ray.kernels import hashing, textstats
+from pdf_extractor_ray.ops import grouped_sum, keep_first
+
+EMBED_DIM = 64
+
+
+class EmbedActor:
+    """Batched 'inference': feature-hash each document's words into a
+    fixed-size vector, L2-normalized. Model state (projection seeds)
+    lives in __init__ — swap in a real encoder without touching the
+    pipeline."""
+
+    def __init__(self, dim: int = EMBED_DIM) -> None:
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        vecs = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            words = hashing.tokenize_words(t or "")
+            if not words:
+                continue
+            hs = hashing.word_hashes(words)
+            idx = (hs % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((hs >> np.uint64(32)) & np.uint64(1), 1.0, -1.0).astype(np.float32)
+            np.add.at(vecs[i], idx, sign)
+            n = np.linalg.norm(vecs[i])
+            if n > 0:
+                vecs[i] /= n
+        return batch.append_column("embedding", pa.array(list(vecs), pa.list_(pa.float32())))
+
+
+def embed_documents(sf_dir: str, concurrency=(1, 4)) -> ray.data.Dataset:
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = ds.map_batches(
+        EmbedActor, batch_format="pyarrow", batch_size=512, concurrency=concurrency, num_cpus=1
+    )
+    return out.drop_columns(["text"])
+
+
+def corpus_pipeline(sf_dir: str, min_quality: float = 0.3) -> ray.data.Dataset:
+    """The composed build: per-language counts of documents surviving
+    quality filtering and exact dedup, with mean quality (as int
+    permille for exactness). At scale this is the shape of a curation
+    run: no full materialization, one dedup exchange, one stats
+    exchange."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["quality"] = b["text"].map(textstats.quality_score)
+        b["__h"] = b["text"].map(hashing.content_hash)
+        return b[b["quality"] >= min_quality]
+
+    scored = ds.map_batches(score, batch_format="pandas", batch_size=4096)
+    deduped = keep_first(scored, ["__h"], "doc_id")
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": b["lang"],
+                "n_docs": np.ones(len(b), dtype=np.int64),
+                "quality_permille": (b["quality"].to_numpy() * 1000).astype(np.int64),
+            }
+        )
+
+    return grouped_sum(
+        deduped.map_batches(derive, batch_format="pandas"),
+        ["lang"],
+        ["n_docs", "quality_permille"],
+        num_buckets=4,
+    )

@@ -193,3 +193,23 @@ def test_extract_documents_recovers_text():
             assert row["status"] == "ok"
             assert body.split() == texts[doc_id].split()
     assert n_checked > 0
+
+
+def test_embed_and_corpus_pipeline():
+    """Deterministic embedding stage + composed curation pipeline."""
+    from pdf_extractor_ray.pipelines.corpus import corpus_pipeline, embed_documents
+
+    emb = embed_documents(SF_DIR, concurrency=2).to_pandas()
+    assert len(emb) > 0
+    v = np.asarray(emb.iloc[0]["embedding"], dtype=np.float64)
+    assert v.shape == (64,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5  # L2-normalized
+    # deterministic across runs
+    emb2 = embed_documents(SF_DIR, concurrency=2).to_pandas()
+    m1 = {d: tuple(np.round(e, 5)) for d, e in zip(emb["doc_id"], emb["embedding"])}
+    m2 = {d: tuple(np.round(e, 5)) for d, e in zip(emb2["doc_id"], emb2["embedding"])}
+    assert m1 == m2
+
+    stats = corpus_pipeline(SF_DIR).to_pandas()
+    assert stats["n_docs"].sum() > 0
+    assert set(stats.columns) == {"lang", "n_docs", "quality_permille"}
