@@ -51,6 +51,8 @@ def cmd_extract(args) -> int:
         files_per_partition=args.files_per_partition,
         concurrency=(1, 8) if not args.cpus else (1, max(2, args.cpus // 3)),
         batch_size=args.batch_size,
+        use_actor_pool=args.actor_pool,
+        bucket_routing=args.bucket_routing,
     )
     print(json.dumps(summary))
     ray.shutdown()
@@ -112,6 +114,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--files-per-partition", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--actor-pool", action="store_true", help="stateful actor-pool PDF branch")
+    p.add_argument("--bucket-routing", action="store_true", help="size-bucket skew isolation")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("merge", help="dedup-merge new rows into a sink table")

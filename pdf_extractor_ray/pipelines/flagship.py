@@ -33,6 +33,7 @@ def build_extraction_pipeline(
     batch_size: int = 256,
     override_num_blocks: int | None = None,
     use_actor_pool: bool = False,
+    bucket_routing: bool = False,
 ) -> ray.data.Dataset:
     """Lazy extraction Dataset over pages parquet. Caller consumes it
     (write_parquet / iter_batches); nothing is materialized here.
@@ -74,6 +75,36 @@ def build_extraction_pipeline(
         columns=["url", "html"],  # prune: warc_ts/text/lang unused by extraction
         override_num_blocks=override_num_blocks,
     )
+    if bucket_routing:
+        # explicit skew isolation: route size buckets into separate
+        # branches with bucket-scaled batch sizes (mega-docs get
+        # batch_size=1 so one giant page never head-of-line-blocks a
+        # batch of small ones). Costs one extra scan per branch; use
+        # when the corpus has a heavy tail. The default single-stage
+        # path relies on Ray's dynamic block splitting instead.
+        import pyarrow.compute as _pc
+
+        from pdf_extractor_ray.kernels.sniff import SIZE_BUCKET_BOUNDS
+        from pdf_extractor_ray.stages.extract import extract_all_batch, sniff_batch
+
+        sniffed = ds.map_batches(sniff_batch, batch_format="pyarrow")
+        branches = []
+        bucket_batch = {0: batch_size, 1: max(16, batch_size // 4), 2: 4, 3: 1}
+        for bucket in range(len(SIZE_BUCKET_BOUNDS) + 1):
+            branch = sniffed.map_batches(
+                lambda t, b=bucket: t.filter(_pc.equal(t.column("size_bucket"), b)).select(
+                    ["url", "html"]
+                ),
+                batch_format="pyarrow",
+            ).map_batches(
+                extract_all_batch, batch_format="pyarrow", batch_size=bucket_batch[bucket]
+            )
+            branches.append(branch)
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.union(b)
+        return out
+
     if not use_actor_pool:
         from pdf_extractor_ray.stages.extract import extract_all_batch
 

@@ -106,3 +106,15 @@ def test_mega_doc_skew(tmp_path):
     assert mrow["status"] == "ok"
     assert mrow["size_bucket"] >= 2  # big or mega bucket
     assert len(mrow["extracted_text"]) > 1_000_000
+
+
+def test_bucket_routing_shape_identical(pages_corpus, goldens):
+    """bucket_routing=True (size-bucket branches, batch_size=1 for the
+    mega bucket) must be row-identical to the default shape."""
+    ds = build_extraction_pipeline(pages_corpus, bucket_routing=True)
+    out = ds.to_pandas()
+    exp = _by_url(goldens)
+    assert len(out) == goldens.num_rows
+    for u, t, s in zip(out["url"], out["extracted_text"], out["status"]):
+        assert t == exp[u][0]
+        assert s == exp[u][1]
