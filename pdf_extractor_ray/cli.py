@@ -72,7 +72,12 @@ def cmd_merge(args) -> int:
         tie_break_col=args.tie_break or args.key,
     )
     merged.write_parquet(args.output)
-    print(json.dumps({"rows": merged.count(), "output": args.output}))
+    # count the written files — merged.count() would re-execute the
+    # whole (lazy, uncached) merge pipeline a second time
+    import pyarrow.dataset as pads
+
+    n_rows = pads.dataset(args.output, format="parquet").count_rows()
+    print(json.dumps({"rows": n_rows, "output": args.output}))
     ray.shutdown()
     return 0
 

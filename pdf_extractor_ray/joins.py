@@ -125,10 +125,12 @@ def bucket_join(
     )
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        # no empty-side shortcut: pandas merge handles empty frames and
+        # produces the full output schema, which keeps how='outer'/
+        # 'right' correct (an early return dropped right-only buckets)
+        # and keeps block schemas consistent across groups.
         lg = g.loc[g["__side"] == 0, l_cols].astype(l_dtypes)
         rg = g.loc[g["__side"] == 1, r_cols].astype(r_dtypes)
-        if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame(columns=[on])
         return lg.merge(rg, on=on, how=how, suffixes=suffixes)
 
     return both.groupby("__bucket").map_groups(merge_group, batch_format="pandas")

@@ -140,11 +140,18 @@ class _Extractor:
             if name is None:
                 continue  # comment / doctype / PI / cdata
             tag = name.lower()
-            if m.group(0)[1] == "/":
+            tok = m.group(0)
+            if tok[1] == "/":
+                self._endtag(tag)
+            elif tok.endswith("/>"):
+                # self-closed non-void tag (<iframe/>, <a/>): open+close,
+                # else a skip/link depth increments forever and all
+                # following content is silently discarded
+                self._starttag(tag)
                 self._endtag(tag)
             else:
                 self._starttag(tag)
-                if tag in _RAWTEXT_CLOSE and not m.group(0).endswith("/>"):
+                if tag in _RAWTEXT_CLOSE:
                     cm = _RAWTEXT_CLOSE[tag].search(html, pos)
                     pos = cm.start() if cm else n  # raw content skipped
 

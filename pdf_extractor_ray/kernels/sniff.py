@@ -32,11 +32,13 @@ def sniff(raw: bytes | None) -> str:
     low = head.lower()
     if any(m.lower() in low for m in _HTML_MARKERS):
         return KIND_HTML
-    # printable-utf8 heuristic
+    # printable-utf8 heuristic; a multi-byte char straddling the 512-byte
+    # probe boundary is NOT binary (error within the last 3 bytes)
     try:
         head.decode("utf-8")
-    except UnicodeDecodeError:
-        return KIND_BINARY
+    except UnicodeDecodeError as e:
+        if e.start < len(head) - 3:
+            return KIND_BINARY
     if b"\x00" in head:
         return KIND_BINARY
     return KIND_TEXT

@@ -338,7 +338,15 @@ def events_props_k_sum(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "props"])
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        # missing "k" → 0 (SQL SUM skips NULLs; identical unless a whole
+        # group is all-missing, which the fixture schema precludes) —
+        # and never a crash on astype of NaN
+        k = (
+            b["props"]
+            .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+            .fillna(0)
+            .astype("int64")
+        )
         return pd.DataFrame(
             {"event_type": b["event_type"], "k_sum": k, "n_events": np.ones(len(b), dtype=np.int64)}
         )

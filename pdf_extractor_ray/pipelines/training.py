@@ -121,8 +121,12 @@ def validation_metrics(pairs: ray.data.Dataset) -> dict:
         tp = (has_exp & has_act & (exp_n == act_n)).astype("int64")
         fp = (has_act & (exp_n != act_n)).astype("int64")
         fn = (has_exp & ~has_act).astype("int64")
+        # correct includes true negatives (expected empty AND extracted
+        # empty) — a perfect extractor must score accuracy 1.0 even when
+        # fields are legitimately absent
+        correct = (tp.astype(bool) | (~has_exp & ~has_act)).astype("int64")
         return pd.DataFrame(
-            {"field_key": b["field_key"], "tp": tp, "fp": fp, "fn": fn, "correct": tp, "total": 1}
+            {"field_key": b["field_key"], "tp": tp, "fp": fp, "fn": fn, "correct": correct, "total": 1}
         )
 
     from pdf_extractor_ray.ops import grouped_sum

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from pdf_extractor_ray.stages.extract import ExtractPages, sniff_batch
-from pdf_extractor_ray.sources.pages import make_html_page, make_pdf
+from pdf_extractor_ray.sources.pages import make_pdf, wrap_in_boilerplate
 
 
 def _doc_to_page(doc_id: int, text: str, lang: str = "", source: str = "") -> bytes:
@@ -37,19 +37,11 @@ def _doc_to_page(doc_id: int, text: str, lang: str = "", source: str = "") -> by
             runs.append((72.0, 60.0 - 18.0 * j, 12.0, ml))
         rng.shuffle(runs)
         return make_pdf([runs], compress=doc_id % 2 == 0)
-    # HTML row: doc text as main paragraph + details block, in boilerplate
-    nav = "".join(f'<li><a href="/c/{i}">BOILER nav {i}</a></li>' for i in range(8))
-    side = "".join(f'<a href="/r/{i}">BOILER rel {i}</a> ' for i in range(12))
+    # HTML row: doc text as main paragraph + details block, in the
+    # shared boilerplate wrapper
     meta_html = "".join(f"<p>{ml}</p>" for ml in meta_lines)
-    html = (
-        "<!DOCTYPE html><html><head><title>BOILER t</title></head><body>"
-        f"<nav><ul>{nav}</ul></nav>"
-        f'<article><p>{text}</p></article><section id="details">{meta_html}</section>'
-        f"<aside>{side}</aside>"
-        "<footer><p><a href='/x'>BOILER x</a> <a href='/y'>BOILER y</a></p></footer>"
-        "</body></html>"
-    )
-    return html.encode("utf-8")
+    main_html = f'<article><p>{text}</p></article><section id="details">{meta_html}</section>'
+    return wrap_in_boilerplate(main_html)
 
 
 def pages_from_documents(sf_dir: str) -> ray.data.Dataset:

@@ -54,6 +54,25 @@ def _paragraph(rng: random.Random, n_sent: int, words=_WORDS) -> str:
     return " ".join(_sentence(rng, rng.randint(6, 14), words) for _ in range(n_sent))
 
 
+def wrap_in_boilerplate(main_html: str, extra_links: str = "") -> bytes:
+    """Wrap main content in the link-dense nav/header/aside/footer
+    scaffolding (BOILER markers) shared by every synthetic page — the
+    known-wrong content a text/link-density extractor must strip."""
+    nav_links = "".join(f'<li><a href="/cat/{i}">BOILER nav {i}</a></li>' for i in range(8))
+    side_links = "".join(f'<a href="/rel/{i}">BOILER related {i}</a> ' for i in range(12))
+    html = (
+        "<!DOCTYPE html><html><head><title>BOILER title</title>"
+        "<style>body{margin:0}</style><script>var x=1;</script></head>"
+        f"<body><nav><ul>{nav_links}{extra_links}</ul></nav>"
+        '<header><a href="/">BOILER home</a> | <a href="/about">BOILER about</a></header>'
+        f'<div id="content">{main_html}</div>'
+        f'<aside class="sidebar">{side_links}</aside>'
+        f"<footer><p><a href='/tos'>BOILER terms</a> <a href='/priv'>BOILER privacy</a></p></footer>"
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
 def make_html_page(rng: random.Random, n_paras: int, lang: str = "en") -> tuple[bytes, str]:
     """Boilerplate-wrapped page; returns (html_bytes, expected_main_text).
 
@@ -63,24 +82,9 @@ def make_html_page(rng: random.Random, n_paras: int, lang: str = "en") -> tuple[
     """
     words = {"en": _WORDS, "de": _DE_WORDS, "fr": _FR_WORDS}.get(lang, _WORDS)
     paras = [_paragraph(rng, rng.randint(2, 5), words) for _ in range(n_paras)]
-    nav_links = "".join(
-        f'<li><a href="/cat/{i}">BOILER nav {rng.choice(_WORDS)}</a></li>' for i in range(8)
-    )
-    side_links = "".join(
-        f'<a href="/rel/{i}">BOILER related {rng.choice(_WORDS)} {i}</a> ' for i in range(12)
-    )
-    main_html = "".join(f"<p>{p}</p>" for p in paras)
-    html = (
-        "<!DOCTYPE html><html><head><title>BOILER title</title>"
-        "<style>body{margin:0}</style><script>var x=1;</script></head>"
-        f"<body><nav><ul>{nav_links}</ul></nav>"
-        '<header><a href="/">BOILER home</a> | <a href="/about">BOILER about</a></header>'
-        f'<div id="content"><article>{main_html}</article></div>'
-        f'<aside class="sidebar">{side_links}</aside>'
-        f"<footer><p><a href='/tos'>BOILER terms</a> <a href='/priv'>BOILER privacy</a></p></footer>"
-        "</body></html>"
-    )
-    return html.encode("utf-8"), "\n".join(paras)
+    main_html = "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>"
+    extra = f'<li><a href="/x/{rng.randint(0, 99)}">BOILER extra {rng.choice(_WORDS)}</a></li>'
+    return wrap_in_boilerplate(main_html, extra), "\n".join(paras)
 
 
 def make_pdf(

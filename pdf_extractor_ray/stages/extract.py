@@ -95,9 +95,11 @@ _PDF_MAGIC = b"%PDF-"
 
 
 def is_pdf_mask(batch: pa.Table) -> pa.ChunkedArray:
-    """Vectorized %PDF- magic test over the binary payload column."""
+    """Vectorized %PDF- magic test over the binary payload column.
+    Null payloads → False (NOT null: Table.filter drops null-mask rows,
+    which would silently lose null-html rows from both union branches)."""
     head = pc.binary_slice(batch.column("html"), 0, 5)
-    return pc.equal(head, _PDF_MAGIC)
+    return pc.coalesce(pc.equal(head, _PDF_MAGIC), pa.scalar(False))
 
 
 def extract_non_pdf_batch(batch: pa.Table) -> pa.Table:

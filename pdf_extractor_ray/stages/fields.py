@@ -45,6 +45,16 @@ class FieldSpec:
     rule: str = ""  # free-text hint; "regex:<pattern>" is honored
 
     def patterns(self) -> list[re.Pattern]:
+        # memoized per instance: extract_fields_record runs once per
+        # document — rebuilding pattern lists per doc is exactly the
+        # per-document re-init this module exists to hoist away
+        cached = getattr(self, "_patterns", None)
+        if cached is not None:
+            return cached
+        self._patterns = self._build_patterns()
+        return self._patterns
+
+    def _build_patterns(self) -> list[re.Pattern]:
         if self.rule.startswith("regex:"):
             return [re.compile(self.rule[len("regex:") :], re.I | re.M)]
         names = [self.key] + self.alt_names
@@ -128,7 +138,14 @@ class FieldExtractActor:
 
     def __init__(self, schema_ref) -> None:
         specs = ray.get(schema_ref)
-        self.specs = [s if isinstance(s, FieldSpec) else FieldSpec(**s) for s in specs]
+        self.specs = [
+            s
+            if isinstance(s, FieldSpec)
+            else FieldSpec(**{k: v for k, v in s.items() if not k.startswith("_")})
+            for s in specs
+        ]
+        for s in self.specs:  # compile once per actor, not per document
+            s.patterns()
         self.docs = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -204,3 +204,17 @@ def test_quality_score_ordering():
     good = "The quick brown fox jumps over the lazy dog and runs into the forest with great speed today." * 3
     bad = "@@@@ #### !!!! %%%%"
     assert textstats.quality_score(good) > textstats.quality_score(bad)
+
+
+def test_self_closing_tags_do_not_poison_state():
+    """<iframe/> / <a/> must not permanently enable skip/link mode."""
+    text, _ = html_extract(b'<iframe src="ad"/><p>main article paragraph text here</p>')
+    assert "main article paragraph text here" in text
+    text, _ = html_extract(b'<a href="x"/><p>plain body content paragraph words</p>')
+    assert "plain body content paragraph words" in text
+
+
+def test_sniff_utf8_boundary_not_binary():
+    payload = ("€" * 300).encode("utf-8")  # 3-byte chars; byte 512 splits one
+    assert sniff(payload) == "text"
+    assert sniff(b"\xff\xfe" + b"x" * 600) == "binary"
