@@ -90,8 +90,13 @@ def cmd_validate(args) -> int:
     from pdf_extractor_ray.pipelines.training import validation_metrics
 
     m = validation_metrics(rd.read_parquet(args.pairs))
-    out = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in m.items() if k != "per_field"}
+    out = {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in m.items()
+        if k not in ("per_field", "error_examples")
+    }
     out["per_field"] = m["per_field"].to_dict(orient="records")
+    out["error_examples"] = m["error_examples"].to_dict(orient="records")
     # reference acceptance thresholds (validate.py:84-104)
     out["pass"] = bool(
         m["accuracy"] >= 0.90 and m["precision"] >= 0.85 and m["recall"] >= 0.85 and m["f1"] >= 0.85

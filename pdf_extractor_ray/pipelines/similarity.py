@@ -84,22 +84,21 @@ ORDER BY rank LIMIT 20
 """
 
 
-def build_ivf_index(sf_dir: str, num_lists: int = 16, iters: int = 5) -> tuple[np.ndarray, dict[int, tuple[np.ndarray, np.ndarray]]]:
-    """Deterministic k-means-lite coarse quantizer + inverted lists.
+def train_centroids(sf_dir: str, num_lists: int = 16, iters: int = 5, sample_rows: int = 4096) -> np.ndarray:
+    """Deterministic k-means-lite coarse quantizer trained on a bounded
+    SAMPLE (first ``sample_rows`` by vec_id — deterministic, and at
+    10^12 vectors still a driver-sized array). Seeding by evenly-spaced
+    sorted vec_id; Lloyd iterations on the sample only."""
+    import pyarrow.compute as pc_
 
-    Centroid seeding is by evenly-spaced sorted vec_id (no RNG →
-    reproducible); Lloyd iterations on the driver over a sample. The
-    bucket assignment itself is the distributed part (map_batches +
-    groupby below in knn_ivf); index build is small-side work.
-    """
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, sample_rows)
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     matn = mat / norms
-    order = np.argsort(ids)
-    seed_idx = order[np.linspace(0, len(ids) - 1, num_lists).astype(int)]
+    seed_idx = np.linspace(0, len(ids) - 1, num_lists).astype(int)
     cents = matn[seed_idx].copy()
     for _ in range(iters):
         assign = (matn @ cents.T).argmax(axis=1)
@@ -110,34 +109,53 @@ def build_ivf_index(sf_dir: str, num_lists: int = 16, iters: int = 5) -> tuple[n
                 n = np.linalg.norm(v)
                 if n > 0:
                     cents[c] = v / n
-    assign = (matn @ cents.T).argmax(axis=1)
-    lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for c in range(num_lists):
-        m = assign == c
-        lists[c] = (ids[m], matn[m])
-    return cents, lists
+    return cents
 
 
 def knn_ivf(sf_dir: str, k: int = 20, num_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """Approximate top-k via IVF probing: scan only the n_probe nearest
-    inverted lists. Output shape matches knn_brute_force."""
+    """Approximate top-k via IVF probing — fully streaming:
+
+    1. centroids trained on a bounded sample (driver-side, tiny);
+    2. the probe-list filter + cosine scoring run vectorized inside
+       ``map_batches`` against broadcast (centroids, query) — each batch
+       keeps only vectors whose nearest centroid is probed, then its
+       local top-k; nothing materializes the full table anywhere;
+    3. a tiny global sort+limit over ≤ k rows per batch.
+
+    On a persisted corpus the centroid assignment would be a stored
+    ``list_id`` partition column, turning step 2's filter into a
+    partition-pruned read. Output shape matches ``knn_brute_force``.
+    """
     qid, qvec = _load_query_vec(sf_dir)
     qn = qvec / np.linalg.norm(qvec)
-    cents, lists = build_ivf_index(sf_dir, num_lists=num_lists)
-    probe = np.argsort(-(cents @ qn))[:n_probe]
-    cand_ids, cand_sims = [], []
-    for c in probe:
-        ids, matn = lists[int(c)]
-        if len(ids) == 0:
-            continue
-        sims = matn @ qn
-        cand_ids.append(ids)
-        cand_sims.append(sims)
-    if not cand_ids:
-        return pd.DataFrame({"vec_id": [], "rank": []})
-    ids = np.concatenate(cand_ids)
-    sims = np.concatenate(cand_sims)
-    keep = ids != qid
-    ids, sims = ids[keep], sims[keep]
-    order = np.lexsort((ids, -sims))[:k]
-    return pd.DataFrame({"vec_id": ids[order].astype(np.int64), "rank": np.arange(1, len(order) + 1, dtype=np.int64)})
+    cents = train_centroids(sf_dir, num_lists=num_lists)
+    probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+    ref = ray.put((cents, qn, probe))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+
+    def probe_topk(b: pd.DataFrame) -> pd.DataFrame:
+        c, q, pr = ray.get(ref)
+        mat = np.array(list(b["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        assign = (matn @ c.T).argmax(axis=1)
+        keep = np.isin(assign, list(pr)) & (b["vec_id"].to_numpy() != qid)
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")})
+        sims = matn[keep] @ q
+        ids = b["vec_id"].to_numpy()[keep]
+        if ids.size > k:
+            idx = np.argpartition(-sims, k)[:k]
+            sims, ids = sims[idx], ids[idx]
+        return pd.DataFrame({"vec_id": ids.astype(np.int64), "sim": sims})
+
+    top = (
+        ds.map_batches(probe_topk, batch_format="pandas", batch_size=4096)
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]]

@@ -108,10 +108,12 @@ def training_quality_stats(examples: ray.data.Dataset) -> dict:
     }
 
 
-def validation_metrics(pairs: ray.data.Dataset) -> dict:
+def validation_metrics(pairs: ray.data.Dataset, max_error_examples: int = 5) -> dict:
     """pairs columns: (url, field_key, expected, actual). Returns the
-    ValidationMetrics analog: global accuracy/precision/recall/F1 and
-    per-field accuracy (groupby on field_key)."""
+    ValidationMetrics analog: global accuracy/precision/recall/F1,
+    per-field accuracy (groupby on field_key), and up to
+    ``max_error_examples`` mismatching rows (the reference's
+    error-example sample, ``model_validator.py:164-170`` / O5)."""
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         exp_n = b["expected"].map(normalize_compare)
@@ -146,10 +148,20 @@ def validation_metrics(pairs: ray.data.Dataset) -> dict:
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    def errors_only(b: pd.DataFrame) -> pd.DataFrame:
+        exp_n = b["expected"].map(normalize_compare)
+        act_n = b["actual"].map(normalize_compare)
+        return b[~(exp_n == act_n)]
+
+    error_examples = (
+        pairs.map_batches(errors_only, batch_format="pandas").limit(max_error_examples).to_pandas()
+    )
+
     return {
         "accuracy": (totals["correct"] or 0) / totals["total"] if totals["total"] else 0.0,
         "precision": precision,
         "recall": recall,
         "f1": f1,
         "per_field": per_field,
+        "error_examples": error_examples,
     }
