@@ -207,8 +207,12 @@ def run_scaling(args) -> None:
             cwd=REPO,
             timeout=3600,
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        json_lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            sys.stderr.write(f"scaling subprocess (cpus={cpus}) failed rc={proc.returncode}\n")
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
+            raise SystemExit(1)
+        results[cpus] = json.loads(json_lines[-1])
     tp_low = results[low]["docs_per_sec"]
     tp_high = results[high]["docs_per_sec"]
     eff = (tp_high / tp_low) / (high / low)
