@@ -13,8 +13,9 @@ Scale notes baked into every query:
   Ray's built-in aggregate costs ~5 ms/group — see ops.py);
 - money doubles summed as integer cents (``functions.exact``) so
   results are order-independent and bit-identical to the SQL oracle;
-- dimension tables broadcast, large-large joins via ``joins.bucket_join``
-  (one hash-partition shuffle).
+- dimension tables broadcast, large-large joins via
+  ``joins.join_datasets`` (native hash join, ``bucket_join`` fallback —
+  one hash-partition shuffle either way).
 """
 
 from __future__ import annotations
@@ -86,8 +87,9 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
     """Top-10 revenue orders for BUILDING-segment customers.
 
     customer → broadcast key set (semi-join filter); orders ⋈ lineitem
-    through the partitioned hash bucket join; per-order revenue via
-    bucketed grouped_sum; final global sort + deterministic tie-break.
+    through the hash-partitioned join (native Dataset.join, bucket_join
+    fallback); per-order revenue via bucketed grouped_sum; final global
+    sort + deterministic tie-break.
     """
     import pyarrow.compute as pc
 
@@ -140,7 +142,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
     """Revenue by nation for one region: the three dimension hops
     (region → nation → customer) collapse into ONE broadcast dict
     custkey→nation-name; the only big join (orders ⋈ lineitem) is the
-    bucket join; aggregation is partial-then-bucketed."""
+    hash-partitioned join; aggregation is partial-then-bucketed."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()

@@ -91,3 +91,17 @@ def test_training_jsonl_sink_and_quality(tmp_path):
     assert stats["total_examples"] == 2
     assert stats["with_coordinates"] == 1
     assert stats["without_coordinates"] == 1
+
+
+def test_read_json_source_roundtrip(tmp_path):
+    """S5 source: JSONL written by the engine reads back through
+    ray.data.read_json into a pipeline."""
+    from pdf_extractor_ray.pipelines.training import build_training_examples, write_training_jsonl
+
+    docs = ray.data.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha beta", "gamma delta", "epsilon"]}))
+    out = str(tmp_path / "jsonl")
+    write_training_jsonl(build_training_examples(docs), out)
+    back = ray.data.read_json(out)
+    rows = back.take_all()
+    assert len(rows) == 3
+    assert all(r["messages"][0]["role"] == "user" for r in rows)
