@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": windows.sessionize,
         "q6_forecast_revenue": analytics.q6_forecast_revenue,
         "events_props_k_sum": analytics.events_props_k_sum,
+        "top_tokens": analytics.top_tokens,
+        "events_user_stats": analytics.events_user_stats,
+        "order_priority_counts": analytics.order_priority_counts,
         "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
@@ -99,6 +102,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": windows.SESSIONIZE_SQL,
         "q6_forecast_revenue": analytics.Q6_SQL,
         "events_props_k_sum": analytics.EVENTS_PROPS_SQL,
+        "top_tokens": analytics.TOP_TOKENS_SQL,
+        "events_user_stats": analytics.EVENTS_USER_STATS_SQL,
+        "order_priority_counts": analytics.ORDER_PRIORITY_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,

@@ -398,3 +398,95 @@ SELECT n_name, SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cent
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+# ----------------------------------------------------- explode / flat_map
+def top_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Token explode (flat_map shape) + global count + top-k: each batch
+    explodes documents into (token, 1) partial counts — pre-aggregated
+    per batch so the exchange moves per-token partials, not one row per
+    token occurrence. Tie-break on the token for determinism."""
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        tokens = b["text"].str.split(" ").explode()
+        tokens = tokens[tokens != ""]
+        g = tokens.value_counts().reset_index()
+        g.columns = ["token", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = grouped_sum(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["token"],
+        ["n"],
+        num_buckets=8,
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+TOP_TOKENS_SQL = """
+SELECT word AS token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS word FROM documents)
+WHERE word != ''
+GROUP BY word ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def events_user_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user aggregate — a genuinely high-cardinality groupby (one
+    output row per user) through the bucketed exchange."""
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "value_cents": cents_np(b["value"]),
+                "n_events": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        ["value_cents", "n_events"],
+        num_buckets=16,
+    )
+
+
+EVENTS_USER_STATS_SQL = """
+SELECT user_id, SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def order_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """Q4-flavoured: order counts per priority within a date window."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderpriority": b["o_orderpriority"], "n_orders": np.ones(len(b), dtype=np.int64)})
+
+    return grouped_sum(ds.map_batches(derive, batch_format="pandas"), ["o_orderpriority"], ["n_orders"], num_buckets=4)
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""

@@ -34,6 +34,7 @@ def build_extraction_pipeline(
     override_num_blocks: int | None = None,
     use_actor_pool: bool = False,
     bucket_routing: bool = False,
+    metrics_collector=None,
 ) -> ray.data.Dataset:
     """Lazy extraction Dataset over pages parquet. Caller consumes it
     (write_parquet / iter_batches); nothing is materialized here.
@@ -108,7 +109,12 @@ def build_extraction_pipeline(
     if not use_actor_pool:
         from pdf_extractor_ray.stages.extract import extract_all_batch
 
-        return ds.map_batches(extract_all_batch, batch_format="pyarrow", batch_size=batch_size)
+        return ds.map_batches(
+            extract_all_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_kwargs={"metrics_collector": metrics_collector},
+        )
 
     if concurrency is None:
         # PDF rows are a minority (~15% of a crawl): a small pool
@@ -123,6 +129,7 @@ def build_extraction_pipeline(
         batch_size=max(32, batch_size // 4),
         concurrency=concurrency,
         num_cpus=1,
+        fn_constructor_kwargs={"metrics_collector": metrics_collector},
     )
     return html_branch.union(pdf_branch)
 

@@ -48,25 +48,32 @@ class ExtractPages:
     kind (single-stage pipeline variant).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, metrics_collector=None) -> None:
         # Per-actor pinned state. The kernel modules compile their
         # regexes at import; importing here forces that cost into actor
         # init (once), not the first batch. Counters feed metrics.
         import pdf_extractor_ray.kernels.pdf_extract  # noqa: F401
         import pdf_extractor_ray.kernels.html_extract  # noqa: F401
 
+        self.metrics_collector = metrics_collector
         self.docs = 0
         self.bytes = 0
         self.failures = 0
         self.started = time.monotonic()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from pdf_extractor_ray.state.metrics import report
+
+        t0 = time.monotonic()
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
         records = [extract_record(u, h) for u, h in zip(urls, htmls)]
+        n_bytes = sum(r["n_bytes"] for r in records)
+        failures = sum(1 for r in records if r["status"].startswith("quarantined"))
         self.docs += len(records)
-        self.bytes += sum(r["n_bytes"] for r in records)
-        self.failures += sum(1 for r in records if r["status"].startswith("quarantined"))
+        self.bytes += n_bytes
+        self.failures += failures
+        report(self.metrics_collector, "extract_actor", len(records), n_bytes, failures, time.monotonic() - t0)
         return records_to_arrow(records)
 
 
@@ -80,15 +87,30 @@ class ExtractPages:
 #     payloads, so the pass-through cost is a few small columns.
 # ---------------------------------------------------------------------
 
-def extract_all_batch(batch: pa.Table) -> pa.Table:
+def extract_all_batch(batch: pa.Table, metrics_collector=None) -> pa.Table:
     """Fused single-stage extraction (stateless tasks): sniff + dispatch
     + extract per row. Parser state (compiled regexes) is module-level
     and Ray reuses worker processes across tasks, so per-worker state
     pinning holds without an actor pool. Fastest shape on Ray 2.49 —
-    see ``pipelines.flagship.build_extraction_pipeline``."""
+    see ``pipelines.flagship.build_extraction_pipeline``.
+
+    ``metrics_collector`` (via fn_kwargs) is a MetricsCollector handle;
+    each batch reports per-worker docs/bytes/failures/seconds."""
+    from pdf_extractor_ray.state.metrics import report
+
+    t0 = time.monotonic()
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
-    return records_to_arrow([extract_record(u, h) for u, h in zip(urls, htmls)])
+    records = [extract_record(u, h) for u, h in zip(urls, htmls)]
+    report(
+        metrics_collector,
+        "extract",
+        len(records),
+        sum(r["n_bytes"] for r in records),
+        sum(1 for r in records if r["status"].startswith("quarantined")),
+        time.monotonic() - t0,
+    )
+    return records_to_arrow(records)
 
 
 _PDF_MAGIC = b"%PDF-"

@@ -108,9 +108,12 @@ def run_partitioned_extraction(
 
     from pdf_extractor_ray.pipelines.flagship import build_extraction_pipeline
 
+    from pdf_extractor_ray.state.metrics import start_collector
+
     manifest = Manifest(out_dir)
     done = manifest.committed()
     parts = partition_inputs(input_paths, files_per_partition)
+    collector = start_collector()  # per-worker metrics sink (north rule)
     ran, skipped = [], []
     for pid, group in parts.items():
         if pid in done and done[pid].get("content_hash") == fileset_hash(group):
@@ -128,6 +131,7 @@ def run_partitioned_extraction(
             batch_size=batch_size,
             use_actor_pool=use_actor_pool,
             bucket_routing=bucket_routing,
+            metrics_collector=collector,
         )
         ds.write_parquet(tmp)
         # per-partition metrics from the written output (cheap re-scan of
@@ -142,9 +146,16 @@ def run_partitioned_extraction(
         wall = time.monotonic() - t0
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+        import ray as _ray
+
+        try:
+            worker_metrics = _ray.get(collector.drain.remote(), timeout=10)
+        except Exception:  # metrics plane never fails the data plane
+            worker_metrics = []
         manifest.commit(
             {
                 "partition_id": pid,
+                "worker_metrics": worker_metrics,
                 "input_files": group,
                 "content_hash": fileset_hash(group),
                 "output_path": final,

@@ -77,3 +77,18 @@ def test_input_change_invalidates_partition(pages_corpus, tmp_path):
     os.utime(pages_corpus[0], (1, 1))
     summary = run_partitioned_extraction(pages_corpus[:1], out, concurrency=2)
     assert summary["ran"] == ["00000"]
+
+
+def test_worker_metrics_exported_to_manifest(pages_corpus, tmp_path):
+    """Each partition's manifest entry carries per-worker (actor/task
+    process) docs/bytes/failures/docs-per-sec breakdowns."""
+    out = str(tmp_path / "metrics_out")
+    run_partitioned_extraction(pages_corpus[:2], out, files_per_partition=1, concurrency=2)
+    entries = Manifest(out).committed()
+    assert len(entries) == 2
+    all_metrics = [m for e in entries.values() for m in e.get("worker_metrics", [])]
+    assert all_metrics, "no worker metrics exported"
+    total_docs = sum(m["docs"] for m in all_metrics)
+    assert total_docs == sum(e["n_rows"] for e in entries.values())
+    for m in all_metrics:
+        assert {"worker_id", "stage", "docs", "bytes", "failures", "seconds", "docs_per_sec"} <= set(m)
