@@ -99,8 +99,53 @@ def _decode_pdf_string(payload: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+# Fast path: the canonical single-run text block most writers emit —
+# ``BT /F1 12 Tf 1 0 0 1 x y Tm (text) Tj ET``. Parsed with one match
+# instead of ~13 tokenizer iterations; any stream content the fast
+# regex does not fully account for falls back to the general tokenizer.
+_FAST_RUN_RE = re.compile(
+    rb"BT\s+/\w+\s+([\d.+-]+)\s+Tf\s+1 0 0 1\s+([\d.+-]+)\s+([\d.+-]+)\s+Tm\s+"
+    rb"(\((?:\\.|[^\\()])*\))\s+Tj\s+ET\s*"
+)
+
+
+def _parse_content_stream_fast(data: bytes, page: int, page_height: float) -> list[dict] | None:
+    """Returns spans if the WHOLE stream consists of canonical runs
+    (plus whitespace), else None → caller uses the general tokenizer."""
+    spans: list[dict] = []
+    pos = 0
+    for m in _FAST_RUN_RE.finditer(data):
+        if data[pos : m.start()].strip():
+            return None  # unaccounted operators between runs
+        size = float(m.group(1))
+        x = float(m.group(2))
+        y = float(m.group(3))
+        text = _decode_pdf_string(m.group(4)[1:-1])
+        if text:
+            width = CHAR_WIDTH_FRAC * size * len(text)
+            y_top = page_height - y
+            spans.append(
+                {
+                    "page": page,
+                    "x0": x,
+                    "y0": y_top - size,
+                    "x1": x + width,
+                    "y1": y_top,
+                    "text": text,
+                    "font_size": size,
+                }
+            )
+        pos = m.end()
+    if data[pos:].strip():
+        return None  # trailing unaccounted content
+    return spans
+
+
 def _parse_content_stream(data: bytes, page: int, page_height: float) -> list[dict]:
     """Walk text operators, emit span dicts with top-down coordinates."""
+    fast = _parse_content_stream_fast(data, page, page_height)
+    if fast is not None:
+        return fast
     spans: list[dict] = []
     x = 0.0
     y = 0.0

@@ -218,3 +218,32 @@ def test_sniff_utf8_boundary_not_binary():
     payload = ("€" * 300).encode("utf-8")  # 3-byte chars; byte 512 splits one
     assert sniff(payload) == "text"
     assert sniff(b"\xff\xfe" + b"x" * 600) == "binary"
+
+
+def test_pdf_fast_path_equals_generic_tokenizer():
+    """The canonical-run fast path must produce exactly the generic
+    tokenizer's spans (byte-identity can't catch a shared-kernel bug)."""
+    import pdf_extractor_ray.kernels.pdf_extract as px
+
+    runs = [
+        (72.0, 700.0, 12.0, "alpha beta ﬁrst"),
+        (210.5, 700.0, 9.0, r"esc\(aped\)"),
+        (72.0, 676.0, 12.0, "second line"),
+    ]
+    raw = make_pdf([runs], compress=False)
+    objects = px._parse_objects(raw)
+    stream = next(s for _, s in objects.values() if s is not None)
+    fast = px._parse_content_stream_fast(stream, 0, 792.0)
+    assert fast is not None and len(fast) == 3
+    # force the generic path by asking fast to bail
+    orig = px._parse_content_stream_fast
+    px._parse_content_stream_fast = lambda *a: None
+    try:
+        generic = px._parse_content_stream(stream, 0, 792.0)
+    finally:
+        px._parse_content_stream_fast = orig
+    assert fast == generic
+    # non-canonical stream → fast path declines, generic handles it
+    weird = b"BT /F1 12 Tf 10 20 Td (hi) Tj ET"
+    assert px._parse_content_stream_fast(weird, 0, 792.0) is None
+    assert px._parse_content_stream(weird, 0, 792.0)[0]["text"] == "hi"
