@@ -223,7 +223,9 @@ def test_sniff_utf8_boundary_not_binary():
 def test_pdf_fast_path_equals_generic_tokenizer():
     """The canonical-run fast path must produce exactly the generic
     tokenizer's spans (byte-identity can't catch a shared-kernel bug)."""
-    import pdf_extractor_ray.kernels.pdf_extract as px
+    import importlib
+
+    px = importlib.import_module("pdf_extractor_ray.kernels.pdf_extract")
 
     runs = [
         (72.0, 700.0, 12.0, "alpha beta ﬁrst"),
