@@ -216,6 +216,14 @@ def run_scaling(args) -> None:
     tp_low = results[low]["docs_per_sec"]
     tp_high = results[high]["docs_per_sec"]
     eff = (tp_high / tp_low) / (high / low)
+    cores_low = host_effective_cores(low)
+    cores_high = host_effective_cores(high)
+    # the sandbox host is throttled/noisy: it often delivers well under
+    # its nominal vCPUs, and unevenly across levels. The hw-normalized
+    # efficiency divides by the cores the host ACTUALLY provided (pure
+    # python burn calibration) — the number a real fixed-size cluster
+    # comparison would see.
+    eff_hw = (tp_high / tp_low) / (cores_high / cores_low) if cores_low else None
     out = {
         "metric": "scaling efficiency (docs/sec, fresh processes, same input)",
         "cpus_low": low,
@@ -223,9 +231,10 @@ def run_scaling(args) -> None:
         "docs_per_sec_low": tp_low,
         "docs_per_sec_high": tp_high,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_hw_normalized": round(eff_hw, 3) if eff_hw else None,
         "target": 0.8,
-        "host_effective_cores_low": host_effective_cores(low),
-        "host_effective_cores_high": host_effective_cores(high),
+        "host_effective_cores_low": cores_low,
+        "host_effective_cores_high": cores_high,
         "sf": args.sf_dir,
     }
     print(json.dumps(out))
