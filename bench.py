@@ -8,8 +8,9 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
      "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
 ``--scaling``: run the headline extraction twice in FRESH subprocesses
-(num_cpus = N/4 and N on the same input) and report both throughputs +
-scaling efficiency (BASELINE.md protocol; target ≥ 0.8).
+(default num_cpus pair 2 and 8, same input) and report both
+throughputs, raw + hardware-normalized scaling efficiency, and the
+host burn-test calibration (BENCH/BASELINE.md protocol; target ≥ 0.8).
 
 The headline input is a deterministic synthetic pages corpus (seeded,
 cached under /tmp) sized to the scale factor: ~20 pages per documents

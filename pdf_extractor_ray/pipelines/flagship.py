@@ -1,22 +1,20 @@
 """Flagship extraction pipeline (SURVEY.md §7.1).
 
-    read_parquet(pages)                         # url, html pruned at the read
-      → map_batches(sniff_batch, pyarrow)       # kind-agnostic size bucketing
-      → map_batches(ExtractPages, actor pool)   # per-doc layout parse
+    read_parquet(pages)                          # url, html pruned at the read
+      → map_batches(extract_all_batch, pyarrow)  # fused sniff + dispatch + extract
       → [consume: write_parquet / aggregate / iter_batches]
 
-Dispatch note: the SURVEY sketch branches pdf/html into separate
-`map_batches` stages and unions. On Ray Data, branch + union re-executes
-the shared read per branch; since both kernels are per-document Python
-either way, a single actor stage that dispatches per row inside the
-batch does the same work with one scan and no union barrier. The
-size-skew lever is batch sizing: `batch_size` is chosen so one mega-doc
-(bucket 3) cannot head-of-line-block hundreds of small docs — Ray's
-dynamic block splitting handles the output side.
+Three execution shapes are available (all row-identical, tested):
+fused tasks (default, fastest — see the builder docstring for the
+measured rationale), `use_actor_pool=True` (HTML tasks ∥ stateful PDF
+actor pool, branch+union), and `bucket_routing=True` (per-size-bucket
+branches with bucket-scaled batch sizes for heavy-tailed corpora).
 
 At 100 TB: this pipeline is embarrassingly parallel (no shuffle at
-all); throughput scales with actors × per-doc parse speed, and the
-object store only ever holds a window of blocks (streaming backpressure).
+all); throughput scales with workers × per-doc parse speed, and the
+object store only ever holds a window of blocks (streaming
+backpressure — verified by the 2 GB-object-store run in
+BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
