@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": analytics.top_tokens,
         "events_user_stats": analytics.events_user_stats,
         "order_priority_counts": analytics.order_priority_counts,
+        "q10_returned_revenue": analytics.q10_returned_revenue,
         "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": analytics.TOP_TOKENS_SQL,
         "events_user_stats": analytics.EVENTS_USER_STATS_SQL,
         "order_priority_counts": analytics.ORDER_PRIORITY_SQL,
+        "q10_returned_revenue": analytics.Q10_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,

@@ -490,3 +490,46 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY o_orderpriority
 """
+
+
+# ----------------------------------------------------------------- Q10-ish
+def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top customers by revenue on returned items (l_returnflag='R'):
+    filter at the lineitem scan, hash-join to orders (broadcast
+    order→cust map would be huge — the join IS large-large), bucketed
+    per-customer sum, global top-k with tie-break."""
+    import pyarrow.compute as pc
+
+    lineitem = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "rev_cents": cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())),
+            }
+        ).groupby("o_orderkey", as_index=False).sum(),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    joined = join_datasets(orders, lineitem, on="o_orderkey", num_partitions=16)
+    per_cust = grouped_sum(joined.select_columns(["o_custkey", "rev_cents"]), ["o_custkey"], ["rev_cents"])
+    per_cust = per_cust.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey", "rev_cents": "revenue_cents"}),
+        batch_format="pandas",
+    )
+    return per_cust.sort(["revenue_cents", "c_custkey"], descending=[True, False]).limit(k).to_pandas()
+
+
+Q10_SQL = """
+SELECT o_custkey AS c_custkey,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY o_custkey
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""

@@ -143,6 +143,20 @@ def run_partitioned_extraction(
         status = written.column("status")
         n_ok = pc.sum(pc.equal(status, "ok").cast("int64")).as_py() or 0
         n_quar = pc.sum(pc.starts_with(status, "quarantined").cast("int64")).as_py() or 0
+        # quarantine sink (SURVEY.md §7.1): quarantined rows ALSO land in
+        # a dedicated directory for triage/replay — they stay in the main
+        # output too (never silently dropped from the row count).
+        if n_quar:
+            import pyarrow.parquet as papq
+
+            qtab = pads.dataset(tmp).to_table(
+                filter=pads.field("status").isin(
+                    [s for s in set(status.to_pylist()) if s.startswith("quarantined")]
+                )
+            )
+            qdir = os.path.join(out_dir, "quarantine")
+            os.makedirs(qdir, exist_ok=True)
+            papq.write_table(qtab, os.path.join(qdir, f"part-{pid}.parquet"))
         wall = time.monotonic() - t0
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)

@@ -92,3 +92,23 @@ def test_worker_metrics_exported_to_manifest(pages_corpus, tmp_path):
     assert total_docs == sum(e["n_rows"] for e in entries.values())
     for m in all_metrics:
         assert {"worker_id", "stage", "docs", "bytes", "failures", "seconds", "docs_per_sec"} <= set(m)
+
+
+def test_quarantine_sink_written(pages_corpus, tmp_path):
+    """Quarantined rows land in a dedicated quarantine/ directory AND
+    stay in the main output (counted, never dropped)."""
+    import glob
+
+    import pyarrow.dataset as pads2
+
+    out = str(tmp_path / "qout")
+    run_partitioned_extraction(pages_corpus, out, files_per_partition=2, concurrency=2)
+    qfiles = glob.glob(os.path.join(out, "quarantine", "*.parquet"))
+    assert qfiles, "expected quarantine sink files"
+    q = pads2.dataset(qfiles).to_table()
+    assert q.num_rows > 0
+    assert all(s.startswith("quarantined") for s in q.column("status").to_pylist())
+    entries = Manifest(out).committed()
+    assert sum(e["n_quarantined"] for e in entries.values()) == q.num_rows
+    main = _read_all(out)
+    assert main.num_rows == 300  # quarantined rows still present in main output
