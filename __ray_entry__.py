@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_examples": _training_examples,
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
+        "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
     }
 
 
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats": analytics.EVENTS_USER_STATS_SQL,
         "order_priority_counts": analytics.ORDER_PRIORITY_SQL,
         "q10_returned_revenue": analytics.Q10_SQL,
+        "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,

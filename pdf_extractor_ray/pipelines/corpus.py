@@ -97,3 +97,26 @@ def corpus_pipeline(sf_dir: str, min_quality: float = 0.3) -> ray.data.Dataset:
         ["n_docs", "quality_permille"],
         num_buckets=4,
     )
+
+
+def split_train_test(sf_dir: str, test_mod: int = 10) -> ray.data.Dataset:
+    """Deterministic corpus split: doc_id % test_mod == 0 → test, else
+    train. Hash/mod splits beat random sampling for reproducibility at
+    scale (the split of a document never depends on corpus size,
+    partitioning, or run order). Returns per-split counts."""
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        split = np.where(b["doc_id"].to_numpy() % test_mod == 0, "test", "train")
+        return pd.DataFrame({"split": split, "n_docs": np.ones(len(b), dtype=np.int64)})
+
+    return grouped_sum(ds.map_batches(tag, batch_format="pandas"), ["split"], ["n_docs"], num_buckets=2)
+
+
+SPLIT_SQL = """
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""

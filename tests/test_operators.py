@@ -213,3 +213,35 @@ def test_embed_and_corpus_pipeline():
     stats = corpus_pipeline(SF_DIR).to_pandas()
     assert stats["n_docs"].sum() > 0
     assert set(stats.columns) == {"lang", "n_docs", "quality_permille"}
+
+
+def test_empty_input_pipeline(tmp_path):
+    """Zero-row inputs flow through the flagship pipeline and the wide
+    operators without crashing or inventing rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.flagship import build_extraction_pipeline
+    from pdf_extractor_ray.sources.pages import generate_pages_table
+    from pdf_extractor_ray.ops import grouped_sum, keep_first
+
+    empty = generate_pages_table(0, seed=1)
+    path = str(tmp_path / "empty.parquet")
+    pq.write_table(empty, path)
+    assert build_extraction_pipeline([path]).count() == 0
+
+    eds = ray.data.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}))
+    assert grouped_sum(eds, ["k"], ["v"]).count() == 0
+    assert keep_first(eds, ["k"], "v").count() == 0
+
+
+def test_csv_source_sink_roundtrip(tmp_path):
+    """CSV source/sink coverage: write_csv → read_csv → aggregate."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]}))
+    out = str(tmp_path / "csv")
+    ds.write_csv(out)
+    back = ray.data.read_csv(out)
+    agg = grouped_sum(back, ["k"], ["v"], num_buckets=2).to_pandas().sort_values("k")
+    assert list(agg["v"]) == [4, 2]
