@@ -255,19 +255,7 @@ def pdf_extract(raw: bytes) -> tuple[str, list[dict]]:
     if not objects:
         raise ValueError("no PDF body objects found")
 
-    # pages in document order of their object definitions
-    pages: list[tuple[int, float]] = []  # (contents obj num, page height)
-    for num in sorted(objects):
-        head, _stream = objects[num]
-        if _PAGE_RE.search(head):
-            cm = _CONTENTS_RE.search(head)
-            if not cm:
-                continue
-            height = DEFAULT_PAGE_HEIGHT
-            mb = _MEDIABOX_RE.search(head)
-            if mb:
-                height = float(mb.group(4))
-            pages.append((int(cm.group(1)), height))
+    pages = _page_order(objects)
     if not pages:
         raise ValueError("no /Type /Page objects with /Contents found")
 
@@ -292,6 +280,68 @@ def pdf_extract(raw: bytes) -> tuple[str, list[dict]]:
         all_spans.extend(_parse_content_stream(data, page_idx, height))
 
     return assemble_reading_order(all_spans)
+
+
+_CATALOG_RE = re.compile(rb"/Type\s*/Catalog")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+
+
+def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[tuple[int, float]]:
+    """Document page order → [(contents obj num, page height)].
+
+    Real page-tree walk: catalog → /Pages → recursive /Kids, which
+    defines page order regardless of object numbering (a PDF's page
+    objects are NOT required to appear in reading order). Falls back to
+    object-number order when no walkable catalog exists.
+    """
+
+    def page_entry(num: int) -> tuple[int, float] | None:
+        head, _ = objects[num]
+        cm = _CONTENTS_RE.search(head)
+        if not cm:
+            return None
+        mb = _MEDIABOX_RE.search(head)
+        return int(cm.group(1)), float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
+
+    # tree walk
+    pages: list[tuple[int, float]] = []
+    root_pages = None
+    for num in sorted(objects):
+        head, _ = objects[num]
+        if _CATALOG_RE.search(head):
+            pm = _PAGES_REF_RE.search(head)
+            if pm:
+                root_pages = int(pm.group(1))
+            break
+    if root_pages is not None:
+
+        def walk(num: int, depth: int = 0) -> None:
+            if depth > 64 or num not in objects:  # cycle/depth guard
+                return
+            head, _ = objects[num]
+            km = _KIDS_RE.search(head)
+            if km:  # /Pages node
+                for rm in _REF_RE.finditer(km.group(1)):
+                    walk(int(rm.group(1)), depth + 1)
+            elif _PAGE_RE.search(head):
+                entry = page_entry(num)
+                if entry:
+                    pages.append(entry)
+
+        walk(root_pages)
+        if pages:
+            return pages
+
+    # fallback: object-number order over /Type /Page objects
+    for num in sorted(objects):
+        head, _ = objects[num]
+        if _PAGE_RE.search(head):
+            entry = page_entry(num)
+            if entry:
+                pages.append(entry)
+    return pages
 
 
 def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:

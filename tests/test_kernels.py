@@ -249,3 +249,27 @@ def test_pdf_fast_path_equals_generic_tokenizer():
     weird = b"BT /F1 12 Tf 10 20 Td (hi) Tj ET"
     assert px._parse_content_stream_fast(weird, 0, 792.0) is None
     assert px._parse_content_stream(weird, 0, 792.0)[0]["text"] == "hi"
+
+
+def test_pdf_page_order_follows_kids_not_object_numbers():
+    """Page order comes from the catalog's /Kids walk; a PDF whose page
+    objects appear in reverse numeric order must still read in /Kids
+    order."""
+    # hand-build: catalog(1) → pages(2) with Kids [5, 3] — page obj 5
+    # is FIRST in reading order despite the higher object number
+    def obj(num, body):
+        return f"{num} 0 obj".encode() + body + b"endobj\n"
+
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    pdf += obj(2, b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\n")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n")
+    stream_b = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (second page) Tj ET\n"
+    pdf += obj(4, b"<< /Length %d >>\nstream\n" % len(stream_b) + stream_b + b"\nendstream\n")
+    pdf += obj(5, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>\n")
+    stream_a = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (first page) Tj ET\n"
+    pdf += obj(6, b"<< /Length %d >>\nstream\n" % len(stream_a) + stream_a + b"\nendstream\n")
+    pdf += b"%%EOF\n"
+    text, spans = pdf_extract(pdf)
+    assert text == "first page\nsecond page"
+    assert [s["page"] for s in spans] == [0, 1]
