@@ -273,3 +273,12 @@ def test_pdf_page_order_follows_kids_not_object_numbers():
     text, spans = pdf_extract(pdf)
     assert text == "first page\nsecond page"
     assert [s["page"] for s in spans] == [0, 1]
+
+
+def test_deeply_nested_dom_no_recursion_blowup():
+    """10k-deep nested divs (the north rule's 'deeply nested DOM' skew
+    case): the iterative tokenizer must extract without stack overflow."""
+    depth = 10_000
+    raw = ("<div>" * depth) + "<p>deep main content paragraph body</p>" + ("</div>" * depth)
+    text, spans = html_extract(raw.encode())
+    assert "deep main content paragraph body" in text
