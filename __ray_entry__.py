@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": analytics.events_user_stats,
         "order_priority_counts": analytics.order_priority_counts,
         "q10_returned_revenue": analytics.q10_returned_revenue,
+        "part_price_range_by_brand": analytics.part_price_range_by_brand,
         "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats": analytics.EVENTS_USER_STATS_SQL,
         "order_priority_counts": analytics.ORDER_PRIORITY_SQL,
         "q10_returned_revenue": analytics.Q10_SQL,
+        "part_price_range_by_brand": analytics.PART_PRICE_RANGE_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,

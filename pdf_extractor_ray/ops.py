@@ -112,3 +112,34 @@ def distinct(ds: ray.data.Dataset, keys: list[str], *, num_buckets: int = 16) ->
     return ds.map_batches(partial, batch_format="pandas").groupby("__bucket").map_groups(
         final, batch_format="pandas"
     )
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+    *,
+    num_buckets: int = 16,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """General bucketed groupby: ``agg_spec = {out_col: (in_col, fn)}``
+    with fn ∈ {sum, min, max, count} — all decomposable, so the same
+    fn applies at the per-batch partial and the per-bucket final
+    (count partials re-aggregate with sum)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, as_index=False, sort=False).agg(
+            **{out: (col, fn) for out, (col, fn) in agg_spec.items()}
+        )
+        g["__bucket"] = (stable_key_hash(g, keys) % np.uint64(num_buckets)).astype("int64")
+        return g
+
+    final_spec = {out: (out, "sum" if fn == "count" else fn) for out, (_c, fn) in agg_spec.items()}
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__bucket").groupby(keys, as_index=False, sort=False).agg(
+            **{out: spec for out, spec in final_spec.items()}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    return partials.groupby("__bucket").map_groups(final, batch_format="pandas")

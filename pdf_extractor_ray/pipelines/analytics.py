@@ -533,3 +533,35 @@ GROUP BY o_custkey
 ORDER BY revenue_cents DESC, c_custkey
 LIMIT 20
 """
+
+
+# ------------------------------------------------------- min/max aggregate
+def part_price_range_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand price range: decomposable min/max/count through the
+    bucketed grouped_agg (partial per batch, final per bucket)."""
+    from pdf_extractor_ray.ops import grouped_agg
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_brand": b["p_brand"], "price_cents": cents_np(b["p_retailprice"])})
+
+    return grouped_agg(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["p_brand"],
+        {
+            "min_price_cents": ("price_cents", "min"),
+            "max_price_cents": ("price_cents", "max"),
+            "n_parts": ("price_cents", "count"),
+        },
+        num_buckets=4,
+    )
+
+
+PART_PRICE_RANGE_SQL = """
+SELECT p_brand,
+       MIN(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS min_price_cents,
+       MAX(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS max_price_cents,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
