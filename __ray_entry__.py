@@ -30,6 +30,19 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extractor_ray.pipelines import analytics, dedup, similarity, textops, webdocs, windows
 
+    def _media_transforms(sf_dir: str):
+        import os
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from pdf_extractor_ray.pipelines import multimodal as mm
+
+        n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+        media = ray.data.from_arrow(mm.generate_media_table(n))
+        out = mm.media_transform_pipeline(media)
+        return out.select_columns(["media_id", "media_type", "n_outputs", "status"])
+
     def _training_examples(sf_dir: str):
         import os
 
@@ -83,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_fields_documents": webdocs.extract_fields_documents,
         "extraction_metrics_by_bucket": webdocs.extraction_metrics_by_bucket,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
+        "media_transforms": _media_transforms,
         "training_examples": _training_examples,
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,

@@ -181,3 +181,85 @@ def media_features_demo(sf_dir: str) -> ray.data.Dataset:
     n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     media = ray.data.from_arrow(generate_media_table(n))
     return media_features_pipeline(media)
+
+
+# ------------------------------------------------------ resize / frames
+def make_fake_video(media_id: int, n_frames: int, w: int = 16, h: int = 12) -> bytes:
+    """VID1 container: magic + n_frames/w/h + concatenated grayscale frames."""
+    rng = np.random.RandomState(media_id % (2**31))
+    frames = rng.randint(0, 256, size=n_frames * w * h, dtype=np.uint8)
+    return b"VID1" + struct.pack(">III", n_frames, w, h) + frames.tobytes()
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbour resize of an IMG1 payload (pure numpy — a real
+    pipeline swaps in PIL here; the Ray plumbing is identical)."""
+    meta = decode_image(payload)  # validates container
+    w, h = meta["width"], meta["height"]
+    pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    out = pixels[np.ix_(ys, xs)]
+    return b"IMG1" + struct.pack(">II", out_w, out_h) + out.tobytes()
+
+
+def sample_frames(payload: bytes, every_k: int = 4) -> list[bytes]:
+    """Frame-sample a VID1 payload → list of IMG1 payloads (every k-th
+    frame), the decode side of a frame-sampling stage."""
+    if not payload.startswith(b"VID1"):
+        raise ValueError("bad video magic")
+    n, w, h = struct.unpack(">III", payload[4:16])
+    frames = np.frombuffer(payload[16 : 16 + n * w * h], dtype=np.uint8)
+    if frames.size != n * w * h:
+        raise ValueError("truncated video payload")
+    frames = frames.reshape(n, h, w)
+    return [
+        b"IMG1" + struct.pack(">II", w, h) + frames[i].tobytes()
+        for i in range(0, n, every_k)
+    ]
+
+
+class MediaTransformActor:
+    """Actor-pool stage: resize images, frame-sample videos. Small
+    batches (large payloads); undecodable rows quarantine."""
+
+    def __init__(self, thumb_w: int = 8, thumb_h: int = 8, every_k: int = 4) -> None:
+        self.thumb_w, self.thumb_h, self.every_k = thumb_w, thumb_h, every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        outs, n_out, statuses = [], [], []
+        for t, p in zip(types, payloads):
+            try:
+                if t == "image":
+                    outs.append([resize_image(p, self.thumb_w, self.thumb_h)])
+                elif t == "video":
+                    outs.append(sample_frames(p, self.every_k))
+                else:
+                    outs.append([])
+                statuses.append("ok" if t in ("image", "video") else "skipped")
+            except Exception as e:
+                outs.append([])
+                statuses.append(f"quarantined:{type(e).__name__}")
+            n_out.append(len(outs[-1]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "media_type": pa.array(types, pa.string()),
+                "thumbnails": pa.array(outs, pa.list_(pa.binary())),
+                "n_outputs": pa.array(n_out, pa.int64()),
+                "status": pa.array(statuses, pa.string()),
+            }
+        )
+
+
+def media_transform_pipeline(media: ray.data.Dataset, concurrency=(1, 4)) -> ray.data.Dataset:
+    return media.map_batches(
+        MediaTransformActor,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

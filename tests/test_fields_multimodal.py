@@ -136,3 +136,39 @@ def test_oversize_payload_quarantined(monkeypatch):
     r = rec.extract_record("u", b"<html><p>" + b"x" * 200 + b"</p></html>")
     assert r["status"] == "quarantined:oversize"
     assert r["size_bucket"] == 0  # bucket still computed for metrics
+
+
+def test_media_resize_and_frame_sample():
+    from pdf_extractor_ray.pipelines.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        make_fake_image,
+        make_fake_video,
+        media_transform_pipeline,
+        resize_image,
+        sample_frames,
+    )
+    import pyarrow as pa
+
+    img = make_fake_image(3, 32, 24)
+    thumb = resize_image(img, 8, 8)
+    m = decode_image(thumb)
+    assert (m["width"], m["height"]) == (8, 8)
+
+    vid = make_fake_video(5, n_frames=10)
+    frames = sample_frames(vid, every_k=4)
+    assert len(frames) == 3  # frames 0, 4, 8
+    assert all(decode_image(f)["width"] == 16 for f in frames)
+
+    media = pa.Table.from_arrays(
+        [
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array(["image", "video", "audio"], pa.string()),
+            pa.array([img, vid, b"AUD1junk"], pa.binary()),
+            pa.array(["{}", "{}", "{}"], pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    out = media_transform_pipeline(ray.data.from_arrow(media), concurrency=1).to_pandas()
+    by_id = dict(zip(out["media_id"], out["n_outputs"]))
+    assert by_id == {1: 1, 2: 3, 3: 0}
