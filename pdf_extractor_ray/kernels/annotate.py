@@ -21,12 +21,9 @@ from __future__ import annotations
 import zlib
 
 from pdf_extractor_ray.kernels.pdf_extract import (
-    _CONTENTS_RE,
     _LENGTH_RE,
-    _MEDIABOX_RE,
-    _PAGE_RE,
+    _page_order,
     _parse_objects,
-    DEFAULT_PAGE_HEIGHT,
 )
 
 HIGHLIGHT_RGB = (1.0, 1.0, 0.0)  # yellow
@@ -61,15 +58,9 @@ def annotate_pdf(raw: bytes, fields: list[dict]) -> bytes:
     annotated copy. Fields without page/bbox are skipped; duplicates by
     ``key:value`` are drawn once."""
     objects = _parse_objects(raw)
-    pages = []
-    for num in sorted(objects):
-        head, _ = objects[num]
-        if _PAGE_RE.search(head):
-            cm = _CONTENTS_RE.search(head)
-            if cm:
-                mb = _MEDIABOX_RE.search(head)
-                height = float(mb.group(4)) if mb else DEFAULT_PAGE_HEIGHT
-                pages.append((int(cm.group(1)), height))
+    # page index ↔ content-object mapping MUST match pdf_extract's
+    # /Kids-tree page order, or highlights land on the wrong page
+    pages = _page_order(objects)
 
     seen: set[str] = set()
     per_page: dict[int, list[dict]] = {}

@@ -34,7 +34,10 @@ from pdf_extractor_ray.kernels.normalize import normalize_ligatures
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# literal lengths only: '/Length 6 0 R' is an indirect reference — do
+# NOT treat the object number as a byte count (fall back to the
+# endstream scan instead)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
@@ -83,10 +86,12 @@ def _decode_pdf_string(payload: bytes) -> str:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape \ddd
+            if nxt in b"01234567":  # octal escape \ooo (digits 0-7 ONLY:
+                # \8 / \9 are "unknown escape → drop backslash" per spec,
+                # and int('8', 8) would throw)
                 j = i + 1
                 digits = b""
-                while j < n and len(digits) < 3 and payload[j : j + 1].isdigit():
+                while j < n and len(digits) < 3 and payload[j : j + 1] in b"01234567":
                     digits += payload[j : j + 1]
                     j += 1
                 out.append(int(digits, 8) & 0xFF)
@@ -205,8 +210,12 @@ def _parse_content_stream(data: bytes, page: int, page_height: float) -> list[di
             if op == b"BT":
                 in_text = True
                 x = y = 0.0
+                pending_strings = []  # never leak strings across text objects
+                arr_parts = []
             elif op == b"ET":
                 in_text = False
+                pending_strings = []
+                arr_parts = []
             elif op == b"Tf" and stack:
                 size = stack[-1]
             elif op == b"Tm" and len(stack) >= 6:
@@ -222,7 +231,10 @@ def _parse_content_stream(data: bytes, page: int, page_height: float) -> list[di
                 leading = stack[-1]
             elif op == b"T*":
                 y -= leading
-            elif op == b"Tj":
+            elif op == b"Tj" or op == b"'" or op == b'"':
+                # ' and " are move-to-next-line-and-show variants
+                if op != b"Tj":
+                    y -= leading
                 if in_text:
                     for text, x0 in pending_strings:
                         emit(text, x0)

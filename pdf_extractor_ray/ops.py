@@ -125,7 +125,13 @@ def grouped_agg(
     """General bucketed groupby: ``agg_spec = {out_col: (in_col, fn)}``
     with fn ∈ {sum, min, max, count} — all decomposable, so the same
     fn applies at the per-batch partial and the per-bucket final
-    (count partials re-aggregate with sum)."""
+    (count partials re-aggregate with sum). Non-decomposable fns
+    (mean, median, ...) are rejected: partial-then-final would
+    silently compute a wrong unweighted re-aggregate."""
+    allowed = {"sum", "min", "max", "count"}
+    bad = {fn for _c, fn in agg_spec.values() if fn not in allowed}
+    if bad:
+        raise ValueError(f"non-decomposable agg fns {bad}; allowed: {allowed}")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(keys, as_index=False, sort=False).agg(

@@ -63,10 +63,11 @@ def embed_documents(sf_dir: str, concurrency=(1, 4)) -> ray.data.Dataset:
 
 def corpus_pipeline(sf_dir: str, min_quality: float = 0.3) -> ray.data.Dataset:
     """The composed build: per-language counts of documents surviving
-    quality filtering and exact dedup, with mean quality (as int
-    permille for exactness). At scale this is the shape of a curation
-    run: no full materialization, one dedup exchange, one stats
-    exchange."""
+    quality filtering and exact dedup, plus the SUM of per-doc quality
+    in integer permille (divide by n_docs for the mean). At scale this
+    is the shape of a curation run: no full materialization, one dedup
+    exchange (carrying only doc_id/lang/quality/hash — never the text
+    payload), one stats exchange."""
     import os
 
     ds = ray.data.read_parquet(
@@ -76,8 +77,10 @@ def corpus_pipeline(sf_dir: str, min_quality: float = 0.3) -> ray.data.Dataset:
     def score(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["quality"] = b["text"].map(textstats.quality_score)
+        b = b[b["quality"] >= min_quality]  # filter BEFORE hashing
         b["__h"] = b["text"].map(hashing.content_hash)
-        return b[b["quality"] >= min_quality]
+        # the dedup exchange only needs these columns — never ship text
+        return b[["doc_id", "lang", "quality", "__h"]]
 
     scored = ds.map_batches(score, batch_format="pandas", batch_size=4096)
     deduped = keep_first(scored, ["__h"], "doc_id")
@@ -87,14 +90,14 @@ def corpus_pipeline(sf_dir: str, min_quality: float = 0.3) -> ray.data.Dataset:
             {
                 "lang": b["lang"],
                 "n_docs": np.ones(len(b), dtype=np.int64),
-                "quality_permille": (b["quality"].to_numpy() * 1000).astype(np.int64),
+                "quality_permille_sum": np.floor(b["quality"].to_numpy() * 1000.0 + 0.5).astype(np.int64),
             }
         )
 
     return grouped_sum(
         deduped.map_batches(derive, batch_format="pandas"),
         ["lang"],
-        ["n_docs", "quality_permille"],
+        ["n_docs", "quality_permille_sum"],
         num_buckets=4,
     )
 

@@ -91,8 +91,6 @@ class MediaFeatureActor:
 
     def __init__(self) -> None:
         self.decoders = {"image": decode_image, "audio": decode_audio}
-        self.decoded = 0
-        self.failed = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -107,18 +105,15 @@ class MediaFeatureActor:
                 feats.append("{}")
                 statuses.append("quarantined:unsupported-media")
                 errors.append(f"no decoder for {t}")
-                self.failed += 1
                 continue
             try:
                 feats.append(json.dumps(dec(p), sort_keys=True))
                 statuses.append("ok")
                 errors.append("")
-                self.decoded += 1
             except Exception as e:
                 feats.append("{}")
                 statuses.append("quarantined:decode-error")
                 errors.append(f"{type(e).__name__}: {e}"[:200])
-                self.failed += 1
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

@@ -30,7 +30,7 @@ def sessionize(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> ray.data.Data
     value_cents, session_start). One bucketed exchange on user_id; the
     per-user gap/cumsum logic is vectorized over the whole bucket."""
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "events".rstrip() + ".parquet"),
+        os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "value", "event_id"],
     )
     gap = np.timedelta64(gap_minutes * 60, "s")

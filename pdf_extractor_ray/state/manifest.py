@@ -163,6 +163,9 @@ def run_partitioned_extraction(
         import ray as _ray
 
         try:
+            # fire-and-forget reports racing this drain may slip into
+            # the next partition's bucket (bounded-ms skew; see
+            # metrics.start_collector docstring)
             worker_metrics = _ray.get(collector.drain.remote(), timeout=10)
         except Exception:  # metrics plane never fails the data plane
             worker_metrics = []

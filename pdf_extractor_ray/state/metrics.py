@@ -63,16 +63,29 @@ def start_collector():
     """Create (or reuse) the named collector. Driver-side. Detached so
     the actor survives a failed run's handle going out of scope (a
     non-detached named actor is GC'd with its last handle, leaving the
-    next resume run a dying handle)."""
+    next resume run a dying handle).
+
+    Attribution semantics: reports are fire-and-forget and Ray only
+    orders tasks per caller, so a report racing the driver's
+    post-commit drain can slip into the NEXT partition's bucket — a
+    bounded-ms misattribution documented in the manifest field name.
+    Leftovers from a previous (crashed) run are discarded here so they
+    can never leak into this run's first partition.
+    """
     try:
-        return ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE)
+        collector = ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE)
     except ValueError:
         try:
             return MetricsCollector.options(
                 name=COLLECTOR_NAME, namespace=NAMESPACE, lifetime="detached"
             ).remote()
         except ValueError:  # lost the creation race
-            return ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE)
+            collector = ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE)
+    try:
+        ray.get(collector.drain.remote(), timeout=10)  # discard stale records
+    except Exception:
+        pass
+    return collector
 
 
 def stop_collector() -> None:

@@ -282,3 +282,49 @@ def test_deeply_nested_dom_no_recursion_blowup():
     raw = ("<div>" * depth) + "<p>deep main content paragraph body</p>" + ("</div>" * depth)
     text, spans = html_extract(raw.encode())
     assert "deep main content paragraph body" in text
+
+
+def test_pdf_escape_8_9_and_indirect_length():
+    """\\8 / \\9 are unknown escapes (drop backslash), not octal; an
+    indirect /Length reference falls back to the endstream scan."""
+    from pdf_extractor_ray.kernels.pdf_extract import _decode_pdf_string
+
+    assert _decode_pdf_string(rb"a\8b\9c") == "a8b9c"
+    assert _decode_pdf_string(rb"\101") == "A"  # real octal still works
+
+    def obj(num, body):
+        return f"{num} 0 obj".encode() + body + b"endobj\n"
+
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (indirect) Tj ET\n"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n")
+    pdf += obj(4, b"<< /Length 6 0 R >>\nstream\n" + stream + b"endstream\n")
+    pdf += obj(6, b"%d\n" % len(stream))
+    text, _ = pdf_extract(pdf)
+    assert text == "indirect"
+
+
+def test_annotate_follows_kids_page_order():
+    """Highlights must land on the /Kids-order page, not object order."""
+    from pdf_extractor_ray.kernels.annotate import annotate_pdf
+
+    def obj(num, body):
+        return f"{num} 0 obj".encode() + body + b"endobj\n"
+
+    s1 = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (first) Tj ET\n"
+    s2 = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (second) Tj ET\n"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    pdf += obj(2, b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\n")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n")
+    pdf += obj(4, b"<< /Length %d >>\nstream\n" % len(s2) + s2 + b"\nendstream\n")
+    pdf += obj(5, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 6 0 R >>\n")
+    pdf += obj(6, b"<< /Length %d >>\nstream\n" % len(s1) + s1 + b"\nendstream\n")
+    pdf += b"%%EOF\n"
+    # field on reading-order page 1 ("second", contents obj 4)
+    ann = annotate_pdf(pdf, [{"key": "K", "value": "v", "page": 1, "bbox": [70.0, 80.0, 120.0, 92.0]}])
+    objects = __import__("importlib").import_module("pdf_extractor_ray.kernels.pdf_extract")._parse_objects(ann)
+    with_overlay = [n for n, (_h, st) in objects.items() if st is not None and b"re f Q" in st]
+    assert with_overlay == [4]  # the "second" page's content stream

@@ -212,7 +212,7 @@ def test_embed_and_corpus_pipeline():
 
     stats = corpus_pipeline(SF_DIR).to_pandas()
     assert stats["n_docs"].sum() > 0
-    assert set(stats.columns) == {"lang", "n_docs", "quality_permille"}
+    assert set(stats.columns) == {"lang", "n_docs", "quality_permille_sum"}
 
 
 def test_empty_input_pipeline(tmp_path):
