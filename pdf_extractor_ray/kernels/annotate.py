@@ -18,6 +18,7 @@ Not on the hot path: used by the optional debug sink stage.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 from pdf_extractor_ray.kernels.pdf_extract import (
@@ -25,6 +26,12 @@ from pdf_extractor_ray.kernels.pdf_extract import (
     _page_order,
     _parse_objects,
 )
+
+# indirect length ('/Length 60 0 R') in a head we are rewriting: the
+# re-emitted stream is uncompressed with a known byte count, so the
+# reference is replaced by the literal value
+_LENGTH_REF_RE = re.compile(rb"/Length\s+\d+\s+0\s+R")
+_CATALOG_RE = re.compile(rb"/Type\s*/Catalog")
 
 HIGHLIGHT_RGB = (1.0, 1.0, 0.0)  # yellow
 LABEL_RGB = (0.0, 0.0, 1.0)  # blue
@@ -85,12 +92,20 @@ def annotate_pdf(raw: bytes, fields: list[dict]) -> bytes:
                 except zlib.error:
                     data = zlib.decompress(data.rstrip(b"\r\n"))
             data = data + b"\n" + _overlay_ops(per_page[page_idx], pages[page_idx][1])
-            new_head = _LENGTH_RE.sub(f"/Length {len(data)}".encode(), head)
+            new_len = f"/Length {len(data)}".encode()
+            new_head, n_sub = _LENGTH_REF_RE.subn(new_len, head)
+            if not n_sub:
+                new_head, n_sub = _LENGTH_RE.subn(new_len, new_head)
+            if not n_sub:
+                new_head = new_head.replace(b">>", b" " + new_len + b" >>", 1)
             new_head = new_head.replace(b"/Filter /FlateDecode", b"").replace(b"/Filter/FlateDecode", b"")
             out.extend(f"{num} 0 obj".encode() + new_head + b"stream\n" + data + b"\nendstream\nendobj\n")
         elif stream is not None:
             out.extend(f"{num} 0 obj".encode() + head + b"stream\n" + stream + b"\nendstream\nendobj\n")
         else:
             out.extend(f"{num} 0 obj".encode() + head + b"endobj\n")
-    out.extend(b"trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    # point the trailer at the actual catalog object (it is not always
+    # object 1 — strict viewers reject a wrong /Root)
+    root = next((n for n in sorted(objects) if _CATALOG_RE.search(objects[n][0])), 1)
+    out.extend(f"trailer\n<< /Root {root} 0 R >>\n%%EOF\n".encode())
     return bytes(out)

@@ -36,8 +36,9 @@ _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+0\s+obj")
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
 # literal lengths only: '/Length 6 0 R' is an indirect reference — do
 # NOT treat the object number as a byte count (fall back to the
-# endstream scan instead)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# endstream scan instead). The (?!\d) stops backtracking from splitting
+# a multi-digit object number ('/Length 60 0 R' must not match '6').
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+0\s+R)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")

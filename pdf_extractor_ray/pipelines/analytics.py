@@ -72,9 +72,9 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT))                                  AS sum_qty,
-       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))          AS sum_base_cents,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                                  AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)          AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -126,7 +126,7 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
 
 Q3_SQL = """
 SELECT o_orderkey,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -178,7 +178,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -271,7 +271,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
 EVENTS_HOURLY_SQL = """
 SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """
@@ -322,7 +322,7 @@ def q6_forecast_revenue(sf_dir: str) -> ray.data.Dataset:
 
 
 Q6_SQL = """
-SELECT SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -363,7 +363,7 @@ def events_props_k_sum(sf_dir: str) -> ray.data.Dataset:
 
 EVENTS_PROPS_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """
@@ -393,7 +393,7 @@ def supplier_balance_by_nation(sf_dir: str) -> ray.data.Dataset:
 
 
 SUPPLIER_BALANCE_SQL = """
-SELECT n_name, SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS acctbal_cents,
+SELECT n_name, CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents,
        COUNT(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
@@ -458,7 +458,7 @@ def events_user_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 EVENTS_USER_STATS_SQL = """
-SELECT user_id, SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+SELECT user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id
 """
@@ -526,7 +526,7 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 Q10_SQL = """
 SELECT o_custkey AS c_custkey,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'R'
 GROUP BY o_custkey

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import random
+from html import escape as html_escape
 
 import pandas as pd
 import pyarrow as pa
@@ -38,9 +39,13 @@ def _doc_to_page(doc_id: int, text: str, lang: str = "", source: str = "") -> by
         rng.shuffle(runs)
         return make_pdf([runs], compress=doc_id % 2 == 0)
     # HTML row: doc text as main paragraph + details block, in the
-    # shared boilerplate wrapper
-    meta_html = "".join(f"<p>{ml}</p>" for ml in meta_lines)
-    main_html = f'<article><p>{text}</p></article><section id="details">{meta_html}</section>'
+    # shared boilerplate wrapper. Escaped on the way in (the extraction
+    # kernel unescapes), so text containing '<' or '&' round-trips.
+    meta_html = "".join(f"<p>{html_escape(ml)}</p>" for ml in meta_lines)
+    main_html = (
+        f"<article><p>{html_escape(text)}</p></article>"
+        f'<section id="details">{meta_html}</section>'
+    )
     return wrap_in_boilerplate(main_html)
 
 

@@ -92,7 +92,7 @@ WITH d AS (
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
 FROM s GROUP BY user_id, session_id
 """

@@ -328,3 +328,71 @@ def test_annotate_follows_kids_page_order():
     objects = __import__("importlib").import_module("pdf_extractor_ray.kernels.pdf_extract")._parse_objects(ann)
     with_overlay = [n for n, (_h, st) in objects.items() if st is not None and b"re f Q" in st]
     assert with_overlay == [4]  # the "second" page's content stream
+
+
+def test_pdf_indirect_length_multidigit_objnum():
+    """'/Length 60 0 R' must NOT backtrack-match a literal length of 6
+    (which would truncate the stream); it falls back to the endstream
+    scan like any indirect reference."""
+    from pdf_extractor_ray.kernels.pdf_extract import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"<< /Length 60 0 R >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 123 0 R >>") is None
+    m = _LENGTH_RE.search(b"<< /Length 60 >>")
+    assert m and m.group(1) == b"60"
+
+    def obj(num, body):
+        return f"{num} 0 obj".encode() + body + b"endobj\n"
+
+    stream = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (multidigit ref) Tj ET\n"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n")
+    pdf += obj(4, b"<< /Length 60 0 R >>\nstream\n" + stream + b"endstream\n")
+    pdf += obj(60, b"%d\n" % len(stream))
+    text, _ = pdf_extract(pdf)
+    assert text == "multidigit ref"
+
+
+def test_annotate_indirect_length_and_catalog_root():
+    """Annotating a page whose head carries an indirect /Length must
+    rewrite it to the literal new length; the trailer must reference
+    the real catalog object (here obj 7, not obj 1)."""
+    from pdf_extractor_ray.kernels.annotate import annotate_pdf
+    from pdf_extractor_ray.kernels.pdf_extract import _parse_objects
+
+    def obj(num, body):
+        return f"{num} 0 obj".encode() + body + b"endobj\n"
+
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (hello) Tj ET\n"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(7, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n")
+    pdf += obj(4, b"<< /Length 60 0 R >>\nstream\n" + s + b"endstream\n")
+    pdf += obj(60, b"%d\n" % len(s))
+    pdf += b"%%EOF\n"
+    ann = annotate_pdf(pdf, [{"key": "K", "value": "v", "page": 0, "bbox": [70.0, 80.0, 120.0, 92.0]}])
+    assert b"/Root 7 0 R" in ann
+    head, stream = _parse_objects(ann)[4]
+    assert b"0 R" not in head.replace(b"2 0 R", b"")  # no stale indirect /Length
+    import re as _re
+
+    m = _re.search(rb"/Length\s+(\d+)(?!\d)", head)
+    assert m and int(m.group(1)) == len(stream)
+    # annotated copy still extracts the original text
+    text, _ = pdf_extract(ann)
+    assert "hello" in text
+
+
+def test_html_escaping_round_trip():
+    """Doc text containing markup metacharacters survives the derived
+    page → extraction round trip (escaped in, unescaped out)."""
+    from pdf_extractor_ray.pipelines.webdocs import _doc_to_page
+
+    tricky = "profit & loss <grew> by 5% a&b"
+    page = _doc_to_page(1, tricky, "en", "web")  # doc_id 1: HTML row
+    assert b"<grew>" not in page  # escaped in the markup
+    text, _spans = html_extract(page)
+    assert tricky in text

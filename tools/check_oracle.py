@@ -27,8 +27,12 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    """Order-insensitive: sort columns by name, canonicalize values,
-    sort rows, hash."""
+    """Order-insensitive: sort columns by name, stringify values
+    WITHOUT any float forgiveness (the driver's compare does a plain
+    str-based canonicalization, so a DuckDB float64 `400.0` must hash
+    differently from an engine int64 `400` here too — dtype parity is
+    the builder's job, via CAST(... AS BIGINT) in the oracle SQL).
+    Sort rows, hash."""
     import hashlib
 
     df = df[sorted(df.columns)].copy()
@@ -36,8 +40,6 @@ def value_hash(df: pd.DataFrame) -> str:
         col = df[c]
         if pd.api.types.is_datetime64_any_dtype(col):
             df[c] = col.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(col):
-            df[c] = col.map(lambda v: f"{v:.12g}")
         else:
             df[c] = col.astype(str)
     rows = sorted("\x1f".join(r) for r in df.itertuples(index=False, name=None))
