@@ -37,6 +37,25 @@ def _hash_bucket(values: pd.Series, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def auto_num_partitions() -> int:
+    """Join partition count sized to the cluster: ``max(2, CPUs // 4)``.
+
+    Ray 2.49's hash-shuffle join reserves aggregator-actor resources
+    per operator scaled by ``num_partitions``; when the partitions of
+    the shuffle operators CHAINED in one pipeline exceed roughly half
+    the cluster CPUs, the reservations starve each other and the
+    pipeline deadlocks (reproduced: two chained 16-partition joins hang
+    at 4 CPUs, run at 8; 2-partition chains run at 4). CPUs//4 lets two
+    chained joins plus their map stages coexist at any cluster size;
+    on a multi-node cluster this still scales linearly with total CPUs.
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 4)
+
+
 def broadcast_map(ds: ray.data.Dataset, mapping: dict, key: str, out_col: str, default=None) -> ray.data.Dataset:
     """Left join against a broadcast dict: ``out_col = mapping[key]``."""
     ref = ray.put(mapping)
@@ -69,17 +88,158 @@ def join_datasets(
     right: ray.data.Dataset,
     on: str,
     *,
+    right_on: str | None = None,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Large-large join: Ray's built-in hash-partitioned ``Dataset.join``
     when available (Ray ≥ 2.46), else the portable ``bucket_join``
-    below — both are the same hash-exchange shape."""
+    below — both are the same hash-exchange shape. ``right_on`` joins
+    differently-named key columns without a rename pass.
+    ``num_partitions=None`` auto-sizes to the cluster (see
+    ``auto_num_partitions`` — required to chain joins safely)."""
+    if num_partitions is None:
+        num_partitions = auto_num_partitions()
     if hasattr(left, "join"):
         return left.join(
-            right, join_type=how, num_partitions=num_partitions, on=(on,)
+            right,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=(right_on,) if right_on else None,
+        )
+    if right_on and right_on != on:
+        right = right.map_batches(
+            lambda b: b.rename(columns={right_on: on}), batch_format="pandas"
         )
     return bucket_join(left, right, on=on, how=how, num_buckets=num_partitions)
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right_keys: ray.data.Dataset,
+    on: str,
+    *,
+    right_on: str | None = None,
+    keep: bool = True,
+    num_partitions: int | None = None,
+    bloom_bits: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed semi (keep=True) / anti (keep=False) join: keep left
+    rows whose key does / does not appear in ``right_keys`` — WITHOUT
+    ever collecting the key set on the driver (the scale-safe
+    replacement for ``broadcast_semi`` when the key side is derived
+    from a fact table).
+
+    With ``bloom_bits`` set, a Bloom filter is built from the key side
+    first (fixed ``bloom_bits/8`` bytes regardless of key count) and
+    used to split the left stream: rows the filter proves absent bypass
+    the exchange entirely (dropped for semi, kept for anti — both
+    EXACT, since Bloom has no false negatives); only the maybe-present
+    rows go through the hash-partitioned join. At high selectivity this
+    turns an all-to-all exchange into a broadcast filter + small join.
+    (The split creates two consumers of ``left``, so its lineage runs
+    twice — use it when ``left`` is a direct parquet read, where the
+    second scan is cheaper than shuffling the unfiltered stream.)
+    """
+    if num_partitions is None:
+        num_partitions = auto_num_partitions()
+    rk = right_on or on
+    if bloom_bits:
+        bloom = build_bloom(right_keys, rk, num_bits=bloom_bits)
+        bref = ray.put(bloom)
+
+        def split(maybe: bool):
+            def fn(b: pd.DataFrame) -> pd.DataFrame:
+                mask = bloom_contains(b[on], ray.get(bref), num_bits=bloom_bits)
+                return b[mask] if maybe else b[~mask]
+
+            return fn
+
+        definite_absent = left.map_batches(split(False), batch_format="pandas")
+        maybe_present = left.map_batches(split(True), batch_format="pandas")
+        joined = semi_join(
+            maybe_present, right_keys, on, right_on=right_on, keep=keep,
+            num_partitions=num_partitions,
+        )
+        return joined if keep else joined.union(definite_absent)
+
+    how = "left_semi" if keep else "left_anti"
+    if hasattr(left, "join"):
+        return left.join(
+            right_keys,
+            join_type=how,
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=(rk,) if rk != on else None,
+        )
+    # portable fallback: tag + one bucketed exchange + per-group isin
+    l_cols = list(left.limit(1).to_pandas().columns)
+
+    def tag(side: int, key: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"__key": b[key]})
+            out["__side"] = side
+            out["__bucket"] = _hash_bucket(b[key], num_partitions)
+            for c in l_cols:
+                out[c] = b[c] if side == 0 else None
+            return out
+
+        return fn
+
+    both = left.map_batches(tag(0, on), batch_format="pandas").union(
+        right_keys.map_batches(tag(1, rk), batch_format="pandas")
+    )
+
+    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+        keys = set(g.loc[g["__side"] == 1, "__key"])
+        lg = g[g["__side"] == 0]
+        mask = lg["__key"].isin(keys)
+        return lg.loc[mask if keep else ~mask, l_cols]
+
+    return both.groupby("__bucket").map_groups(filter_group, batch_format="pandas")
+
+
+_BLOOM_HASH_KEYS = ["0123456789abcdef", "fedcba9876543210", "a1b2c3d4e5f60718", "deadbeefcafef00d"]
+
+
+def _bloom_positions(values: pd.Series, num_bits: int) -> list[np.ndarray]:
+    """k independent bit positions per value (k fixed hash keys)."""
+    arr = values.to_numpy()
+    return [
+        (pd.util.hash_array(arr, hash_key=hk) % np.uint64(num_bits)).astype(np.int64)
+        for hk in _BLOOM_HASH_KEYS
+    ]
+
+
+def build_bloom(keys_ds: ray.data.Dataset, col: str, num_bits: int = 1 << 23) -> np.ndarray:
+    """Distributed Bloom build: each batch sets its bits into a local
+    bitset; the driver ORs the per-batch bitsets (fixed ``num_bits/8``
+    bytes each — 1 MiB at the default — independent of key count)."""
+    nbytes = num_bits // 8
+
+    def to_bits(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(num_bits, dtype=bool)
+        for pos in _bloom_positions(b[col], num_bits):
+            bits[pos] = True
+        return pd.DataFrame({"packed": [np.packbits(bits).tobytes()]})
+
+    bloom = np.zeros(nbytes, dtype=np.uint8)
+    for batch in keys_ds.map_batches(to_bits, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for packed in batch["packed"]:
+            bloom |= np.frombuffer(packed, dtype=np.uint8)
+    return bloom
+
+
+def bloom_contains(values: pd.Series, bloom: np.ndarray, num_bits: int) -> np.ndarray:
+    """Membership mask: True = maybe present, False = definitely absent."""
+    bits = np.unpackbits(bloom)[:num_bits].astype(bool)
+    mask = np.ones(len(values), dtype=bool)
+    for pos in _bloom_positions(values, num_bits):
+        mask &= bits[pos]
+    return mask
 
 
 def bucket_join(

@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from pdf_extractor_ray.functions.exact import cents_np
-from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, join_datasets
+from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, join_datasets, semi_join
 from pdf_extractor_ray.ops import distinct, grouped_sum
 
 
@@ -86,23 +86,24 @@ GROUP BY l_returnflag, l_linestatus
 def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
     """Top-10 revenue orders for BUILDING-segment customers.
 
-    customer → broadcast key set (semi-join filter); orders ⋈ lineitem
-    through the hash-partitioned join (native Dataset.join, bucket_join
-    fallback); per-order revenue via bucketed grouped_sum; final global
-    sort + deterministic tie-break.
+    customer is fact-sized (~20% of it is BUILDING), so the key set is
+    NEVER collected on the driver: orders are filtered through a
+    distributed semi-join against the filtered customer keys (one
+    hash-partitioned exchange). orders ⋈ lineitem through the
+    hash-partitioned join; per-order revenue via bucketed grouped_sum;
+    final global sort + deterministic tie-break.
     """
     import pyarrow.compute as pc
 
-    cust = ray.data.read_parquet(
+    cust_keys = ray.data.read_parquet(
         _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    building_keys = [r["c_custkey"] for r in cust.take_all()]  # small key set
 
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    orders = broadcast_semi(orders, building_keys, "o_custkey")
+    orders = semi_join(orders, cust_keys, on="o_custkey", right_on="c_custkey")
     lineitem = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(
@@ -115,7 +116,7 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
         batch_size=65536,
     )
-    joined = join_datasets(orders, lineitem, on="o_orderkey", num_partitions=16)
+    joined = join_datasets(orders, lineitem, on="o_orderkey")
     per_order = grouped_sum(joined.select_columns(["o_orderkey", "rev_cents"]), ["o_orderkey"], ["rev_cents"])
     per_order = per_order.map_batches(
         lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas"
@@ -139,10 +140,11 @@ LIMIT 10
 
 # ----------------------------------------------------------------- Q5-ish
 def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Dataset:
-    """Revenue by nation for one region: the three dimension hops
-    (region → nation → customer) collapse into ONE broadcast dict
-    custkey→nation-name; the only big join (orders ⋈ lineitem) is the
-    hash-partitioned join; aggregation is partial-then-bucketed."""
+    """Revenue by nation for one region. nation/region are TRUE
+    dimension tables (≤ 25 rows) and stay dict-broadcast; customer is
+    fact-sized, so the custkey→nation hop is a hash-partitioned join on
+    the exchange (never a driver dict). orders ⋈ lineitem is the second
+    hash join; aggregation is partial-then-bucketed."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
@@ -151,13 +153,15 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
     nat = nation[nation["n_regionkey"].isin(rkeys)]
     natmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
 
-    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(natmap)]
-    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"].map(natmap)))
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust = broadcast_map(cust, natmap, "c_nationkey", "n_name")
+    cust = cust.map_batches(
+        lambda b: b.dropna(subset=["n_name"])[["c_custkey", "n_name"]], batch_format="pandas"
+    )
 
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    orders = broadcast_map(orders, cust_to_nation, "o_custkey", "n_name")
-    orders = orders.map_batches(lambda b: b.dropna(subset=["n_name"])[["o_orderkey", "n_name"]], batch_format="pandas")
+    orders = join_datasets(orders, cust, on="o_custkey", right_on="c_custkey")
+    orders = orders.select_columns(["o_orderkey", "n_name"])
 
     lineitem = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -171,7 +175,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
         batch_format="pandas",
         batch_size=65536,
     )
-    joined = join_datasets(orders, lineitem, on="o_orderkey", num_partitions=16)
+    joined = join_datasets(orders, lineitem, on="o_orderkey")
     out = grouped_sum(joined.select_columns(["n_name", "rev_cents"]), ["n_name"], ["rev_cents"], num_buckets=4)
     return out.map_batches(lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas")
 
@@ -210,8 +214,10 @@ FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 10
 def customers_without_big_orders(sf_dir: str, min_price: float = 400_000.0) -> ray.data.Dataset:
     """J5-style anti-join: customers with no order above ``min_price``.
     The qualifying order-custkey set is filtered at the read (row-group
-    predicate pushdown), distinct-projected (bucketed), and broadcast;
-    at 10^12 rows this becomes a Bloom filter with identical shape."""
+    predicate pushdown) and distinct-projected (bucketed); the anti-join
+    itself is a distributed hash-partitioned exchange with a Bloom
+    prefilter — proven-absent customers (the vast majority here) bypass
+    the exchange entirely, and the key set never lands on the driver."""
     import pyarrow.compute as pc
 
     okeys_ds = distinct(
@@ -222,9 +228,11 @@ def customers_without_big_orders(sf_dir: str, min_price: float = 400_000.0) -> r
         ),
         ["o_custkey"],
     )
-    okeys = [r["o_custkey"] for r in okeys_ds.take_all()]
     cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
-    return broadcast_semi(cust, okeys, "c_custkey", keep=False)
+    return semi_join(
+        cust, okeys_ds, on="c_custkey", right_on="o_custkey",
+        keep=False, bloom_bits=1 << 20,
+    )
 
 
 CUSTOMERS_WITHOUT_BIG_ORDERS_SQL = """
@@ -515,7 +523,7 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         batch_size=65536,
     )
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    joined = join_datasets(orders, lineitem, on="o_orderkey", num_partitions=16)
+    joined = join_datasets(orders, lineitem, on="o_orderkey")
     per_cust = grouped_sum(joined.select_columns(["o_custkey", "rev_cents"]), ["o_custkey"], ["rev_cents"])
     per_cust = per_cust.map_batches(
         lambda b: b.rename(columns={"o_custkey": "c_custkey", "rev_cents": "revenue_cents"}),

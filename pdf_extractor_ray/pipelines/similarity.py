@@ -23,13 +23,39 @@ import ray
 import ray.data
 
 
+def _min_vec_id(sf_dir: str) -> int:
+    """Smallest vec_id WITHOUT reading any data pages: parquet row-group
+    column statistics (driver touches only footers/metadata), with a
+    distributed Ray min() fallback when statistics are absent."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    mins = []
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index("vec_id")
+    for rg in range(pf.metadata.num_row_groups):
+        stats = pf.metadata.row_group(rg).column(idx).statistics
+        if stats is None or not stats.has_min_max:
+            mins = []
+            break
+        mins.append(stats.min)
+    if mins:
+        return int(min(mins))
+    ds = ray.data.read_parquet(path, columns=["vec_id"])
+    return int(ds.min("vec_id"))
+
+
 def _load_query_vec(sf_dir: str) -> tuple[int, np.ndarray]:
-    """Deterministic query: the embedding of the smallest vec_id."""
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    qi = int(ids.argmin())
-    vec = np.asarray(t.column("embedding")[qi].as_py(), dtype=np.float64)
-    return int(ids[qi]), vec
+    """Deterministic query: the embedding of the smallest vec_id — a
+    statistics-pruned single-row filtered read, never a full table."""
+    import pyarrow.compute as pc_
+
+    qid = _min_vec_id(sf_dir)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=pc_.field("vec_id") == qid,
+    )
+    vec = np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+    return qid, vec
 
 
 def knn_brute_force(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -54,9 +80,12 @@ def knn_brute_force(sf_dir: str, k: int = 20) -> pd.DataFrame:
         ids = b["vec_id"].to_numpy()
         keep = ids != qid
         sims, ids = sims[keep], ids[keep]
-        if ids.size > k:  # local prune: only k rows leave each batch
-            idx = np.argpartition(-sims, k)[:k]
-            sims, ids = sims[idx], ids[idx]
+        if ids.size > k:  # local prune: only k rows leave each batch.
+            # lexicographic (sim desc, vec_id asc) — a bare argpartition
+            # keeps an arbitrary subset of ties at the k-th boundary,
+            # which breaks the oracle's deterministic tie-break
+            order = np.lexsort((ids, -sims))[:k]
+            sims, ids = sims[order], ids[order]
         return pd.DataFrame({"vec_id": ids.astype(np.int64), "sim": sims})
 
     top = (
@@ -86,15 +115,29 @@ ORDER BY rank LIMIT 20
 
 def train_centroids(sf_dir: str, num_lists: int = 16, iters: int = 5, sample_rows: int = 4096) -> np.ndarray:
     """Deterministic k-means-lite coarse quantizer trained on a bounded
-    SAMPLE (first ``sample_rows`` by vec_id — deterministic, and at
-    10^12 vectors still a driver-sized array). Seeding by evenly-spaced
-    sorted vec_id; Lloyd iterations on the sample only."""
-    import pyarrow.compute as pc_
+    SAMPLE (the ``sample_rows`` smallest vec_ids — deterministic, and at
+    10^12 vectors still a driver-sized array). The sample is gathered
+    with a distributed bottom-k: each batch prunes to its local
+    ``sample_rows`` smallest, then a sort+limit over the pruned stream —
+    the driver never reads the table. Seeding by evenly-spaced sorted
+    vec_id; Lloyd iterations on the sample only."""
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    t = t.sort_by("vec_id").slice(0, sample_rows)
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    def local_bottomk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) > sample_rows:
+            b = b.nsmallest(sample_rows, "vec_id")
+        return b[["vec_id", "embedding"]]
+
+    sample = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        .map_batches(local_bottomk, batch_format="pandas", batch_size=4096)
+        .sort("vec_id")
+        .limit(sample_rows)
+        .to_pandas()
+    )
+    ids = sample["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(sample["embedding"]), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     matn = mat / norms
@@ -147,8 +190,8 @@ def knn_ivf(sf_dir: str, k: int = 20, num_lists: int = 16, n_probe: int = 4) -> 
         sims = matn[keep] @ q
         ids = b["vec_id"].to_numpy()[keep]
         if ids.size > k:
-            idx = np.argpartition(-sims, k)[:k]
-            sims, ids = sims[idx], ids[idx]
+            order = np.lexsort((ids, -sims))[:k]  # (sim desc, vec_id asc)
+            sims, ids = sims[order], ids[order]
         return pd.DataFrame({"vec_id": ids.astype(np.int64), "sim": sims})
 
     top = (

@@ -19,7 +19,6 @@ import pandas as pd
 import ray.data
 
 from pdf_extractor_ray.functions.exact import cents_np
-from pdf_extractor_ray.joins import broadcast_map
 from pdf_extractor_ray.ops import grouped_apply
 
 SESSION_GAP_MIN = 30
@@ -101,20 +100,19 @@ FROM s GROUP BY user_id, session_id
 def top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Per-group top-k (window row_number analog): the k most expensive
     orders per customer market segment, deterministic tie-break on
-    o_orderkey. Segment comes from a broadcast customer→segment map;
-    the top-k shrinks inside map_batches (per-batch nsmallest-style
-    prune) before one bucketed exchange on segment."""
-    import pyarrow.parquet as pq
+    o_orderkey. customer is fact-sized, so the segment lookup is a
+    hash-partitioned join (never a driver dict); the top-k shrinks
+    inside map_batches (per-batch prune) before one bucketed exchange
+    on segment."""
+    from pdf_extractor_ray.joins import join_datasets
 
-    cust = pq.read_table(
+    cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
-    seg_map = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
-
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    orders = broadcast_map(orders, seg_map, "o_custkey", "c_mktsegment")
+    orders = join_datasets(orders, cust, on="o_custkey", right_on="c_custkey")
 
     def local_prune(b: pd.DataFrame) -> pd.DataFrame:
         b = b.dropna(subset=["c_mktsegment"]).copy()

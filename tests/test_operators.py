@@ -245,3 +245,43 @@ def test_csv_source_sink_roundtrip(tmp_path):
     back = ray.data.read_csv(out)
     agg = grouped_sum(back, ["k"], ["v"], num_buckets=2).to_pandas().sort_values("k")
     assert list(agg["v"]) == [4, 2]
+
+
+def test_semi_join_distributed_semi_and_anti():
+    """Distributed semi/anti join (native left_semi/left_anti) keeps
+    left schema and matches the set-based definition, incl. right_on
+    with a differently-named key column and duplicate right keys."""
+    from pdf_extractor_ray.joins import semi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    right = pd.DataFrame({"rk": [2, 2, 4, 9]})
+    lds = ray.data.from_pandas(left)
+    rds = ray.data.from_pandas(right)
+    semi = semi_join(lds, rds, on="k", right_on="rk", num_partitions=4).to_pandas()
+    anti = semi_join(lds, rds, on="k", right_on="rk", keep=False, num_partitions=4).to_pandas()
+    assert sorted(semi.columns) == ["k", "v"]
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_bloom_no_false_negatives_and_semi_join_bloom_exact():
+    """Bloom membership never misses a present key; the bloom-prefiltered
+    semi/anti join returns exactly the same rows as the plain one."""
+    from pdf_extractor_ray.joins import bloom_contains, build_bloom, semi_join
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(100_000, size=500, replace=False)
+    keys_ds = ray.data.from_pandas(pd.DataFrame({"rk": keys}))
+    nbits = 1 << 16
+    bloom = build_bloom(keys_ds, "rk", num_bits=nbits)
+    mask = bloom_contains(pd.Series(keys), bloom, num_bits=nbits)
+    assert mask.all()  # no false negatives, ever
+
+    left = pd.DataFrame({"k": np.arange(2000), "v": np.arange(2000) * 2})
+    lds = ray.data.from_pandas(left)
+    for keep in (True, False):
+        plain = semi_join(lds, keys_ds, on="k", right_on="rk", keep=keep).to_pandas()
+        bloomed = semi_join(
+            lds, keys_ds, on="k", right_on="rk", keep=keep, bloom_bits=nbits
+        ).to_pandas()
+        assert sorted(plain["k"]) == sorted(bloomed["k"])
