@@ -172,13 +172,79 @@ def minhash_lsh_pairs(
 
 
 def dedup_minhash(sf_dir: str, **kw) -> ray.data.Dataset:
-    """Near-dup dedup: drop the larger doc_id of every verified pair."""
-    pairs = minhash_lsh_pairs(sf_dir, **kw)
-    losers = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
-    ds = _read_docs(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
-    from pdf_extractor_ray.joins import broadcast_semi
+    """Near-dup dedup: drop the larger doc_id of every verified pair.
 
-    return broadcast_semi(ds, losers, "doc_id", keep=False)
+    The loser set (doc_b of each pair) is NEVER collected on the
+    driver: the pair list stays a Dataset and the removal is a
+    distributed anti-join on the hash-partitioned exchange — bounded
+    by nothing, correct at any dup rate.
+    """
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.ops import distinct
+
+    pairs = minhash_lsh_pairs(sf_dir, **kw)
+    losers = distinct(pairs.select_columns(["doc_b"]), ["doc_b"])
+    ds = _read_docs(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
+    return semi_join(ds, losers, on="doc_id", right_on="doc_b", keep=False)
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Distributed connected components by iterated min-label
+    propagation — the pair list never lands on the driver.
+
+    ``edges`` is an undirected edge Dataset (one row per edge, any
+    orientation). Each round: every node sends its current label to its
+    neighbors (one hash join edges ⋈ labels), labels re-minimize (one
+    bucketed grouped min), and the round materializes so lineage stays
+    flat. Labels only decrease, so ``sum(label)`` strictly decreases
+    until the fixpoint — that sum is the convergence check (one cheap
+    streaming aggregate per round). Converges in ≤ graph-diameter
+    rounds; near-dup clusters have tiny diameters.
+
+    Returns (node, label) for every node WITH at least one edge; label
+    = min node id of its component. Isolated nodes are absent (their
+    component is themselves — callers fill that in).
+    """
+    from pdf_extractor_ray.joins import join_datasets
+    from pdf_extractor_ray.ops import distinct, grouped_agg
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([b[src].to_numpy(), b[dst].to_numpy()]),
+                "dst": np.concatenate([b[dst].to_numpy(), b[src].to_numpy()]),
+            }
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    labels = distinct(directed.select_columns(["src"]), ["src"]).map_batches(
+        lambda b: pd.DataFrame({"node": b["src"], "label": b["src"]}),
+        batch_format="pandas",
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = join_datasets(directed, labels, on="src", right_on="node").map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"]}),
+            batch_format="pandas",
+        )
+        labels = grouped_agg(
+            labels.union(msgs), ["node"], {"label": ("label", "min")},
+            num_buckets=num_buckets,
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def dedup_clusters(sf_dir: str, **kw) -> ray.data.Dataset:
@@ -186,43 +252,30 @@ def dedup_clusters(sf_dir: str, **kw) -> ray.data.Dataset:
     (doc_id, cluster_id) with cluster_id = min doc_id of the component;
     docs with no near-dup edge are their own cluster.
 
-    The edge list is the LSH candidate-pair output — orders of magnitude
-    smaller than the corpus — so components are solved with union-find
-    on the collected pairs (driver-side, bounded by the pair count, not
-    the corpus). If the pair set ever approached corpus scale, the same
-    result is an iterated min-label propagation: repeat
-    ``labels = grouped_apply(edges ⋈ labels, min)`` until fixpoint —
-    each round is one bucketed exchange.
+    Fully distributed: the LSH pair list stays a Dataset, components
+    are solved by ``label_propagation`` (iterated min-label exchange),
+    and the final assignment is a left-outer hash join of the corpus
+    against the edge-node labels (missing → own id). Nothing scales
+    with the pair count on the driver.
     """
-    pairs = minhash_lsh_pairs(sf_dir, **kw).select_columns(["doc_a", "doc_b"]).take_all()
-    parent: dict[int, int] = {}
+    from pdf_extractor_ray.joins import join_datasets
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for r in pairs:
-        ra, rb = find(r["doc_a"]), find(r["doc_b"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    cluster_of = {x: find(x) for x in parent}
-    import ray as _ray
-
-    ref = _ray.put(cluster_of)
-
-    def assign(b: pd.DataFrame) -> pd.DataFrame:
-        m = _ray.get(ref)
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"],
-                "cluster_id": b["doc_id"].map(lambda d: m.get(d, d)).astype("int64"),
-            }
+    pairs = minhash_lsh_pairs(sf_dir, **kw).select_columns(["doc_a", "doc_b"]).materialize()
+    docs = _read_docs(sf_dir, columns=("doc_id",))
+    if pairs.count() == 0:
+        return docs.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_id"], "cluster_id": b["doc_id"]}),
+            batch_format="pandas",
         )
+    labels = label_propagation(pairs, src="doc_a", dst="doc_b")
 
-    return _read_docs(sf_dir, columns=("doc_id",)).map_batches(assign, batch_format="pandas")
+    out = join_datasets(docs, labels, on="doc_id", right_on="node", how="left_outer")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        cluster = b["label"].fillna(b["doc_id"]).astype("int64")
+        return pd.DataFrame({"doc_id": b["doc_id"], "cluster_id": cluster})
+
+    return out.map_batches(finalize, batch_format="pandas")
 
 
 def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
@@ -315,45 +368,91 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, k: int = 3) -> ray.
     return cand.map_batches(verify, batch_format="pandas")
 
 
-def embedding_near_dups(sf_dir: str, cosine_threshold: float = 0.35) -> ray.data.Dataset:
-    """Embedding-cosine near-dup pairs via brute-force blocked matmul:
-    each batch of vectors is multiplied against the (broadcast,
-    normalized) full matrix — O(n²) flops but one object-store copy of
-    the matrix, zero shuffle. The IVF path in similarity.py is the
-    >10^8-vector variant.
+def embedding_near_dups(
+    sf_dir: str, cosine_threshold: float = 0.35, num_blocks: int = 4
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs via a BLOCKED pair grid — the
+    all-pairs theta-join shape that never broadcasts the corpus:
+
+    each vector is hashed to one of ``num_blocks`` blocks and emitted
+    once per grid cell (i ≤ j) its block participates in; ONE bucketed
+    exchange co-locates each cell's two blocks; the per-cell kernel is
+    a vectorized normalized matmul (upper triangle for diagonal cells).
+    Every pair (a, b) lands in exactly one cell — the one keyed by the
+    sorted pair of their blocks — so output pairs are exact and unique.
+
+    Scale: worker memory is O(2·N/num_blocks) vectors per cell (pick
+    num_blocks so two blocks fit a worker heap — flops stay O(N²) as
+    they must for exact all-pairs); shuffle volume is N·num_blocks
+    rows. The IVF path in similarity.py is the approximate >10^8-vector
+    variant.
 
     Default threshold 0.35 is tuned to the synthetic testdata (random
     cluster embeddings top out near cosine 0.51; a real near-dup corpus
     would use ~0.95)."""
     import os
 
-    import pyarrow.parquet as pq
-    import ray as _ray
-
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    matn = mat / norms
-    ref = _ray.put((ids, matn))
-
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
 
-    def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = _ray.get(ref)
-        q = np.array(list(b["embedding"]), dtype=np.float64)
-        qn = q / np.where((n := np.linalg.norm(q, axis=1, keepdims=True)) == 0, 1.0, n)
-        sims = qn @ all_mat.T
-        qi = b["vec_id"].to_numpy()
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy()
+        mat = np.array(list(b["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        blocks = (
+            pd.util.hash_array(ids, hash_key="0123456789abcdef") % np.uint64(num_blocks)
+        ).astype(np.int64)
+        rows = []
+        for r in range(len(ids)):
+            blk = int(blocks[r])
+            payload = matn[r].tobytes()
+            for other in range(num_blocks):
+                i, j = (blk, other) if blk <= other else (other, blk)
+                rows.append(
+                    {"grid": i * num_blocks + j, "block": blk, "vec_id": int(ids[r]), "v": payload}
+                )
+        return pd.DataFrame(rows)
+
+    cells = ds.map_batches(explode, batch_format="pandas", batch_size=2048)
+
+    empty = pd.DataFrame(columns=["vec_a", "vec_b", "cosine_sim"]).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cosine_sim": "float64"}
+    )
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for row, vid in enumerate(qi):
-            hits = np.nonzero(sims[row] >= cosine_threshold)[0]
-            for hit in hits:
-                if all_ids[hit] > vid:  # each pair once, a < b
-                    out.append({"vec_a": int(vid), "vec_b": int(all_ids[hit]), "cosine_sim": float(sims[row, hit])})
-        return pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine_sim"]).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cosine_sim": "float64"}
+        for grid, cell in g.groupby("grid", sort=False):
+            i, j = divmod(int(grid), num_blocks)
+            # each vector appears once per cell by construction
+            left = cell[cell["block"] == i]
+            ids_l = left["vec_id"].to_numpy()
+            mat_l = np.frombuffer(b"".join(left["v"]), dtype=np.float64).reshape(len(left), -1) if len(left) else np.empty((0, 0))
+            if i == j:
+                if len(ids_l) < 2:
+                    continue
+                sims = mat_l @ mat_l.T
+                ai, bj = np.nonzero(np.triu(sims >= cosine_threshold, k=1))
+                for a, b_ in zip(ai, bj):
+                    va, vb = int(ids_l[a]), int(ids_l[b_])
+                    lo, hi = (va, vb) if va < vb else (vb, va)
+                    out.append({"vec_a": lo, "vec_b": hi, "cosine_sim": float(sims[a, b_])})
+            else:
+                right = cell[cell["block"] == j]
+                if not len(ids_l) or not len(right):
+                    continue
+                ids_r = right["vec_id"].to_numpy()
+                mat_r = np.frombuffer(b"".join(right["v"]), dtype=np.float64).reshape(len(right), -1)
+                sims = mat_l @ mat_r.T
+                ai, bj = np.nonzero(sims >= cosine_threshold)
+                for a, b_ in zip(ai, bj):
+                    va, vb = int(ids_l[a]), int(ids_r[b_])
+                    lo, hi = (va, vb) if va < vb else (vb, va)
+                    out.append({"vec_a": lo, "vec_b": hi, "cosine_sim": float(sims[a, b_])})
+        return (
+            pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine_sim"]).astype(empty.dtypes)
+            if out
+            else empty
         )
 
-    return ds.map_batches(pairs, batch_format="pandas", batch_size=256)
+    return grouped_apply(cells, ["grid"], cell_pairs, num_buckets=min(16, num_blocks * (num_blocks + 1) // 2))

@@ -285,3 +285,62 @@ def test_bloom_no_false_negatives_and_semi_join_bloom_exact():
             lds, keys_ds, on="k", right_on="rk", keep=keep, bloom_bits=nbits
         ).to_pandas()
         assert sorted(plain["k"]) == sorted(bloomed["k"])
+
+
+def test_label_propagation_components():
+    """Distributed min-label propagation equals union-find on a graph
+    with a chain (needs multiple rounds), a triangle, and an isolated
+    edge; isolated nodes are absent from the output by contract."""
+    from pdf_extractor_ray.pipelines.dedup import label_propagation
+
+    edges = pd.DataFrame(
+        {
+            "doc_a": [10, 11, 12, 13,   20, 21, 20,   30],
+            "doc_b": [11, 12, 13, 14,   21, 22, 22,   31],
+        }
+    )
+    labels = (
+        label_propagation(ray.data.from_pandas(edges), src="doc_a", dst="doc_b")
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert labels == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                      20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_embedding_grid_pairs_match_local_bruteforce(tmp_path):
+    """The blocked pair grid finds exactly the pairs a local all-pairs
+    cosine scan finds — every pair once, same similarity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extractor_ray.pipelines.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    n, dim = 120, 8
+    mat = rng.normal(size=(n, dim))
+    # plant some near-dup pairs
+    for a, b in [(3, 77), (10, 52), (40, 41)]:
+        mat[b] = mat[a] + rng.normal(scale=0.01, size=dim)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    pq.write_table(
+        pa.table({"vec_id": ids, "embedding": [list(map(float, r)) for r in mat]}),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = (
+        embedding_near_dups(str(tmp_path), cosine_threshold=0.8, num_blocks=3)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= 0.8:
+                exp.append((int(ids[i]), int(ids[j]), sims[i, j]))
+    assert len(got) == len(exp) >= 3
+    for (ea, eb, es), (_, row) in zip(sorted(exp), got.iterrows()):
+        assert (ea, eb) == (row["vec_a"], row["vec_b"])
+        assert abs(es - row["cosine_sim"]) < 1e-12
