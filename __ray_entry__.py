@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
         "extract_fields_documents": webdocs.extract_fields_documents,
+        "llm_score_documents": webdocs.llm_score_documents,
         "extraction_metrics_by_bucket": webdocs.extraction_metrics_by_bucket,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
@@ -131,5 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": similarity.KNN_SQL,
         "doc_token_stats": textops.DOC_TOKEN_STATS_SQL,
         "extract_fields_documents": webdocs.EXTRACT_FIELDS_SQL,
+        "extract_flagship": webdocs.EXTRACT_FLAGSHIP_SQL,
+        "llm_score_documents": webdocs.LLM_SCORE_SQL,
         "lang_count_documents": textops.LANG_COUNT_SQL,
+        "quality_documents": textops.QUALITY_SQL,
     }

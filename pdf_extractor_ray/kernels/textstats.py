@@ -64,9 +64,11 @@ def quality_stats(text: str) -> dict:
     }
 
 
-def quality_score(text: str) -> float:
-    """Scalar quality in [0,1]: rewards stopword presence, sane word
-    length, low punctuation noise, non-trivial length."""
+def quality_score_raw(text: str) -> float:
+    """Unrounded scalar quality in [0,1]: rewards stopword presence,
+    sane word length, low punctuation noise, non-trivial length. The
+    term order is part of the contract — the SQL oracle replays the
+    identical IEEE-double expression."""
     s = quality_stats(text)
     if s["n_words"] == 0:
         return 0.0
@@ -75,7 +77,12 @@ def quality_score(text: str) -> float:
     punct_term = max(0.0, 1.0 - s["punct_ratio"] * 4.0)
     wl = s["mean_word_len"]
     wl_term = 1.0 if 3.0 <= wl <= 10.0 else 0.5
-    return round(0.35 * length_term + 0.3 * stop_term + 0.2 * punct_term + 0.15 * wl_term, 6)
+    return 0.35 * length_term + 0.3 * stop_term + 0.2 * punct_term + 0.15 * wl_term
+
+
+def quality_score(text: str) -> float:
+    """``quality_score_raw`` rounded to 6 dp (filtering convenience)."""
+    return round(quality_score_raw(text), 6)
 
 
 def lang_id(text: str) -> str:

@@ -73,17 +73,60 @@ def lang_id_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def quality_documents(sf_dir: str) -> ray.data.Dataset:
-    """Quality features + scalar score per document."""
+    """Quality features + scalar score per document. The score is
+    emitted as integer micro-units (floor(raw*1e6 + 0.5)) so the DuckDB
+    oracle hash-matches without decimal-rounding ambiguity; the float
+    ratio columns are exact IEEE doubles replayed by the oracle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         feats = b["text"].map(textstats.quality_stats)
         out = pd.DataFrame(list(feats))
         out.insert(0, "doc_id", b["doc_id"].to_numpy())
-        out["quality"] = b["text"].map(textstats.quality_score).to_numpy()
+        raw = b["text"].map(textstats.quality_score_raw).to_numpy()
+        out["quality_micro"] = np.floor(raw * 1e6 + 0.5).astype(np.int64)
         return out
 
     return ds.map_batches(score, batch_format="pandas", batch_size=4096)
+
+
+# Exact replay of quality_stats/quality_score_raw for the synthetic
+# corpus charset ([a-z0-9 ], single spaces, no newlines — asserted by
+# the charset probe in tests): words = split on ' ', punct_ratio = 0,
+# n_lines = 1, mean_word_len = (n_chars - (n_words-1)) / n_words, and
+# the score is the same left-associated IEEE-double sum as the kernel.
+# Stopword list mirrors textstats.STOPWORDS['en'].
+QUALITY_SQL = """
+WITH q AS (
+    SELECT doc_id,
+           len(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '), w -> w IN (
+               'the','and','of','to','a','in','is','that','it','for',
+               'was','with','on','as','are','this'))) AS n_stop
+    FROM documents
+), f AS (
+    SELECT doc_id, n_chars, n_words, n_stop,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len
+    FROM q
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(1 AS BIGINT) AS n_lines,
+       0.0 AS punct_ratio,
+       stopword_ratio,
+       mean_word_len,
+       CAST(floor(
+           (0.35 * least(1.0, n_words / 50.0)
+            + 0.3 * least(1.0, stopword_ratio / 0.2)
+            + 0.2 * 1.0
+            + 0.15 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
+                           THEN 1.0 ELSE 0.5 END)) * 1000000.0 + 0.5
+       ) AS BIGINT) AS quality_micro
+FROM f
+"""
 
 
 def fingerprint_documents(sf_dir: str) -> ray.data.Dataset:

@@ -70,6 +70,25 @@ def validate_examples(examples: ray.data.Dataset) -> ray.data.Dataset:
     return examples.map_batches(check, batch_format="pandas")
 
 
+def prepare_training_run(
+    examples: ray.data.Dataset, min_examples: int = MIN_TRAINING_EXAMPLES
+) -> tuple[ray.data.Dataset, dict]:
+    """Pre-flight for a fine-tune run (reference ``train.py:277-281``):
+    validate, split off invalid rows, and REFUSE the run when fewer
+    than ``min_examples`` valid examples remain. Returns (valid
+    examples, counts); raises ``ValueError`` below the floor."""
+    checked = validate_examples(examples).materialize()
+    n_valid = checked.filter(lambda r: r["valid"]).count()
+    n_total = checked.count()
+    if n_valid < min_examples:
+        raise ValueError(
+            f"training run needs >= {min_examples} valid examples, got {n_valid} "
+            f"(of {n_total} total)"
+        )
+    valid = checked.filter(lambda r: r["valid"])
+    return valid, {"n_valid": n_valid, "n_invalid": n_total - n_valid, "n_total": n_total}
+
+
 def write_training_jsonl(examples: ray.data.Dataset, out_dir: str) -> None:
     """K3 sink: chat examples → JSONL directory (one line per example,
     ``{"messages": [...]}`` — the reference's training-file format,

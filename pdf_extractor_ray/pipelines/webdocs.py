@@ -126,6 +126,29 @@ def extract_fields_documents(sf_dir: str) -> ray.data.Dataset:
 EXTRACT_FIELDS_SQL = "SELECT doc_id, lang, source FROM documents"
 
 
+# The derived page is a pure function of (doc_id, text, lang, source)
+# — see _doc_to_page — so the flagship extraction output is fully
+# SQL-modelable: the extracted text is the doc text followed by the
+# three labeled meta lines, newline-joined, for BOTH the HTML row
+# (boilerplate stripped by the block model) and the PDF row (reading-
+# order reassembly of the text runs; corpus docs are ≤ 100 words so
+# the 26-line cap never truncates — asserted against all testdata SFs).
+# n_chars = len(text) + len("DOC ID: ")+len(id) + len("LANG CODE: ")
+#           + len(lang) + len("SOURCE NAME: ")+len(source) + 3 newlines.
+EXTRACT_FLAGSHIP_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 7 = 3 THEN 'pdf' ELSE 'html' END AS kind,
+       CASE WHEN len(trim(text)) = 0 THEN 'empty' ELSE 'ok' END AS status,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(text)
+                 + 8 + len(CAST(doc_id AS VARCHAR))
+                 + 11 + len(lang)
+                 + 13 + len(source)
+                 + 3 END AS BIGINT) AS n_chars_extracted
+FROM documents
+"""
+
+
 def extraction_metrics_by_bucket(sf_dir: str) -> ray.data.Dataset:
     """§4.6 metrics report: per-(size_bucket, status) doc counts and
     byte totals — the per-partition metrics the manifest also records,
@@ -153,6 +176,58 @@ def extraction_metrics_by_bucket(sf_dir: str) -> ray.data.Dataset:
         ["n_docs", "total_bytes"],
         num_buckets=4,
     )
+
+
+def llm_score_documents(sf_dir: str) -> ray.data.Dataset:
+    """Extraction → pluggable scorer actor pool (stages.scorer): the
+    full reference scoring chain (prompt builder → completion backend →
+    robust JSON parse → response→field mapping,
+    ``gpt_service.py:21-201``) over the extracted pages, with the
+    deterministic offline backend. SQL-checked: the backend must
+    recover the planted DOC ID from every page, with exactly 3 labeled
+    fields and a clean parse."""
+    import json
+
+    import pandas as pd
+
+    from pdf_extractor_ray.stages.scorer import score_documents
+
+    ds = extract_documents(sf_dir).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["url"].str.rsplit("/", n=1).str[1].astype("int64"),
+                "text": b["extracted_text"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    scored = score_documents(ds)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        recovered = []
+        for fj in b["fields_json"]:
+            vals = {f["key"]: f["value"] for f in json.loads(fj)}
+            try:
+                recovered.append(int(vals.get("DOC ID", "-1")))
+            except ValueError:
+                recovered.append(-1)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "recovered_doc_id": pd.Series(recovered, dtype="int64"),
+                "n_fields": b["n_fields"],
+                "parse_ok": b["parse_ok"],
+            }
+        )
+
+    return scored.map_batches(project, batch_format="pandas")
+
+
+LLM_SCORE_SQL = """
+SELECT doc_id, doc_id AS recovered_doc_id,
+       CAST(3 AS BIGINT) AS n_fields, TRUE AS parse_ok
+FROM documents
+"""
 
 
 def extract_documents_summary(sf_dir: str) -> ray.data.Dataset:

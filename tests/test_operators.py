@@ -344,3 +344,57 @@ def test_embedding_grid_pairs_match_local_bruteforce(tmp_path):
     for (ea, eb, es), (_, row) in zip(sorted(exp), got.iterrows()):
         assert (ea, eb) == (row["vec_a"], row["vec_b"])
         assert abs(es - row["cosine_sim"]) < 1e-12
+
+
+def test_scorer_stage_backend_chain_and_error_isolation():
+    """ScorerStage: factory-built backend once per actor, prompt →
+    completion → robust parse → field mapping; a raising backend
+    quarantines its rows instead of failing the stage."""
+    from pdf_extractor_ray.stages.scorer import (
+        CompletionBackend,
+        score_documents,
+    )
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["some body\nDOC ID: 1\nLANG CODE: en", "plain text no labels"],
+            }
+        )
+    )
+    out = score_documents(docs, concurrency=1, batch_size=8).to_pandas().sort_values("doc_id")
+    assert out["parse_ok"].all()
+    assert list(out["n_fields"]) == [2, 0]
+
+    class Exploding(CompletionBackend):
+        def complete(self, messages):
+            raise RuntimeError("backend down")
+
+    bad = score_documents(docs, lambda: Exploding(), concurrency=1).to_pandas()
+    assert not bad["parse_ok"].any()
+    assert bad["error"].str.startswith("backend:").all()
+    assert len(bad) == 2  # rows quarantined, never dropped
+
+
+def test_prepare_training_run_enforces_minimum():
+    """The reference's >=10-valid-examples pre-flight guard."""
+    import pytest as _pytest
+
+    from pdf_extractor_ray.pipelines.training import (
+        build_training_examples,
+        prepare_training_run,
+    )
+
+    few = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(5), "text": ["hello world"] * 5})
+    )
+    with _pytest.raises(ValueError, match=">= 10 valid"):
+        prepare_training_run(build_training_examples(few))
+
+    enough = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(12), "text": ["hello world"] * 11 + [""]})
+    )
+    valid, counts = prepare_training_run(build_training_examples(enough))
+    assert counts == {"n_valid": 11, "n_invalid": 1, "n_total": 12}
+    assert valid.count() == 11
