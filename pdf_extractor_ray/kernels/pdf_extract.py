@@ -43,10 +43,12 @@ _PAGE_RE = re.compile(rb"/Type\s*/Page(?![s])")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
 
-# content-stream tokens: literal string | number | operator
+# content-stream tokens: literal string | hex string | number | operator
+# (the (?!<) keeps dict delimiters << >> out of the hex-string group)
 _TOKEN_RE = re.compile(
     rb"""
     (?P<str>\((?:\\.|[^\\()])*\))
+  | (?P<hex><(?!<)[0-9A-Fa-f\s]*>)
   | (?P<num>[-+]?(?:\d+\.\d*|\.\d+|\d+))
   | (?P<op>[A-Za-z'"*]+)
   | (?P<arr>[\[\]])
@@ -103,6 +105,20 @@ def _decode_pdf_string(payload: bytes) -> str:
         out += c
         i += 1
     return out.decode("utf-8", errors="replace")
+
+
+def _decode_hex_string(body: bytes) -> str:
+    """Hex string body (without ``<>``) → str: whitespace is ignored,
+    an odd final digit is padded with 0 (PDF spec), bytes decode like
+    literal strings (UTF-8 subset, errors replaced)."""
+    digits = b"".join(body.split())
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        raw = bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        return ""
+    return raw.decode("utf-8", errors="replace")
 
 
 # Fast path: the canonical single-run text block most writers emit —
@@ -190,9 +206,11 @@ def _parse_content_stream(data: bytes, page: int, page_height: float) -> list[di
                 x -= val / 1000.0 * size  # TJ kerning adjustment
             else:
                 stack.append(val)
-        elif kind == "str":
-            body = m.group("str")[1:-1]
-            text = _decode_pdf_string(body)
+        elif kind == "str" or kind == "hex":
+            if kind == "str":
+                text = _decode_pdf_string(m.group("str")[1:-1])
+            else:
+                text = _decode_hex_string(m.group("hex")[1:-1])
             if in_array:
                 arr_parts.append((text, x))
                 x += CHAR_WIDTH_FRAC * size * len(text)
@@ -395,7 +413,48 @@ def _parse_objects(raw: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         objects[num] = (head, raw[data_start:data_end])
         e2 = raw.find(b"endobj", data_end)
         pos = (e2 + 6) if e2 != -1 else data_end
+    _expand_object_streams(objects)
     return objects
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
+_N_RE = re.compile(rb"/N\s+(\d+)(?!\d)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)(?!\d)")
+
+
+def _expand_object_streams(objects: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """PDF 1.5 object streams: a ``/Type /ObjStm`` stream packs N
+    stream-less objects as ``(num offset)`` pairs followed by the
+    concatenated bodies at ``/First``. Members are added to the object
+    table; a direct (possibly incrementally-updated) definition of the
+    same number always wins, matching last-definition-in-file
+    semantics."""
+    for num in list(objects):
+        head, data = objects[num]
+        if data is None or not _OBJSTM_RE.search(head):
+            continue
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                try:
+                    data = zlib.decompress(data.rstrip(b"\r\n"))
+                except zlib.error:
+                    continue  # quarantine-grade member loss, container kept
+        nm, fm = _N_RE.search(head), _FIRST_RE.search(head)
+        if not nm or not fm:
+            continue
+        n_objs, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            ints = [int(t) for t in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n_objs]
+        for i, (member_num, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+            body = data[first + off : first + end]
+            if member_num not in objects:
+                objects[member_num] = (body, None)
 
 
 def assemble_reading_order(spans: list[dict]) -> tuple[str, list[dict]]:

@@ -396,3 +396,90 @@ def test_html_escaping_round_trip():
     assert b"<grew>" not in page  # escaped in the markup
     text, _spans = html_extract(page)
     assert tricky in text
+
+
+def _mini_pdf(objs: list[tuple[int, bytes]]) -> bytes:
+    pdf = b"%PDF-1.5\n"
+    for num, body in objs:
+        pdf += f"{num} 0 obj".encode() + body + b"endobj\n"
+    return pdf + b"%%EOF\n"
+
+
+def test_pdf_hex_strings_tj_and_tJ():
+    """Hex strings <...> decode like literal strings in Tj and TJ,
+    including whitespace inside and odd-length padding."""
+    hello = "hexworld".encode().hex().upper().encode()
+    s = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <" + hello[:6] + b" " + hello[6:] + b"> Tj ET\n"
+        b"BT /F1 12 Tf 1 0 0 1 72 650 Tm [<6172726179> (lit)] TJ ET\n"
+    )
+    pdf = _mini_pdf(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"),
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n"),
+            (4, b"<< /Length %d >>\nstream\n" % len(s) + s + b"\nendstream\n"),
+        ]
+    )
+    text, _ = pdf_extract(pdf)
+    assert text == "hexworld\narray lit"
+
+
+def test_pdf_stream_without_length():
+    """A stream dict with NO /Length at all falls back to the
+    endstream scan."""
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (no length key) Tj ET\n"
+    pdf = _mini_pdf(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"),
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n"),
+            (4, b"<< >>\nstream\n" + s + b"endstream\n"),
+        ]
+    )
+    text, _ = pdf_extract(pdf)
+    assert text == "no length key"
+
+
+def test_pdf_incremental_update_last_definition_wins():
+    """An appended (incremental-update) redefinition of a content
+    object supersedes the original, per PDF update semantics."""
+    s_old = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (old version) Tj ET\n"
+    s_new = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (new version) Tj ET\n"
+    pdf = _mini_pdf(
+        [
+            (1, b"<< /Type /Catalog /Pages 2 0 R >>\n"),
+            (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n"),
+            (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n"),
+            (4, b"<< /Length %d >>\nstream\n" % len(s_old) + s_old + b"\nendstream\n"),
+            # appended update section
+            (4, b"<< /Length %d >>\nstream\n" % len(s_new) + s_new + b"\nendstream\n"),
+        ]
+    )
+    text, _ = pdf_extract(pdf)
+    assert text == "new version"
+
+
+def test_pdf_object_stream_members():
+    """PDF 1.5 /ObjStm: catalog/pages/page dicts packed in a compressed
+    object stream are found and the page tree walks normally."""
+    import zlib as _zlib
+
+    m1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    m2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    m3 = b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>"
+    bodies = m1 + m2 + m3
+    offsets = [0, len(m1), len(m1) + len(m2)]
+    header = f"1 {offsets[0]} 2 {offsets[1]} 3 {offsets[2]} ".encode()
+    payload = header + bodies
+    comp = _zlib.compress(payload)
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (from objstm) Tj ET\n"
+    pdf = _mini_pdf(
+        [
+            (5, b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+                % (len(header), len(comp)) + comp + b"\nendstream\n"),
+            (4, b"<< /Length %d >>\nstream\n" % len(s) + s + b"\nendstream\n"),
+        ]
+    )
+    text, _ = pdf_extract(pdf)
+    assert text == "from objstm"
