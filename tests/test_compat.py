@@ -105,3 +105,43 @@ def test_read_json_source_roundtrip(tmp_path):
     rows = back.take_all()
     assert len(rows) == 3
     assert all(r["messages"][0]["role"] == "user" for r in rows)
+
+
+def test_config_from_json_and_factory(tmp_path):
+    """S7: JSON config -> validated PipelineConfig -> extraction
+    pipeline factory; reference error contract (ValueError on missing
+    file / bad JSON / unknown keys / bad values)."""
+    import json
+
+    import pytest as _pytest
+
+    from pdf_extractor_ray.config import PipelineConfig
+    from pdf_extractor_ray.sources.pages import write_pages_corpus
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "batch_size": 64,
+        "concurrency": 2,
+        "fields": [{"key": "DOC ID", "alt_names": ["document id"]}],
+    }))
+    cfg = PipelineConfig.from_json(str(cfg_path))
+    assert cfg.batch_size == 64 and cfg.concurrency == 2
+    assert [s.key for s in cfg.field_specs()] == ["DOC ID"]
+
+    with _pytest.raises(ValueError, match="not found"):
+        PipelineConfig.from_json(str(tmp_path / "missing.json"))
+    bad = tmp_path / "bad.json"
+    bad.write_text("{nope")
+    with _pytest.raises(ValueError, match="failed to parse"):
+        PipelineConfig.from_json(str(bad))
+    with _pytest.raises(ValueError, match="unknown config keys"):
+        PipelineConfig.from_dict({"nope": 1})
+    with _pytest.raises(ValueError, match="batch_size"):
+        PipelineConfig.from_dict({"batch_size": -5})
+    with _pytest.raises(ValueError, match="scorer_backend"):
+        PipelineConfig.from_dict({"scorer_backend": "openai"})
+
+    paths = write_pages_corpus(str(tmp_path / "pages"), n_rows=120, n_files=2, seed=3)
+    out = cfg.build_extraction_with_fields(paths).to_pandas()
+    assert len(out) == 120
+    assert "fields" in out.columns  # field stage attached per config
