@@ -57,18 +57,18 @@ def auto_num_partitions() -> int:
 
 
 def broadcast_map(ds: ray.data.Dataset, mapping: dict, key: str, out_col: str, default=None) -> ray.data.Dataset:
-    """Left join against a broadcast dict: ``out_col = mapping[key]``."""
+    """Left join against a broadcast dict: ``out_col = mapping[key]``.
+    Task-based: ``ray.get`` of the shared ref is a zero-copy local
+    object-store read per task — measurably cheaper than spinning an
+    actor pool for a stateless lookup."""
     ref = ray.put(mapping)
 
-    class Lookup:
-        def __init__(self):
-            self.m = ray.get(ref)  # once per actor, from local object store
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        batch[out_col] = batch[key].map(m).fillna(default) if default is not None else batch[key].map(m)
+        return batch
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch[out_col] = batch[key].map(self.m).fillna(default) if default is not None else batch[key].map(self.m)
-            return batch
-
-    return ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(lookup, batch_format="pandas")
 
 
 def broadcast_semi(ds: ray.data.Dataset, keys: Iterable, key: str, keep: bool = True) -> ray.data.Dataset:
@@ -115,6 +115,16 @@ def join_datasets(
     return bucket_join(left, right, on=on, how=how, num_buckets=num_partitions)
 
 
+# Spark-style auto-broadcast plan threshold: a join/filter side at or
+# below this many rows is collected and broadcast (bounded driver +
+# object-store cost: ~10-100 MB); above it, the hash-partitioned
+# exchange runs. At sf0.1 every dimension-ish side is far below the
+# limit (the exchange's ~seconds of fixed aggregator cost would
+# dominate); at 100 TB the same call sites flip to the exchange
+# automatically. Pass broadcast_limit=0 to force the exchange.
+BROADCAST_KEY_LIMIT = 1_000_000
+
+
 def semi_join(
     left: ray.data.Dataset,
     right_keys: ray.data.Dataset,
@@ -124,12 +134,15 @@ def semi_join(
     keep: bool = True,
     num_partitions: int | None = None,
     bloom_bits: int | None = None,
+    broadcast_limit: int = BROADCAST_KEY_LIMIT,
 ) -> ray.data.Dataset:
     """Distributed semi (keep=True) / anti (keep=False) join: keep left
-    rows whose key does / does not appear in ``right_keys`` — WITHOUT
-    ever collecting the key set on the driver (the scale-safe
-    replacement for ``broadcast_semi`` when the key side is derived
-    from a fact table).
+    rows whose key does / does not appear in ``right_keys`` — with an
+    ADAPTIVE plan: the key side is materialized and counted; at or
+    below ``broadcast_limit`` rows it broadcasts (one object-store
+    copy, zero shuffle — the measured-size broadcast every SQL planner
+    does), above it the key set never leaves the cluster and the
+    hash-partitioned exchange runs.
 
     With ``bloom_bits`` set, a Bloom filter is built from the key side
     first (fixed ``bloom_bits/8`` bytes regardless of key count) and
@@ -145,6 +158,11 @@ def semi_join(
     if num_partitions is None:
         num_partitions = auto_num_partitions()
     rk = right_on or on
+    if broadcast_limit:
+        right_keys = right_keys.materialize()
+        if right_keys.count() <= broadcast_limit:
+            keys = [r[rk] for r in right_keys.take_all()]
+            return broadcast_semi(left, keys, on, keep=keep)
     if bloom_bits:
         bloom = build_bloom(right_keys, rk, num_bits=bloom_bits)
         bref = ray.put(bloom)
@@ -160,7 +178,7 @@ def semi_join(
         maybe_present = left.map_batches(split(True), batch_format="pandas")
         joined = semi_join(
             maybe_present, right_keys, on, right_on=right_on, keep=keep,
-            num_partitions=num_partitions,
+            num_partitions=num_partitions, broadcast_limit=0,
         )
         return joined if keep else joined.union(definite_absent)
 
@@ -198,6 +216,41 @@ def semi_join(
         return lg.loc[mask if keep else ~mask, l_cols]
 
     return both.groupby("__bucket").map_groups(filter_group, batch_format="pandas")
+
+
+def adaptive_inner_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    *,
+    right_on: str | None = None,
+    num_partitions: int | None = None,
+    broadcast_limit: int = BROADCAST_KEY_LIMIT,
+) -> ray.data.Dataset:
+    """Inner join with the measured-size broadcast plan: the right side
+    is materialized and counted; at or below ``broadcast_limit`` rows
+    it ships once via ``ray.put`` and each batch pandas-merges against
+    it locally (zero shuffle — the broadcast hash join); above it the
+    hash-partitioned exchange runs. Semantics identical either way
+    (including duplicate right keys)."""
+    rk = right_on or on
+    if broadcast_limit:
+        right = right.materialize()
+        if right.count() <= broadcast_limit:
+            rdf = right.to_pandas()
+            ref = ray.put(rdf)
+
+            def merge(b: pd.DataFrame) -> pd.DataFrame:
+                r = ray.get(ref)  # zero-copy read from the local store
+                out = b.merge(r, left_on=on, right_on=rk, how="inner")
+                if rk != on and rk in out.columns:
+                    out = out.drop(columns=[rk])
+                return out
+
+            return left.map_batches(merge, batch_format="pandas")
+    return join_datasets(
+        left, right, on, right_on=right_on, num_partitions=num_partitions
+    )
 
 
 _BLOOM_HASH_KEYS = ["0123456789abcdef", "fedcba9876543210", "a1b2c3d4e5f60718", "deadbeefcafef00d"]

@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray.data
 
 from pdf_extractor_ray.functions.exact import cents_np
-from pdf_extractor_ray.joins import broadcast_map, broadcast_semi, join_datasets, semi_join
+from pdf_extractor_ray.joins import adaptive_inner_join, broadcast_map, semi_join
 from pdf_extractor_ray.ops import distinct, grouped_sum
 
 
@@ -116,7 +116,9 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas",
         batch_size=65536,
     )
-    joined = join_datasets(orders, lineitem, on="o_orderkey")
+    # lineitem (the big stream) stays left; the semi-filtered orders side
+    # is the one the adaptive plan can broadcast
+    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
     per_order = grouped_sum(joined.select_columns(["o_orderkey", "rev_cents"]), ["o_orderkey"], ["rev_cents"])
     per_order = per_order.map_batches(
         lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas"
@@ -160,7 +162,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
     )
 
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    orders = join_datasets(orders, cust, on="o_custkey", right_on="c_custkey")
+    orders = adaptive_inner_join(orders, cust, on="o_custkey", right_on="c_custkey")
     orders = orders.select_columns(["o_orderkey", "n_name"])
 
     lineitem = ray.data.read_parquet(
@@ -175,7 +177,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
         batch_format="pandas",
         batch_size=65536,
     )
-    joined = join_datasets(orders, lineitem, on="o_orderkey")
+    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
     out = grouped_sum(joined.select_columns(["n_name", "rev_cents"]), ["n_name"], ["rev_cents"], num_buckets=4)
     return out.map_batches(lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas")
 
@@ -523,7 +525,7 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         batch_size=65536,
     )
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    joined = join_datasets(orders, lineitem, on="o_orderkey")
+    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
     per_cust = grouped_sum(joined.select_columns(["o_custkey", "rev_cents"]), ["o_custkey"], ["rev_cents"])
     per_cust = per_cust.map_batches(
         lambda b: b.rename(columns={"o_custkey": "c_custkey", "rev_cents": "revenue_cents"}),

@@ -180,10 +180,11 @@ def dedup_minhash(sf_dir: str, **kw) -> ray.data.Dataset:
     by nothing, correct at any dup rate.
     """
     from pdf_extractor_ray.joins import semi_join
-    from pdf_extractor_ray.ops import distinct
 
     pairs = minhash_lsh_pairs(sf_dir, **kw)
-    losers = distinct(pairs.select_columns(["doc_b"]), ["doc_b"])
+    # duplicate loser ids are harmless to the anti-join on either plan
+    # (broadcast set or left_anti exchange) — no distinct pass needed
+    losers = pairs.select_columns(["doc_b"])
     ds = _read_docs(sf_dir, columns=("doc_id", "lang", "source", "n_chars"))
     return semi_join(ds, losers, on="doc_id", right_on="doc_b", keep=False)
 

@@ -104,7 +104,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     hash-partitioned join (never a driver dict); the top-k shrinks
     inside map_batches (per-batch prune) before one bucketed exchange
     on segment."""
-    from pdf_extractor_ray.joins import join_datasets
+    from pdf_extractor_ray.joins import adaptive_inner_join
 
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
@@ -112,7 +112,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
-    orders = join_datasets(orders, cust, on="o_custkey", right_on="c_custkey")
+    orders = adaptive_inner_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
     def local_prune(b: pd.DataFrame) -> pd.DataFrame:
         b = b.dropna(subset=["c_mktsegment"]).copy()

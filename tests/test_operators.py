@@ -257,11 +257,15 @@ def test_semi_join_distributed_semi_and_anti():
     right = pd.DataFrame({"rk": [2, 2, 4, 9]})
     lds = ray.data.from_pandas(left)
     rds = ray.data.from_pandas(right)
-    semi = semi_join(lds, rds, on="k", right_on="rk", num_partitions=4).to_pandas()
-    anti = semi_join(lds, rds, on="k", right_on="rk", keep=False, num_partitions=4).to_pandas()
+    # broadcast_limit=0 forces the hash-partitioned exchange plan
+    semi = semi_join(lds, rds, on="k", right_on="rk", num_partitions=4, broadcast_limit=0).to_pandas()
+    anti = semi_join(lds, rds, on="k", right_on="rk", keep=False, num_partitions=4, broadcast_limit=0).to_pandas()
     assert sorted(semi.columns) == ["k", "v"]
     assert sorted(semi["k"]) == [2, 4]
     assert sorted(anti["k"]) == [1, 3, 5]
+    # the adaptive (auto-broadcast) plan returns identical rows
+    semi_b = semi_join(lds, rds, on="k", right_on="rk").to_pandas()
+    assert sorted(semi_b["k"]) == [2, 4]
 
 
 def test_bloom_no_false_negatives_and_semi_join_bloom_exact():
@@ -281,10 +285,34 @@ def test_bloom_no_false_negatives_and_semi_join_bloom_exact():
     lds = ray.data.from_pandas(left)
     for keep in (True, False):
         plain = semi_join(lds, keys_ds, on="k", right_on="rk", keep=keep).to_pandas()
-        bloomed = semi_join(
-            lds, keys_ds, on="k", right_on="rk", keep=keep, bloom_bits=nbits
+        bloomed = semi_join(  # broadcast_limit=0: exercise the bloom+exchange plan
+            lds, keys_ds, on="k", right_on="rk", keep=keep, bloom_bits=nbits, broadcast_limit=0
         ).to_pandas()
         assert sorted(plain["k"]) == sorted(bloomed["k"])
+
+
+def test_adaptive_inner_join_both_plans_match():
+    """adaptive_inner_join: broadcast plan (default) and exchange plan
+    (broadcast_limit=0) produce identical inner-join rows, including
+    duplicate right keys and a differently-named key column."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 7], "a": list("vwxyz")})
+    right = pd.DataFrame({"rk": [2, 2, 3, 4], "b": [10, 20, 30, 40]})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+    exp = (
+        left.merge(right, left_on="k", right_on="rk").drop(columns="rk")
+        .sort_values(["k", "a", "b"]).reset_index(drop=True)
+    )
+    for lim in (1_000_000, 0):
+        got = (
+            adaptive_inner_join(lds, rds, on="k", right_on="rk", broadcast_limit=lim)
+            .to_pandas()
+        )
+        if "rk" in got.columns:
+            got = got.drop(columns="rk")
+        got = got.sort_values(["k", "a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[exp.columns], exp)
 
 
 def test_label_propagation_components():
