@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search ------------------------------------------
         "knn_cosine_topk": similarity.knn_brute_force,
         "knn_ivf_topk": similarity.knn_ivf,
+        "knn_ivf_indexed_topk": similarity.knn_ivf_indexed_query,
         # -- text analysis ----------------------------------------------
         "doc_token_stats": textops.doc_token_stats,
         "lang_count_documents": textops.lang_count,

@@ -426,3 +426,29 @@ def test_prepare_training_run_enforces_minimum():
     valid, counts = prepare_training_run(build_training_examples(enough))
     assert counts == {"n_valid": 11, "n_invalid": 1, "n_total": 12}
     assert valid.count() == 11
+
+
+def test_ivf_persisted_index_partition_pruned(tmp_path):
+    """build_ivf_index writes a hive-partitioned layout (one directory
+    per list_id) + centroid sidecar; the indexed query reads only the
+    probed partitions and matches the transient knn_ivf results."""
+    import os
+
+    from pdf_extractor_ray.pipelines.similarity import (
+        _load_query_vec,
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(SF_DIR, idx, num_lists=8)
+    parts = [d for d in os.listdir(os.path.join(idx, "data")) if d.startswith("list_id=")]
+    assert len(parts) >= 2  # really partitioned on disk
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+
+    qid, qvec = _load_query_vec(SF_DIR)
+    got = knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
+    transient = knn_ivf(SF_DIR, k=10, num_lists=8, n_probe=4)
+    assert list(got["vec_id"]) == list(transient["vec_id"])
+    assert list(got["rank"]) == list(transient["rank"])
