@@ -81,7 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "embedding_near_dups": dedup.embedding_near_dups,
+        "embedding_near_dups": dedup.embedding_near_dups_query,
         # -- similarity search ------------------------------------------
         "knn_cosine_topk": similarity.knn_brute_force,
         "knn_ivf_topk": similarity.knn_ivf,
@@ -137,4 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "llm_score_documents": webdocs.LLM_SCORE_SQL,
         "lang_count_documents": textops.LANG_COUNT_SQL,
         "quality_documents": textops.QUALITY_SQL,
+        "lang_id_documents": textops.LANG_ID_SQL,
+        "embedding_near_dups": dedup.EMBEDDING_NEAR_DUPS_SQL,
+        "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_SQL,
+        "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
     }

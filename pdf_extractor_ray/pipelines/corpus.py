@@ -76,7 +76,9 @@ def corpus_pipeline(sf_dir: str, min_quality: float = 0.3) -> ray.data.Dataset:
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["quality"] = b["text"].map(textstats.quality_score)
+        # raw (unrounded) score: the SQL oracle replays the identical
+        # IEEE-double expression, so filter and permille match exactly
+        b["quality"] = b["text"].map(textstats.quality_score_raw)
         b = b[b["quality"] >= min_quality]  # filter BEFORE hashing
         b["__h"] = b["text"].map(hashing.content_hash)
         # the dedup exchange only needs these columns — never ship text
@@ -122,4 +124,37 @@ SPLIT_SQL = """
 SELECT CASE WHEN doc_id % 10 = 0 THEN 'test' ELSE 'train' END AS split,
        COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+"""
+
+
+# Exact replay of corpus_pipeline for the corpus charset: the quality
+# raw-score expression is the same IEEE-double chain as the kernel
+# (see textops.QUALITY_SQL), the dedup partitions on text (the engine
+# hashes it — identical up to 128-bit collisions), and filter-then-
+# dedup commutes because quality is a function of text.
+CORPUS_SQL = """
+WITH q AS (
+    SELECT doc_id, lang, text,
+           len(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '), w -> w IN (
+               'the','and','of','to','a','in','is','that','it','for',
+               'was','with','on','as','are','this'))) AS n_stop
+    FROM documents
+), f AS (
+    SELECT doc_id, lang, text,
+           (0.35 * least(1.0, n_words / 50.0)
+            + 0.3 * least(1.0, (CAST(n_stop AS DOUBLE) / n_words) / 0.2)
+            + 0.2 * 1.0
+            + 0.15 * (CASE WHEN (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words)
+                                BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)) AS quality
+    FROM q
+), d AS (
+    SELECT * FROM f
+    WHERE quality >= 0.3
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(floor(quality * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS quality_permille_sum
+FROM d GROUP BY lang
 """

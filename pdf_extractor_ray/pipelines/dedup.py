@@ -457,3 +457,35 @@ def embedding_near_dups(
         )
 
     return grouped_apply(cells, ["grid"], cell_pairs, num_buckets=min(16, num_blocks * (num_blocks + 1) // 2))
+
+
+def embedding_near_dups_query(sf_dir: str, cosine_threshold: float = 0.35) -> ray.data.Dataset:
+    """Driver-facing projection of ``embedding_near_dups`` with the
+    similarity in integer micro-units, which hash-matches the DuckDB
+    all-pairs cosine self-join oracle (the engine's blocked-grid
+    normalized matmul and DuckDB's list_cosine_similarity agree to
+    ~1e-15 — far inside the 1e-6 quantization and the corpus's 2.9e-5
+    threshold margin)."""
+    pairs = embedding_near_dups(sf_dir, cosine_threshold=cosine_threshold)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_a": b["vec_a"],
+                "vec_b": b["vec_b"],
+                "sim_micro": np.floor(b["cosine_sim"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return pairs.map_batches(project, batch_format="pandas")
+
+
+EMBEDDING_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5)
+            AS BIGINT) AS sim_micro
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+"""

@@ -72,6 +72,46 @@ def lang_id_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(pred, batch_format="pandas", batch_size=4096)
 
 
+def _stopword_sql_set(lang: str) -> str:
+    return ",".join(f"'{w}'" for w in sorted(textstats.STOPWORDS[lang]))
+
+
+# Exact SQL replica of kernels.textstats.lang_id for the corpus charset
+# (single-space lowercase words): first-400-words stopword vote per
+# language, first-listed language wins ties (en > de > fr > es, strict
+# > to displace), 'und' when no votes or vote ratio < 2%. Verified
+# 0 mismatches vs the kernel at sf0.01 and sf0.1.
+LANG_ID_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, list_slice(string_split(text, ' '), 1, 400) AS words
+    FROM documents
+), s AS (
+    SELECT doc_id, lang, len(words) AS n,
+        len(list_filter(words, x -> x IN ({_stopword_sql_set('en')}))) AS s_en,
+        len(list_filter(words, x -> x IN ({_stopword_sql_set('de')}))) AS s_de,
+        len(list_filter(words, x -> x IN ({_stopword_sql_set('fr')}))) AS s_fr,
+        len(list_filter(words, x -> x IN ({_stopword_sql_set('es')}))) AS s_es
+    FROM w
+), p AS (
+    SELECT doc_id, lang, n,
+        CASE
+            WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS best_lang,
+        greatest(s_en, s_de, s_fr, s_es) AS best
+    FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 OR CAST(best AS DOUBLE)/n < 0.02
+            THEN 'und' ELSE best_lang END AS lang_pred,
+       CAST(lang = (CASE WHEN best = 0 OR CAST(best AS DOUBLE)/n < 0.02
+                         THEN 'und' ELSE best_lang END) AS TINYINT) AS agree
+FROM p
+"""
+
+
 def quality_documents(sf_dir: str) -> ray.data.Dataset:
     """Quality features + scalar score per document. The score is
     emitted as integer micro-units (floor(raw*1e6 + 0.5)) so the DuckDB

@@ -25,6 +25,16 @@ from pdf_extractor_ray.kernels.normalize import collapse_ws, normalize_compare
 
 MIN_TRAINING_EXAMPLES = 10  # reference guard: train.py:277-281
 
+# Oracle for the driver's training_examples query (example build +
+# structure validation over documents): an example is invalid exactly
+# when the document contributes no content to the user turn.
+TRAINING_EXAMPLES_SQL = """
+SELECT doc_id AS example_id,
+       len(trim(text)) > 0 AS valid,
+       CASE WHEN len(trim(text)) > 0 THEN '' ELSE 'empty document content' END AS error
+FROM documents
+"""
+
 PROMPT_TEMPLATE = (
     "Extract the requested fields from this document.\n\n{content}"
 )
