@@ -158,6 +158,10 @@ class _Extractor:
     # -- tag events ----------------------------------------------------
     def _starttag(self, tag: str) -> None:
         if tag in VOID_TAGS:
+            # <br>/<hr> separate words: without this, "one<br>two"
+            # would fuse to "onetwo" (collapse_ws normalizes the space)
+            if tag in ("br", "hr") and not self._skip_depth and self._block_stack:
+                self._block_stack[-1].parts.append(" ")
             return
         if tag in SKIP_TAGS:
             self._skip_depth += 1

@@ -483,3 +483,10 @@ def test_pdf_object_stream_members():
     )
     text, _ = pdf_extract(pdf)
     assert text == "from objstm"
+
+
+def test_html_br_separates_words():
+    """<br>/<hr> must act as whitespace between text runs, not vanish."""
+    raw = b'<html><body><p>line one<br>line two<br/>line three<hr>after rule</p></body></html>'
+    text, _ = html_extract(raw)
+    assert text == "line one line two line three after rule"
