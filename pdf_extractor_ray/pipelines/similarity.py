@@ -256,7 +256,10 @@ def knn_ivf_indexed_query(sf_dir: str, k: int = 20, num_lists: int = 16, n_probe
     import hashlib
     import os as _os
 
-    tag = hashlib.blake2b(f"{_os.path.abspath(sf_dir)}:{num_lists}".encode(), digest_size=8).hexdigest()
+    # version token invalidates caches when index semantics change
+    tag = hashlib.blake2b(
+        f"v2:{_os.path.abspath(sf_dir)}:{num_lists}".encode(), digest_size=8
+    ).hexdigest()
     index_dir = _os.path.join("/tmp", f"ivf_index_{tag}")
     if not _os.path.exists(_os.path.join(index_dir, "centroids.npy")):
         build_ivf_index(sf_dir, index_dir, num_lists=num_lists)

@@ -76,3 +76,45 @@ def test_normalizers_total_and_idempotent(v):
     assert format_value(f) == f or "$" not in f  # idempotent modulo symbols
     k = normalize_key(v)
     assert normalize_key(k) == k
+
+
+def test_join_planner_plans_agree_property():
+    """Property: for random tables, semi/anti/inner results are
+    identical across the broadcast plan, the exchange plan, and a
+    pandas ground truth."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.joins import adaptive_inner_join, semi_join
+
+    rng = np.random.default_rng(1234)
+    for trial in range(3):
+        n_l, n_r = int(rng.integers(1, 400)), int(rng.integers(1, 120))
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 50, size=n_l), "v": rng.integers(0, 1000, size=n_l)}
+        )
+        right = pd.DataFrame(
+            {"rk": rng.integers(0, 50, size=n_r), "w": rng.integers(0, 1000, size=n_r)}
+        )
+        lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+        rkeys = set(right["rk"])
+
+        for keep in (True, False):
+            exp = sorted(left.loc[left["k"].isin(rkeys) == keep, "v"])
+            for lim in (1_000_000, 0):
+                got = semi_join(
+                    lds, rds.select_columns(["rk"]), on="k", right_on="rk",
+                    keep=keep, broadcast_limit=lim,
+                ).to_pandas()
+                assert sorted(got["v"]) == exp, (trial, keep, lim)
+
+        exp_inner = (
+            left.merge(right, left_on="k", right_on="rk")
+            .sort_values(["k", "v", "w"])[["k", "v", "w"]]
+            .reset_index(drop=True)
+        )
+        for lim in (1_000_000, 0):
+            got = adaptive_inner_join(lds, rds, on="k", right_on="rk", broadcast_limit=lim).to_pandas()
+            got = got.sort_values(["k", "v", "w"])[["k", "v", "w"]].reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp_inner)
