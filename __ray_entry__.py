@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": analytics.order_priority_counts,
         "q10_returned_revenue": analytics.q10_returned_revenue,
         "part_price_range_by_brand": analytics.part_price_range_by_brand,
+        "order_median_by_priority": analytics.order_median_by_priority,
+        "revenue_rollup": analytics.revenue_rollup,
+        "events_sliding_window": windows.events_sliding_window,
+        "approx_distinct_counts": textops.approx_distinct_counts,
         "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
@@ -126,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": analytics.ORDER_PRIORITY_SQL,
         "q10_returned_revenue": analytics.Q10_SQL,
         "part_price_range_by_brand": analytics.PART_PRICE_RANGE_SQL,
+        "order_median_by_priority": analytics.ORDER_MEDIAN_SQL,
+        "revenue_rollup": analytics.REVENUE_ROLLUP_SQL,
+        "events_sliding_window": windows.EVENTS_SLIDING_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,

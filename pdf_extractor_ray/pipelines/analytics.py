@@ -575,3 +575,81 @@ SELECT p_brand,
        COUNT(*) AS n_parts
 FROM part GROUP BY p_brand
 """
+
+
+# ------------------------------------------------- non-decomposable agg
+def order_median_by_priority(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group MEDIAN — the canonical non-decomposable
+    aggregate: it cannot be split into per-batch partials, so each
+    key's rows are co-located by ONE bucketed exchange
+    (``grouped_apply``) and the median is computed vectorized inside
+    the bucket. Group count (5 priorities) is tiny; group SIZE is what
+    scales, bounded per bucket — the same shape serves percentiles,
+    mode, or any order statistic."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderpriority", "o_totalprice"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderpriority": b["o_orderpriority"], "price_cents": cents_np(b["o_totalprice"])}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False)["price_cents"].median()
+        return out.rename(columns={"price_cents": "median_price_cents"})
+
+    return grouped_apply(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["o_orderpriority"],
+        per_bucket,
+        num_buckets=4,
+    )
+
+
+ORDER_MEDIAN_SQL = """
+SELECT o_orderpriority,
+       median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS median_price_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------- rollup
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING-SETS/ROLLUP aggregate over (l_returnflag,
+    l_linestatus): ONE distributed exchange computes the finest level;
+    the coarser levels re-aggregate from that tiny result (6 rows) —
+    the standard rollup plan, no extra scans. NULL grouping markers are
+    emitted as the sentinel 'ALL' on both engines so the driver's hash
+    canonicalization never sees engine-specific null encodings."""
+    finest = (
+        q1_pricing_summary(sf_dir)
+        .to_pandas()[["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_cents"]]
+    )
+    mid = (
+        finest.groupby("l_returnflag", as_index=False)[["sum_qty", "sum_disc_cents"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "sum_qty": [finest["sum_qty"].sum()],
+            "sum_disc_cents": [finest["sum_disc_cents"].sum()],
+        }
+    )
+    cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_disc_cents"]
+    out = pd.concat([finest[cols], mid[cols], total[cols]], ignore_index=True)
+    return out.astype({"sum_qty": "int64", "sum_disc_cents": "int64"})
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""

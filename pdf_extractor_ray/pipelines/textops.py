@@ -169,6 +169,47 @@ FROM f
 """
 
 
+def approx_distinct_counts(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """HyperLogLog approximate COUNT DISTINCT over two corpus-scale
+    cardinalities: events.user_id and the documents token vocabulary.
+    Each batch folds into a fixed 2^p-byte register row; the driver
+    max-merges the (fixed-size) register rows — no distinct shuffle,
+    no key set anywhere. Accuracy ~1.04/sqrt(2^p) ≈ 1.6% at p=12
+    (unit-tested); exact counts would need the ``ops.distinct``
+    exchange instead."""
+    from pdf_extractor_ray.kernels import sketches
+
+    def fold_col(ds: ray.data.Dataset, col: str, explode_tokens: bool = False) -> float:
+        def fold(b: pd.DataFrame) -> pd.DataFrame:
+            vals = b[col]
+            if explode_tokens:
+                vals = vals.str.split(" ").explode()
+                vals = vals[vals != ""]
+            h = pd.util.hash_array(vals.to_numpy(), hash_key="0123456789abcdef")
+            reg = sketches.hll_registers(h, p=p)
+            return pd.DataFrame({"reg": [reg.tobytes()]})
+
+        merged = np.zeros(1 << p, dtype=np.uint8)
+        for batch in ds.map_batches(fold, batch_format="pandas").iter_batches(batch_format="pandas"):
+            for packed in batch["reg"]:
+                merged = sketches.hll_merge(merged, np.frombuffer(packed, dtype=np.uint8))
+        return sketches.hll_estimate(merged)
+
+    users = fold_col(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"]),
+        "user_id",
+    )
+    tokens = fold_col(
+        _docs(sf_dir, ["text"]), "text", explode_tokens=True
+    )
+    return pd.DataFrame(
+        {
+            "metric": ["events.user_id", "documents.token"],
+            "approx_distinct": np.array([round(users), round(tokens)], dtype=np.int64),
+        }
+    )
+
+
 def fingerprint_documents(sf_dir: str) -> ray.data.Dataset:
     """Rolling-hash fingerprint + simhash per document (dedup keying)."""
     ds = _docs(sf_dir, ["doc_id", "text"])

@@ -131,6 +131,55 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return grouped_apply(pruned, ["c_mktsegment"], final_topk, num_buckets=4)
 
 
+def events_sliding_window(sf_dir: str, size_s: int = 3600, hop_s: int = 1800) -> ray.data.Dataset:
+    """Overlapping (sliding/hopping) windowed aggregate: each event
+    lands in ``size/hop`` windows. The window replication happens
+    vectorized inside ``map_batches`` (np.repeat + per-copy offset),
+    then ONE bucketed exchange aggregates (event_type, window_start).
+    Window starts are int64 epoch seconds — canonicalization-proof for
+    the SQL oracle. ``size_s`` must be a multiple of ``hop_s``."""
+    assert size_s % hop_s == 0
+    k = size_s // hop_s
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        epoch_us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        base = epoch_us // (hop_s * 1_000_000)  # hop ordinal containing the event
+        et = np.repeat(b["event_type"].to_numpy(), k)
+        cents = np.repeat(cents_np(b["value"]), k)
+        offsets = np.tile(np.arange(k, dtype=np.int64), len(b))
+        w_start = (np.repeat(base, k) - offsets) * hop_s
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "w_start": w_start,
+                "value_cents": cents,
+                "n_events": np.ones(len(et), dtype=np.int64),
+            }
+        )
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    return grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["event_type", "w_start"],
+        ["value_cents", "n_events"],
+        num_buckets=8,
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i.i) * 1800 AS w_start,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i
+GROUP BY 1, 2
+"""
+
+
 TOP_ORDERS_PER_SEGMENT_SQL = """
 SELECT c_mktsegment, o_orderkey,
        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents

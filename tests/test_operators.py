@@ -452,3 +452,52 @@ def test_ivf_persisted_index_partition_pruned(tmp_path):
     transient = knn_ivf(SF_DIR, k=10, num_lists=8, n_probe=4)
     assert list(got["vec_id"]) == list(transient["vec_id"])
     assert list(got["rank"]) == list(transient["rank"])
+
+
+def test_hll_sketch_accuracy_and_merge():
+    """HLL registers merge associatively and estimate within ~5% at
+    p=12 across three orders of magnitude."""
+    from functools import reduce
+
+    from pdf_extractor_ray.kernels import sketches
+
+    rng = np.random.default_rng(9)
+    for true_n in (50, 2_000, 80_000):
+        h = rng.integers(0, 2**64, size=true_n, dtype=np.uint64)
+        regs = [sketches.hll_registers(part) for part in np.array_split(h, 7)]
+        merged = reduce(sketches.hll_merge, regs)
+        # merge order must not matter
+        merged_rev = reduce(sketches.hll_merge, regs[::-1])
+        assert (merged == merged_rev).all()
+        est = sketches.hll_estimate(merged)
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_approx_distinct_counts_close_to_exact():
+    import duckdb
+
+    from pdf_extractor_ray.pipelines.textops import approx_distinct_counts
+
+    got = approx_distinct_counts(SF_DIR).set_index("metric")["approx_distinct"]
+    con = duckdb.connect()
+    exact_users = con.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchone()[0]
+    exact_tokens = con.sql(
+        f"""SELECT COUNT(DISTINCT w) FROM (
+            SELECT unnest(string_split(text,' ')) AS w
+            FROM read_parquet('{SF_DIR}/documents.parquet')) WHERE w != ''"""
+    ).fetchone()[0]
+    assert abs(got["events.user_id"] - exact_users) / exact_users < 0.05
+    assert abs(got["documents.token"] - exact_tokens) / exact_tokens < 0.05
+
+
+def test_sliding_window_each_event_in_two_windows():
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.windows import events_sliding_window
+
+    n_events = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    out = events_sliding_window(SF_DIR).to_pandas()
+    assert out["n_events"].sum() == 2 * n_events  # size/hop = 2 windows each
+    assert (out["w_start"] % 1800 == 0).all()
