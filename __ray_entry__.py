@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
+        "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
     }
 
 
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": analytics.REVENUE_ROLLUP_SQL,
         "events_sliding_window": windows.EVENTS_SLIDING_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,
+        "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).STRATIFIED_SAMPLE_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,

@@ -120,6 +120,30 @@ def split_train_test(sf_dir: str, test_mod: int = 10) -> ray.data.Dataset:
     return grouped_sum(ds.map_batches(tag, batch_format="pandas"), ["split"], ["n_docs"], num_buckets=2)
 
 
+def stratified_sample(sf_dir: str, permille: int = 100) -> ray.data.Dataset:
+    """Deterministic stratified sample: keep a document iff
+    ``doc_id % 1000 < permille`` — the hash/mod sampling rule a
+    reproducible training pipeline uses instead of RNG sampling
+    (membership is independent of corpus size, partitioning, and run
+    order, and the strata proportions hold per language because doc_id
+    is independent of lang). Pure per-batch filter: zero shuffle."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b["doc_id"] % 1000) < permille]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents WHERE doc_id % 1000 < 100
+"""
+
+
 SPLIT_SQL = """
 SELECT CASE WHEN doc_id % 10 = 0 THEN 'test' ELSE 'train' END AS split,
        COUNT(*) AS n_docs
