@@ -145,3 +145,50 @@ def test_config_from_json_and_factory(tmp_path):
     out = cfg.build_extraction_with_fields(paths).to_pandas()
     assert len(out) == 120
     assert "fields" in out.columns  # field stage attached per config
+
+
+def test_finetune_job_lifecycle(tmp_path):
+    """Offline fine-tune lifecycle: submit -> poll to succeeded ->
+    status/list/models; under-floor and malformed submissions fail
+    with recorded reasons."""
+    import json
+
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.finetune import (
+        LocalSimulatedBackend,
+        create_fine_tuning_job,
+        job_status,
+        monitor_job,
+        run_training,
+    )
+    from pdf_extractor_ray.pipelines.training import build_training_examples
+
+    backend = LocalSimulatedBackend(str(tmp_path / "registry"))
+
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(15), "text": [f"doc body {i}" for i in range(15)]})
+    )
+    res = run_training(backend, build_training_examples(docs), str(tmp_path / "out"))
+    job = res["job"]
+    assert job["status"] == "succeeded"
+    assert job["fine_tuned_model"].startswith("ft:base-extractor-small:extractor:")
+    assert res["counts"]["n_valid"] == 15
+    # status + listing surface the same record
+    assert job_status(backend, job["id"])["status"] == "succeeded"
+    assert any(j["id"] == job["id"] for j in backend.list_jobs())
+    assert job["fine_tuned_model"] in backend.list_models()
+
+    # under the example floor -> failed job with the reason
+    small = tmp_path / "small.jsonl"
+    small.write_text("\n".join(json.dumps({"messages": [{"role": "user", "content": "x"}]}) for _ in range(3)))
+    jid = create_fine_tuning_job(backend, str(small), "base-extractor-small", "tiny")
+    st = monitor_job(backend, jid)
+    assert st["status"] == "failed" and ">= 10 valid" in st["error"]
+
+    # malformed JSONL -> failed with a line-specific reason
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"messages": [1]}\n{nope\n')
+    jid2 = create_fine_tuning_job(backend, str(bad), "base-extractor-small", "bad")
+    assert "invalid JSON" in job_status(backend, jid2)["error"]
