@@ -331,42 +331,48 @@ def simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, k: int = 3) -> ray.data.Dataset:
     """Exact n-gram Jaccard over MinHash-LSH candidates (LSH prunes the
     O(n²) pair space; the exact Jaccard re-verifies with true shingle
-    sets, not signatures)."""
-    cand = minhash_lsh_pairs(sf_dir, shingle_k=k, jaccard_threshold=0.2)
-    # Only candidate documents' texts are fetched and broadcast — the
-    # candidate set is tiny relative to the corpus (LSH pruned), so the
-    # broadcast stays small at any scale; the read pushes an id filter
-    # into the parquet scan.
-    import pyarrow.compute as pc_
-    import ray as _ray
+    sets, not signatures).
 
-    cand_ids = set()
-    for r in cand.select_columns(["doc_a", "doc_b"]).take_all():
-        cand_ids.add(r["doc_a"])
-        cand_ids.add(r["doc_b"])
-    if cand_ids:
-        docs = ray.data.read_parquet(
-            _docs_path(sf_dir),
-            columns=["doc_id", "text"],
-            filter=pc_.field("doc_id").isin(sorted(cand_ids)),
-        )
-        texts = {r["doc_id"]: r["text"] for r in docs.take_all()}
-    else:
-        texts = {}
-    ref = _ray.put(texts)
+    Texts are attached through two adaptive joins (docs stream is the
+    probe side; the LSH-pruned pair list is the broadcastable build
+    side): nothing is ever collected on the driver, and above the
+    broadcast threshold the same call sites run on the exchange."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+
+    cand = minhash_lsh_pairs(sf_dir, shingle_k=k, jaccard_threshold=0.2).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    docs = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    j1 = adaptive_inner_join(docs, cand, on="doc_id", right_on="doc_a").map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_a": b["doc_id"], "text_a": b["text"], "doc_b": b["doc_b"]}
+        ),
+        batch_format="pandas",
+    )
+    j2 = adaptive_inner_join(docs, j1, on="doc_id", right_on="doc_b").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_a": b["doc_a"],
+                "doc_b": b["doc_id"],
+                "text_a": b["text_a"],
+                "text_b": b["text"],
+            }
+        ),
+        batch_format="pandas",
+    )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
-        t = _ray.get(ref)
         sims = []
-        for a_id, b_id in zip(b["doc_a"], b["doc_b"]):
-            sa = hashing.shingle_hashes(t[a_id], k=k)
-            sb = hashing.shingle_hashes(t[b_id], k=k)
+        for ta, tb in zip(b["text_a"], b["text_b"]):
+            sa = hashing.shingle_hashes(ta, k=k)
+            sb = hashing.shingle_hashes(tb, k=k)
             sims.append(hashing.jaccard(np.sort(sa), np.sort(sb)))
-        b = b[["doc_a", "doc_b"]].copy()
-        b["ngram_jaccard"] = sims
-        return b[b["ngram_jaccard"] >= threshold]
+        out = b[["doc_a", "doc_b"]].copy()
+        out["ngram_jaccard"] = sims
+        return out[out["ngram_jaccard"] >= threshold]
 
-    return cand.map_batches(verify, batch_format="pandas")
+    return j2.map_batches(verify, batch_format="pandas")
 
 
 def embedding_near_dups(
