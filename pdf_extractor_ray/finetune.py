@@ -185,9 +185,17 @@ def run_training(
         write_training_jsonl,
     )
 
+    import tempfile
+
     valid, counts = prepare_training_run(examples)
-    write_training_jsonl(valid, out_dir)
-    jsonl = sorted(str(p) for p in Path(out_dir).glob("*.json"))
+    # shards go to a FRESH subdir: Ray's write_json adds uniquely-named
+    # files without cleaning, so re-running into a reused out_dir would
+    # otherwise consolidate stale shards from earlier runs (duplicated
+    # training examples)
+    os.makedirs(out_dir, exist_ok=True)
+    shard_dir = tempfile.mkdtemp(prefix="shards-", dir=out_dir)
+    write_training_jsonl(valid, shard_dir)
+    jsonl = sorted(str(p) for p in Path(shard_dir).glob("*.json"))
     # consolidate the sharded sink into the single upload file the
     # service API expects
     upload = os.path.join(out_dir, "training.jsonl")

@@ -56,15 +56,31 @@ def auto_num_partitions() -> int:
     return max(2, cpus // 4)
 
 
+# Per-worker cache of deserialized broadcast objects: ray.get of a
+# dict/DataFrame UNPICKLES it (zero-copy applies only to numpy
+# buffers), so a per-batch ray.get would pay O(batches × object size).
+# Ray reuses worker processes across tasks, so caching by object-ref id
+# deserializes once per worker — the actor-pool benefit without the
+# actor-pool dispatch overhead.
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        if len(_BCAST_CACHE) >= 8:  # bound worker heap across pipelines
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
 def broadcast_map(ds: ray.data.Dataset, mapping: dict, key: str, out_col: str, default=None) -> ray.data.Dataset:
     """Left join against a broadcast dict: ``out_col = mapping[key]``.
-    Task-based: ``ray.get`` of the shared ref is a zero-copy local
-    object-store read per task — measurably cheaper than spinning an
-    actor pool for a stateless lookup."""
+    Task-based, with the per-worker deserialization cache above."""
     ref = ray.put(mapping)
 
     def lookup(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
+        m = _cached_get(ref)
         batch[out_col] = batch[key].map(m).fillna(default) if default is not None else batch[key].map(m)
         return batch
 
@@ -76,7 +92,7 @@ def broadcast_semi(ds: ray.data.Dataset, keys: Iterable, key: str, keep: bool = 
     ref = ray.put(frozenset(keys))
 
     def filt(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(ref)
+        ks = _cached_get(ref)
         mask = batch[key].isin(ks)
         return batch[mask] if keep else batch[~mask]
 
@@ -169,7 +185,7 @@ def semi_join(
 
         def split(maybe: bool):
             def fn(b: pd.DataFrame) -> pd.DataFrame:
-                mask = bloom_contains(b[on], ray.get(bref), num_bits=bloom_bits)
+                mask = bloom_contains(b[on], _cached_get(bref), num_bits=bloom_bits)
                 return b[mask] if maybe else b[~mask]
 
             return fn
@@ -241,7 +257,7 @@ def adaptive_inner_join(
             ref = ray.put(rdf)
 
             def merge(b: pd.DataFrame) -> pd.DataFrame:
-                r = ray.get(ref)  # zero-copy read from the local store
+                r = _cached_get(ref)  # deserialized once per worker
                 out = b.merge(r, left_on=on, right_on=rk, how="inner")
                 if rk != on and rk in out.columns:
                     out = out.drop(columns=[rk])
@@ -253,16 +269,27 @@ def adaptive_inner_join(
     )
 
 
-_BLOOM_HASH_KEYS = ["0123456789abcdef", "fedcba9876543210", "a1b2c3d4e5f60718", "deadbeefcafef00d"]
+_BLOOM_K = 4
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraparound)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
 
 def _bloom_positions(values: pd.Series, num_bits: int) -> list[np.ndarray]:
-    """k independent bit positions per value (k fixed hash keys)."""
-    arr = values.to_numpy()
-    return [
-        (pd.util.hash_array(arr, hash_key=hk) % np.uint64(num_bits)).astype(np.int64)
-        for hk in _BLOOM_HASH_KEYS
-    ]
+    """k bit positions per value via Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod m with h2 odd. NOTE:
+    ``pd.util.hash_array`` IGNORES hash_key for numeric dtypes, so
+    "k different hash keys" silently collapse to one identical hash
+    for int columns — h2 must be derived (splitmix64), not re-keyed."""
+    h1 = pd.util.hash_array(values.to_numpy(), hash_key="0123456789abcdef")
+    h2 = _splitmix64(h1) | np.uint64(1)
+    m = np.uint64(num_bits)
+    return [((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(_BLOOM_K)]
 
 
 def build_bloom(keys_ds: ray.data.Dataset, col: str, num_bits: int = 1 << 23) -> np.ndarray:

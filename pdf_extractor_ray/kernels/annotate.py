@@ -97,7 +97,12 @@ def annotate_pdf(raw: bytes, fields: list[dict]) -> bytes:
             if not n_sub:
                 new_head, n_sub = _LENGTH_RE.subn(new_len, new_head)
             if not n_sub:
-                new_head = new_head.replace(b">>", b" " + new_len + b" >>", 1)
+                # insert before the LAST '>>' — the first one may close
+                # a nested sub-dictionary (e.g. /DecodeParms << ... >>),
+                # which would make /Length a sub-dict entry
+                cut = new_head.rfind(b">>")
+                if cut != -1:
+                    new_head = new_head[:cut] + b" " + new_len + b" " + new_head[cut:]
             new_head = new_head.replace(b"/Filter /FlateDecode", b"").replace(b"/Filter/FlateDecode", b"")
             out.extend(f"{num} 0 obj".encode() + new_head + b"stream\n" + data + b"\nendstream\nendobj\n")
         elif stream is not None:

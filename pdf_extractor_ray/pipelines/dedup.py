@@ -194,7 +194,7 @@ def label_propagation(
     *,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 30,
+    max_rounds: int = 50,
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Distributed connected components by iterated min-label
@@ -232,6 +232,7 @@ def label_propagation(
     ).materialize()
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = join_datasets(directed, labels, on="src", right_on="node").map_batches(
             lambda b: pd.DataFrame({"node": b["dst"], "label": b["label"]}),
@@ -243,8 +244,17 @@ def label_propagation(
         ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning partial labels would silently split components —
+        # surface it instead (a diameter-max_rounds graph needs more
+        # rounds, or a pointer-jumping variant)
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds max_rounds); raise max_rounds"
+        )
     return labels
 
 

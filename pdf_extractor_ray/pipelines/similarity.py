@@ -187,11 +187,21 @@ def build_ivf_index(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     # data/ holds ONLY parquet (a stray sidecar file would poison
-    # read_parquet's directory scan); the centroid matrix sits beside it
+    # read_parquet's directory scan); the centroid matrix sits beside
+    # it. The whole index builds into a temp dir and publishes with ONE
+    # atomic rename — a crash mid-build can never leave a directory
+    # that looks complete (a rebuild over a half-written dir would
+    # append duplicate row files).
+    tmp_dir = index_dir.rstrip("/") + ".building"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).write_parquet(
-        os.path.join(index_dir, "data"), partition_cols=["list_id"]
+        os.path.join(tmp_dir, "data"), partition_cols=["list_id"]
     )
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp_dir, index_dir)
     return cents
 
 
@@ -222,6 +232,10 @@ def knn_ivf_indexed(
         for i in probe
         for f in sorted(_glob.glob(os.path.join(index_dir, "data", f"list_id={i}", "*.parquet")))
     ]
+    if not probe_files:  # every probed centroid is a dead (empty) list
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"), "rank": pd.Series([], dtype="int64")}
+        )
     ds = ray.data.read_parquet(probe_files)
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
@@ -256,9 +270,14 @@ def knn_ivf_indexed_query(sf_dir: str, k: int = 20, num_lists: int = 16, n_probe
     import hashlib
     import os as _os
 
-    # version token invalidates caches when index semantics change
+    # cache key covers semantics version AND source-file identity
+    # (size+mtime) — a regenerated embeddings.parquet at the same path
+    # must not reuse a stale index
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
     tag = hashlib.blake2b(
-        f"v2:{_os.path.abspath(sf_dir)}:{num_lists}".encode(), digest_size=8
+        f"v3:{_os.path.abspath(sf_dir)}:{num_lists}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
     ).hexdigest()
     index_dir = _os.path.join("/tmp", f"ivf_index_{tag}")
     if not _os.path.exists(_os.path.join(index_dir, "centroids.npy")):

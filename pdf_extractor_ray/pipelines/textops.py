@@ -140,31 +140,34 @@ QUALITY_SQL = """
 WITH q AS (
     SELECT doc_id,
            len(text) AS n_chars,
-           len(string_split(text, ' ')) AS n_words,
+           CASE WHEN len(text) = 0 THEN 0
+                ELSE len(string_split(text, ' ')) END AS n_words,
            len(list_filter(string_split(text, ' '), w -> w IN (
                'the','and','of','to','a','in','is','that','it','for',
                'was','with','on','as','are','this'))) AS n_stop
     FROM documents
 ), f AS (
     SELECT doc_id, n_chars, n_words, n_stop,
-           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
-           CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE CAST(n_stop AS DOUBLE) / n_words END AS stopword_ratio,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words END AS mean_word_len
     FROM q
 )
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        CAST(n_words AS BIGINT) AS n_words,
-       CAST(1 AS BIGINT) AS n_lines,
+       CAST(CASE WHEN n_chars = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_lines,
        0.0 AS punct_ratio,
        stopword_ratio,
        mean_word_len,
-       CAST(floor(
+       CAST(CASE WHEN n_words = 0 THEN 0 ELSE floor(
            (0.35 * least(1.0, n_words / 50.0)
             + 0.3 * least(1.0, stopword_ratio / 0.2)
             + 0.2 * 1.0
             + 0.15 * (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0
                            THEN 1.0 ELSE 0.5 END)) * 1000000.0 + 0.5
-       ) AS BIGINT) AS quality_micro
+       ) END AS BIGINT) AS quality_micro
 FROM f
 """
 

@@ -223,9 +223,14 @@ def llm_score_documents(sf_dir: str) -> ray.data.Dataset:
     return scored.map_batches(project, batch_format="pandas")
 
 
+# empty-text documents extract to "" → the fake backend sees no
+# labeled lines → 0 fields and no recovered id (parse still succeeds:
+# the backend answers {"fields": []})
 LLM_SCORE_SQL = """
-SELECT doc_id, doc_id AS recovered_doc_id,
-       CAST(3 AS BIGINT) AS n_fields, TRUE AS parse_ok
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN -1 ELSE doc_id END AS recovered_doc_id,
+       CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_fields,
+       TRUE AS parse_ok
 FROM documents
 """
 

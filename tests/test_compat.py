@@ -192,3 +192,23 @@ def test_finetune_job_lifecycle(tmp_path):
     bad.write_text('{"messages": [1]}\n{nope\n')
     jid2 = create_fine_tuning_job(backend, str(bad), "base-extractor-small", "bad")
     assert "invalid JSON" in job_status(backend, jid2)["error"]
+
+
+def test_run_training_reused_out_dir_no_duplicates(tmp_path):
+    """Re-running into the same out_dir must not consolidate stale
+    shards from the previous run."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.finetune import LocalSimulatedBackend, run_training
+    from pdf_extractor_ray.pipelines.training import build_training_examples
+
+    backend = LocalSimulatedBackend(str(tmp_path / "reg"))
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(12), "text": [f"body {i}" for i in range(12)]})
+    )
+    out = str(tmp_path / "out")
+    r1 = run_training(backend, build_training_examples(docs), out)
+    r2 = run_training(backend, build_training_examples(docs), out)
+    assert r1["job"]["n_examples"] == 12
+    assert r2["job"]["n_examples"] == 12  # not 24

@@ -490,3 +490,29 @@ def test_html_br_separates_words():
     raw = b'<html><body><p>line one<br>line two<br/>line three<hr>after rule</p></body></html>'
     text, _ = html_extract(raw)
     assert text == "line one line two line three after rule"
+
+
+def test_annotate_length_insert_skips_nested_dict():
+    """A head with a nested sub-dictionary and no /Length gets the new
+    /Length at the TOP level, not inside the sub-dict."""
+    from pdf_extractor_ray.kernels.annotate import annotate_pdf
+    from pdf_extractor_ray.kernels.pdf_extract import _parse_objects
+
+    def obj(num, body):
+        return f"{num} 0 obj".encode() + body + b"endobj\n"
+
+    s = b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (nested head) Tj ET\n"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>\n")
+    pdf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n")
+    pdf += obj(3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n")
+    pdf += obj(4, b"<< /DecodeParms << /Columns 4 >> >>\nstream\n" + s + b"endstream\n")
+    pdf += b"%%EOF\n"
+    ann = annotate_pdf(pdf, [{"key": "K", "value": "v", "page": 0, "bbox": [70.0, 80.0, 120.0, 92.0]}])
+    head, stream = _parse_objects(ann)[4]
+    inner = head[head.find(b"<<", 2) : head.find(b">>") + 2]  # the sub-dict
+    assert b"/Length" not in inner
+    import re as _re
+
+    m = _re.search(rb"/Length\s+(\d+)(?!\d)", head)
+    assert m and int(m.group(1)) == len(stream)

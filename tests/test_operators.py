@@ -501,3 +501,19 @@ def test_sliding_window_each_event_in_two_windows():
     out = events_sliding_window(SF_DIR).to_pandas()
     assert out["n_events"].sum() == 2 * n_events  # size/hop = 2 windows each
     assert (out["w_start"] % 1800 == 0).all()
+
+
+def test_bloom_false_positive_rate_uses_k_hashes():
+    """With proper double hashing (pd.util.hash_array ignores hash_key
+    for numeric dtypes, so k must come from derived h2), the FP rate at
+    n=5000 keys / 2^16 bits is ~0.5% (k=4), far under the ~7% a
+    collapsed k=1 filter would show."""
+    from pdf_extractor_ray.joins import bloom_contains, build_bloom
+
+    rng = np.random.default_rng(21)
+    keys = rng.choice(10_000_000, size=5000, replace=False)
+    nbits = 1 << 16
+    bloom = build_bloom(ray.data.from_pandas(pd.DataFrame({"rk": keys})), "rk", num_bits=nbits)
+    probe = rng.choice(np.setdiff1d(np.arange(20_000_000, 20_050_000), keys), size=20_000, replace=False)
+    fp = bloom_contains(pd.Series(probe), bloom, num_bits=nbits).mean()
+    assert fp < 0.02, f"FP rate {fp:.4f} suggests hash functions collapsed"
