@@ -92,11 +92,17 @@ class LocalSimulatedBackend(FineTuneBackend):
         n_valid, err = _count_valid_examples(training_file)
         if not err and n_valid < MIN_TRAINING_EXAMPLES:
             err = f"needs >= {MIN_TRAINING_EXAMPLES} valid examples, got {n_valid}"
-        content_tag = hashlib.blake2b(
-            f"{os.path.abspath(training_file)}:{base_model}:{suffix}".encode(),
-            digest_size=6,
-        ).hexdigest()
-        job_id = f"ftjob-{content_tag}"
+        try:
+            file_hash = hashlib.blake2b(
+                Path(training_file).read_bytes(), digest_size=4
+            ).hexdigest()
+        except OSError:
+            file_hash = "unread"
+        # every submission is a NEW job (sequence suffix), matching the
+        # reference service — resubmitting from the same path must not
+        # overwrite the previous job record
+        seq = len(list(self.dir.glob("ftjob-*.json")))
+        job_id = f"ftjob-{file_hash}-{seq:04d}"
         job = {
             "id": job_id,
             "status": "failed" if err else _PROGRESSION[0],
@@ -131,10 +137,10 @@ class LocalSimulatedBackend(FineTuneBackend):
     def list_jobs(self, limit: int | None = None) -> list[dict]:
         jobs = sorted(
             (json.loads(p.read_text()) for p in self.dir.glob("ftjob-*.json")),
-            key=lambda j: j["created_at"],
+            key=lambda j: (j["created_at"], j["id"]),
             reverse=True,
         )
-        return jobs[:limit] if limit else jobs
+        return jobs if limit is None else jobs[:limit]
 
     def list_models(self) -> list[str]:
         base = ["base-extractor-small", "base-extractor-large"]
@@ -153,13 +159,22 @@ def create_fine_tuning_job(
     return backend.create_job(training_file, base_model, suffix)
 
 
-def monitor_job(backend: FineTuneBackend, job_id: str, max_polls: int = 1000) -> dict:
-    """Poll until a terminal state (reference ``trainer.py:44-55`` —
-    without the sleep: the backend defines poll cadence)."""
+def monitor_job(
+    backend: FineTuneBackend,
+    job_id: str,
+    max_polls: int = 1000,
+    poll_interval_s: float = 0.0,
+) -> dict:
+    """Poll until a terminal state (reference ``trainer.py:44-55``).
+    For a REAL backend pass a real ``poll_interval_s`` (the reference
+    sleeps 60 s between polls) — the default 0 suits the simulated
+    backend, which advances one state per retrieve."""
     for _ in range(max_polls):
         job = backend.retrieve_job(job_id)
         if job["status"] in TERMINAL_STATES:
             return job
+        if poll_interval_s:
+            time.sleep(poll_interval_s)
     raise TimeoutError(f"job {job_id} not terminal after {max_polls} polls")
 
 
@@ -203,6 +218,9 @@ def run_training(
         for part in jsonl:
             with open(part) as f:
                 out.write(f.read())
+    import shutil
+
+    shutil.rmtree(shard_dir, ignore_errors=True)  # consolidated — don't leak a copy per run
     job_id = create_fine_tuning_job(backend, upload, base_model, suffix)
     job = monitor_job(backend, job_id)
     return {"job": job, "counts": counts}

@@ -63,14 +63,32 @@ def auto_num_partitions() -> int:
 # deserializes once per worker — the actor-pool benefit without the
 # actor-pool dispatch overhead.
 _BCAST_CACHE: dict[str, object] = {}
+_BCAST_CACHE_MAX_BYTES = 256 * 1024 * 1024  # per-worker heap budget
+
+
+def _approx_bytes(obj) -> int:
+    if isinstance(obj, pd.DataFrame):
+        return int(obj.memory_usage(deep=True).sum())
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes
+    if isinstance(obj, (dict, set, frozenset)):
+        return 100 * len(obj)  # rough per-entry estimate
+    import sys
+
+    return sys.getsizeof(obj)
 
 
 def _cached_get(ref):
     key = ref.hex()
     if key not in _BCAST_CACHE:
-        if len(_BCAST_CACHE) >= 8:  # bound worker heap across pipelines
+        # evict everything when the BYTE budget (not just entry count)
+        # would be exceeded — long-lived workers must not pin GBs of
+        # dead broadcast objects across pipelines
+        total = sum(_approx_bytes(v) for v in _BCAST_CACHE.values())
+        val = ray.get(ref)
+        if len(_BCAST_CACHE) >= 8 or total + _approx_bytes(val) > _BCAST_CACHE_MAX_BYTES:
             _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = ray.get(ref)
+        _BCAST_CACHE[key] = val
     return _BCAST_CACHE[key]
 
 

@@ -343,28 +343,40 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3, k: int = 3) -> ray.
     O(n²) pair space; the exact Jaccard re-verifies with true shingle
     sets, not signatures).
 
-    Texts are attached through two adaptive joins (docs stream is the
-    probe side; the LSH-pruned pair list is the broadcastable build
-    side): nothing is ever collected on the driver, and above the
-    broadcast threshold the same call sites run on the exchange."""
-    from pdf_extractor_ray.joins import adaptive_inner_join
+    Texts are attached in three size-bounded steps: (1) ONE streaming
+    semi-join filters the docs table down to candidate ids (the id set
+    is tiny — LSH-pruned); (2-3) two adaptive joins attach text_a /
+    text_b with the FILTERED candidate-text table as the build side.
+    Under the broadcast plan the driver therefore holds at most the
+    LSH-pruned candidates' texts (the same bound the reference-style
+    id-filtered read gives); above the broadcast threshold every step
+    runs on the hash-partitioned exchange with nothing collected."""
+    from pdf_extractor_ray.joins import adaptive_inner_join, semi_join
 
     cand = minhash_lsh_pairs(sf_dir, shingle_k=k, jaccard_threshold=0.2).select_columns(
         ["doc_a", "doc_b"]
+    ).materialize()
+    cand_ids = cand.select_columns(["doc_a"]).map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_a"]}), batch_format="pandas"
+    ).union(
+        cand.select_columns(["doc_b"]).map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_b"]}), batch_format="pandas"
+        )
     )
     docs = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+    cand_docs = semi_join(docs, cand_ids, on="doc_id").materialize()
 
-    j1 = adaptive_inner_join(docs, cand, on="doc_id", right_on="doc_a").map_batches(
+    j1 = adaptive_inner_join(cand, cand_docs, on="doc_a", right_on="doc_id").map_batches(
         lambda b: pd.DataFrame(
-            {"doc_a": b["doc_id"], "text_a": b["text"], "doc_b": b["doc_b"]}
+            {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "text_a": b["text"]}
         ),
         batch_format="pandas",
     )
-    j2 = adaptive_inner_join(docs, j1, on="doc_id", right_on="doc_b").map_batches(
+    j2 = adaptive_inner_join(j1, cand_docs, on="doc_b", right_on="doc_id").map_batches(
         lambda b: pd.DataFrame(
             {
                 "doc_a": b["doc_a"],
-                "doc_b": b["doc_id"],
+                "doc_b": b["doc_b"],
                 "text_a": b["text_a"],
                 "text_b": b["text"],
             }

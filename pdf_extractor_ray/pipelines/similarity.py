@@ -192,16 +192,27 @@ def build_ivf_index(
     # atomic rename — a crash mid-build can never leave a directory
     # that looks complete (a rebuild over a half-written dir would
     # append duplicate row files).
-    tmp_dir = index_dir.rstrip("/") + ".building"
     import shutil
+    import tempfile
 
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+    parent = os.path.dirname(os.path.abspath(index_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    # UNIQUE temp dir per builder: concurrent builds of the same index
+    # cannot touch each other's shards; first atomic rename wins and
+    # the loser discards its copy (same content by construction — the
+    # build is deterministic in the source file).
+    tmp_dir = tempfile.mkdtemp(prefix=os.path.basename(index_dir) + ".building-", dir=parent)
     ds.map_batches(assign, batch_format="pyarrow", batch_size=4096).write_parquet(
         os.path.join(tmp_dir, "data"), partition_cols=["list_id"]
     )
     np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.rename(tmp_dir, index_dir)
+    try:
+        os.rename(tmp_dir, index_dir)
+    except OSError:
+        if os.path.exists(os.path.join(index_dir, "centroids.npy")):
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # another builder won
+        else:
+            raise
     return cents
 
 
