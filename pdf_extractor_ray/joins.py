@@ -168,7 +168,7 @@ def semi_join(
     keep: bool = True,
     num_partitions: int | None = None,
     bloom_bits: int | None = None,
-    broadcast_limit: int = BROADCAST_KEY_LIMIT,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed semi (keep=True) / anti (keep=False) join: keep left
     rows whose key does / does not appear in ``right_keys`` — with an
@@ -191,6 +191,8 @@ def semi_join(
     """
     if num_partitions is None:
         num_partitions = auto_num_partitions()
+    if broadcast_limit is None:  # resolved at CALL time (patchable)
+        broadcast_limit = BROADCAST_KEY_LIMIT
     rk = right_on or on
     if broadcast_limit:
         right_keys = right_keys.materialize()
@@ -259,7 +261,7 @@ def adaptive_inner_join(
     *,
     right_on: str | None = None,
     num_partitions: int | None = None,
-    broadcast_limit: int = BROADCAST_KEY_LIMIT,
+    broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Inner join with the measured-size broadcast plan: the right side
     is materialized and counted; at or below ``broadcast_limit`` rows
@@ -267,6 +269,8 @@ def adaptive_inner_join(
     it locally (zero shuffle — the broadcast hash join); above it the
     hash-partitioned exchange runs. Semantics identical either way
     (including duplicate right keys)."""
+    if broadcast_limit is None:  # resolved at CALL time (patchable)
+        broadcast_limit = BROADCAST_KEY_LIMIT
     rk = right_on or on
     if broadcast_limit:
         right = right.materialize()

@@ -58,18 +58,84 @@ def make_fake_audio(media_id: int, n: int, rate: int = 16000) -> bytes:
     return b"AUD1" + struct.pack(">I", rate) + samples.tobytes()
 
 
+def _parse_pnm_header(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Binary netpbm header → (magic, width, height, maxval, data_off).
+    Handles arbitrary whitespace and '#' comments per the spec."""
+    magic = payload[:2].decode("ascii", errors="replace")
+    pos = 2
+    vals: list[int] = []
+    n = len(payload)
+    while len(vals) < 3 and pos < n:
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = n if nl == -1 else nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < n and payload[end : end + 1].isdigit():
+                end += 1
+            vals.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad PNM header byte {c!r}")
+    if len(vals) < 3:
+        raise ValueError("truncated PNM header")
+    return magic, vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
+
+
+def decode_pnm(payload: bytes) -> dict:
+    """REAL image decode for the binary netpbm family — P5 (grayscale
+    PGM) and P6 (RGB PPM) — in pure numpy; no codec library needed.
+    The PIL-gated path below remains the slot for compressed formats."""
+    magic, w, h, maxval, off = _parse_pnm_header(payload)
+    channels = {"P5": 1, "P6": 3}.get(magic)
+    if channels is None:
+        raise ValueError(f"unsupported PNM magic {magic}")
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    need = w * h * channels
+    pixels = np.frombuffer(payload[off : off + need], dtype=np.uint8)
+    if pixels.size != need:
+        raise ValueError("truncated PNM payload")
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "mean_pixel": float(pixels.mean()),
+    }
+
+
+def make_pgm(media_id: int, w: int, h: int) -> bytes:
+    """Real binary PGM (P5) test image — deterministic pixels."""
+    rng = np.random.RandomState(media_id % (2**31))
+    pixels = rng.randint(0, 256, size=w * h, dtype=np.uint8)
+    return f"P5\n# synthetic {media_id}\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def make_ppm(media_id: int, w: int, h: int) -> bytes:
+    """Real binary PPM (P6) test image — deterministic RGB pixels."""
+    rng = np.random.RandomState(media_id % (2**31))
+    pixels = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
 def decode_image(payload: bytes) -> dict:
-    """Stub decode. With PIL this would be Image.open(BytesIO(payload));
-    here the deterministic IMG1 container is parsed directly."""
-    if HAVE_PIL and not payload.startswith(b"IMG1"):  # pragma: no cover
-        raise NotImplementedError("real image decode requires PIL — not in this container")
-    if not payload.startswith(b"IMG1"):
-        raise ValueError("bad image magic")
-    w, h = struct.unpack(">II", payload[4:12])
-    pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
-    if pixels.size != w * h:
-        raise ValueError("truncated image payload")
-    return {"width": int(w), "height": int(h), "mean_pixel": float(pixels.mean())}
+    """Image decode: IMG1 (synthetic container) and real binary netpbm
+    (P5/P6) decode natively; compressed formats (PNG/JPEG) need PIL,
+    which is absent in this container — that path stays gated."""
+    if payload.startswith(b"IMG1"):
+        w, h = struct.unpack(">II", payload[4:12])
+        pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
+        if pixels.size != w * h:
+            raise ValueError("truncated image payload")
+        return {"width": int(w), "height": int(h), "channels": 1, "mean_pixel": float(pixels.mean())}
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    if HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError("compressed-format decode via PIL not wired")
+    raise ValueError("bad image magic")
 
 
 def decode_audio(payload: bytes) -> dict:
@@ -131,7 +197,11 @@ def generate_media_table(n_rows: int, seed: int = 42) -> pa.Table:
     ids, types, payloads, metas = [], [], [], []
     for i in range(n_rows):
         r = (i * 2654435761 + seed) % 100
-        if r < 60:
+        if r < 20:  # real binary PGM (P5) — exercised by the REAL decoder
+            t, p, m = "image", make_pgm(i, 24 + (i % 40), 24 + (i % 32)), '{"codec":"pgm"}'
+        elif r < 40:  # real binary PPM (P6), RGB
+            t, p, m = "image", make_ppm(i, 16 + (i % 32), 16 + (i % 24)), '{"codec":"ppm"}'
+        elif r < 60:
             t, p, m = "image", make_fake_image(i, 32 + (i % 64), 32 + (i % 48)), '{"codec":"img1"}'
         elif r < 90:
             t, p, m = "audio", make_fake_audio(i, 1000 + (i % 4000)), '{"codec":"aud1"}'
@@ -187,15 +257,22 @@ def make_fake_video(media_id: int, n_frames: int, w: int = 16, h: int = 12) -> b
 
 
 def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbour resize of an IMG1 payload (pure numpy — a real
-    pipeline swaps in PIL here; the Ray plumbing is identical)."""
-    meta = decode_image(payload)  # validates container
+    """Nearest-neighbour resize, pure numpy: IMG1 containers and real
+    binary netpbm (P5 grayscale / P6 RGB, per-channel) both supported;
+    output keeps the input format."""
+    meta = decode_image(payload)  # validates container/header
     w, h = meta["width"], meta["height"]
-    pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    if payload.startswith(b"IMG1"):
+        pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8).reshape(h, w)
+        out = pixels[np.ix_(ys, xs)]
+        return b"IMG1" + struct.pack(">II", out_w, out_h) + out.tobytes()
+    magic, _w, _h, maxval, off = _parse_pnm_header(payload)
+    c = meta["channels"]
+    pixels = np.frombuffer(payload[off : off + w * h * c], dtype=np.uint8).reshape(h, w, c)
     out = pixels[np.ix_(ys, xs)]
-    return b"IMG1" + struct.pack(">II", out_w, out_h) + out.tobytes()
+    return f"{magic}\n{out_w} {out_h}\n{maxval}\n".encode() + out.tobytes()
 
 
 def sample_frames(payload: bytes, every_k: int = 4) -> list[bytes]:

@@ -172,3 +172,45 @@ def test_media_resize_and_frame_sample():
     out = media_transform_pipeline(ray.data.from_arrow(media), concurrency=1).to_pandas()
     by_id = dict(zip(out["media_id"], out["n_outputs"]))
     assert by_id == {1: 1, 2: 3, 3: 0}
+
+
+def test_pnm_real_decode_and_resize():
+    """Real binary netpbm decode (P5 grayscale, P6 RGB) in pure numpy:
+    header parsing with comments, exact stats, truncation quarantine,
+    and nearest-neighbour resize preserving format + channels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_extractor_ray.pipelines.multimodal import (
+        decode_image,
+        make_pgm,
+        make_ppm,
+        resize_image,
+    )
+
+    pgm = make_pgm(7, 10, 6)
+    meta = decode_image(pgm)
+    assert (meta["width"], meta["height"], meta["channels"]) == (10, 6, 1)
+    rng = np.random.RandomState(7)
+    assert meta["mean_pixel"] == float(rng.randint(0, 256, size=60, dtype=np.uint8).mean())
+
+    ppm = make_ppm(9, 8, 4)
+    m2 = decode_image(ppm)
+    assert (m2["width"], m2["height"], m2["channels"]) == (8, 4, 3)
+
+    # comments + arbitrary whitespace per the spec
+    hand = b"P5 # inline\n# a comment line\n 4\n2 \n255\n" + bytes(range(8))
+    m3 = decode_image(hand)
+    assert (m3["width"], m3["height"]) == (4, 2)
+    assert m3["mean_pixel"] == 3.5
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_image(pgm[:-5])
+
+    small = resize_image(ppm, 4, 2)
+    assert small[:2] == b"P6"
+    ms = decode_image(small)
+    assert (ms["width"], ms["height"], ms["channels"]) == (4, 2, 3)
+    small_g = resize_image(pgm, 5, 3)
+    assert small_g[:2] == b"P5"
+    assert decode_image(small_g)["width"] == 5

@@ -39,3 +39,30 @@ def test_sql_backed_query_matches_oracle(name, con):
 def test_rows_only_query_runs(name):
     result = to_pandas(_QUERIES[name](SF_DIR))
     assert result is not None
+
+
+def test_exchange_plan_matches_broadcast_plan_end_to_end(monkeypatch):
+    """Force every adaptive join onto the hash-partitioned exchange
+    (BROADCAST_KEY_LIMIT=0, resolved at call time) and assert two
+    join-heavy SQL-checked queries return row-identical results to
+    their normal (broadcast) plans — the end-to-end guarantee that the
+    100 TB path computes the same answers as the tested-at-sf path."""
+    import pandas as pd
+
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.pipelines import analytics
+
+    normal_q3 = analytics.q3_top_building_orders(SF_DIR)
+    normal_anti = (
+        analytics.customers_without_big_orders(SF_DIR).to_pandas()
+        .sort_values("c_custkey").reset_index(drop=True)
+    )
+
+    monkeypatch.setattr(joins, "BROADCAST_KEY_LIMIT", 0)
+    exch_q3 = analytics.q3_top_building_orders(SF_DIR)
+    exch_anti = (
+        analytics.customers_without_big_orders(SF_DIR).to_pandas()
+        .sort_values("c_custkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(normal_q3, exch_q3)
+    pd.testing.assert_frame_equal(normal_anti, exch_anti)
