@@ -138,7 +138,50 @@ def decode_image(payload: bytes) -> dict:
     raise ValueError("bad image magic")
 
 
+def make_wav(media_id: int, n: int, rate: int = 16000) -> bytes:
+    """Real RIFF/WAV (PCM16 mono) test clip via the stdlib wave module."""
+    import io
+    import wave
+
+    rng = np.random.RandomState(media_id % (2**31))
+    samples = (rng.randn(n) * 1000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAV PCM16 via the stdlib wave module
+    (no external codec needed); compressed audio stays gated."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"unsupported sample width {width}")
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+    return {
+        "n_samples": int(samples.size // nch),
+        "sample_rate": int(rate),
+        "channels": int(nch),
+        "rms": rms,
+    }
+
+
 def decode_audio(payload: bytes) -> dict:
+    """Audio decode: AUD1 (synthetic container) and real RIFF/WAV PCM
+    decode natively; compressed codecs would go behind a library gate."""
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
     if not payload.startswith(b"AUD1"):
         raise ValueError("bad audio magic")
     (rate,) = struct.unpack(">I", payload[4:8])
@@ -203,6 +246,8 @@ def generate_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             t, p, m = "image", make_ppm(i, 16 + (i % 32), 16 + (i % 24)), '{"codec":"ppm"}'
         elif r < 60:
             t, p, m = "image", make_fake_image(i, 32 + (i % 64), 32 + (i % 48)), '{"codec":"img1"}'
+        elif r < 75:  # real RIFF/WAV PCM16 — exercised by the REAL decoder
+            t, p, m = "audio", make_wav(i, 1000 + (i % 4000)), '{"codec":"wav"}'
         elif r < 90:
             t, p, m = "audio", make_fake_audio(i, 1000 + (i % 4000)), '{"codec":"aud1"}'
         elif r < 95:

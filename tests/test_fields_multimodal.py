@@ -214,3 +214,25 @@ def test_pnm_real_decode_and_resize():
     small_g = resize_image(pgm, 5, 3)
     assert small_g[:2] == b"P5"
     assert decode_image(small_g)["width"] == 5
+
+
+def test_wav_real_decode():
+    """Real RIFF/WAV PCM16 decode through the stdlib wave module:
+    exact sample stats round-trip, and corrupt payloads quarantine."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_extractor_ray.pipelines.multimodal import decode_audio, make_wav
+
+    wav = make_wav(5, 2000, rate=8000)
+    assert wav.startswith(b"RIFF")
+    meta = decode_audio(wav)
+    rng = np.random.RandomState(5)
+    samples = (rng.randn(2000) * 1000).astype("<i2").astype(np.float64)
+    assert meta["n_samples"] == 2000
+    assert meta["sample_rate"] == 8000
+    assert meta["channels"] == 1
+    assert meta["rms"] == float(np.sqrt((samples**2).mean()))
+
+    with _pytest.raises(Exception):
+        decode_audio(b"RIFF" + b"\x00" * 10)  # truncated RIFF
