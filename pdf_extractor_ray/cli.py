@@ -41,6 +41,13 @@ def cmd_extract(args) -> int:
     ray = _ray_session(args.cpus)
     from pdf_extractor_ray.state.manifest import run_partitioned_extraction
 
+    batch_size, use_actor_pool = args.batch_size, args.actor_pool
+    if args.config:  # JSON config file overrides flags (S7 surface)
+        from pdf_extractor_ray.config import PipelineConfig
+
+        cfg = PipelineConfig.from_json(args.config)
+        batch_size, use_actor_pool = cfg.batch_size, cfg.use_actor_pool
+
     paths = sorted(glob.glob(args.input)) if any(c in args.input for c in "*?[") else [args.input]
     if not paths:
         print(f"no input files match {args.input}", file=sys.stderr)
@@ -50,8 +57,8 @@ def cmd_extract(args) -> int:
         args.output,
         files_per_partition=args.files_per_partition,
         concurrency=(1, 8) if not args.cpus else (1, max(2, args.cpus // 3)),
-        batch_size=args.batch_size,
-        use_actor_pool=args.actor_pool,
+        batch_size=batch_size,
+        use_actor_pool=use_actor_pool,
         bucket_routing=args.bucket_routing,
     )
     print(json.dumps(summary))
@@ -106,6 +113,55 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Fine-tune train command (reference ``cli_finetune.py`` /
+    ``train.py:92-356``): documents parquet → validated chat examples →
+    JSONL → submit → monitor, against the offline backend registry."""
+    ray = _ray_session(args.cpus)
+    import ray.data as rd
+
+    from pdf_extractor_ray.finetune import LocalSimulatedBackend, run_training
+    from pdf_extractor_ray.pipelines.training import build_training_examples
+
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    backend = LocalSimulatedBackend(args.registry)
+    try:
+        res = run_training(
+            backend,
+            build_training_examples(docs),
+            args.output,
+            base_model=args.base_model,
+            suffix=args.suffix,
+        )
+    except ValueError as e:  # below the example floor
+        print(json.dumps({"error": str(e)}))
+        ray.shutdown()
+        return 1
+    print(json.dumps({"job": res["job"], "counts": res["counts"]}))
+    ray.shutdown()
+    return 0 if res["job"]["status"] == "succeeded" else 1
+
+
+def cmd_job_status(args) -> int:
+    from pdf_extractor_ray.finetune import LocalSimulatedBackend, job_status
+
+    backend = LocalSimulatedBackend(args.registry)
+    try:
+        print(json.dumps(job_status(backend, args.job_id)))
+        return 0
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
+
+
+def cmd_list_jobs(args) -> int:
+    from pdf_extractor_ray.finetune import LocalSimulatedBackend
+
+    backend = LocalSimulatedBackend(args.registry)
+    print(json.dumps(backend.list_jobs(limit=args.limit)))
+    return 0
+
+
 def cmd_gen_corpus(args) -> int:
     from pdf_extractor_ray.sources.pages import write_pages_corpus
 
@@ -126,7 +182,27 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cpus", type=int, default=None)
     p.add_argument("--actor-pool", action="store_true", help="stateful actor-pool PDF branch")
     p.add_argument("--bucket-routing", action="store_true", help="size-bucket skew isolation")
+    p.add_argument("--config", default=None, help="JSON config file (overrides batch/pool flags)")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("train", help="build + validate training data and run a fine-tune job")
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    p.add_argument("--output", required=True, help="training-file output dir")
+    p.add_argument("--registry", required=True, help="job registry dir")
+    p.add_argument("--base-model", default="base-extractor-small")
+    p.add_argument("--suffix", default="extractor")
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("job-status", help="fine-tune job status")
+    p.add_argument("--registry", required=True)
+    p.add_argument("--job-id", required=True)
+    p.set_defaults(fn=cmd_job_status)
+
+    p = sub.add_parser("list-jobs", help="list fine-tune jobs")
+    p.add_argument("--registry", required=True)
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_list_jobs)
 
     p = sub.add_parser("merge", help="dedup-merge new rows into a sink table")
     p.add_argument("--sink", required=True)
