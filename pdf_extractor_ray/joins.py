@@ -260,15 +260,20 @@ def adaptive_inner_join(
     on: str,
     *,
     right_on: str | None = None,
+    how: str = "inner",
     num_partitions: int | None = None,
     broadcast_limit: int | None = None,
 ) -> ray.data.Dataset:
-    """Inner join with the measured-size broadcast plan: the right side
-    is materialized and counted; at or below ``broadcast_limit`` rows
-    it ships once via ``ray.put`` and each batch pandas-merges against
-    it locally (zero shuffle — the broadcast hash join); above it the
-    hash-partitioned exchange runs. Semantics identical either way
-    (including duplicate right keys)."""
+    """Inner (or left-outer) join with the measured-size broadcast
+    plan: the right side is materialized and counted; at or below
+    ``broadcast_limit`` rows it ships once via ``ray.put`` and each
+    batch pandas-merges against it locally (zero shuffle — the
+    broadcast hash join); above it the hash-partitioned exchange runs.
+    Semantics identical either way (including duplicate right keys).
+    ``how`` ∈ {"inner", "left_outer"} — only plans where broadcasting
+    the RIGHT side is sound."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"adaptive join supports inner/left_outer, got {how!r}")
     if broadcast_limit is None:  # resolved at CALL time (patchable)
         broadcast_limit = BROADCAST_KEY_LIMIT
     rk = right_on or on
@@ -277,17 +282,18 @@ def adaptive_inner_join(
         if right.count() <= broadcast_limit:
             rdf = right.to_pandas()
             ref = ray.put(rdf)
+            pd_how = "left" if how == "left_outer" else "inner"
 
             def merge(b: pd.DataFrame) -> pd.DataFrame:
                 r = _cached_get(ref)  # deserialized once per worker
-                out = b.merge(r, left_on=on, right_on=rk, how="inner")
+                out = b.merge(r, left_on=on, right_on=rk, how=pd_how)
                 if rk != on and rk in out.columns:
                     out = out.drop(columns=[rk])
                 return out
 
             return left.map_batches(merge, batch_format="pandas")
     return join_datasets(
-        left, right, on, right_on=right_on, num_partitions=num_partitions
+        left, right, on, right_on=right_on, how=how, num_partitions=num_partitions
     )
 
 

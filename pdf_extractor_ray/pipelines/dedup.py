@@ -269,7 +269,7 @@ def dedup_clusters(sf_dir: str, **kw) -> ray.data.Dataset:
     against the edge-node labels (missing → own id). Nothing scales
     with the pair count on the driver.
     """
-    from pdf_extractor_ray.joins import join_datasets
+    from pdf_extractor_ray.joins import adaptive_inner_join
 
     pairs = minhash_lsh_pairs(sf_dir, **kw).select_columns(["doc_a", "doc_b"]).materialize()
     docs = _read_docs(sf_dir, columns=("doc_id",))
@@ -280,7 +280,9 @@ def dedup_clusters(sf_dir: str, **kw) -> ray.data.Dataset:
         )
     labels = label_propagation(pairs, src="doc_a", dst="doc_b")
 
-    out = join_datasets(docs, labels, on="doc_id", right_on="node", how="left_outer")
+    # edge-node labels are the small side → adaptive broadcast left
+    # join (exchange above the threshold)
+    out = adaptive_inner_join(docs, labels, on="doc_id", right_on="node", how="left_outer")
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         cluster = b["label"].fillna(b["doc_id"]).astype("int64")
