@@ -118,3 +118,18 @@ def test_bucket_routing_shape_identical(pages_corpus, goldens):
     for u, t, s in zip(out["url"], out["extracted_text"], out["status"]):
         assert t == exp[u][0]
         assert s == exp[u][1]
+
+
+def test_flagship_plan_is_shuffle_free(tmp_path):
+    """The extraction path must never contain an all-to-all exchange —
+    the zero-shuffle property is the core 100 TB claim; this pins it
+    against future regressions (e.g. an accidental groupby/sort)."""
+    from pdf_extractor_ray.pipelines.flagship import build_extraction_pipeline
+    from pdf_extractor_ray.sources.pages import write_pages_corpus
+
+    paths = write_pages_corpus(str(tmp_path / "p"), n_rows=300, n_files=2, seed=11)
+    ds = build_extraction_pipeline(paths, batch_size=64)
+    ds.take(5)  # execute enough to materialize the plan
+    stats = ds.stats()
+    for marker in ("AllToAll", "Sort", "Aggregate", "Join", "shuffle"):
+        assert marker not in stats, f"flagship plan gained a {marker} stage:\n{stats[:500]}"
