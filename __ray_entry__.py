@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": textops.doc_token_stats,
         "lang_count_documents": textops.lang_count,
         "lang_id_documents": textops.lang_id_documents,
+        "doc_length_histogram": textops.doc_length_histogram,
+        "source_lang_matrix": textops.source_lang_matrix,
         "quality_documents": textops.quality_documents,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
@@ -147,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_count_documents": textops.LANG_COUNT_SQL,
         "quality_documents": textops.QUALITY_SQL,
         "lang_id_documents": textops.LANG_ID_SQL,
+        "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
+        "source_lang_matrix": textops.SOURCE_LANG_MATRIX_SQL,
         "embedding_near_dups": dedup.EMBEDDING_NEAR_DUPS_SQL,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_SQL,
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,

@@ -213,6 +213,63 @@ def approx_distinct_counts(sf_dir: str, p: int = 12) -> pd.DataFrame:
     )
 
 
+def doc_length_histogram(sf_dir: str, bucket_chars: int = 100, max_bucket: int = 19) -> ray.data.Dataset:
+    """Corpus length distribution: documents bucketed by
+    ``min(n_chars // bucket_chars, max_bucket)`` with per-bucket counts
+    and char totals — the size-profile report a curation run uses to
+    pick filtering thresholds. Per-batch partials, one tiny exchange."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.len().to_numpy()
+        return pd.DataFrame(
+            {
+                "length_bucket": np.minimum(n // bucket_chars, max_bucket).astype(np.int64),
+                "n_docs": np.ones(len(b), dtype=np.int64),
+                "total_chars": n.astype(np.int64),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=8192),
+        ["length_bucket"],
+        ["n_docs", "total_chars"],
+        num_buckets=4,
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(least(len(text) // 100, 19) AS BIGINT) AS length_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(text) AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def source_lang_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Two-dimensional contingency (source × lang doc counts) — the
+    composition report for corpus mixing decisions."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": b["source"], "lang": b["lang"], "n_docs": np.ones(len(b), dtype=np.int64)}
+        )
+
+    return grouped_sum(
+        ds.map_batches(derive, batch_format="pandas"), ["source", "lang"], ["n_docs"], num_buckets=4
+    )
+
+
+SOURCE_LANG_MATRIX_SQL = """
+SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang
+"""
+
+
 def fingerprint_documents(sf_dir: str) -> ray.data.Dataset:
     """Rolling-hash fingerprint + simhash per document (dedup keying)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
