@@ -72,7 +72,21 @@ def _approx_bytes(obj) -> int:
     if isinstance(obj, np.ndarray):
         return obj.nbytes
     if isinstance(obj, (dict, set, frozenset)):
-        return 100 * len(obj)  # rough per-entry estimate
+        # sample-based per-entry estimate: a flat constant undercounts
+        # large-string values by orders of magnitude, letting the cache
+        # pin far more than its byte budget before eviction triggers
+        import itertools
+        import sys
+
+        n = len(obj)
+        if n == 0:
+            return sys.getsizeof(obj)
+        sample = list(itertools.islice(obj.items() if isinstance(obj, dict) else obj, 32))
+        if isinstance(obj, dict):
+            per = sum(sys.getsizeof(k) + sys.getsizeof(v) for k, v in sample) / len(sample)
+        else:
+            per = sum(sys.getsizeof(v) for v in sample) / len(sample)
+        return int((per + 50) * n)  # +50/entry hash-table overhead
     import sys
 
     return sys.getsizeof(obj)
@@ -156,7 +170,22 @@ def join_datasets(
 # limit (the exchange's ~seconds of fixed aggregator cost would
 # dominate); at 100 TB the same call sites flip to the exchange
 # automatically. Pass broadcast_limit=0 to force the exchange.
+# The ROW limit alone is unsafe for wide build sides (1M rows of full
+# document texts can OOM the driver), so the broadcast plan ALSO
+# requires the materialized side to fit BROADCAST_BYTE_LIMIT — a
+# schema-aware measured size (Dataset.size_bytes on the materialized
+# side), sized to the per-worker deserialization-cache budget.
 BROADCAST_KEY_LIMIT = 1_000_000
+BROADCAST_BYTE_LIMIT = 64 * 1024 * 1024
+
+
+def _fits_broadcast(materialized: ray.data.Dataset, row_limit: int) -> bool:
+    """Both-dimension broadcast gate: rows AND bytes (the byte estimate
+    comes from the materialized blocks' metadata — no extra pass)."""
+    if materialized.count() > row_limit:
+        return False
+    size = materialized.size_bytes()
+    return size is None or size <= BROADCAST_BYTE_LIMIT
 
 
 def semi_join(
@@ -195,8 +224,11 @@ def semi_join(
         broadcast_limit = BROADCAST_KEY_LIMIT
     rk = right_on or on
     if broadcast_limit:
-        right_keys = right_keys.materialize()
-        if right_keys.count() <= broadcast_limit:
+        # project to the key column FIRST so the count/bytes measured —
+        # and the driver collect on the broadcast plan — cover keys
+        # only, never payload columns the caller left attached
+        right_keys = right_keys.select_columns([rk]).materialize()
+        if _fits_broadcast(right_keys, broadcast_limit):
             keys = [r[rk] for r in right_keys.take_all()]
             return broadcast_semi(left, keys, on, keep=keep)
     if bloom_bits:
@@ -279,7 +311,7 @@ def adaptive_inner_join(
     rk = right_on or on
     if broadcast_limit:
         right = right.materialize()
-        if right.count() <= broadcast_limit:
+        if _fits_broadcast(right, broadcast_limit):
             rdf = right.to_pandas()
             ref = ray.put(rdf)
             pd_how = "left" if how == "left_outer" else "inner"
@@ -292,9 +324,18 @@ def adaptive_inner_join(
                 return out
 
             return left.map_batches(merge, batch_format="pandas")
-    return join_datasets(
+    joined = join_datasets(
         left, right, on, right_on=right_on, how=how, num_partitions=num_partitions
     )
+    if rk != on:
+        # Ray's native hash join keeps the right key column; the
+        # broadcast plan drops it — normalize so BOTH plans emit the
+        # same schema and a call site can't change columns when data
+        # crosses the threshold
+        joined = joined.map_batches(
+            lambda b: b.drop(columns=[rk], errors="ignore"), batch_format="pandas"
+        )
+    return joined
 
 
 _BLOOM_K = 4

@@ -40,20 +40,20 @@ def grouped_sum(
     *,
     num_buckets: int = 16,
     batch_size: int = 32768,
+    two_level: bool = False,
 ) -> ray.data.Dataset:
     """groupby(keys).sum(sum_cols) with per-batch partials and a
-    bucketed final combine. Output columns: keys + sum_cols."""
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(keys, as_index=False, sort=False)[sum_cols].sum()
-        g["__bucket"] = (stable_key_hash(g, keys) % np.uint64(num_buckets)).astype("int64")
-        return g
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns="__bucket").groupby(keys, as_index=False, sort=False)[sum_cols].sum()
-
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return partials.groupby("__bucket").map_groups(final, batch_format="pandas")
+    bucketed final combine. Output columns: keys + sum_cols.
+    ``two_level=True`` adds the salted intermediate combine for viral
+    hot keys (see ``grouped_agg``)."""
+    return grouped_agg(
+        ds,
+        keys,
+        {c: (c, "sum") for c in sum_cols},
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+        two_level=two_level,
+    )
 
 
 def grouped_apply(
@@ -86,15 +86,45 @@ def keep_first(
     tie_break: str,
     *,
     num_buckets: int = 16,
+    batch_size: int = 32768,
 ) -> ray.data.Dataset:
     """Deterministic first-writer-wins dedup: per key group keep the row
-    with the smallest ``tie_break`` value (vectorized idxmin per bucket)."""
+    with the smallest ``tie_break`` value.
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
+    min-of-mins is decomposable, so a per-BATCH partial idxmin runs
+    before the exchange: a viral hot key (millions of identical
+    documents) contributes at most ONE row per input batch to its
+    bucket, instead of landing every raw row on one aggregator. The
+    per-key bucket load is bounded by the batch count, not the row
+    count."""
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
         idx = g.groupby(keys, sort=False)[tie_break].idxmin()
         return g.loc[idx]
 
-    return grouped_apply(ds, keys, first, num_buckets=num_buckets)
+    partials = _keep_first_partials(ds, keys, tie_break, num_buckets, batch_size)
+    return partials.groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def _keep_first_partials(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    tie_break: str,
+    num_buckets: int,
+    batch_size: int,
+) -> ray.data.Dataset:
+    """The pre-exchange stage of ``keep_first``, separated so the
+    hot-key bound (≤ one surviving row per key per batch) is directly
+    testable on the exchange INPUT."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        idx = b.groupby(keys, sort=False)[tie_break].idxmin()
+        g = b.loc[idx].copy()
+        g["__bucket"] = (stable_key_hash(g, keys) % np.uint64(num_buckets)).astype("int64")
+        return g
+
+    return ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
 
 
 def distinct(ds: ray.data.Dataset, keys: list[str], *, num_buckets: int = 16) -> ray.data.Dataset:
@@ -121,31 +151,63 @@ def grouped_agg(
     *,
     num_buckets: int = 16,
     batch_size: int = 32768,
+    two_level: bool = False,
 ) -> ray.data.Dataset:
     """General bucketed groupby: ``agg_spec = {out_col: (in_col, fn)}``
     with fn ∈ {sum, min, max, count} — all decomposable, so the same
     fn applies at the per-batch partial and the per-bucket final
     (count partials re-aggregate with sum). Non-decomposable fns
     (mean, median, ...) are rejected: partial-then-final would
-    silently compute a wrong unweighted re-aggregate."""
+    silently compute a wrong unweighted re-aggregate.
+
+    The per-batch partial already bounds a hot key to one row per
+    batch; with ``two_level=True`` a SALTED intermediate exchange is
+    added — partials route by ``hash(key) + per-batch salt`` so one
+    viral key's partials spread over all buckets and re-combine there,
+    and the final exchange then receives at most ``num_buckets`` rows
+    per key instead of one per batch. Worth its second (tiny) exchange
+    only when batches × hot-key width outgrow a single aggregator —
+    i.e. at the 100 TB duplicated-boilerplate scale, not at test SFs.
+    Results are identical either way (all fns are associative and
+    commutative; the salt only changes routing)."""
     allowed = {"sum", "min", "max", "count"}
     bad = {fn for _c, fn in agg_spec.values() if fn not in allowed}
     if bad:
         raise ValueError(f"non-decomposable agg fns {bad}; allowed: {allowed}")
 
+    final_spec = {out: (out, "sum" if fn == "count" else fn) for out, (_c, fn) in agg_spec.items()}
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False).agg(
+            **{out: spec for out, spec in final_spec.items()}
+        )
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby(keys, as_index=False, sort=False).agg(
             **{out: (col, fn) for out, (col, fn) in agg_spec.items()}
         )
-        g["__bucket"] = (stable_key_hash(g, keys) % np.uint64(num_buckets)).astype("int64")
+        h = stable_key_hash(g, keys)
+        if two_level:
+            # per-batch salt: rows of the SAME key from different
+            # batches land in different buckets; any salt value is
+            # correct, randomness just spreads the load
+            h = h + np.uint64(np.random.randint(0, num_buckets))
+        g["__bucket"] = (h % np.uint64(num_buckets)).astype("int64")
         return g
 
-    final_spec = {out: (out, "sum" if fn == "count" else fn) for out, (_c, fn) in agg_spec.items()}
-
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop(columns="__bucket").groupby(keys, as_index=False, sort=False).agg(
-            **{out: spec for out, spec in final_spec.items()}
-        )
+        return combine(g.drop(columns="__bucket"))
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-    return partials.groupby("__bucket").map_groups(final, batch_format="pandas")
+    if not two_level:
+        return partials.groupby("__bucket").map_groups(final, batch_format="pandas")
+
+    def mid(g: pd.DataFrame) -> pd.DataFrame:
+        # combine per key inside the salted bucket, then re-route by
+        # the UNSALTED hash for the exact per-key final
+        out = combine(g.drop(columns="__bucket"))
+        out["__bucket"] = (stable_key_hash(out, keys) % np.uint64(num_buckets)).astype("int64")
+        return out
+
+    mids = partials.groupby("__bucket").map_groups(mid, batch_format="pandas")
+    return mids.groupby("__bucket").map_groups(final, batch_format="pandas")

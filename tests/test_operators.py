@@ -293,8 +293,10 @@ def test_bloom_no_false_negatives_and_semi_join_bloom_exact():
 
 def test_adaptive_inner_join_both_plans_match():
     """adaptive_inner_join: broadcast plan (default) and exchange plan
-    (broadcast_limit=0) produce identical inner-join rows, including
-    duplicate right keys and a differently-named key column."""
+    (broadcast_limit=0) produce identical inner-join rows AND the exact
+    same schema (the exchange path must drop the right key column like
+    the broadcast path does), including duplicate right keys and a
+    differently-named key column."""
     from pdf_extractor_ray.joins import adaptive_inner_join
 
     left = pd.DataFrame({"k": [1, 2, 2, 3, 7], "a": list("vwxyz")})
@@ -309,10 +311,46 @@ def test_adaptive_inner_join_both_plans_match():
             adaptive_inner_join(lds, rds, on="k", right_on="rk", broadcast_limit=lim)
             .to_pandas()
         )
-        if "rk" in got.columns:
-            got = got.drop(columns="rk")
+        assert sorted(got.columns) == sorted(exp.columns), lim  # exact schema, both plans
         got = got.sort_values(["k", "a", "b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_broadcast_byte_gate_flips_wide_side_to_exchange(monkeypatch):
+    """A build side UNDER the row limit but OVER the byte limit must
+    take the exchange plan (never collected on the driver): a wide
+    string column flips the gate; results are plan-invariant."""
+    from unittest import mock
+
+    from pdf_extractor_ray import joins
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "a": list("wxyz")})
+    right = pd.DataFrame({"rk": [2, 3], "payload": ["X" * 4096, "Y" * 4096]})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    # sanity: the wide side really exceeds the patched byte budget
+    monkeypatch.setattr(joins, "BROADCAST_BYTE_LIMIT", 1024)
+    assert not joins._fits_broadcast(rds.materialize(), 1_000_000)
+
+    with mock.patch.object(
+        joins, "join_datasets", wraps=joins.join_datasets
+    ) as spy:
+        got = joins.adaptive_inner_join(lds, rds, on="k", right_on="rk").to_pandas()
+    assert spy.called  # exchange plan ran, not the driver collect
+    exp = (
+        left.merge(right, left_on="k", right_on="rk").drop(columns="rk")
+        .sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True)[exp.columns], exp
+    )
+
+    # semi_join: same gate; and the key projection means a NARROW key
+    # column still broadcasts even when payload columns are huge
+    with mock.patch.object(joins, "broadcast_semi", wraps=joins.broadcast_semi) as spy:
+        got = joins.semi_join(lds, rds, on="k", right_on="rk").to_pandas()
+    assert spy.called  # keys-only side fits 1 KiB: broadcast plan kept
+    assert sorted(got["k"]) == [2, 3]
 
 
 def test_label_propagation_components():
@@ -517,3 +555,65 @@ def test_bloom_false_positive_rate_uses_k_hashes():
     probe = rng.choice(np.setdiff1d(np.arange(20_000_000, 20_050_000), keys), size=20_000, replace=False)
     fp = bloom_contains(pd.Series(probe), bloom, num_bits=nbits).mean()
     assert fp < 0.02, f"FP rate {fp:.4f} suggests hash functions collapsed"
+
+
+def test_keep_first_viral_key_bounded_and_correct():
+    """Hot-key hardening: a viral key (100k identical-key rows) must
+    reach the exchange as at most one row per batch (the per-batch
+    partial idxmin), and the final answer is still the exact min-tie
+    row per key."""
+    from pdf_extractor_ray.ops import _keep_first_partials, keep_first
+
+    n_hot = 100_000
+    hot = pd.DataFrame(
+        {
+            "k": ["viral"] * n_hot,
+            "ts": np.arange(n_hot, dtype=np.int64)[::-1],  # min ts is the LAST row
+            "v": np.arange(n_hot, dtype=np.int64),
+        }
+    )
+    cold = pd.DataFrame(
+        {
+            "k": [f"k{i}" for i in range(50)],
+            "ts": np.arange(50, dtype=np.int64) + 7,
+            "v": np.arange(50, dtype=np.int64) + 1_000_000,
+        }
+    )
+    df = pd.concat([hot, cold], ignore_index=True)
+    ds = ray.data.from_pandas(df)
+    batch_size = 4096
+    n_batches = -(-len(df) // batch_size)
+
+    partials = _keep_first_partials(ds, ["k"], "ts", 16, batch_size).to_pandas()
+    viral_rows = int((partials["k"] == "viral").sum())
+    assert viral_rows <= 2 * n_batches  # bounded by batches, not rows
+
+    out = keep_first(ds, ["k"], "ts", batch_size=batch_size).to_pandas()
+    assert len(out) == 51
+    viral = out[out["k"] == "viral"].iloc[0]
+    assert viral["ts"] == 0 and viral["v"] == n_hot - 1  # exact min-tie row
+
+
+def test_grouped_sum_two_level_salted_matches_one_level():
+    """two_level=True (salted intermediate combine) must produce
+    byte-identical sums to the single-level plan on a skewed keyset."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.random(50_000) < 0.6, "hot", rng.integers(0, 200, 50_000).astype(str)),
+            "x": rng.integers(0, 1000, 50_000).astype(np.int64),
+            "y": rng.integers(0, 1000, 50_000).astype(np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    exp = df.groupby("k", as_index=False)[["x", "y"]].sum().sort_values("k").reset_index(drop=True)
+    for two_level in (False, True):
+        got = (
+            grouped_sum(ds, ["k"], ["x", "y"], batch_size=2048, two_level=two_level)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)
