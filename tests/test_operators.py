@@ -617,3 +617,19 @@ def test_grouped_sum_two_level_salted_matches_one_level():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[["k", "x", "y"]], exp, check_dtype=False)
+
+
+def test_label_propagation_pointer_jumping_long_chain():
+    """A 200-node chain (diameter 199) must converge in <= 12 rounds:
+    min-label alone needs ~199 rounds and would raise, so this passes
+    only if the pointer-jumping (label-of-label) step compounds hops."""
+    from pdf_extractor_ray.pipelines.dedup import label_propagation
+
+    n = 200
+    edges = pd.DataFrame({"doc_a": np.arange(n - 1) + 1000, "doc_b": np.arange(1, n) + 1000})
+    labels = (
+        label_propagation(ray.data.from_pandas(edges), src="doc_a", dst="doc_b", max_rounds=12)
+        .to_pandas()
+    )
+    assert len(labels) == n
+    assert (labels["label"] == 1000).all()
