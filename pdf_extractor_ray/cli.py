@@ -162,6 +162,17 @@ def cmd_list_jobs(args) -> int:
     return 0
 
 
+def cmd_list_models(args) -> int:
+    """Base + fine-tuned model ids (reference ``cli_finetune.py``
+    list-models subcommand → ``models.py`` timestamp scan; here the
+    registry supersedes the timestamp scan)."""
+    from pdf_extractor_ray.finetune import LocalSimulatedBackend
+
+    backend = LocalSimulatedBackend(args.registry)
+    print(json.dumps(backend.list_models()))
+    return 0
+
+
 def cmd_gen_corpus(args) -> int:
     from pdf_extractor_ray.sources.pages import write_pages_corpus
 
@@ -203,6 +214,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--registry", required=True)
     p.add_argument("--limit", type=int, default=None)
     p.set_defaults(fn=cmd_list_jobs)
+
+    p = sub.add_parser("list-models", help="list base + fine-tuned model ids")
+    p.add_argument("--registry", required=True)
+    p.set_defaults(fn=cmd_list_models)
 
     p = sub.add_parser("merge", help="dedup-merge new rows into a sink table")
     p.add_argument("--sink", required=True)

@@ -100,7 +100,9 @@ class LocalSimulatedBackend(FineTuneBackend):
             file_hash = "unread"
         # every submission is a NEW job (sequence suffix), matching the
         # reference service — resubmitting from the same path must not
-        # overwrite the previous job record
+        # overwrite the previous job record (the O_EXCL create below
+        # guarantees it even for two CONCURRENT submissions of the same
+        # file, which would otherwise derive the same hash and seq)
         seq = len(list(self.dir.glob("ftjob-*.json")))
         job_id = f"ftjob-{file_hash}-{seq:04d}"
         job = {
@@ -116,8 +118,21 @@ class LocalSimulatedBackend(FineTuneBackend):
             "finished_at": None,
             "polls": 0,
         }
-        self._write(job)
+        while not self._create_exclusive(job):
+            seq += 1
+            job["id"] = job_id = f"ftjob-{file_hash}-{seq:04d}"
         return job_id
+
+    def _create_exclusive(self, job: dict) -> bool:
+        """Atomically claim the job id: O_CREAT|O_EXCL create fails on
+        EEXIST instead of overwriting a concurrent submitter's record."""
+        try:
+            fd = os.open(self._path(job["id"]), os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump(job, f, indent=1)
+        return True
 
     def retrieve_job(self, job_id: str) -> dict:
         p = self._path(job_id)

@@ -27,9 +27,18 @@ from pdf_extractor_ray.sources.pages import make_pdf, wrap_in_boilerplate
 def _doc_to_page(doc_id: int, text: str, lang: str = "", source: str = "") -> bytes:
     """Page bytes for one document. A trailing details block plants
     labeled fields (DOC ID / LANG / SOURCE) so the schema-driven field
-    extraction stage has a SQL-checkable ground truth."""
+    extraction stage has a SQL-checkable ground truth.
+
+    A trim-empty document derives a page with NO content at all — no
+    meta lines either — so it genuinely extracts to '' / 0 fields,
+    exactly as the oracles' ``len(TRIM_WS(text)) = 0`` branch models
+    (planting the meta lines would make "empty" docs extract 3 fields
+    of recoverable text and silently diverge from the SQL)."""
     rng = random.Random(doc_id * 2654435761 % (1 << 31))
-    meta_lines = [f"DOC ID: {doc_id}", f"LANG CODE: {lang}", f"SOURCE NAME: {source}"]
+    if not text.strip():
+        meta_lines = []
+    else:
+        meta_lines = [f"DOC ID: {doc_id}", f"LANG CODE: {lang}", f"SOURCE NAME: {source}"]
     if doc_id % 7 == 3:  # PDF row: text lines as runs, shuffled emission
         words = text.split()
         lines = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
@@ -123,7 +132,22 @@ def extract_fields_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(project, batch_format="pandas")
 
 
-EXTRACT_FIELDS_SQL = "SELECT doc_id, lang, source FROM documents"
+# SQL replica of Python's str.strip() emptiness test: DuckDB's bare
+# trim() strips spaces ONLY, so a tabs-/newlines-only document would
+# classify 'ok' in SQL while the engine (str.strip) calls it empty.
+# Trim the full ASCII whitespace set instead (chr(9)..chr(13) + space).
+_TRIM_WS = "trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+
+
+# trim-empty docs derive meta-free pages (see _doc_to_page): nothing to
+# extract, so the field stage reports the miss sentinels, not the table
+# values
+EXTRACT_FIELDS_SQL = f"""
+SELECT CASE WHEN len({_TRIM_WS}) = 0 THEN -1 ELSE doc_id END AS doc_id,
+       CASE WHEN len({_TRIM_WS}) = 0 THEN '' ELSE lang END AS lang,
+       CASE WHEN len({_TRIM_WS}) = 0 THEN '' ELSE source END AS source
+FROM documents
+"""
 
 
 # The derived page is a pure function of (doc_id, text, lang, source)
@@ -135,11 +159,11 @@ EXTRACT_FIELDS_SQL = "SELECT doc_id, lang, source FROM documents"
 # the 26-line cap never truncates — asserted against all testdata SFs).
 # n_chars = len(text) + len("DOC ID: ")+len(id) + len("LANG CODE: ")
 #           + len(lang) + len("SOURCE NAME: ")+len(source) + 3 newlines.
-EXTRACT_FLAGSHIP_SQL = """
+EXTRACT_FLAGSHIP_SQL = f"""
 SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CASE WHEN doc_id % 7 = 3 THEN 'pdf' ELSE 'html' END AS kind,
-       CASE WHEN len(trim(text)) = 0 THEN 'empty' ELSE 'ok' END AS status,
-       CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+       CASE WHEN len({_TRIM_WS}) = 0 THEN 'empty' ELSE 'ok' END AS status,
+       CAST(CASE WHEN len({_TRIM_WS}) = 0 THEN 0
             ELSE len(text)
                  + 8 + len(CAST(doc_id AS VARCHAR))
                  + 11 + len(lang)
@@ -226,10 +250,10 @@ def llm_score_documents(sf_dir: str) -> ray.data.Dataset:
 # empty-text documents extract to "" → the fake backend sees no
 # labeled lines → 0 fields and no recovered id (parse still succeeds:
 # the backend answers {"fields": []})
-LLM_SCORE_SQL = """
+LLM_SCORE_SQL = f"""
 SELECT doc_id,
-       CASE WHEN len(trim(text)) = 0 THEN -1 ELSE doc_id END AS recovered_doc_id,
-       CAST(CASE WHEN len(trim(text)) = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_fields,
+       CASE WHEN len({_TRIM_WS}) = 0 THEN -1 ELSE doc_id END AS recovered_doc_id,
+       CAST(CASE WHEN len({_TRIM_WS}) = 0 THEN 0 ELSE 3 END AS BIGINT) AS n_fields,
        TRUE AS parse_ok
 FROM documents
 """

@@ -516,3 +516,50 @@ def test_annotate_length_insert_skips_nested_dict():
 
     m = _re.search(rb"/Length\s+(\d+)(?!\d)", head)
     assert m and int(m.group(1)) == len(stream)
+
+
+def test_cli_finetune_surface_and_job_id_race(tmp_path, capsys):
+    """The CLI's fine-tune subcommands (job-status / list-jobs /
+    list-models) round-trip against a registry, completing the
+    reference's six-subcommand surface; and concurrent-style duplicate
+    submissions of the SAME file must yield distinct job records
+    (O_EXCL claim, never an overwrite)."""
+    import json
+
+    from pdf_extractor_ray.cli import main
+    from pdf_extractor_ray.finetune import LocalSimulatedBackend, monitor_job
+
+    reg = str(tmp_path / "registry")
+    backend = LocalSimulatedBackend(reg)
+    train = tmp_path / "train.jsonl"
+    train.write_text(
+        "\n".join(
+            json.dumps({"messages": [{"role": "user", "content": f"x{i}"}]})
+            for i in range(12)
+        )
+    )
+    jid = backend.create_job(str(train), "base-extractor-small", "s1")
+    # duplicate submission: same file -> same hash and same initial seq
+    # candidate if raced; the exclusive create must bump, not overwrite
+    jid2 = backend.create_job(str(train), "base-extractor-small", "s2")
+    assert jid != jid2
+    assert len(backend.list_jobs()) == 2
+    # the raced case directly: claiming an already-claimed id must fail
+    # (EEXIST) instead of clobbering the existing record
+    assert backend._create_exclusive({"id": jid}) is False
+    assert json.loads((tmp_path / "registry" / f"{jid}.json").read_text())["suffix"] == "s1"
+    monitor_job(backend, jid)
+
+    rc = main(["job-status", "--registry", reg, "--job-id", jid])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["status"] == "succeeded"
+
+    rc = main(["list-jobs", "--registry", reg])
+    assert rc == 0
+    assert {j["id"] for j in json.loads(capsys.readouterr().out)} == {jid, jid2}
+
+    rc = main(["list-models", "--registry", reg])
+    assert rc == 0
+    models = json.loads(capsys.readouterr().out)
+    assert "base-extractor-small" in models
+    assert any(m.startswith("ft:base-extractor-small:s1:") for m in models)

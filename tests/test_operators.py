@@ -633,3 +633,49 @@ def test_label_propagation_pointer_jumping_long_chain():
     )
     assert len(labels) == n
     assert (labels["label"] == 1000).all()
+
+
+def test_empty_text_docs_match_oracles(tmp_path):
+    """Trim-empty documents derive meta-free pages and extract to ''/
+    0 fields, matching the oracles' empty branch exactly — covers the
+    HTML branch, the PDF branch (doc_id % 7 == 3), and whitespace-only
+    text (ADVICE r2: previously latent because testdata has no empty
+    docs)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import webdocs
+    from tools.check_oracle import value_hash
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 10],  # 3 and 10%7=3? no: 10%7=3 -> pdf
+            "text": ["", "   \t ", "", "real content words here", "more real body text"],
+            "lang": ["en", "de", "fr", "en", "en"],
+            "source": ["s1", "s2", "s3", "s4", "s5"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+
+    for ray_fn, sql in (
+        (webdocs.extract_documents_summary, webdocs.EXTRACT_FLAGSHIP_SQL),
+        (webdocs.extract_fields_documents, webdocs.EXTRACT_FIELDS_SQL),
+        (webdocs.llm_score_documents, webdocs.LLM_SCORE_SQL),
+    ):
+        got = ray_fn(str(d)).to_pandas()
+        exp = con.sql(sql).df()
+        assert len(got) == len(exp)
+        assert sorted(got.columns) == sorted(exp.columns)
+        assert value_hash(got) == value_hash(exp), ray_fn.__name__
+
+    # the PDF empty row (doc_id 3) and both HTML empty rows really are
+    # status='empty', not meta-lines-only extractions
+    summary = webdocs.extract_documents_summary(str(d)).to_pandas().set_index("url")
+    for did in (1, 2, 3):
+        row = summary.loc[f"https://docs.example.com/{did}"]
+        assert row["status"] == "empty" and row["n_chars_extracted"] == 0, did
