@@ -10,7 +10,10 @@ handling, comment/doctype skipping) — profiling showed the stdlib
 extraction time; the tokenizer drives the same block model ~5× faster.
 A single pass attributes every text chunk to its *innermost* enclosing
 block element, then keeps blocks whose link density is low enough and
-whose text is long enough.
+whose text is long enough — weighted by id/class content hints
+(``id="content"`` boosts, ``class="sidebar"`` demotes, inherited by
+descendants) and with data-table rows serialized cell-joined (see
+``html_extract``).
 
 Deterministic: output depends only on the input bytes. Used unchanged by
 the sequential oracle and by the Ray stage, so extracted text is
@@ -50,7 +53,11 @@ SKIP_TAGS = frozenset(
     }
 )
 
-# Elements that delimit a text block (innermost wins).
+# Elements that delimit a text block (innermost wins). Table CELLS are
+# deliberately NOT block delimiters: their text accrues to the
+# enclosing <tr> block so a data-table row serializes as one
+# "a | b | c" line (row-wise cell joining) instead of one line per
+# cell.
 BLOCK_TAGS = frozenset(
     {
         "p",
@@ -65,8 +72,9 @@ BLOCK_TAGS = frozenset(
         "h4",
         "h5",
         "h6",
-        "td",
-        "th",
+        "tr",
+        "table",
+        "caption",
         "blockquote",
         "pre",
         "figcaption",
@@ -80,21 +88,75 @@ VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "base
 
 MAX_LINK_DENSITY = 0.33
 MIN_BLOCK_CHARS = 8
+# a positively-hinted block (inside id/class ~ content|main|article…)
+# tolerates more linked text before being called boilerplate
+POS_MAX_LINK_DENSITY = 0.66
+CELL_SEPARATOR = " | "
+
+# id/class content hints (trafilatura/readability-style): attribute
+# WORDS — split on any non-letter, so "site-footer", "main_content"
+# and "navBar" all resolve — weighted for/against main content. A
+# negative word anywhere on the element (or an ancestor) wins over a
+# positive one: nav-in-a-div is the common false content.
+NEG_HINT_WORDS = frozenset(
+    """sidebar comment comments footer nav navbar navigation menu
+    banner ad ads advert advertisement promo sponsor sponsored related
+    share social breadcrumb breadcrumbs widget cookie popup modal
+    subscribe newsletter pagination pager disclaimer copyright hidden
+    skyscraper masthead""".split()
+)
+POS_HINT_WORDS = frozenset(
+    """content main article body post entry text story blog description
+    abstract""".split()
+)
+# tags that are content-positive by their NAME alone
+POS_HINT_TAGS = frozenset({"article", "main"})
+
+# tags whose id/class is worth sniffing: container/structure elements.
+# Deliberately EXCLUDES <a> — the most numerous attr-bearing tag in
+# link-dense boilerplate — whose contribution is already captured by
+# link density; gating here keeps the hint sniff off the tokenizer's
+# hot path for ~90% of attr-bearing tags.
+HINTABLE_TAGS = frozenset(
+    {"div", "section", "span", "ul", "ol", "li", "p", "table", "figure",
+     "article", "main", "td", "th", "tr", "dl", "details", "summary"}
+)
+
+_ATTR_VAL_RE = re.compile(
+    r"""\b(?:id|class)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I
+)
+_WORD_SPLIT_RE = re.compile(r"[^a-z]+")
+
+
+def _sniff_hint(attrs: str) -> int:
+    """-1 (demote) / +1 (boost) / 0 from an element's id/class words."""
+    neg = pos = False
+    for m in _ATTR_VAL_RE.finditer(attrs):
+        val = (m.group(1) or m.group(2) or m.group(3) or "").lower()
+        for w in _WORD_SPLIT_RE.split(val):
+            if w in NEG_HINT_WORDS:
+                neg = True
+            elif w in POS_HINT_WORDS:
+                pos = True
+    return -1 if neg else (1 if pos else 0)
 
 
 class _Block:
-    __slots__ = ("tag", "order", "parts", "link_chars", "total_chars")
+    __slots__ = ("tag", "order", "parts", "link_chars", "total_chars", "hint")
 
-    def __init__(self, tag: str, order: int):
+    def __init__(self, tag: str, order: int, hint: int = 0):
         self.tag = tag
         self.order = order
         self.parts: list[str] = []
         self.link_chars = 0
         self.total_chars = 0
+        self.hint = hint  # -1 demoted / +1 boosted / 0 neutral
 
 
 # One pass over the markup: tags (quoted-attr aware), comments,
-# doctype/PI, and text runs.
+# doctype/PI, and text runs. Group 2 (the raw attr blob) feeds the
+# id/class hint sniff; capturing it costs nothing extra — the span was
+# already being matched.
 _TOKEN_RE = re.compile(
     r"""
     <!--.*?(?:-->|$)                       # comment
@@ -102,7 +164,7 @@ _TOKEN_RE = re.compile(
   | <![^>]*>                               # doctype
   | <\?[^>]*>                              # processing instruction
   | </?([a-zA-Z][a-zA-Z0-9:-]*)            # tag name (group 1)
-      (?:[^>"']|"[^"]*"|'[^']*')*          # attrs, quote-aware
+      ((?:[^>"']|"[^"]*"|'[^']*')*)        # attrs, quote-aware (group 2)
       >?
     """,
     re.S | re.X,
@@ -115,7 +177,17 @@ _RAWTEXT_CLOSE = {
 
 
 class _Extractor:
-    __slots__ = ("_skip_depth", "_link_depth", "_block_stack", "_done", "_order")
+    __slots__ = (
+        "_skip_depth",
+        "_link_depth",
+        "_block_stack",
+        "_done",
+        "_order",
+        "_hints",
+        "_hint_counts",
+        "_neg_depth",
+        "_pos_depth",
+    )
 
     def __init__(self) -> None:
         self._skip_depth = 0
@@ -123,6 +195,14 @@ class _Extractor:
         self._block_stack: list[_Block] = []
         self._done: list[_Block] = []
         self._order = 0
+        # active id/class hints: (tag, same-tag nesting depth at open,
+        # flag). Depth counting starts when a hint for that tag name
+        # activates, so an inner UNHINTED <div> closing does not end an
+        # outer <div class="sidebar">'s demotion.
+        self._hints: list[tuple[str, int, int]] = []
+        self._hint_counts: dict[str, int] = {}
+        self._neg_depth = 0
+        self._pos_depth = 0
 
     def feed(self, html: str) -> None:
         pos = 0
@@ -140,23 +220,34 @@ class _Extractor:
             if name is None:
                 continue  # comment / doctype / PI / cdata
             tag = name.lower()
-            tok = m.group(0)
-            if tok[1] == "/":
+            if html[m.start() + 1] == "/":  # cheaper than m.group(0)[1]
                 self._endtag(tag)
-            elif tok.endswith("/>"):
+                continue
+            # materialize the attr blob ONLY for structure tags that
+            # can carry an id/class hint (str.find on the span
+            # allocates nothing; an unconditional m.group(2) per start
+            # tag costs ~10% kernel throughput)
+            attrs = ""
+            if tag in HINTABLE_TAGS:
+                a2, b2 = m.span(2)
+                if b2 > a2 and (
+                    html.find("id", a2, b2) != -1 or html.find("class", a2, b2) != -1
+                ):
+                    attrs = html[a2:b2]
+            if html[pos - 2 : pos] == "/>":
                 # self-closed non-void tag (<iframe/>, <a/>): open+close,
                 # else a skip/link depth increments forever and all
                 # following content is silently discarded
-                self._starttag(tag)
+                self._starttag(tag, attrs)
                 self._endtag(tag)
             else:
-                self._starttag(tag)
+                self._starttag(tag, attrs)
                 if tag in _RAWTEXT_CLOSE:
                     cm = _RAWTEXT_CLOSE[tag].search(html, pos)
                     pos = cm.start() if cm else n  # raw content skipped
 
     # -- tag events ----------------------------------------------------
-    def _starttag(self, tag: str) -> None:
+    def _starttag(self, tag: str, attrs: str = "") -> None:
         if tag in VOID_TAGS:
             # <br>/<hr> separate words: without this, "one<br>two"
             # would fuse to "onetwo" (collapse_ws normalizes the space)
@@ -168,11 +259,34 @@ class _Extractor:
             return
         if self._skip_depth:
             return
+        # id/class hint sniff (feed() already prefiltered: attrs is
+        # non-empty only when an id/class substring is present)
+        flag = _sniff_hint(attrs) if attrs else 0
+        if flag == 0 and tag in POS_HINT_TAGS:
+            flag = 1
+        if flag:
+            depth = self._hint_counts.get(tag, 0)
+            self._hints.append((tag, depth, flag))
+            self._hint_counts[tag] = depth + 1
+            if flag < 0:
+                self._neg_depth += 1
+            else:
+                self._pos_depth += 1
+        elif tag in self._hint_counts:
+            self._hint_counts[tag] += 1
         if tag == "a":
             self._link_depth += 1
         if tag in BLOCK_TAGS:
             self._order += 1
-            self._block_stack.append(_Block(tag, self._order))
+            hint = -1 if self._neg_depth else (1 if self._pos_depth else 0)
+            self._block_stack.append(_Block(tag, self._order, hint))
+        elif tag in ("td", "th") and self._block_stack:
+            blk = self._block_stack[-1]
+            # row-wise cell joining: a new cell inside a <tr> block that
+            # already holds text gets a visible separator, so the row
+            # serializes as one "a | b | c" line
+            if blk.tag == "tr" and blk.parts:
+                blk.parts.append(CELL_SEPARATOR)
 
     def _endtag(self, tag: str) -> None:
         if tag in VOID_TAGS:
@@ -183,6 +297,18 @@ class _Extractor:
             return
         if self._skip_depth:
             return
+        if tag in self._hint_counts:
+            c = self._hint_counts[tag] - 1
+            if self._hints and self._hints[-1][0] == tag and self._hints[-1][1] == c:
+                _, _, flag = self._hints.pop()
+                if flag < 0:
+                    self._neg_depth -= 1
+                else:
+                    self._pos_depth -= 1
+            if c <= 0 and not any(h[0] == tag for h in self._hints):
+                del self._hint_counts[tag]
+            else:
+                self._hint_counts[tag] = max(c, 0)
         if tag == "a" and self._link_depth:
             self._link_depth -= 1
         if tag in BLOCK_TAGS:
@@ -202,7 +328,8 @@ class _Extractor:
         if not self._block_stack:
             # text outside any block element: give it an implicit block
             self._order += 1
-            self._block_stack.append(_Block("body", self._order))
+            hint = -1 if self._neg_depth else (1 if self._pos_depth else 0)
+            self._block_stack.append(_Block("body", self._order, hint))
         blk = self._block_stack[-1]
         blk.parts.append(data)
         n = len(data.strip())
@@ -221,7 +348,20 @@ def html_extract(raw: bytes) -> tuple[str, list[dict]]:
     """Strip boilerplate; return ``(text, char_spans)``.
 
     A block survives when its text is >= MIN_BLOCK_CHARS after collapse
-    and its link density (linked chars / total chars) <= MAX_LINK_DENSITY.
+    and its link density (linked chars / total chars) <= MAX_LINK_DENSITY
+    — adjusted by id/class content hints:
+
+    - demoted blocks (inside ``class~sidebar|comment|footer|…``) are
+      dropped outright, however text-dense: a text-heavy promo box is
+      the boilerplate that link density alone cannot catch;
+    - boosted blocks (inside ``id~content|main|…`` or ``<article>`` /
+      ``<main>``) survive down to 1 char and up to POS_MAX_LINK_DENSITY
+      linked text: short headings and link-quoting paragraphs inside
+      the marked main content are content;
+    - table ROWS (``<tr>`` blocks, cells joined with " | ") survive
+      down to 1 char — numeric data cells are content — but keep the
+      normal link-density cut so layout/nav tables still die.
+
     Surviving blocks are joined with ``\\n`` in document order.
     """
     html = raw.decode("utf-8", errors="replace")
@@ -238,13 +378,19 @@ def html_extract(raw: bytes) -> tuple[str, list[dict]]:
     offset = 0
     block_ordinal = 0
     for blk in parser.blocks():
-        if blk.total_chars == 0:
+        if blk.total_chars == 0 or blk.hint < 0:
             continue
         density = blk.link_chars / blk.total_chars
-        if density > MAX_LINK_DENSITY:
+        if blk.tag == "tr":
+            min_chars, max_density = 1, MAX_LINK_DENSITY
+        elif blk.hint > 0:
+            min_chars, max_density = 1, POS_MAX_LINK_DENSITY
+        else:
+            min_chars, max_density = MIN_BLOCK_CHARS, MAX_LINK_DENSITY
+        if density > max_density:
             continue
         text = collapse_ws(normalize_ligatures("".join(blk.parts)))
-        if len(text) < MIN_BLOCK_CHARS:
+        if len(text) < min_chars:
             continue
         if pieces:
             offset += 1  # the "\n" joiner

@@ -57,15 +57,25 @@ def _paragraph(rng: random.Random, n_sent: int, words=_WORDS) -> str:
 def wrap_in_boilerplate(main_html: str, extra_links: str = "") -> bytes:
     """Wrap main content in the link-dense nav/header/aside/footer
     scaffolding (BOILER markers) shared by every synthetic page — the
-    known-wrong content a text/link-density extractor must strip."""
+    known-wrong content a text/link-density extractor must strip.
+
+    The ``div.promo.sidebar`` block is text-HEAVY and link-free: link
+    density alone cannot reject it — only the id/class demotion hints
+    can, which makes every synthetic page (and thus the flagship
+    golden + driver oracles) exercise the hint path."""
     nav_links = "".join(f'<li><a href="/cat/{i}">BOILER nav {i}</a></li>' for i in range(8))
     side_links = "".join(f'<a href="/rel/{i}">BOILER related {i}</a> ' for i in range(12))
+    promo = (
+        "BOILER promo: subscribe to our excellent newsletter today for "
+        "weekly curated updates and exclusive long-form partner stories."
+    )
     html = (
         "<!DOCTYPE html><html><head><title>BOILER title</title>"
         "<style>body{margin:0}</style><script>var x=1;</script></head>"
         f"<body><nav><ul>{nav_links}{extra_links}</ul></nav>"
         '<header><a href="/">BOILER home</a> | <a href="/about">BOILER about</a></header>'
         f'<div id="content">{main_html}</div>'
+        f'<div class="promo sidebar"><p>{promo}</p></div>'
         f'<aside class="sidebar">{side_links}</aside>'
         f"<footer><p><a href='/tos'>BOILER terms</a> <a href='/priv'>BOILER privacy</a></p></footer>"
         "</body></html>"
@@ -76,15 +86,31 @@ def wrap_in_boilerplate(main_html: str, extra_links: str = "") -> bytes:
 def make_html_page(rng: random.Random, n_paras: int, lang: str = "en") -> tuple[bytes, str]:
     """Boilerplate-wrapped page; returns (html_bytes, expected_main_text).
 
-    The nav/header/footer/sidebar are link-dense (BOILER markers) so the
-    text-density extractor has a known right answer: exactly the main
-    ``<p>`` paragraphs, in order, joined by newlines.
+    The nav/header/footer/sidebar are link-dense (BOILER markers) and
+    the promo box is class-demoted, so the extractor has a known right
+    answer: exactly the main ``<p>`` paragraphs — plus, on ~1/3 of
+    pages, a small data table whose rows serialize cell-joined
+    ("h1 | h2" …) after the paragraphs — in order, joined by newlines.
     """
     words = {"en": _WORDS, "de": _DE_WORDS, "fr": _FR_WORDS}.get(lang, _WORDS)
     paras = [_paragraph(rng, rng.randint(2, 5), words) for _ in range(n_paras)]
-    main_html = "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>"
+    expected = list(paras)
+    table_html = ""
+    if rng.random() < 0.35:  # data table: short numeric cells are content
+        headers = ["metric", "value"]
+        rows = [[rng.choice(words), str(rng.randint(0, 999))] for _ in range(rng.randint(2, 4))]
+        table_html = (
+            "<table><tr>"
+            + "".join(f"<th>{h}</th>" for h in headers)
+            + "</tr>"
+            + "".join("<tr>" + "".join(f"<td>{c}</td>" for c in r) + "</tr>" for r in rows)
+            + "</table>"
+        )
+        expected.append(" | ".join(headers))
+        expected.extend(" | ".join(r) for r in rows)
+    main_html = "<article>" + "".join(f"<p>{p}</p>" for p in paras) + table_html + "</article>"
     extra = f'<li><a href="/x/{rng.randint(0, 99)}">BOILER extra {rng.choice(_WORDS)}</a></li>'
-    return wrap_in_boilerplate(main_html, extra), "\n".join(paras)
+    return wrap_in_boilerplate(main_html, extra), "\n".join(expected)
 
 
 def make_pdf(

@@ -563,3 +563,72 @@ def test_cli_finetune_surface_and_job_id_race(tmp_path, capsys):
     models = json.loads(capsys.readouterr().out)
     assert "base-extractor-small" in models
     assert any(m.startswith("ft:base-extractor-small:s1:") for m in models)
+
+
+def test_html_content_hints_class_id_weighting():
+    """id/class hints discriminate content-in-div from nav-in-div where
+    link density cannot: a text-heavy sidebar dies, identical text in
+    id="content" lives; neg inherits through unhinted children; neg
+    beats pos on one element; a short block survives only when boosted."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+
+    para = "This promo paragraph is long enough to pass every density test easily."
+    html = (
+        "<body>"
+        f'<div id="content"><p>{para}</p><p>tiny</p></div>'
+        f'<div class="promo sidebar"><p>{para}</p></div>'
+        f'<div class="main sidebar"><p>{para}</p></div>'  # neg wins over pos
+        f'<div class="sidebar"><div><p>{para}</p></div></div>'  # inherited through unhinted div
+        "<p>tiny</p>"  # short, unboosted -> dropped
+        f"<p>{para}</p>"
+    ).encode()
+    text, spans = html_extract(html)
+    lines = text.split("\n")
+    assert lines == [para, "tiny", para]
+    assert len(spans) == 3
+
+
+def test_html_hint_scope_ends_with_its_element():
+    """An inner unhinted <div> closing must NOT end the outer
+    sidebar's demotion; a sibling after the hinted div closes is
+    clean again."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+
+    s = "Sentence long enough to clear the minimum block length bar."
+    html = (
+        f'<div class="sidebar"><div><p>{s} A</p></div><p>{s} B</p></div>'
+        f"<p>{s} C</p>"
+    ).encode()
+    text, _ = html_extract(html)
+    assert text == f"{s} C"
+
+
+def test_html_table_rows_cell_joined():
+    """Data-table rows serialize as one ' | '-joined line per row
+    (incl. short numeric cells); a link-only nav table still dies by
+    link density."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+
+    html = (
+        "<table>"
+        "<tr><th>city</th><th>pop</th></tr>"
+        "<tr><td>Berlin</td><td>3.7</td></tr>"
+        "<tr><td>Paris</td><td>2.1</td></tr>"
+        "</table>"
+        '<table><tr><td><a href="/a">nav a</a></td><td><a href="/b">nav b</a></td></tr></table>'
+    ).encode()
+    text, spans = html_extract(html)
+    assert text.split("\n") == ["city | pop", "Berlin | 3.7", "Paris | 2.1"]
+    assert all(s["end"] - s["start"] > 0 for s in spans)
+
+
+def test_html_pos_hint_relaxes_link_density():
+    """A link-quoting paragraph inside <article> survives up to the
+    boosted density ceiling; the same paragraph outside dies."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+
+    # ~50% of chars linked: above 0.33, below 0.66
+    p = 'read <a href="/x">the linked half</a> plus tail'
+    html = (f"<article><p>{p}</p></article>" f"<div><p>{p}</p></div>").encode()
+    text, _ = html_extract(html)
+    assert text == "read the linked half plus tail"
