@@ -128,6 +128,9 @@ def main() -> None:
 
     import ray
 
+    from pdf_extractor_ray.quiet import quiet_data_logs
+
+    quiet_data_logs()
     if not ray.is_initialized():
         ray.init(
             address="local",

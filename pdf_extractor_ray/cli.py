@@ -23,6 +23,9 @@ import sys
 def _ray_session(cpus: int | None):
     import ray
 
+    from pdf_extractor_ray.quiet import quiet_data_logs
+
+    quiet_data_logs()
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -6,6 +6,9 @@ import ray
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    from pdf_extractor_ray.quiet import quiet_data_logs
+
+    quiet_data_logs()
     ray.init(
         address="local",
         num_cpus=4,
