@@ -46,27 +46,44 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"].to_numpy() < cutoff]
-        return pd.DataFrame(
+    def derive(t: pa.Table) -> pa.Table:
+        # Arrow-native end to end (survey §7.5.4): zero-copy from the
+        # parquet read, pyarrow.compute kernels, and the grouped_sum
+        # below aggregates with arrow_partials — the chain never
+        # converts to pandas until the groups-sized exchange. The cents
+        # math is floor(x*100+0.5) in float64, IEEE-identical to
+        # functions.exact.cents_np (and to the DuckDB oracle).
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.less(t.column("l_shipdate"), pa.scalar(np.datetime64(cutoff, "us")))
+        )
+        price = t.column("l_extendedprice")
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+
+        def cents(x):
+            return pc.floor(pc.add(pc.multiply(x, pa.scalar(100.0)), pa.scalar(0.5))).cast(
+                pa.int64()
+            )
+
+        return pa.table(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
-                "sum_qty": b["l_quantity"].to_numpy().astype(np.int64),
-                "sum_base_cents": cents_np(b["l_extendedprice"]),
-                "sum_disc_cents": cents_np(
-                    b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
-                ),
-                "count_order": np.ones(len(b), dtype=np.int64),
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": t.column("l_quantity").cast(pa.int64()),
+                "sum_base_cents": cents(price),
+                "sum_disc_cents": cents(disc_price),
+                "count_order": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
 
-    derived = ds.map_batches(derive, batch_format="pandas", batch_size=65536)
+    derived = ds.map_batches(derive, batch_format="pyarrow", batch_size=65536)
     return grouped_sum(
         derived,
         ["l_returnflag", "l_linestatus"],
         ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"],
         num_buckets=4,
+        arrow_partials=True,
     )
 
 
@@ -252,18 +269,29 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     epoch-hours; the timestamp is restored on the small result."""
     ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def derive(t: pa.Table) -> pa.Table:
+        # Arrow-native like q1: zero-copy from the read into arrow
+        # hash-aggregation partials; cents math IEEE-identical to
+        # cents_np (float64 floor(x*100+0.5)).
+        import pyarrow.compute as pc
+
+        epoch_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        cents = pc.floor(
+            pc.add(pc.multiply(t.column("value"), pa.scalar(100.0)), pa.scalar(0.5))
+        ).cast(pa.int64())
+        return pa.table(
             {
-                "event_type": b["event_type"],
-                "hour_epoch": (b["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000),
-                "value_cents": cents_np(b["value"]),
-                "n_events": np.ones(len(b), dtype=np.int64),
+                "event_type": t.column("event_type"),
+                "hour_epoch": pc.divide(epoch_us, pa.scalar(3_600_000_000)),
+                "value_cents": cents,
+                "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
 
-    derived = ds.map_batches(derive, batch_format="pandas", batch_size=65536)
-    agg = grouped_sum(derived, ["event_type", "hour_epoch"], ["value_cents", "n_events"])
+    derived = ds.map_batches(derive, batch_format="pyarrow", batch_size=65536)
+    agg = grouped_sum(
+        derived, ["event_type", "hour_epoch"], ["value_cents", "n_events"], arrow_partials=True
+    )
 
     def restore_hour(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
