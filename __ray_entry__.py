@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": textops.doc_length_histogram,
         "source_lang_matrix": textops.source_lang_matrix,
         "quality_documents": textops.quality_documents,
+        "gopher_quality_documents": textops.gopher_quality_rules,
+        "contamination_screen": textops.contamination_screen,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "llm_score_documents": webdocs.LLM_SCORE_SQL,
         "lang_count_documents": textops.LANG_COUNT_SQL,
         "quality_documents": textops.QUALITY_SQL,
+        "gopher_quality_documents": textops.GOPHER_RULES_SQL,
         "lang_id_documents": textops.LANG_ID_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "source_lang_matrix": textops.SOURCE_LANG_MATRIX_SQL,

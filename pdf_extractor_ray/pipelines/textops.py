@@ -284,3 +284,136 @@ def fingerprint_documents(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pandas", batch_size=4096)
+
+
+def gopher_quality_rules(sf_dir: str) -> ray.data.Dataset:
+    """Gopher/C4-style per-document format rules (the rule family of
+    Rae et al. 2021 §A1.1, restricted to the rules the corpus charset
+    makes exact): word count bounds, mean-word-length bounds, and a
+    distinct-word ("repetition") floor. Ratios are integer micro-units
+    (floor division) so the DuckDB oracle hash-matches exactly. One
+    zero-shuffle vectorized map_batches — at 100 TB this is a pure
+    streaming filter stage."""
+    import re
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ws_re = re.compile(r"\s")
+
+    def rules(b: pd.DataFrame) -> pd.DataFrame:
+        n_words = np.empty(len(b), dtype=np.int64)
+        uniq = np.empty(len(b), dtype=np.int64)
+        nonws = np.empty(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            words = t.split()
+            n_words[i] = len(words)
+            uniq[i] = len(set(words))
+            nonws[i] = len(ws_re.sub("", t))
+        safe = np.maximum(n_words, 1)
+        unique_ratio = np.where(n_words > 0, uniq * 1_000_000 // safe, 0)
+        mean_chars = np.where(n_words > 0, nonws * 1_000_000 // safe, 0)
+        flag_len = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int8)
+        flag_mean = ((mean_chars >= 3_000_000) & (mean_chars <= 10_000_000)).astype(np.int8)
+        flag_uniq = (unique_ratio >= 200_000).astype(np.int8)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": n_words,
+                "unique_words": uniq,
+                "unique_ratio_micro": unique_ratio.astype(np.int64),
+                "mean_word_chars_micro": mean_chars.astype(np.int64),
+                "flag_word_count": flag_len,
+                "flag_mean_word_len": flag_mean,
+                "flag_unique_ratio": flag_uniq,
+                "keep": (flag_len & flag_mean & flag_uniq).astype(np.int8),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pandas", batch_size=8192)
+
+
+# Exact SQL replica: same \s+ tokenization as DOC_TOKEN_STATS_SQL, same
+# integer micro-unit floor division both sides.
+GOPHER_RULES_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS unique_words,
+           length(regexp_replace(text, '\s', '', 'g')) AS nonws
+    FROM documents
+), m AS (
+    SELECT doc_id, n_words, unique_words,
+           CASE WHEN n_words = 0 THEN 0 ELSE (unique_words * 1000000) // n_words END AS unique_ratio_micro,
+           CASE WHEN n_words = 0 THEN 0 ELSE (nonws * 1000000) // n_words END AS mean_word_chars_micro
+    FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(unique_words AS BIGINT) AS unique_words,
+       CAST(unique_ratio_micro AS BIGINT) AS unique_ratio_micro,
+       CAST(mean_word_chars_micro AS BIGINT) AS mean_word_chars_micro,
+       CAST(n_words BETWEEN 50 AND 100000 AS TINYINT) AS flag_word_count,
+       CAST(mean_word_chars_micro BETWEEN 3000000 AND 10000000 AS TINYINT) AS flag_mean_word_len,
+       CAST(unique_ratio_micro >= 200000 AS TINYINT) AS flag_unique_ratio,
+       CAST((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_chars_micro BETWEEN 3000000 AND 10000000)
+            AND (unique_ratio_micro >= 200000) AS TINYINT) AS keep
+FROM m
+"""
+
+
+def contamination_screen(
+    sf_dir: str, benchmark_mod: int = 50, k: int = 8
+) -> ray.data.Dataset:
+    """Benchmark-contamination screen (the pre-training hygiene pass:
+    drop training docs that share any k-word shingle with an eval
+    benchmark). Docs with ``doc_id % benchmark_mod == 0`` stand in for
+    the benchmark set.
+
+    Scale shape: the benchmark k-gram HASH set is built distributed
+    (per-batch shingle hashing → fixed-width uint64 arrays), collected
+    once (bounded by |benchmark| × words — the benchmark is the small
+    side by construction), deduplicated, and broadcast via ``ray.put``;
+    the corpus scan is then one zero-shuffle vectorized map_batches
+    doing np.isin against the sorted hash array. Nothing scales with
+    the corpus on the driver."""
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] % benchmark_mod == 0], batch_format="pandas"
+    )
+
+    def to_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [hashing.shingle_hashes(t, k=k) for t in b["text"]]
+        arr = np.unique(np.concatenate(hs)) if hs else np.empty(0, dtype=np.uint64)
+        return pd.DataFrame({"h": arr})
+
+    parts = [
+        batch["h"].to_numpy().astype(np.uint64)
+        for batch in bench.map_batches(to_hashes, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    bench_hashes = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    ref = ray.put(bench_hashes)  # sorted: np.isin uses binary search path
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def screen(b: pd.DataFrame) -> pd.DataFrame:
+        bh = _cached_get(ref)
+        n_shared = np.empty(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            sh = hashing.shingle_hashes(t, k=k)
+            n_shared[i] = int(np.isin(sh, bh, assume_unique=False).sum())
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_shared_ngrams": n_shared,
+                "contaminated": (n_shared > 0).astype(np.int8),
+            }
+        )
+
+    return ds.map_batches(screen, batch_format="pandas", batch_size=4096)

@@ -175,3 +175,33 @@ def test_extraction_metrics_exact_from_local_derivation():
         for _, r in got.iterrows()
     }
     assert got_map == exp
+
+
+def test_contamination_screen_exact_vs_brute_force():
+    """The broadcast n-gram screen == a local brute-force recomputation
+    (same shingle hashing, same benchmark rule) for every document."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.kernels import hashing
+
+    got = _pdf(_QUERIES["contamination_screen"](SF_DIR)).set_index("doc_id")
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+
+    bench = np.unique(
+        np.concatenate(
+            [hashing.shingle_hashes(t, k=8) for d, t in zip(docs["doc_id"], docs["text"]) if d % 50 == 0]
+            or [np.empty(0, dtype=np.uint64)]
+        )
+    )
+    n_flagged = 0
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        sh = hashing.shingle_hashes(t, k=8)
+        exp_shared = int(np.isin(sh, bench).sum())
+        assert got.loc[d, "n_shared_ngrams"] == exp_shared, d
+        assert got.loc[d, "contaminated"] == (1 if exp_shared else 0), d
+        n_flagged += 1 if exp_shared else 0
+    # benchmark members are self-contaminated by construction, so the
+    # screen must flag at least all of them
+    assert n_flagged >= (docs["doc_id"] % 50 == 0).sum()
