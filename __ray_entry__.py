@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.quality_documents,
         "gopher_quality_documents": textops.gopher_quality_rules,
         "contamination_screen": textops.contamination_screen,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_count_documents": textops.LANG_COUNT_SQL,
         "quality_documents": textops.QUALITY_SQL,
         "gopher_quality_documents": textops.GOPHER_RULES_SQL,
+        "tfidf_top_terms": textops.TFIDF_SQL,
         "lang_id_documents": textops.LANG_ID_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "source_lang_matrix": textops.SOURCE_LANG_MATRIX_SQL,

@@ -417,3 +417,96 @@ def contamination_screen(
         )
 
     return ds.map_batches(screen, batch_format="pandas", batch_size=4096)
+
+
+def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> ray.data.Dataset:
+    """Per-document top-k tf-idf terms, exact-integer scored.
+
+    Two streaming passes over the docs table (pruned to doc_id/text):
+
+    1. document frequency — per-batch partial (word → docs-in-batch)
+       via vectorized pandas, one tiny bucketed exchange (vocab-sized),
+       then the df table is collected and broadcast (bounded by the
+       VOCABULARY, not the corpus: ~1M words ≈ tens of MB at web
+       scale; above that the same shape becomes a bucket join).
+    2. score — per-batch: term counts per doc, tf-idf, local per-doc
+       top-k (each document is wholly inside one input row, so per-doc
+       completeness needs no shuffle at all).
+
+    Scoring avoids transcendentals so the DuckDB oracle hash-matches
+    bit-exactly: ``score = tf * ((N * 1_000_000) // df)`` — the
+    integer idf is monotone in ln(N/df), which is all a top-k needs.
+    Ties break by ascending word."""
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds_words = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in set(t.split()):
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame({"word": list(counts), "df": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))})
+
+    df_tbl = grouped_sum(
+        ds_words.map_batches(df_partial, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["df"],
+        num_buckets=8,
+    ).to_pandas()
+    n_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    idf = {w: (n_docs * 1_000_000) // d for w, d in zip(df_tbl["word"], df_tbl["df"])}
+    dfs = dict(zip(df_tbl["word"], df_tbl["df"].astype(int)))
+    ref = ray.put((idf, dfs))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        idf_m, df_m = _cached_get(ref)
+        rows = []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            if not words:
+                continue
+            tf: dict[str, int] = {}
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+            scored = sorted(
+                ((w, c, c * idf_m[w]) for w, c in tf.items()),
+                key=lambda x: (-x[2], x[0]),
+            )[:top_k]
+            for w, c, s in scored:
+                rows.append((doc_id, w, c, df_m[w], s))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "word", "tf", "df", "score"]
+        ).astype({"doc_id": "int64", "tf": "int64", "df": "int64", "score": "int64"})
+
+    return ds_words.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+# Exact SQL replica: same \s+ tokenization, same integer idf, same
+# (score DESC, word ASC) tie-break.
+TFIDF_SQL = r"""
+WITH w AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+), df AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY word
+), n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           tf.tf * ((n.n * 1000000) // df.df) AS score
+    FROM tf JOIN df USING (word) CROSS JOIN n
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+    FROM s
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM r WHERE rk <= 3
+"""
