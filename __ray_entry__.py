@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_documents": textops.gopher_quality_rules,
         "contamination_screen": textops.contamination_screen,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": textops.QUALITY_SQL,
         "gopher_quality_documents": textops.GOPHER_RULES_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
+        "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).INVINDEX_SQL,
         "lang_id_documents": textops.LANG_ID_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "source_lang_matrix": textops.SOURCE_LANG_MATRIX_SQL,

@@ -679,3 +679,48 @@ def test_empty_text_docs_match_oracles(tmp_path):
     for did in (1, 2, 3):
         row = summary.loc[f"https://docs.example.com/{did}"]
         assert row["status"] == "empty" and row["n_chars_extracted"] == 0, did
+
+
+def test_inverted_index_partition_pruned_lookup(tmp_path):
+    """Build → lookup: postings match a local recomputation; the
+    lookup's read opens ONLY the token's bucket partition (pinned by
+    intercepting read_parquet); concurrent/atomic publish leaves no
+    .building- remnants visible."""
+    import os
+    from unittest import mock
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.kernels import hashing
+    from pdf_extractor_ray.pipelines import invindex
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta alpha", "beta gamma", "alpha delta delta delta"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    invindex.build_inverted_index(str(d), idx, num_buckets=8)
+    assert not [p for p in os.listdir(tmp_path) if ".building-" in p]
+
+    real_read = ray.data.read_parquet
+    seen_paths = []
+
+    def spy_read(paths, **kw):
+        seen_paths.append(paths)
+        return real_read(paths, **kw)
+
+    with mock.patch.object(ray.data, "read_parquet", side_effect=spy_read):
+        out = invindex.lookup_postings(idx, "alpha")
+    assert list(zip(out["doc_id"], out["tf"])) == [(1, 2), (3, 1)]  # tf desc, id asc
+    bucket = hashing.stable_hash64("alpha") % 8
+    for paths in seen_paths:
+        for p in paths if isinstance(paths, list) else [paths]:
+            assert f"bucket={bucket}" in p  # ONLY alpha's bucket was opened
+
+    assert invindex.lookup_postings(idx, "nosuchtoken").empty
