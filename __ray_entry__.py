@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_examples": _training_examples,
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
+        "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).curation_funnel,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
     }
@@ -160,5 +161,6 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_matrix": textops.SOURCE_LANG_MATRIX_SQL,
         "embedding_near_dups": dedup.EMBEDDING_NEAR_DUPS_SQL,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_SQL,
+        "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CURATION_FUNNEL_SQL,
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
     }

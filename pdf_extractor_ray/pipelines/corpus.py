@@ -182,3 +182,143 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CAST(floor(quality * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS quality_permille_sum
 FROM d GROUP BY lang
 """
+
+
+def curation_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Multi-stage curation funnel with per-stage survival counts —
+    the composition-correctness showpiece: Gopher format rules →
+    language screen → exact dedup, each stage applied to the previous
+    stage's survivors, reported as (stage_order, stage, n_docs).
+
+    Two streaming passes, no materialization that scales with the
+    corpus: pass 1 computes per-doc flags vectorized and reduces to
+    THREE counters via per-batch partials; pass 2 re-derives the
+    surviving rows (flags are pure functions of the row — cheaper at
+    scale than caching a corpus-sized intermediate) and runs the one
+    bucketed keep_first exchange carrying (hash, doc_id) only."""
+    import os
+
+    from pdf_extractor_ray.kernels import textstats as _ts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _flags(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        n_words = np.empty(len(b), dtype=np.int64)
+        uniq = np.empty(len(b), dtype=np.int64)
+        nonws = np.empty(len(b), dtype=np.int64)
+        lang_ok = np.empty(len(b), dtype=bool)
+        for i, t in enumerate(b["text"]):
+            words = t.split()
+            n_words[i] = len(words)
+            uniq[i] = len(set(words))
+            nonws[i] = sum(len(w) for w in words)
+            lang_ok[i] = _ts.lang_id(t) != "und"
+        safe = np.maximum(n_words, 1)
+        mean_chars = np.where(n_words > 0, nonws * 1_000_000 // safe, 0)
+        uniq_ratio = np.where(n_words > 0, uniq * 1_000_000 // safe, 0)
+        keep_g = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (mean_chars >= 3_000_000)
+            & (mean_chars <= 10_000_000)
+            & (uniq_ratio >= 200_000)
+        )
+        return keep_g, keep_g & lang_ok
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        keep_g, keep_gl = _flags(b)
+        return pd.DataFrame(
+            {
+                "k": ["all"],
+                "n_input": [np.int64(len(b))],
+                "n_gopher": [np.int64(keep_g.sum())],
+                "n_lang": [np.int64(keep_gl.sum())],
+            }
+        )
+
+    totals = (
+        grouped_sum(
+            ds.map_batches(counts, batch_format="pandas", batch_size=4096),
+            ["k"],
+            ["n_input", "n_gopher", "n_lang"],
+            num_buckets=1,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+
+    def survivors(b: pd.DataFrame) -> pd.DataFrame:
+        _keep_g, keep_gl = _flags(b)
+        kept = b[keep_gl]
+        return pd.DataFrame(
+            {
+                "__h": kept["text"].map(hashing.content_hash),
+                "doc_id": kept["doc_id"].astype(np.int64),
+            }
+        )
+
+    n_final = keep_first(
+        ds.map_batches(survivors, batch_format="pandas", batch_size=4096), ["__h"], "doc_id"
+    ).count()
+
+    funnel = pd.DataFrame(
+        {
+            "stage_order": np.array([0, 1, 2, 3], dtype=np.int64),
+            "stage": ["input", "gopher_rules", "lang_screen", "exact_dedup"],
+            "n_docs": np.array(
+                [totals["n_input"], totals["n_gopher"], totals["n_lang"], n_final],
+                dtype=np.int64,
+            ),
+        }
+    )
+    return ray.data.from_pandas(funnel)
+
+
+# NOTE on mean-word-chars: the funnel computes nonws as the sum of
+# word lengths (post-split), identical to the regexp_replace form for
+# \s+-separated text — the oracle uses the same expression as
+# GOPHER_RULES_SQL, which the parity test pins as equivalent.
+def _curation_funnel_sql() -> str:
+    from pdf_extractor_ray.pipelines.textops import LANG_PRED_CORE_SQL
+
+    return rf"""
+WITH g AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS unique_words,
+           length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+           text
+    FROM documents
+), flags AS (
+    SELECT doc_id, text,
+           (n_words BETWEEN 50 AND 100000
+            AND (CASE WHEN n_words = 0 THEN 0 ELSE (nonws * 1000000) // n_words END) BETWEEN 3000000 AND 10000000
+            AND (CASE WHEN n_words = 0 THEN 0 ELSE (unique_words * 1000000) // n_words END) >= 200000) AS keep_g
+    FROM g
+), lp AS ({LANG_PRED_CORE_SQL}),
+joined AS (
+    SELECT f.doc_id, f.text, f.keep_g, (lp.lang_pred <> 'und') AS keep_l
+    FROM flags f JOIN lp ON f.doc_id = lp.doc_id
+), surv AS (
+    SELECT * FROM joined WHERE keep_g AND keep_l
+), ded AS (
+    SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY text
+)
+SELECT * FROM (
+    SELECT CAST(0 AS BIGINT) AS stage_order, 'input' AS stage,
+           (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL
+    SELECT 1, 'gopher_rules', (SELECT COUNT(*) FROM joined WHERE keep_g)
+    UNION ALL
+    SELECT 2, 'lang_screen', (SELECT COUNT(*) FROM surv)
+    UNION ALL
+    SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM ded)
+)
+"""
+
+
+CURATION_FUNNEL_SQL = _curation_funnel_sql()

@@ -81,7 +81,9 @@ def _stopword_sql_set(lang: str) -> str:
 # language, first-listed language wins ties (en > de > fr > es, strict
 # > to displace), 'und' when no votes or vote ratio < 2%. Verified
 # 0 mismatches vs the kernel at sf0.01 and sf0.1.
-LANG_ID_SQL = f"""
+# (doc_id, lang, lang_pred) core — shared by LANG_ID_SQL and the
+# curation-funnel oracle (corpus.CURATION_FUNNEL_SQL)
+LANG_PRED_CORE_SQL = f"""
 WITH w AS (
     SELECT doc_id, lang, list_slice(string_split(text, ' '), 1, 400) AS words
     FROM documents
@@ -105,10 +107,14 @@ WITH w AS (
 )
 SELECT doc_id, lang,
        CASE WHEN best = 0 OR CAST(best AS DOUBLE)/n < 0.02
-            THEN 'und' ELSE best_lang END AS lang_pred,
-       CAST(lang = (CASE WHEN best = 0 OR CAST(best AS DOUBLE)/n < 0.02
-                         THEN 'und' ELSE best_lang END) AS TINYINT) AS agree
+            THEN 'und' ELSE best_lang END AS lang_pred
 FROM p
+"""
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang, lang_pred,
+       CAST(lang = lang_pred AS TINYINT) AS agree
+FROM ({LANG_PRED_CORE_SQL})
 """
 
 
