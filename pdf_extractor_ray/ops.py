@@ -39,7 +39,7 @@ def grouped_sum(
     sum_cols: list[str],
     *,
     num_buckets: int = 16,
-    batch_size: int = 32768,
+    batch_size: int | None = 32768,
     two_level: bool = False,
     arrow_partials: bool = False,
 ) -> ray.data.Dataset:
@@ -153,7 +153,7 @@ def grouped_agg(
     agg_spec: dict[str, tuple[str, str]],
     *,
     num_buckets: int = 16,
-    batch_size: int = 32768,
+    batch_size: int | None = 32768,
     two_level: bool = False,
     arrow_partials: bool = False,
 ) -> ray.data.Dataset:

@@ -133,7 +133,19 @@ def build_extraction_pipeline(
 
 
 def extraction_summary(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Per-(kind, status) counts + byte totals — the run report."""
+    """Per-(kind, status) counts + byte totals — the run report.
+
+    Deliberately Ray's native ``groupby().aggregate()``: measured
+    (r3, 100k docs / 32 CPUs, best-of-3 × 2) 3.2 s end-to-end vs
+    4.0-5.0 s for a projected map_batches-partial + bucketed-combine
+    variant — the native sort aggregate overlaps fully with the
+    extraction stage, while a fused partial holds the big extraction
+    blocks longer. (Group count here is ~8, far below the ~5 ms/group
+    regime that makes ``ops.grouped_sum`` the right tool for
+    medium/high-cardinality keys. Also note: a NUMERIC batch_size on
+    any stage that fuses with extraction rebatches the whole fused
+    chain — 128 tasks collapsed to 4 and tripled wall time — see
+    ``ops.grouped_agg``'s batch_size=None note.)"""
     from ray.data.aggregate import Count, Sum
 
     return ds.groupby(["kind", "status"]).aggregate(
