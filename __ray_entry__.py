@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": analytics.q10_returned_revenue,
         "part_price_range_by_brand": analytics.part_price_range_by_brand,
         "order_median_by_priority": analytics.order_median_by_priority,
+        "events_value_p95": analytics.events_value_p95,
         "revenue_rollup": analytics.revenue_rollup,
         "events_sliding_window": windows.events_sliding_window,
         "approx_distinct_counts": textops.approx_distinct_counts,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": analytics.Q10_SQL,
         "part_price_range_by_brand": analytics.PART_PRICE_RANGE_SQL,
         "order_median_by_priority": analytics.ORDER_MEDIAN_SQL,
+        "events_value_p95": analytics.EVENTS_P95_SQL,
         "revenue_rollup": analytics.REVENUE_ROLLUP_SQL,
         "events_sliding_window": windows.EVENTS_SLIDING_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,

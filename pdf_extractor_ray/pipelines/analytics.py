@@ -681,3 +681,50 @@ FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
+
+
+def events_value_p95(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group P95 (nearest-rank) — the order-statistic family
+    beyond the median: same co-location shape (one bucketed exchange,
+    rank selection vectorized inside the bucket). The nearest-rank
+    definition (sorted ascending, element at ``ceil(0.95 n) - 1``) is
+    replicated literally in the oracle's window expression — no
+    reliance on any engine's quantile interpolation mode."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"], "value_cents": cents_np(b["value"])}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        def p95(s: pd.Series) -> np.int64:
+            v = np.sort(s.to_numpy())
+            idx = max(0, int(np.ceil(0.95 * len(v))) - 1)
+            return np.int64(v[idx])
+
+        out = g.groupby("event_type", as_index=False)["value_cents"].agg(p95)
+        return out.rename(columns={"value_cents": "p95_value_cents"})
+
+    return grouped_apply(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        per_bucket,
+        num_buckets=4,
+    )
+
+
+EVENTS_P95_SQL = """
+WITH s AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, v AS p95_value_cents
+FROM s
+WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+"""
