@@ -172,6 +172,11 @@ def cmd_list_models(args) -> int:
     from pdf_extractor_ray.finetune import LocalSimulatedBackend
 
     backend = LocalSimulatedBackend(args.registry)
+    if args.latest:
+        from pdf_extractor_ray.finetune import latest_fine_tuned_model
+
+        print(json.dumps({"latest": latest_fine_tuned_model(backend, max_age_s=args.max_age)}))
+        return 0
     print(json.dumps(backend.list_models()))
     return 0
 
@@ -220,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("list-models", help="list base + fine-tuned model ids")
     p.add_argument("--registry", required=True)
+    p.add_argument("--latest", action="store_true", help="newest fine-tuned model only (A6 freshness check)")
+    p.add_argument("--max-age", type=float, default=None, help="with --latest: older than this (s) returns null = retrain")
     p.set_defaults(fn=cmd_list_models)
 
     p = sub.add_parser("merge", help="dedup-merge new rows into a sink table")

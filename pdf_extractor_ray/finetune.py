@@ -239,3 +239,25 @@ def run_training(
     job_id = create_fine_tuning_job(backend, upload, base_model, suffix)
     job = monitor_job(backend, job_id)
     return {"job": job, "counts": counts}
+
+
+def latest_fine_tuned_model(backend: FineTuneBackend, max_age_s: float | None = None) -> str | None:
+    """Newest fine-tuned model id, or None — the reference's
+    model-timestamp max check (``train.py:289-309``: compare the
+    newest model's timestamp against today to decide whether to
+    retrain), re-expressed over the job registry (finished_at replaces
+    the filename-timestamp suffix). ``max_age_s`` bounds freshness:
+    a model older than that returns None, signalling "retrain"."""
+    import time as _time
+
+    done = [
+        j
+        for j in backend.list_jobs()
+        if j.get("fine_tuned_model") and j.get("finished_at") is not None
+    ]
+    if not done:
+        return None
+    newest = max(done, key=lambda j: (j["finished_at"], j["id"]))
+    if max_age_s is not None and _time.time() - newest["finished_at"] > max_age_s:
+        return None
+    return newest["fine_tuned_model"]

@@ -632,3 +632,38 @@ def test_html_pos_hint_relaxes_link_density():
     html = (f"<article><p>{p}</p></article>" f"<div><p>{p}</p></div>").encode()
     text, _ = html_extract(html)
     assert text == "read the linked half plus tail"
+
+
+def test_latest_fine_tuned_model_freshness(tmp_path, capsys):
+    """A6 model-timestamp scan: newest succeeded model wins; a
+    max-age bound turns a stale model into None (= retrain); CLI
+    --latest surfaces it."""
+    import json
+
+    from pdf_extractor_ray.cli import main
+    from pdf_extractor_ray.finetune import (
+        LocalSimulatedBackend,
+        latest_fine_tuned_model,
+        monitor_job,
+    )
+
+    reg = str(tmp_path / "registry")
+    backend = LocalSimulatedBackend(reg)
+    assert latest_fine_tuned_model(backend) is None  # empty registry
+
+    train = tmp_path / "t.jsonl"
+    train.write_text(
+        "\n".join(json.dumps({"messages": [{"role": "user", "content": f"x{i}"}]}) for i in range(12))
+    )
+    j1 = backend.create_job(str(train), "base-extractor-small", "first")
+    monitor_job(backend, j1)
+    j2 = backend.create_job(str(train), "base-extractor-small", "second")
+    monitor_job(backend, j2)
+    latest = latest_fine_tuned_model(backend)
+    assert latest and ":second:" in latest  # newest finished wins
+    assert latest_fine_tuned_model(backend, max_age_s=1e9) == latest
+    assert latest_fine_tuned_model(backend, max_age_s=0.0) is None  # stale -> retrain
+
+    rc = main(["list-models", "--registry", reg, "--latest"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["latest"] == latest
