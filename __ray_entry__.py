@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_documents": textops.gopher_quality_rules,
         "contamination_screen": textops.contamination_screen,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------

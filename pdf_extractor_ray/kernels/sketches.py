@@ -55,3 +55,48 @@ def hll_estimate(reg: np.ndarray) -> float:
         if zeros:
             return m * np.log(m / zeros)  # linear counting
     return float(est)
+
+
+# ------------------------------------------------------- Misra-Gries
+# Mergeable heavy-hitters sketch (Misra & Gries 1982; mergeability per
+# Agarwal et al., "Mergeable Summaries", PODS 2012 — public
+# algorithms). A k-counter summary guarantees every item with true
+# frequency > N/(k+1) keeps a counter, and each kept counter
+# undercounts by at most N/(k+1). The 100 TB use: per-batch fixed-size
+# summaries merge associatively (no token shuffle); an exact recount
+# pass over the candidate set then repairs the undercount.
+
+
+def mg_fold(tokens, k: int = 64) -> dict[str, int]:
+    """Fold an iterable of tokens into a Misra-Gries summary of at
+    most ``k`` counters."""
+    c: dict[str, int] = {}
+    for t in tokens:
+        if t in c:
+            c[t] += 1
+        elif len(c) < k:
+            c[t] = 1
+        else:
+            # decrement-all step, vectorized over the dict
+            dead = []
+            for key in c:
+                c[key] -= 1
+                if c[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del c[key]
+    return c
+
+
+def mg_merge(a: dict[str, int], b: dict[str, int], k: int = 64) -> dict[str, int]:
+    """Merge two summaries: sum counters, then restore the k-counter
+    bound by subtracting the (k+1)-largest combined count from every
+    counter and dropping non-positives (the PODS'12 mergeable rule —
+    error bounds add, never multiply)."""
+    out = dict(a)
+    for t, n in b.items():
+        out[t] = out.get(t, 0) + n
+    if len(out) <= k:
+        return out
+    kth = sorted(out.values(), reverse=True)[k]
+    return {t: n - kth for t, n in out.items() if n > kth}

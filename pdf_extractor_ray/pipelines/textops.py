@@ -516,3 +516,66 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(score AS BIGINT) AS score
 FROM r WHERE rk <= 3
 """
+
+
+def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> pd.DataFrame:
+    """Approximate-then-exact heavy hitters: Misra-Gries candidate
+    sweep + exact recount — the sketch path for "top tokens" when the
+    vocabulary is too large to shuffle.
+
+    Pass 1 folds each batch into a fixed ``k_counters``-entry summary
+    (one tiny row per batch leaves the workers; merge order never
+    changes the guarantee), so candidate discovery costs ZERO shuffle
+    regardless of vocabulary size. Every token with true frequency
+    > N/(k_counters+1) is guaranteed a candidate. Pass 2 recounts ONLY
+    the candidates exactly (broadcast set, per-batch partial sums, one
+    tiny exchange) — undercounts repaired, final top_m by exact count.
+    Compare ``analytics.top_tokens``: exact but shuffles the full
+    token stream; this shuffles ≤ k_counters tokens' partials."""
+    import json as _json
+
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.kernels import sketches
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        mg: dict[str, int] = {}
+        for t in b["text"]:
+            mg = sketches.mg_merge(mg, sketches.mg_fold(t.split(), k=k_counters), k=k_counters)
+        return pd.DataFrame({"summary": [_json.dumps(mg)]})
+
+    merged: dict[str, int] = {}
+    for batch in ds.map_batches(fold, batch_format="pandas", batch_size=4096).iter_batches(
+        batch_format="pandas"
+    ):
+        for s in batch["summary"]:
+            merged = sketches.mg_merge(merged, _json.loads(s), k=k_counters)
+    cand = frozenset(merged)
+    ref = ray.put(cand)
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        cs = _cached_get(ref)
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in t.split():
+                if w in cs:
+                    counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {"token": list(counts), "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))}
+        )
+
+    exact = grouped_sum(
+        ds.map_batches(recount, batch_format="pandas", batch_size=4096),
+        ["token"],
+        ["n"],
+        num_buckets=2,
+    ).to_pandas()
+    return (
+        exact.sort_values(["n", "token"], ascending=[False, True])
+        .head(top_m)
+        .reset_index(drop=True)
+    )

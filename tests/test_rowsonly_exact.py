@@ -205,3 +205,39 @@ def test_contamination_screen_exact_vs_brute_force():
     # benchmark members are self-contaminated by construction, so the
     # screen must flag at least all of them
     assert n_flagged >= (docs["doc_id"] % 50 == 0).sum()
+
+
+def test_heavy_hitters_equal_exact_top_tokens():
+    """MG candidates + exact recount == brute-force top-10 tokens at
+    sf0.001 (the corpus's 10th token is far above the N/(k+1)
+    guarantee floor, so the candidate set provably contains them)."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    got = _pdf(_QUERIES["heavy_hitter_tokens"](SF_DIR))
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
+    counts = collections.Counter(w for t in texts for w in t.split())
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == exp
+
+
+def test_misra_gries_guarantee_adversarial():
+    """Planted heavy item survives an adversarial stream and its
+    counter undercounts by at most N/(k+1); merge order never loses
+    the heavy item."""
+    from pdf_extractor_ray.kernels import sketches
+
+    k = 8
+    stream = (["hot"] * 400) + [f"noise{i}" for i in range(900)]
+    import random as _r
+
+    _r.Random(3).shuffle(stream)
+    n = len(stream)
+    parts = [stream[i::7] for i in range(7)]  # 7 arbitrary shards
+    merged = {}
+    for p in parts:
+        merged = sketches.mg_merge(merged, sketches.mg_fold(p, k=k), k=k)
+    assert "hot" in merged
+    assert merged["hot"] >= 400 - n // (k + 1)
+    assert merged["hot"] <= 400
