@@ -182,20 +182,36 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
     orders = adaptive_inner_join(orders, cust, on="o_custkey", right_on="c_custkey")
     orders = orders.select_columns(["o_orderkey", "n_name"])
 
+    def li_preagg(t: pa.Table) -> pa.Table:
+        # Arrow-native pre-aggregation (same IEEE float64 sequence as
+        # cents_np: price*(1-disc) → *100 → +0.5 → floor → int64); the
+        # native hash join downstream emits Arrow blocks too, so the
+        # whole join→aggregate tail runs conversion-free.
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        cents = pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))).cast(
+            pa.int64()
+        )
+        tmp = pa.table({"o_orderkey": t.column("l_orderkey"), "rev_cents": cents})
+        g = tmp.group_by(["o_orderkey"], use_threads=False).aggregate([("rev_cents", "sum")])
+        return pa.table(
+            {"o_orderkey": g.column("o_orderkey"), "rev_cents": g.column("rev_cents_sum")}
+        )
+
     lineitem = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "o_orderkey": b["l_orderkey"],
-                "rev_cents": cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())),
-            }
-        ).groupby("o_orderkey", as_index=False).sum(),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(li_preagg, batch_format="pyarrow", batch_size=65536)
     joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
-    out = grouped_sum(joined.select_columns(["n_name", "rev_cents"]), ["n_name"], ["rev_cents"], num_buckets=4)
+    out = grouped_sum(
+        joined.select_columns(["n_name", "rev_cents"]),
+        ["n_name"],
+        ["rev_cents"],
+        num_buckets=4,
+        arrow_partials=True,
+    )
     return out.map_batches(lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas")
 
 
