@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_range_by_brand": analytics.part_price_range_by_brand,
         "order_median_by_priority": analytics.order_median_by_priority,
         "events_value_p95": analytics.events_value_p95,
+        "customer_order_counts_full": analytics.customer_order_counts_full,
         "revenue_rollup": analytics.revenue_rollup,
         "events_sliding_window": windows.events_sliding_window,
         "approx_distinct_counts": textops.approx_distinct_counts,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "part_price_range_by_brand": analytics.PART_PRICE_RANGE_SQL,
         "order_median_by_priority": analytics.ORDER_MEDIAN_SQL,
         "events_value_p95": analytics.EVENTS_P95_SQL,
+        "customer_order_counts_full": analytics.CUSTOMER_ORDER_COUNTS_FULL_SQL,
         "revenue_rollup": analytics.REVENUE_ROLLUP_SQL,
         "events_sliding_window": windows.EVENTS_SLIDING_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,

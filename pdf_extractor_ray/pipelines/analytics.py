@@ -744,3 +744,46 @@ SELECT event_type, v AS p95_value_cents
 FROM s
 WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
 """
+
+
+def customer_order_counts_full(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join coverage: every customer with their order count
+    (0 for order-less customers), plus any order rows whose custkey has
+    no customer row (none in well-formed TPC-H data — but the plan must
+    keep them). The per-custkey counts are pre-aggregated before the
+    join, so the exchange carries one row per customer per side."""
+    from pdf_extractor_ray.joins import join_datasets
+    from pdf_extractor_ray.ops import grouped_sum
+
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"o_custkey": b["o_custkey"], "n_orders": np.ones(len(b), dtype=np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    counts = grouped_sum(orders, ["o_custkey"], ["n_orders"], num_buckets=4)
+    j = join_datasets(cust, counts, on="c_custkey", right_on="o_custkey", how="full_outer")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["c_custkey"]
+        if "o_custkey" in b.columns:
+            key = key.fillna(b["o_custkey"])
+        return pd.DataFrame(
+            {
+                "custkey": key.astype("int64"),
+                "n_orders": b["n_orders"].fillna(0).astype("int64"),
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
+CUSTOMER_ORDER_COUNTS_FULL_SQL = """
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders
+FROM customer
+FULL OUTER JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
