@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_median_by_priority": analytics.order_median_by_priority,
         "events_value_p95": analytics.events_value_p95,
         "customer_order_counts_full": analytics.customer_order_counts_full,
+        "events_last_purchase_asof": windows.events_last_purchase_asof,
+        "orders_by_era_range_join": analytics.orders_by_era_range_join,
         "revenue_rollup": analytics.revenue_rollup,
         "events_sliding_window": windows.events_sliding_window,
         "approx_distinct_counts": textops.approx_distinct_counts,
@@ -144,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "order_median_by_priority": analytics.ORDER_MEDIAN_SQL,
         "events_value_p95": analytics.EVENTS_P95_SQL,
         "customer_order_counts_full": analytics.CUSTOMER_ORDER_COUNTS_FULL_SQL,
+        "events_last_purchase_asof": windows.EVENTS_ASOF_SQL,
+        "orders_by_era_range_join": analytics.ORDERS_BY_ERA_SQL,
         "revenue_rollup": analytics.REVENUE_ROLLUP_SQL,
         "events_sliding_window": windows.EVENTS_SLIDING_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,

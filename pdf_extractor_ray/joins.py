@@ -443,3 +443,103 @@ def bucket_join(
         return lg.merge(rg, on=on, how=how, suffixes=suffixes)
 
     return both.groupby("__bucket").map_groups(merge_group, batch_format="pandas")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """AS-OF join (the time-series join Ray Data lacks): for each left
+    row, attach the right row with the greatest ``on`` ≤ left's
+    (direction="backward"; "forward" = smallest ≥), matching within the
+    same ``by`` key.
+
+    PARTITIONING ASSUMPTION (the contract custom operators must state):
+    correctness relies on co-locating each ``by`` key's rows from BOTH
+    sides in one bucket — ONE hash exchange on ``by`` — and on sorting
+    by ``on`` inside the bucket. Skewed ``by`` keys concentrate in one
+    bucket (raise ``num_buckets`` to dilute many keys; a single viral
+    key is bounded by that key's own row count, which an as-of join
+    inherently needs co-located). The in-bucket kernel is pandas
+    ``merge_asof`` (vectorized two-pointer merge over the sorted
+    frames). Right-side (by, on) duplicates should be deduplicated by
+    the caller — which match wins is otherwise engine-defined."""
+    if num_buckets is None:
+        num_buckets = auto_num_partitions()
+    l_sample = left.limit(1).to_pandas()
+    r_sample = right.limit(1).to_pandas()
+    l_cols, r_cols = list(l_sample.columns), list(r_sample.columns)
+    l_dtypes, r_dtypes = l_sample.dtypes.to_dict(), r_sample.dtypes.to_dict()
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+
+    def tag(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__side"] = side
+            b["__bucket"] = _hash_bucket(b[by], num_buckets)
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = None
+            return b[all_cols + ["__side", "__bucket"]]
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == 0, l_cols].astype(l_dtypes).sort_values(on, kind="mergesort")
+        rg = g.loc[g["__side"] == 1, r_cols].astype(r_dtypes).sort_values(on, kind="mergesort")
+        return pd.merge_asof(
+            lg, rg, on=on, by=by, direction=direction, suffixes=("", "_r")
+        )
+
+    return both.groupby("__bucket").map_groups(merge_group, batch_format="pandas")
+
+
+def range_join(
+    ds: ray.data.Dataset,
+    ranges: pd.DataFrame,
+    *,
+    on: str,
+    start: str,
+    end: str,
+) -> ray.data.Dataset:
+    """RANGE (interval) join: attach every ``ranges`` row whose
+    ``[start, end)`` interval contains the row's ``on`` value.
+
+    PARTITIONING ASSUMPTION: the range side is SMALL (a calendar, a
+    banding table — broadcast once via ``ray.put``); the probe side
+    streams with zero shuffle, each batch testing its values against
+    every interval vectorized (overlapping intervals produce one
+    output row per match, inner-join semantics). For a large range
+    side the right shape is an interval-partitioned co-location
+    exchange instead — out of scope until a workload needs it."""
+    ref = ray.put(ranges)
+    extra = [c for c in ranges.columns]
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        r = _cached_get(ref)
+        vals = b[on]
+        outs = []
+        for _, row in r.iterrows():
+            mask = (vals >= row[start]) & (vals < row[end])
+            if mask.any():
+                m = b[mask].copy()
+                for c in extra:
+                    m[c] = row[c]
+                outs.append(m)
+        if outs:
+            return pd.concat(outs, ignore_index=True)
+        empty = b.iloc[:0].copy()
+        for c in extra:
+            empty[c] = pd.Series([], dtype=r[c].dtype)
+        return empty
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -787,3 +787,55 @@ FULL OUTER JOIN (
     SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 """
+
+
+# deterministic date bands shared by the Ray query and its SQL literal
+ORDER_ERAS = [
+    ("1995-01-01", "1997-01-01", "era_95_96"),
+    ("1997-01-01", "1999-01-01", "era_97_98"),
+    ("1999-01-01", "2002-01-01", "era_99_01"),
+]
+
+
+def orders_by_era_range_join(sf_dir: str) -> ray.data.Dataset:
+    """RANGE-join driver query: orders banded into date eras via
+    ``joins.range_join`` (the interval table broadcasts; the orders
+    stream never shuffles for the join), then per-era counts + exact
+    price sums through one tiny bucketed exchange."""
+    from pdf_extractor_ray.joins import range_join
+
+    ranges = pd.DataFrame(
+        [(np.datetime64(s), np.datetime64(e), n) for s, e, n in ORDER_ERAS],
+        columns=["era_start", "era_end", "era"],
+    )
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"])
+    j = range_join(ds, ranges, on="o_orderdate", start="era_start", end="era_end")
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "era": b["era"],
+                "n_orders": np.ones(len(b), dtype=np.int64),
+                "total_price_cents": cents_np(b["o_totalprice"]),
+            }
+        )
+
+    return grouped_sum(
+        j.map_batches(derive, batch_format="pandas"),
+        ["era"],
+        ["n_orders", "total_price_cents"],
+        num_buckets=2,
+    )
+
+
+_ERA_VALUES = ", ".join(f"(DATE '{s}', DATE '{e}', '{n}')" for s, e, n in ORDER_ERAS)
+
+ORDERS_BY_ERA_SQL = f"""
+SELECT era,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price_cents
+FROM orders
+JOIN (VALUES {_ERA_VALUES}) AS eras(era_start, era_end, era)
+  ON o_orderdate >= era_start AND o_orderdate < era_end
+GROUP BY era
+"""

@@ -188,3 +188,74 @@ QUALIFY row_number() OVER (
     PARTITION BY c_mktsegment
     ORDER BY floor(o_totalprice * 100 + 0.5) DESC, o_orderkey) <= 3
 """
+
+
+def events_last_purchase_asof(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join driver query: every event annotated with the user's
+    most recent purchase at-or-before it (value in exact cents, -1
+    sentinel when none). The purchase side is deduplicated per
+    (user_id, ts) first (min event_id wins) so the as-of match is
+    well-defined in BOTH engines; the join itself is
+    ``joins.asof_join`` — one hash exchange on user_id, sorted
+    merge_asof inside each bucket. Timestamps are emitted as epoch
+    microseconds so the driver's value hash is canonicalization-proof."""
+    import os
+
+    from pdf_extractor_ray.functions.exact import cents_np
+    from pdf_extractor_ray.joins import asof_join
+    from pdf_extractor_ray.ops import keep_first
+
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    left = events.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+    purchases = events.map_batches(
+        lambda b: b.loc[b["event_type"] == "purchase", ["event_id", "user_id", "ts", "value"]],
+        batch_format="pandas",
+    )
+    purchases = keep_first(purchases, ["user_id", "ts"], "event_id").map_batches(
+        lambda b: pd.DataFrame(
+            {"user_id": b["user_id"], "ts": b["ts"], "pvalue": b["value"], "pts": b["ts"]}
+        ),
+        batch_format="pandas",
+    )
+    j = asof_join(left, purchases, by="user_id", on="ts")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.full(len(b), -1, dtype=np.int64)
+        got = b["pvalue"].notna().to_numpy()
+        if got.any():
+            cents[got] = cents_np(b.loc[got, "pvalue"].to_numpy())
+        # numpy path: ndarray astype(int64) tolerates NaT (pandas'
+        # Series.astype raises on NaT→int)
+        pts_raw = b["pts"].to_numpy().astype("datetime64[us]").astype("int64")
+        pts = np.where(b["pts"].notna().to_numpy(), pts_raw, -1)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "last_purchase_cents": cents,
+                "last_purchase_ts_us": pts,
+            }
+        )
+
+    return j.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (
+    SELECT user_id, ts, arg_min(value, event_id) AS pvalue
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       e.user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       CAST(COALESCE(CAST(floor(p.pvalue * 100 + 0.5) AS BIGINT), -1) AS BIGINT) AS last_purchase_cents,
+       CAST(COALESCE(epoch_us(p.ts), -1) AS BIGINT) AS last_purchase_ts_us
+FROM events e
+ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
