@@ -724,3 +724,59 @@ def test_inverted_index_partition_pruned_lookup(tmp_path):
             assert f"bucket={bucket}" in p  # ONLY alpha's bucket was opened
 
     assert invindex.lookup_postings(idx, "nosuchtoken").empty
+
+
+def test_asof_join_directions_match_pandas():
+    """asof_join == a global pandas merge_asof for both directions,
+    with users spread across many buckets and unsorted input."""
+    from pdf_extractor_ray.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "u": rng.integers(0, 40, 600),
+            "t": rng.integers(0, 10_000, 600).astype("int64"),
+            "x": np.arange(600),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "u": rng.integers(0, 40, 200),
+                "t": rng.integers(0, 10_000, 200).astype("int64"),
+                "v": np.arange(200) * 10,
+            }
+        )
+        .drop_duplicates(["u", "t"])  # well-defined matches
+        .reset_index(drop=True)
+    )
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right),
+                by="u", on="t", direction=direction, num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("x")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="u", direction=direction,
+        ).sort_values("x").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["u", "t", "x", "v"]], exp[["u", "t", "x", "v"]])
+
+
+def test_range_join_overlapping_intervals():
+    """Overlapping intervals yield one row per containing interval;
+    values outside every interval drop (inner semantics)."""
+    from pdf_extractor_ray.joins import range_join
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [1, 5, 15, 25], "id": [0, 1, 2, 3]}))
+    ranges = pd.DataFrame(
+        {"lo": [0, 4, 20], "hi": [10, 16, 30], "band": ["a", "b", "c"]}
+    )
+    got = range_join(ds, ranges, on="v", start="lo", end="hi").to_pandas()
+    pairs = sorted(zip(got["id"], got["band"]))
+    assert pairs == [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (3, "c")]
