@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_range_by_brand": analytics.part_price_range_by_brand,
         "order_median_by_priority": analytics.order_median_by_priority,
         "events_value_p95": analytics.events_value_p95,
+        "events_value_p95_hist": analytics.events_value_p95_hist,
         "customer_order_counts_full": analytics.customer_order_counts_full,
         "events_last_purchase_asof": windows.events_last_purchase_asof,
         "orders_by_era_range_join": analytics.orders_by_era_range_join,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "part_price_range_by_brand": analytics.PART_PRICE_RANGE_SQL,
         "order_median_by_priority": analytics.ORDER_MEDIAN_SQL,
         "events_value_p95": analytics.EVENTS_P95_SQL,
+        "events_value_p95_hist": analytics.EVENTS_P95_SQL,
         "customer_order_counts_full": analytics.CUSTOMER_ORDER_COUNTS_FULL_SQL,
         "events_last_purchase_asof": windows.EVENTS_ASOF_SQL,
         "orders_by_era_range_join": analytics.ORDERS_BY_ERA_SQL,

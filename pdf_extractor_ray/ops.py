@@ -247,3 +247,49 @@ def grouped_agg(
 
     mids = partials.groupby("__bucket").map_groups(mid, batch_format="pandas")
     return mids.groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def grouped_quantile_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    q: float,
+    *,
+    out_col: str,
+    num_buckets: int = 16,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """Exact per-group nearest-rank quantile WITHOUT co-locating each
+    key's raw rows — the scale-safe order statistic for bounded-
+    cardinality value domains (prices in cents, durations in ms,
+    token counts): aggregate to (keys, value, n) counts first (the
+    exchange carries DISTINCT values per key, bounded by the domain
+    size, not the row count), then compute the quantile from the
+    cumulative counts per key in a second, tiny exchange.
+
+    Equivalent to sorting each key's rows and taking the element at
+    ``ceil(q*n) - 1`` — same definition as the co-located
+    ``grouped_apply`` variant, decomposed. For unbounded/continuous
+    domains use the co-location shape instead (the counts table would
+    approach the row count)."""
+
+    counts = grouped_agg(
+        ds,
+        keys + [col],
+        {"__n": (col, "count")},
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        def one(kg: pd.DataFrame) -> pd.Series:
+            kg = kg.sort_values(col)
+            cum = kg["__n"].cumsum()
+            n = int(cum.iloc[-1])
+            rank = max(1, int(np.ceil(q * n)))
+            idx = int((cum >= rank).to_numpy().argmax())
+            return pd.Series({out_col: kg[col].to_numpy()[idx]})
+
+        return g.groupby(keys, sort=False).apply(one).reset_index()
+
+    return grouped_apply(counts, keys, pick, num_buckets=num_buckets)

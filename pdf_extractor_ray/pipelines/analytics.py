@@ -839,3 +839,29 @@ JOIN (VALUES {_ERA_VALUES}) AS eras(era_start, era_end, era)
   ON o_orderdate >= era_start AND o_orderdate < era_end
 GROUP BY era
 """
+
+
+def events_value_p95_hist(sf_dir: str) -> ray.data.Dataset:
+    """Same result as ``events_value_p95`` through the DECOMPOSED
+    shape: distinct-value counts per group on the first exchange
+    (bounded by the cents domain, not the event count), quantile from
+    cumulative counts on the second — no key's raw rows are ever
+    co-located. Shares the P95 oracle; a test pins equality with the
+    co-located plan."""
+    from pdf_extractor_ray.ops import grouped_quantile_counts
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": b["event_type"], "value_cents": cents_np(b["value"])}
+        )
+
+    return grouped_quantile_counts(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        "value_cents",
+        0.95,
+        out_col="p95_value_cents",
+        num_buckets=4,
+    )

@@ -780,3 +780,14 @@ def test_range_join_overlapping_intervals():
     got = range_join(ds, ranges, on="v", start="lo", end="hi").to_pandas()
     pairs = sorted(zip(got["id"], got["band"]))
     assert pairs == [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (3, "c")]
+
+
+def test_p95_decomposed_equals_colocated():
+    """grouped_quantile_counts (distinct-value counts, no raw-row
+    co-location) == the co-located grouped_apply quantile, row for
+    row."""
+    from pdf_extractor_ray.pipelines.analytics import events_value_p95, events_value_p95_hist
+
+    a = events_value_p95(SF_DIR).to_pandas().sort_values("event_type").reset_index(drop=True)
+    b = events_value_p95_hist(SF_DIR).to_pandas().sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
