@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": textops.quality_documents,
         "gopher_quality_documents": textops.gopher_quality_rules,
         "contamination_screen": textops.contamination_screen,
+        "contamination_screen_bloom": textops.contamination_screen_bloom,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,

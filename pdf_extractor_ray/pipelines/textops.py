@@ -579,3 +579,88 @@ def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> p
         .head(top_m)
         .reset_index(drop=True)
     )
+
+
+def contamination_screen_bloom(
+    sf_dir: str, benchmark_mod: int = 50, k: int = 8, bloom_bits: int = 1 << 20
+) -> ray.data.Dataset:
+    """The 100 TB path for ``contamination_screen``: the benchmark
+    shingle set is NEVER collected — a fixed-size Bloom filter
+    (``bloom_bits/8`` bytes regardless of benchmark size) prefilters
+    the corpus, and only the flagged docs' shingles go through a
+    DISTRIBUTED exact semi-join against the benchmark shingle rows.
+
+    Bloom has no false negatives, so the flagged set is a superset of
+    the truth and the exact verify trims it — output is row-identical
+    to ``contamination_screen`` (pinned by a test). The verify
+    exchange carries (doc_id, shingle_hash) rows for FLAGGED docs
+    only; at a realistic contamination rate that is a sliver of the
+    corpus."""
+    import ray
+
+    from pdf_extractor_ray import joins as J
+    from pdf_extractor_ray.ops import grouped_sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench_docs = docs.map_batches(
+        lambda b: b[b["doc_id"] % benchmark_mod == 0], batch_format="pandas"
+    )
+
+    def bench_hash_rows(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [hashing.shingle_hashes(t, k=k) for t in b["text"]]
+        arr = np.unique(np.concatenate(hs)) if hs else np.empty(0, dtype=np.uint64)
+        # uint64 → int64 view: parquet/exchange-friendly, hash-stable
+        return pd.DataFrame({"h": arr.view(np.int64)})
+
+    bench_rows = bench_docs.map_batches(bench_hash_rows, batch_format="pandas").materialize()
+    bloom = J.build_bloom(bench_rows, "h", num_bits=bloom_bits)
+    bref = ray.put(bloom)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bl = J._cached_get(bref)
+        out = []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            sh = np.unique(hashing.shingle_hashes(t, k=k)).view(np.int64)
+            if len(sh) == 0:
+                continue
+            maybe = J.bloom_contains(pd.Series(sh), bl, num_bits=bloom_bits)
+            if maybe.any():  # only MAYBE-hit shingles go to the verify
+                hits = sh[maybe]
+                out.append(
+                    pd.DataFrame({"doc_id": np.full(len(hits), doc_id, dtype=np.int64), "h": hits})
+                )
+        if out:
+            return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "h": pd.Series([], dtype="int64")}
+        )
+
+    maybe_rows = docs.map_batches(flag, batch_format="pandas", batch_size=4096)
+    # exact verify: distributed semi-join of the flagged docs' shingles
+    # against the benchmark shingle rows (forced exchange — the whole
+    # point is that nothing benchmark-sized is broadcast)
+    verified = J.semi_join(maybe_rows, bench_rows, on="h", broadcast_limit=0)
+    counts = grouped_sum(
+        verified.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_id"], "n_shared_ngrams": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas",
+        ),
+        ["doc_id"],
+        ["n_shared_ngrams"],
+        num_buckets=4,
+    )
+    # left-outer back onto the corpus ids: unflagged docs are clean
+    ids = docs.map_batches(lambda b: b[["doc_id"]], batch_format="pandas")
+    out = J.adaptive_inner_join(ids, counts, on="doc_id", how="left_outer")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_shared_ngrams"].fillna(0).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_shared_ngrams": n,
+                "contaminated": (n > 0).astype(np.int8),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")

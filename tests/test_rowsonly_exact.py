@@ -241,3 +241,20 @@ def test_misra_gries_guarantee_adversarial():
     assert "hot" in merged
     assert merged["hot"] >= 400 - n // (k + 1)
     assert merged["hot"] <= 400
+
+
+def test_contamination_bloom_path_row_identical():
+    """The Bloom-prefilter + distributed-exact-verify variant must be
+    row-identical to the broadcast-set screen (Bloom has no false
+    negatives; the exact verify trims its false positives)."""
+    a = (
+        _pdf(_QUERIES["contamination_screen"](SF_DIR))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        _pdf(_QUERIES["contamination_screen_bloom"](SF_DIR))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
