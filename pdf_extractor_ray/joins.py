@@ -71,6 +71,12 @@ def _approx_bytes(obj) -> int:
         return int(obj.memory_usage(deep=True).sum())
     if isinstance(obj, np.ndarray):
         return obj.nbytes
+    if isinstance(obj, (tuple, list)):
+        # recurse: a broadcast (dict, dict) tuple must not be accounted
+        # as a 56-byte shell while pinning tens of MB in the cache
+        import sys
+
+        return sys.getsizeof(obj) + sum(_approx_bytes(v) for v in obj)
     if isinstance(obj, (dict, set, frozenset)):
         # sample-based per-entry estimate: a flat constant undercounts
         # large-string values by orders of magnitude, letting the cache
@@ -407,6 +413,9 @@ def bucket_join(
     per-group memory: size it so (|left|+|right|)/B fits a worker heap;
     raise it to dilute skewed keys.
     """
+    # Ray's join_type names → pandas merge names (the fallback must
+    # accept the same vocabulary as the native Dataset.join branch)
+    how = {"full_outer": "outer", "left_outer": "left", "right_outer": "right"}.get(how, how)
     # union() needs one schema: pad each side with the other's columns
     # (None) and restore per-side dtypes inside the merge, so int keys
     # don't decay to float via NaN padding. Dtypes come from a 1-row
@@ -453,11 +462,20 @@ def asof_join(
     on: str,
     direction: str = "backward",
     num_buckets: int | None = None,
+    left_sample: pd.DataFrame | None = None,
+    right_sample: pd.DataFrame | None = None,
 ) -> ray.data.Dataset:
     """AS-OF join (the time-series join Ray Data lacks): for each left
     row, attach the right row with the greatest ``on`` ≤ left's
     (direction="backward"; "forward" = smallest ≥), matching within the
     same ``by`` key.
+
+    ``left_sample``/``right_sample``: optional (possibly empty) typed
+    DataFrames declaring each side's columns+dtypes. Pass them whenever
+    the schemas are statically known — the fallback samples via
+    ``limit(1).to_pandas()``, which EXECUTES each side's lineage once
+    just for dtypes (through any upstream exchange), and then the join
+    runs it again.
 
     PARTITIONING ASSUMPTION (the contract custom operators must state):
     correctness relies on co-locating each ``by`` key's rows from BOTH
@@ -471,8 +489,8 @@ def asof_join(
     the caller — which match wins is otherwise engine-defined."""
     if num_buckets is None:
         num_buckets = auto_num_partitions()
-    l_sample = left.limit(1).to_pandas()
-    r_sample = right.limit(1).to_pandas()
+    l_sample = left_sample if left_sample is not None else left.limit(1).to_pandas()
+    r_sample = right_sample if right_sample is not None else right.limit(1).to_pandas()
     l_cols, r_cols = list(l_sample.columns), list(r_sample.columns)
     l_dtypes, r_dtypes = l_sample.dtypes.to_dict(), r_sample.dtypes.to_dict()
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
@@ -526,6 +544,12 @@ def range_join(
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
         r = _cached_get(ref)
+        clash = set(extra) & set(b.columns)
+        if clash:
+            # silent overwrite would replace probe values with the
+            # interval row's scalars — refuse instead (rename the
+            # ranges columns or project the probe side first)
+            raise ValueError(f"range_join: ranges columns collide with probe columns: {sorted(clash)}")
         vals = b[on]
         outs = []
         for _, row in r.iterrows():

@@ -230,10 +230,15 @@ class _Extractor:
             attrs = ""
             if tag in HINTABLE_TAGS:
                 a2, b2 = m.span(2)
-                if b2 > a2 and (
-                    html.find("id", a2, b2) != -1 or html.find("class", a2, b2) != -1
-                ):
-                    attrs = html[a2:b2]
+                if b2 > a2:
+                    blob = html[a2:b2]
+                    # case-insensitive prefilter: _ATTR_VAL_RE is
+                    # IGNORECASE, so uppercase ID=/CLASS= must not
+                    # bypass the sniff (the lower() allocation is paid
+                    # only for structure tags that carry attrs)
+                    low = blob if blob.islower() else blob.lower()
+                    if "id" in low or "class" in low:
+                        attrs = blob
             if html[pos - 2 : pos] == "/>":
                 # self-closed non-void tag (<iframe/>, <a/>): open+close,
                 # else a skip/link depth increments forever and all
@@ -259,6 +264,23 @@ class _Extractor:
             return
         if self._skip_depth:
             return
+        # implied end tags (the HTML omitted-end-tag rules the block
+        # model must honor): <p> closes before any block-level element,
+        # and a new li/dt/dd/tr closes an open sibling. Without this,
+        # an unclosed HINTED <p class="comment"> would keep its
+        # demotion active for the rest of the document — the hint
+        # stack, unlike the block stack's innermost-match pop, has no
+        # other recovery from unbalanced markup.
+        if self._block_stack:
+            inner = self._block_stack[-1].tag
+            if inner == "p" and tag in BLOCK_TAGS:
+                self._endtag("p")
+            elif tag == "li" and inner == "li":
+                self._endtag("li")
+            elif tag in ("dt", "dd") and inner in ("dt", "dd"):
+                self._endtag(inner)
+            elif tag == "tr" and inner == "tr":
+                self._endtag("tr")
         # id/class hint sniff (feed() already prefiltered: attrs is
         # non-empty only when an id/class substring is present)
         flag = _sniff_hint(attrs) if attrs else 0

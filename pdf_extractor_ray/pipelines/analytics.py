@@ -295,10 +295,15 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         cents = pc.floor(
             pc.add(pc.multiply(t.column("value"), pa.scalar(100.0)), pa.scalar(0.5))
         ).cast(pa.int64())
+        # FLOOR division via numpy (zero-copy in for int64): pyarrow's
+        # integer pc.divide truncates toward zero, which would put a
+        # pre-1970 timestamp in the wrong (next) hour bucket and
+        # diverge from the date_trunc oracle
+        hour = np.asarray(epoch_us) // 3_600_000_000
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "hour_epoch": pc.divide(epoch_us, pa.scalar(3_600_000_000)),
+                "hour_epoch": pa.array(hour, pa.int64()),
                 "value_cents": cents,
                 "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }

@@ -205,25 +205,11 @@ def curation_funnel(sf_dir: str) -> ray.data.Dataset:
     )
 
     def _flags(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-        n_words = np.empty(len(b), dtype=np.int64)
-        uniq = np.empty(len(b), dtype=np.int64)
-        nonws = np.empty(len(b), dtype=np.int64)
-        lang_ok = np.empty(len(b), dtype=bool)
-        for i, t in enumerate(b["text"]):
-            words = t.split()
-            n_words[i] = len(words)
-            uniq[i] = len(set(words))
-            nonws[i] = sum(len(w) for w in words)
-            lang_ok[i] = _ts.lang_id(t) != "und"
-        safe = np.maximum(n_words, 1)
-        mean_chars = np.where(n_words > 0, nonws * 1_000_000 // safe, 0)
-        uniq_ratio = np.where(n_words > 0, uniq * 1_000_000 // safe, 0)
-        keep_g = (
-            (n_words >= 50)
-            & (n_words <= 100_000)
-            & (mean_chars >= 3_000_000)
-            & (mean_chars <= 10_000_000)
-            & (uniq_ratio >= 200_000)
+        from pdf_extractor_ray.pipelines.textops import gopher_flag_arrays
+
+        keep_g = gopher_flag_arrays(b["text"])["keep"]  # shared thresholds
+        lang_ok = np.fromiter(
+            (_ts.lang_id(t) != "und" for t in b["text"]), dtype=bool, count=len(b)
         )
         return keep_g, keep_g & lang_ok
 
@@ -283,22 +269,19 @@ def curation_funnel(sf_dir: str) -> ray.data.Dataset:
 def _curation_funnel_sql() -> str:
     from pdf_extractor_ray.pipelines.textops import LANG_PRED_CORE_SQL
 
+    from pdf_extractor_ray.pipelines.textops import GOPHER_KEEP_PRED, GOPHER_METRICS_CTE
+
     return rf"""
-WITH g AS (
-    SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS unique_words,
-           length(regexp_replace(text, '\s', '', 'g')) AS nonws,
-           text
-    FROM documents
-), flags AS (
-    SELECT doc_id, text,
-           (n_words BETWEEN 50 AND 100000
-            AND (CASE WHEN n_words = 0 THEN 0 ELSE (nonws * 1000000) // n_words END) BETWEEN 3000000 AND 10000000
-            AND (CASE WHEN n_words = 0 THEN 0 ELSE (unique_words * 1000000) // n_words END) >= 200000) AS keep_g
+WITH g0 AS ({GOPHER_METRICS_CTE}), g AS (
+    SELECT g0.*, d.text FROM g0 JOIN documents d USING (doc_id)
+), m AS (
+    SELECT doc_id, text, n_words,
+           CASE WHEN n_words = 0 THEN 0 ELSE (unique_words * 1000000) // n_words END AS unique_ratio_micro,
+           CASE WHEN n_words = 0 THEN 0 ELSE (nonws * 1000000) // n_words END AS mean_word_chars_micro
     FROM g
+), flags AS (
+    SELECT doc_id, text, ({GOPHER_KEEP_PRED}) AS keep_g
+    FROM m
 ), lp AS ({LANG_PRED_CORE_SQL}),
 joined AS (
     SELECT f.doc_id, f.text, f.keep_g, (lp.lang_pred <> 'und') AS keep_l

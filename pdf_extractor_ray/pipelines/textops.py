@@ -292,6 +292,44 @@ def fingerprint_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fp, batch_format="pandas", batch_size=4096)
 
 
+# Gopher rule thresholds — single source of truth for BOTH the
+# standalone operator and the curation funnel (Ray and SQL sides).
+GOPHER_WORDS_MIN, GOPHER_WORDS_MAX = 50, 100_000
+GOPHER_MEAN_CHARS_MIN, GOPHER_MEAN_CHARS_MAX = 3_000_000, 10_000_000
+GOPHER_UNIQUE_RATIO_MIN = 200_000
+
+
+def gopher_flag_arrays(texts) -> dict[str, np.ndarray]:
+    """Vectorized Gopher rule features + flags for an iterable of
+    texts — shared by ``gopher_quality_rules`` and
+    ``corpus.curation_funnel`` so the thresholds can never diverge."""
+    texts = list(texts)
+    n_words = np.empty(len(texts), dtype=np.int64)
+    uniq = np.empty(len(texts), dtype=np.int64)
+    nonws = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        n_words[i] = len(words)
+        uniq[i] = len(set(words))
+        nonws[i] = sum(len(w) for w in words)
+    safe = np.maximum(n_words, 1)
+    unique_ratio = np.where(n_words > 0, uniq * 1_000_000 // safe, 0)
+    mean_chars = np.where(n_words > 0, nonws * 1_000_000 // safe, 0)
+    flag_len = (n_words >= GOPHER_WORDS_MIN) & (n_words <= GOPHER_WORDS_MAX)
+    flag_mean = (mean_chars >= GOPHER_MEAN_CHARS_MIN) & (mean_chars <= GOPHER_MEAN_CHARS_MAX)
+    flag_uniq = unique_ratio >= GOPHER_UNIQUE_RATIO_MIN
+    return {
+        "n_words": n_words,
+        "unique_words": uniq,
+        "unique_ratio_micro": unique_ratio.astype(np.int64),
+        "mean_word_chars_micro": mean_chars.astype(np.int64),
+        "flag_word_count": flag_len,
+        "flag_mean_word_len": flag_mean,
+        "flag_unique_ratio": flag_uniq,
+        "keep": flag_len & flag_mean & flag_uniq,
+    }
+
+
 def gopher_quality_rules(sf_dir: str) -> ray.data.Dataset:
     """Gopher/C4-style per-document format rules (the rule family of
     Rae et al. 2021 §A1.1, restricted to the rules the corpus charset
@@ -300,47 +338,24 @@ def gopher_quality_rules(sf_dir: str) -> ray.data.Dataset:
     (floor division) so the DuckDB oracle hash-matches exactly. One
     zero-shuffle vectorized map_batches — at 100 TB this is a pure
     streaming filter stage."""
-    import re
-
     ds = _docs(sf_dir, ["doc_id", "text"])
-    ws_re = re.compile(r"\s")
 
     def rules(b: pd.DataFrame) -> pd.DataFrame:
-        n_words = np.empty(len(b), dtype=np.int64)
-        uniq = np.empty(len(b), dtype=np.int64)
-        nonws = np.empty(len(b), dtype=np.int64)
-        for i, t in enumerate(b["text"]):
-            words = t.split()
-            n_words[i] = len(words)
-            uniq[i] = len(set(words))
-            nonws[i] = len(ws_re.sub("", t))
-        safe = np.maximum(n_words, 1)
-        unique_ratio = np.where(n_words > 0, uniq * 1_000_000 // safe, 0)
-        mean_chars = np.where(n_words > 0, nonws * 1_000_000 // safe, 0)
-        flag_len = ((n_words >= 50) & (n_words <= 100_000)).astype(np.int8)
-        flag_mean = ((mean_chars >= 3_000_000) & (mean_chars <= 10_000_000)).astype(np.int8)
-        flag_uniq = (unique_ratio >= 200_000).astype(np.int8)
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"],
-                "n_words": n_words,
-                "unique_words": uniq,
-                "unique_ratio_micro": unique_ratio.astype(np.int64),
-                "mean_word_chars_micro": mean_chars.astype(np.int64),
-                "flag_word_count": flag_len,
-                "flag_mean_word_len": flag_mean,
-                "flag_unique_ratio": flag_uniq,
-                "keep": (flag_len & flag_mean & flag_uniq).astype(np.int8),
-            }
-        )
+        f = gopher_flag_arrays(b["text"])
+        out = {"doc_id": b["doc_id"]}
+        for k in ("n_words", "unique_words", "unique_ratio_micro", "mean_word_chars_micro"):
+            out[k] = f[k]
+        for k in ("flag_word_count", "flag_mean_word_len", "flag_unique_ratio", "keep"):
+            out[k] = f[k].astype(np.int8)
+        return pd.DataFrame(out)
 
     return ds.map_batches(rules, batch_format="pandas", batch_size=8192)
 
 
-# Exact SQL replica: same \s+ tokenization as DOC_TOKEN_STATS_SQL, same
-# integer micro-unit floor division both sides.
-GOPHER_RULES_SQL = r"""
-WITH w AS (
+# Shared SQL fragments (single source with the Python thresholds):
+# metrics CTE body + the keep predicate, reused verbatim by the
+# curation-funnel oracle (corpus._curation_funnel_sql).
+GOPHER_METRICS_CTE = r"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
@@ -348,7 +363,18 @@ WITH w AS (
                 ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS unique_words,
            length(regexp_replace(text, '\s', '', 'g')) AS nonws
     FROM documents
-), m AS (
+"""
+
+GOPHER_KEEP_PRED = (
+    f"(n_words BETWEEN {GOPHER_WORDS_MIN} AND {GOPHER_WORDS_MAX})"
+    f" AND (mean_word_chars_micro BETWEEN {GOPHER_MEAN_CHARS_MIN} AND {GOPHER_MEAN_CHARS_MAX})"
+    f" AND (unique_ratio_micro >= {GOPHER_UNIQUE_RATIO_MIN})"
+)
+
+# Exact SQL replica: same \s+ tokenization as DOC_TOKEN_STATS_SQL, same
+# integer micro-unit floor division both sides.
+GOPHER_RULES_SQL = f"""
+WITH w AS ({GOPHER_METRICS_CTE}), m AS (
     SELECT doc_id, n_words, unique_words,
            CASE WHEN n_words = 0 THEN 0 ELSE (unique_words * 1000000) // n_words END AS unique_ratio_micro,
            CASE WHEN n_words = 0 THEN 0 ELSE (nonws * 1000000) // n_words END AS mean_word_chars_micro
@@ -359,12 +385,10 @@ SELECT doc_id,
        CAST(unique_words AS BIGINT) AS unique_words,
        CAST(unique_ratio_micro AS BIGINT) AS unique_ratio_micro,
        CAST(mean_word_chars_micro AS BIGINT) AS mean_word_chars_micro,
-       CAST(n_words BETWEEN 50 AND 100000 AS TINYINT) AS flag_word_count,
-       CAST(mean_word_chars_micro BETWEEN 3000000 AND 10000000 AS TINYINT) AS flag_mean_word_len,
-       CAST(unique_ratio_micro >= 200000 AS TINYINT) AS flag_unique_ratio,
-       CAST((n_words BETWEEN 50 AND 100000)
-            AND (mean_word_chars_micro BETWEEN 3000000 AND 10000000)
-            AND (unique_ratio_micro >= 200000) AS TINYINT) AS keep
+       CAST(n_words BETWEEN {GOPHER_WORDS_MIN} AND {GOPHER_WORDS_MAX} AS TINYINT) AS flag_word_count,
+       CAST(mean_word_chars_micro BETWEEN {GOPHER_MEAN_CHARS_MIN} AND {GOPHER_MEAN_CHARS_MAX} AS TINYINT) AS flag_mean_word_len,
+       CAST(unique_ratio_micro >= {GOPHER_UNIQUE_RATIO_MIN} AS TINYINT) AS flag_unique_ratio,
+       CAST({GOPHER_KEEP_PRED} AS TINYINT) AS keep
 FROM m
 """
 

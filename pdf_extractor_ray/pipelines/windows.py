@@ -222,7 +222,24 @@ def events_last_purchase_asof(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pandas",
     )
-    j = asof_join(left, purchases, by="user_id", on="ts")
+    # static schema hints: without them asof_join would sample each
+    # side via limit(1), EXECUTING the purchases side's keep_first
+    # exchange once extra just for dtypes
+    ts_dtype = "datetime64[us]"
+    j = asof_join(
+        left,
+        purchases,
+        by="user_id",
+        on="ts",
+        left_sample=pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"), "user_id": pd.Series(dtype="int64"),
+             "ts": pd.Series(dtype=ts_dtype)}
+        ),
+        right_sample=pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"), "ts": pd.Series(dtype=ts_dtype),
+             "pvalue": pd.Series(dtype="float64"), "pts": pd.Series(dtype=ts_dtype)}
+        ),
+    )
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         cents = np.full(len(b), -1, dtype=np.int64)

@@ -667,3 +667,26 @@ def test_latest_fine_tuned_model_freshness(tmp_path, capsys):
     rc = main(["list-models", "--registry", reg, "--latest"])
     assert rc == 0
     assert json.loads(capsys.readouterr().out)["latest"] == latest
+
+
+def test_html_implied_end_tags_bound_hint_scope():
+    """HTML-legal omitted end tags (p/li/dt/dd/tr) must not leak a
+    demotion hint over the rest of the document, and uppercase
+    CLASS=/ID= attributes must still be sniffed (regression: r3 code
+    review findings 1 and 5)."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+
+    t, _ = html_extract(
+        b'<p class="comment">note<p>REAL PARAGRAPH NUMBER ONE</p><p>REAL PARAGRAPH TWO</p>'
+    )
+    assert t == "REAL PARAGRAPH NUMBER ONE\nREAL PARAGRAPH TWO"
+
+    t, _ = html_extract(
+        b'<li class="menu">boiler<li>plain item text here<p>real body paragraph</p>'
+    )
+    assert "boiler" not in t and "plain item text here" in t
+
+    up, _ = html_extract(
+        b'<div CLASS="footer"><p>long enough para SHOULD DIE</p></div><p>long enough para KEEP</p>'
+    )
+    assert up == "long enough para KEEP"

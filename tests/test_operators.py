@@ -791,3 +791,62 @@ def test_p95_decomposed_equals_colocated():
     a = events_value_p95(SF_DIR).to_pandas().sort_values("event_type").reset_index(drop=True)
     b = events_value_p95_hist(SF_DIR).to_pandas().sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_bucket_join_accepts_ray_join_type_names():
+    """The portable fallback must accept Ray's join_type vocabulary
+    (full_outer/left_outer), not just pandas' (regression: r3 review)."""
+    from pdf_extractor_ray.joins import bucket_join
+
+    left = pd.DataFrame({"k": [1, 2], "a": ["x", "y"]})
+    right = pd.DataFrame({"k": [2, 3], "b": [20, 30]})
+    got = (
+        bucket_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", how="full_outer", num_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k", how="outer").sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_range_join_refuses_column_collision():
+    from pdf_extractor_ray.joins import range_join
+
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [1], "band": ["probe"]}))
+    ranges = pd.DataFrame({"lo": [0], "hi": [10], "band": ["r"]})
+    with pytest.raises(Exception, match="collide"):
+        range_join(ds, ranges, on="v", start="lo", end="hi").to_pandas()
+
+
+def test_events_hourly_pre_epoch_floor_bucketing(tmp_path):
+    """Pre-1970 timestamps must FLOOR into the previous hour (truncate-
+    toward-zero would put 23:59:59.5 of 1969-12-31 into hour 0) — Ray
+    result vs the date_trunc oracle on a planted pre-epoch event
+    (regression: r3 review finding 4)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.analytics import EVENTS_HOURLY_SQL, events_hourly
+    from tools.check_oracle import value_hash
+
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["1969-12-31 23:59:59", "1970-01-01 00:30:00", "1970-01-01 01:05:00"]
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 2],
+            "event_type": ["view", "view", "click"],
+            "value": [1.25, 2.5, 3.75],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(events), str(d / "events.parquet"))
+    got = events_hourly(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    exp = con.sql(EVENTS_HOURLY_SQL).df()
+    assert len(got) == 3  # three distinct hours incl. 1969-12-31 23:00
+    assert value_hash(got) == value_hash(exp)
