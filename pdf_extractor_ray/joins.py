@@ -72,11 +72,17 @@ def _approx_bytes(obj) -> int:
     if isinstance(obj, np.ndarray):
         return obj.nbytes
     if isinstance(obj, (tuple, list)):
-        # recurse: a broadcast (dict, dict) tuple must not be accounted
-        # as a 56-byte shell while pinning tens of MB in the cache
+        # recurse, but SAMPLE long sequences like the dict/set path —
+        # a broadcast (dict, dict) tuple must not be accounted as a
+        # 56-byte shell, and a 10M-element list must not cost an O(n)
+        # walk on every cache-budget check
         import sys
 
-        return sys.getsizeof(obj) + sum(_approx_bytes(v) for v in obj)
+        shell = sys.getsizeof(obj)
+        if len(obj) <= 64:
+            return shell + sum(_approx_bytes(v) for v in obj)
+        per = sum(_approx_bytes(v) for v in obj[:32]) / 32
+        return int(shell + per * len(obj))
     if isinstance(obj, (dict, set, frozenset)):
         # sample-based per-entry estimate: a flat constant undercounts
         # large-string values by orders of magnitude, letting the cache
@@ -154,6 +160,10 @@ def join_datasets(
     ``auto_num_partitions`` — required to chain joins safely)."""
     if num_partitions is None:
         num_partitions = auto_num_partitions()
+    # accept BOTH vocabularies at the planner layer so a call site
+    # works identically on the native branch (Ray join_type names) and
+    # the portable fallback (pandas names)
+    how = {"outer": "full_outer", "left": "left_outer", "right": "right_outer"}.get(how, how)
     if hasattr(left, "join"):
         return left.join(
             right,
@@ -495,8 +505,16 @@ def asof_join(
     l_dtypes, r_dtypes = l_sample.dtypes.to_dict(), r_sample.dtypes.to_dict()
     all_cols = l_cols + [c for c in r_cols if c not in l_cols]
 
-    def tag(side: int):
+    def tag(side: int, side_cols: list[str]):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
+            # a drifted static sample declaration must ERROR, not
+            # silently None-pad the declared column and null the join
+            missing = set(side_cols) - set(b.columns)
+            if missing:
+                raise ValueError(
+                    f"asof_join: declared sample columns {sorted(missing)} absent "
+                    f"from the actual {'left' if side == 0 else 'right'} batches"
+                )
             b = b.copy()
             b["__side"] = side
             b["__bucket"] = _hash_bucket(b[by], num_buckets)
@@ -507,8 +525,8 @@ def asof_join(
 
         return fn
 
-    both = left.map_batches(tag(0), batch_format="pandas").union(
-        right.map_batches(tag(1), batch_format="pandas")
+    both = left.map_batches(tag(0, l_cols), batch_format="pandas").union(
+        right.map_batches(tag(1, r_cols), batch_format="pandas")
     )
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:

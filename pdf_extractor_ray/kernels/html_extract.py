@@ -223,19 +223,18 @@ class _Extractor:
             if html[m.start() + 1] == "/":  # cheaper than m.group(0)[1]
                 self._endtag(tag)
                 continue
-            # materialize the attr blob ONLY for structure tags that
-            # can carry an id/class hint (str.find on the span
-            # allocates nothing; an unconditional m.group(2) per start
-            # tag costs ~10% kernel throughput)
+            # attr-blob handling is gated to structure tags that can
+            # carry an id/class hint; those materialize their blob
+            # (slice + case-normalize) — the numerous <a href=...> tags
+            # never pay it, which is where the ~10% kernel cost of an
+            # unconditional m.group(2) per start tag lived. The
+            # prefilter is case-INsensitive to match _ATTR_VAL_RE
+            # (uppercase ID=/CLASS= must not bypass the sniff).
             attrs = ""
             if tag in HINTABLE_TAGS:
                 a2, b2 = m.span(2)
                 if b2 > a2:
                     blob = html[a2:b2]
-                    # case-insensitive prefilter: _ATTR_VAL_RE is
-                    # IGNORECASE, so uppercase ID=/CLASS= must not
-                    # bypass the sniff (the lower() allocation is paid
-                    # only for structure tags that carry attrs)
                     low = blob if blob.islower() else blob.lower()
                     if "id" in low or "class" in low:
                         attrs = blob
@@ -265,22 +264,25 @@ class _Extractor:
         if self._skip_depth:
             return
         # implied end tags (the HTML omitted-end-tag rules the block
-        # model must honor): <p> closes before any block-level element,
-        # and a new li/dt/dd/tr closes an open sibling. Without this,
-        # an unclosed HINTED <p class="comment"> would keep its
-        # demotion active for the rest of the document — the hint
-        # stack, unlike the block stack's innermost-match pop, has no
-        # other recovery from unbalanced markup.
-        if self._block_stack:
+        # model must honor): <p> closes before any block-level element
+        # (cascading — a p nested in an unclosed li must not shield the
+        # li from its own implied close), and a new li/dt/dd/tr closes
+        # ONE open sibling level (only one: a nested list's inner <li>
+        # must not close the outer list's). Without this, an unclosed
+        # HINTED <p class="comment"> would keep its demotion active for
+        # the rest of the document — the hint stack, unlike the block
+        # stack's innermost-match pop, has no other recovery from
+        # unbalanced markup.
+        while self._block_stack:
             inner = self._block_stack[-1].tag
             if inner == "p" and tag in BLOCK_TAGS:
                 self._endtag("p")
-            elif tag == "li" and inner == "li":
-                self._endtag("li")
-            elif tag in ("dt", "dd") and inner in ("dt", "dd"):
+                continue  # re-examine the newly exposed innermost
+            if (tag == inner and tag in ("li", "tr")) or (
+                tag in ("dt", "dd") and inner in ("dt", "dd")
+            ):
                 self._endtag(inner)
-            elif tag == "tr" and inner == "tr":
-                self._endtag("tr")
+            break
         # id/class hint sniff (feed() already prefiltered: attrs is
         # non-empty only when an id/class substring is present)
         flag = _sniff_hint(attrs) if attrs else 0

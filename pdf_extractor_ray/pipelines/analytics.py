@@ -295,15 +295,21 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         cents = pc.floor(
             pc.add(pc.multiply(t.column("value"), pa.scalar(100.0)), pa.scalar(0.5))
         ).cast(pa.int64())
-        # FLOOR division via numpy (zero-copy in for int64): pyarrow's
-        # integer pc.divide truncates toward zero, which would put a
-        # pre-1970 timestamp in the wrong (next) hour bucket and
-        # diverge from the date_trunc oracle
-        hour = np.asarray(epoch_us) // 3_600_000_000
+        # FLOOR division in pure pyarrow: integer pc.divide truncates
+        # toward zero (a pre-1970 timestamp would land in the wrong —
+        # next — hour bucket and diverge from the date_trunc oracle),
+        # so subtract 1 when the division had a remainder on a negative
+        # value. Null timestamps propagate as null hour_epoch, matching
+        # the oracle (a numpy round-trip would crash on nulls instead).
+        per_hour = pa.scalar(3_600_000_000)
+        d = pc.divide(epoch_us, per_hour)
+        has_rem = pc.not_equal(pc.multiply(d, per_hour), epoch_us)
+        adjust = pc.and_(pc.less(epoch_us, pa.scalar(0)), has_rem)
+        hour = pc.subtract(d, adjust.cast(pa.int64()))
         return pa.table(
             {
                 "event_type": t.column("event_type"),
-                "hour_epoch": pa.array(hour, pa.int64()),
+                "hour_epoch": hour,
                 "value_cents": cents,
                 "n_events": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }

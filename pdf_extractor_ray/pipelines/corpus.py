@@ -267,14 +267,14 @@ def curation_funnel(sf_dir: str) -> ray.data.Dataset:
 # \s+-separated text — the oracle uses the same expression as
 # GOPHER_RULES_SQL, which the parity test pins as equivalent.
 def _curation_funnel_sql() -> str:
-    from pdf_extractor_ray.pipelines.textops import LANG_PRED_CORE_SQL
-
-    from pdf_extractor_ray.pipelines.textops import GOPHER_KEEP_PRED, GOPHER_METRICS_CTE
+    from pdf_extractor_ray.pipelines.textops import (
+        GOPHER_KEEP_PRED,
+        GOPHER_METRICS_CTE,
+        LANG_PRED_CORE_SQL,
+    )
 
     return rf"""
-WITH g0 AS ({GOPHER_METRICS_CTE}), g AS (
-    SELECT g0.*, d.text FROM g0 JOIN documents d USING (doc_id)
-), m AS (
+WITH g AS ({GOPHER_METRICS_CTE}), m AS (
     SELECT doc_id, text, n_words,
            CASE WHEN n_words = 0 THEN 0 ELSE (unique_words * 1000000) // n_words END AS unique_ratio_micro,
            CASE WHEN n_words = 0 THEN 0 ELSE (nonws * 1000000) // n_words END AS mean_word_chars_micro

@@ -361,7 +361,8 @@ GOPHER_METRICS_CTE = r"""
                 ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS unique_words,
-           length(regexp_replace(text, '\s', '', 'g')) AS nonws
+           length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+           text
     FROM documents
 """
 

@@ -690,3 +690,29 @@ def test_html_implied_end_tags_bound_hint_scope():
         b'<div CLASS="footer"><p>long enough para SHOULD DIE</p></div><p>long enough para KEEP</p>'
     )
     assert up == "long enough para KEEP"
+
+
+def test_html_implied_close_cascades_through_nested_p():
+    """An unclosed <p> nested in a hinted li/tr must not shield the
+    li/tr from its own implied close (second-review regression)."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+
+    t, _ = html_extract(
+        b'<li class="menu"><p>boiler<li>plain item text here is long</li>'
+        b"<p>real body paragraph after list</p>"
+    )
+    assert t == "plain item text here is long\nreal body paragraph after list"
+
+    t2, _ = html_extract(
+        b'<tr class="ad"><td>junk cells here</td><tr><td>real row cell content</td></tr>'
+    )
+    assert t2 == "real row cell content"
+
+    # nested LISTS: an inner list's <li> closes only ONE level — the
+    # outer item (and its hint scope) stays open
+    t3, _ = html_extract(
+        b'<li class="menu">outer boiler item<ul>x</ul>'
+        b"<p>should still be demoted inside the menu item</p></li>"
+        b"<p>clean paragraph after the menu closes</p>"
+    )
+    assert t3 == "clean paragraph after the menu closes"
