@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen_bloom": textops.contamination_screen_bloom,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        "redact_pii_documents": textops.redact_pii,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).curation_funnel,
+        "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).chunk_documents,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
     }
@@ -167,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": textops.QUALITY_SQL,
         "gopher_quality_documents": textops.GOPHER_RULES_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
+        "redact_pii_documents": textops.REDACT_PII_SQL,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).INVINDEX_SQL,
         "lang_id_documents": textops.LANG_ID_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
@@ -174,5 +177,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": dedup.EMBEDDING_NEAR_DUPS_SQL,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_SQL,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CURATION_FUNNEL_SQL,
+        "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CHUNK_SQL,
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
     }

@@ -305,3 +305,57 @@ SELECT * FROM (
 
 
 CURATION_FUNNEL_SQL = _curation_funnel_sql()
+
+
+CHUNK_WORDS = 64
+
+
+def chunk_documents(sf_dir: str, chunk_words: int = CHUNK_WORDS) -> ray.data.Dataset:
+    """Fixed-window training-chunk preparation: split every document
+    into consecutive ``chunk_words``-word windows — the flat-map that
+    feeds tokenizer/packing stages in an LLM data pipeline. Pure
+    per-batch expansion, zero shuffle; output is (doc_id, chunk_id,
+    n_words, chunk_text) with deterministic ids, so chunking is
+    idempotent and resumable at any scale."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, chunk_ids, n_words, texts = [], [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            for c in range(0, (len(words) + chunk_words - 1) // chunk_words):
+                piece = words[c * chunk_words : (c + 1) * chunk_words]
+                doc_ids.append(doc_id)
+                chunk_ids.append(c)
+                n_words.append(len(piece))
+                texts.append(" ".join(piece))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+                "n_words": pd.Series(n_words, dtype="int64"),
+                "chunk_text": pd.Series(texts, dtype="str"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas", batch_size=4096)
+
+
+CHUNK_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+    FROM documents WHERE trim(text) <> ''
+), c AS (
+    SELECT doc_id, words,
+           unnest(range(CAST(ceil(len(words) / {CHUNK_WORDS}.0) AS BIGINT))) AS chunk_id
+    FROM w
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(words, chunk_id*{CHUNK_WORDS} + 1, chunk_id*{CHUNK_WORDS} + {CHUNK_WORDS})) AS BIGINT) AS n_words,
+       array_to_string(list_slice(words, chunk_id*{CHUNK_WORDS} + 1, chunk_id*{CHUNK_WORDS} + {CHUNK_WORDS}), ' ') AS chunk_text
+FROM c
+"""

@@ -689,3 +689,55 @@ def contamination_screen_bloom(
         )
 
     return out.map_batches(finalize, batch_format="pandas")
+
+
+# PII patterns: deliberately backreference/lookaround-free so Python re
+# and DuckDB's RE2 match IDENTICALLY (the oracle replays them verbatim)
+PII_EMAIL_PAT = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_PAT = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+
+
+def redact_pii(sf_dir: str) -> ray.data.Dataset:
+    """Training-data hygiene: redact email addresses and phone-shaped
+    numbers, reporting per-doc match counts and the redacted length —
+    a pure zero-shuffle map_batches (the redaction pass every public
+    corpus build runs before tokenization). Patterns are RE2-safe so
+    the DuckDB oracle replays them exactly."""
+    import re
+
+    email_re = re.compile(PII_EMAIL_PAT)
+    phone_re = re.compile(PII_PHONE_PAT)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        n_email = np.empty(len(b), dtype=np.int64)
+        n_phone = np.empty(len(b), dtype=np.int64)
+        n_chars = np.empty(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            t1, ne = email_re.subn("[EMAIL]", t)
+            t2, np_ = phone_re.subn("[PHONE]", t1)
+            n_email[i], n_phone[i], n_chars[i] = ne, np_, len(t2)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_emails": n_email,
+                "n_phones": n_phone,
+                "n_chars_redacted": n_chars,
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pandas", batch_size=8192)
+
+
+REDACT_PII_SQL = rf"""
+WITH e AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           regexp_replace(text, '{PII_EMAIL_PAT}', '[EMAIL]', 'g') AS t1
+    FROM documents
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '{PII_PHONE_PAT}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_replace(t1, '{PII_PHONE_PAT}', '[PHONE]', 'g')) AS BIGINT) AS n_chars_redacted
+FROM e
+"""

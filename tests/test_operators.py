@@ -850,3 +850,37 @@ def test_events_hourly_pre_epoch_floor_bucketing(tmp_path):
     exp = con.sql(EVENTS_HOURLY_SQL).df()
     assert len(got) == 3  # three distinct hours incl. 1969-12-31 23:00
     assert value_hash(got) == value_hash(exp)
+
+
+def test_redact_pii_planted_fixtures(tmp_path):
+    """Redaction counts + redacted lengths on planted emails/phones
+    match the DuckDB oracle exactly (the testdata corpus has no PII,
+    so this fixture carries the real semantics check)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import REDACT_PII_SQL, redact_pii
+    from tools.check_oracle import value_hash
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact alice.smith+x@example.co.uk or bob@site.io now",
+                "call +1-415-555-0123 or (415) 555 9999 today",
+                "mixed: a@b.com then 212.555.4321 done",
+                "clean text with no pii at all here",
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+    got = redact_pii(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    exp = con.sql(REDACT_PII_SQL).df().sort_values("doc_id").reset_index(drop=True)
+    assert value_hash(got) == value_hash(exp)
+    assert list(got["n_emails"]) == [2, 0, 1, 0]
+    assert list(got["n_phones"]) == [0, 2, 1, 0]
