@@ -26,3 +26,22 @@ def cents_np(x) -> np.ndarray:
     """Vectorized cents conversion matching CENTS_SQL bit-for-bit."""
     arr = np.asarray(x, dtype=np.float64)
     return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+
+
+def trim_ws_sql(col: str = "text") -> str:
+    """SQL replica of Python ``str.strip()`` / ``str.split()`` edge
+    handling: DuckDB's bare ``trim()`` strips SPACES only, so a
+    tab-/newline-bounded document would split into phantom empty tokens
+    (or classify non-empty) in SQL while the engine calls it empty.
+    Trim the full ASCII whitespace set instead. Every oracle that
+    tokenizes with ``regexp_split_to_array(trim(...), '\\s+')`` or
+    tests emptiness must use this expression, never bare ``trim``."""
+    return f"trim({col}, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+
+
+# RE2's ``\s`` is ``[\t\n\f\r ]`` — it EXCLUDES \v (0x0B), which
+# Python's ``str.split()`` / ``re \s`` treat as whitespace, so a
+# '\x0b'-separated document tokenizes differently under a bare ``\s``
+# oracle. Tokenizing oracles must use these explicit classes.
+WS_CHAR_RE_SQL = r"[ \t\n\x0B\f\r]"
+WS_SPLIT_RE_SQL = WS_CHAR_RE_SQL + "+"

@@ -86,7 +86,11 @@ def _approx_bytes(obj) -> int:
     if isinstance(obj, (dict, set, frozenset)):
         # sample-based per-entry estimate: a flat constant undercounts
         # large-string values by orders of magnitude, letting the cache
-        # pin far more than its byte budget before eviction triggers
+        # pin far more than its byte budget before eviction triggers.
+        # Values RECURSE through _approx_bytes — shallow sys.getsizeof
+        # on a container value (str -> list-of-postings) reports the
+        # 56-byte shell and reopens the same undercount the sampling
+        # was added to close.
         import itertools
         import sys
 
@@ -95,9 +99,9 @@ def _approx_bytes(obj) -> int:
             return sys.getsizeof(obj)
         sample = list(itertools.islice(obj.items() if isinstance(obj, dict) else obj, 32))
         if isinstance(obj, dict):
-            per = sum(sys.getsizeof(k) + sys.getsizeof(v) for k, v in sample) / len(sample)
+            per = sum(sys.getsizeof(k) + _approx_bytes(v) for k, v in sample) / len(sample)
         else:
-            per = sum(sys.getsizeof(v) for v in sample) / len(sample)
+            per = sum(_approx_bytes(v) for v in sample) / len(sample)
         return int((per + 50) * n)  # +50/entry hash-table overhead
     import sys
 

@@ -19,7 +19,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
 from pdf_extractor_ray.kernels import hashing, textstats
+
+_TW = trim_ws_sql("text")
+_WS = WS_SPLIT_RE_SQL
 from pdf_extractor_ray.ops import grouped_sum, keep_first
 
 EMBED_DIM = 64
@@ -347,8 +351,8 @@ def chunk_documents(sf_dir: str, chunk_words: int = CHUNK_WORDS) -> ray.data.Dat
 
 CHUNK_SQL = rf"""
 WITH w AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
-    FROM documents WHERE trim(text) <> ''
+    SELECT doc_id, regexp_split_to_array({_TW}, '{_WS}') AS words
+    FROM documents WHERE {_TW} <> ''
 ), c AS (
     SELECT doc_id, words,
            unnest(range(CAST(ceil(len(words) / {CHUNK_WORDS}.0) AS BIGINT))) AS chunk_id

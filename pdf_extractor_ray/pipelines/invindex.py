@@ -30,7 +30,11 @@ import pandas as pd
 import ray
 import ray.data
 
+from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
 from pdf_extractor_ray.kernels import hashing
+
+_TW = trim_ws_sql("text")
+_WS = WS_SPLIT_RE_SQL
 
 
 def _docs_path(sf_dir: str) -> str:
@@ -134,10 +138,10 @@ def inverted_index_postings(sf_dir: str, tokens: tuple[str, ...] = ("data", "spa
 # The fixed-token postings ARE SQL-expressible (order-insensitive
 # compare), so the whole build→partitioned-write→pruned-read→lookup
 # path is oracle-checked end to end.
-INVINDEX_SQL = r"""
+INVINDEX_SQL = rf"""
 WITH w AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-    FROM documents WHERE trim(text) <> ''
+    SELECT doc_id, unnest(regexp_split_to_array({_TW}, '{_WS}')) AS token
+    FROM documents WHERE {_TW} <> ''
 )
 SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
 FROM w

@@ -11,7 +11,13 @@ import numpy as np
 import pandas as pd
 import ray.data
 
+from pdf_extractor_ray.functions.exact import WS_CHAR_RE_SQL, WS_SPLIT_RE_SQL, trim_ws_sql
 from pdf_extractor_ray.kernels import hashing, textstats
+
+# Full-whitespace trim shared by every tokenizing oracle (single
+# source: functions.exact.trim_ws_sql).
+_TW = trim_ws_sql("text")
+_WS = WS_SPLIT_RE_SQL
 
 
 def _docs(sf_dir: str, columns):
@@ -34,11 +40,11 @@ def doc_token_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(stats, batch_format="pandas", batch_size=8192)
 
 
-DOC_TOKEN_STATS_SQL = r"""
+DOC_TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_text,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens_ws
+       CAST(CASE WHEN {_TW} = '' THEN 0
+                 ELSE array_length(regexp_split_to_array({_TW}, '{_WS}')) END AS BIGINT) AS n_tokens_ws
 FROM documents
 """
 
@@ -355,13 +361,13 @@ def gopher_quality_rules(sf_dir: str) -> ray.data.Dataset:
 # Shared SQL fragments (single source with the Python thresholds):
 # metrics CTE body + the keep predicate, reused verbatim by the
 # curation-funnel oracle (corpus._curation_funnel_sql).
-GOPHER_METRICS_CTE = r"""
+GOPHER_METRICS_CTE = rf"""
     SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) END AS unique_words,
-           length(regexp_replace(text, '\s', '', 'g')) AS nonws,
+           CASE WHEN {_TW} = '' THEN 0
+                ELSE array_length(regexp_split_to_array({_TW}, '{_WS}')) END AS n_words,
+           CASE WHEN {_TW} = '' THEN 0
+                ELSE array_length(list_distinct(regexp_split_to_array({_TW}, '{_WS}'))) END AS unique_words,
+           length(regexp_replace(text, '{WS_CHAR_RE_SQL}', '', 'g')) AS nonws,
            text
     FROM documents
 """
@@ -450,19 +456,29 @@ def contamination_screen(
     return ds.map_batches(screen, batch_format="pandas", batch_size=4096)
 
 
-def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> ray.data.Dataset:
-    """Per-document top-k tf-idf terms, exact-integer scored.
+TFIDF_TOP_K = 3  # single source for the function default AND the SQL oracle
 
-    Two streaming passes over the docs table (pruned to doc_id/text):
+
+def tfidf_top_terms(
+    sf_dir: str, top_k: int = TFIDF_TOP_K, broadcast_limit: int | None = None
+) -> ray.data.Dataset:
+    """Per-document top-k tf-idf terms, exact-integer scored — with an
+    ADAPTIVE df-attach plan, so no driver-side materialization scales
+    with the corpus:
 
     1. document frequency — per-batch partial (word → docs-in-batch)
-       via vectorized pandas, one tiny bucketed exchange (vocab-sized),
-       then the df table is collected and broadcast (bounded by the
-       VOCABULARY, not the corpus: ~1M words ≈ tens of MB at web
-       scale; above that the same shape becomes a bucket join).
-    2. score — per-batch: term counts per doc, tf-idf, local per-doc
-       top-k (each document is wholly inside one input row, so per-doc
-       completeness needs no shuffle at all).
+       via vectorized pandas, one bucketed exchange → a df DATASET
+       (vocab-sized, stays in the cluster).
+    2. df attach — measured-size plan (same gate as the join planner):
+       a small df table is collected and broadcast once (the fast
+       path: scoring then runs ZERO-shuffle, each doc wholly local);
+       above the rows/bytes gate the df table never leaves the cluster
+       — docs explode to (doc_id, word, tf), a hash-partitioned join
+       attaches df, and a bucketed exchange on doc_id restores per-doc
+       co-location for the top-k. A heavy-tailed web-scale token space
+       (typos, URLs, numbers) takes the join path automatically.
+       ``broadcast_limit=0`` forces the join plan (row-identity with
+       the broadcast plan is pinned in tests).
 
     Scoring avoids transcendentals so the DuckDB oracle hash-matches
     bit-exactly: ``score = tf * ((N * 1_000_000) // df)`` — the
@@ -470,8 +486,16 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> ray.data.Dataset:
     Ties break by ascending word."""
     import ray
 
-    from pdf_extractor_ray.joins import _cached_get
-    from pdf_extractor_ray.ops import grouped_sum
+    from pdf_extractor_ray.joins import (
+        BROADCAST_KEY_LIMIT,
+        _cached_get,
+        _fits_broadcast,
+        join_datasets,
+    )
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    if broadcast_limit is None:  # resolved at CALL time (patchable)
+        broadcast_limit = BROADCAST_KEY_LIMIT
 
     ds_words = _docs(sf_dir, ["doc_id", "text"])
 
@@ -482,48 +506,100 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> ray.data.Dataset:
                 counts[w] = counts.get(w, 0) + 1
         return pd.DataFrame({"word": list(counts), "df": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))})
 
-    df_tbl = grouped_sum(
+    df_ds = grouped_sum(
         ds_words.map_batches(df_partial, batch_format="pandas", batch_size=8192),
         ["word"],
         ["df"],
         num_buckets=8,
-    ).to_pandas()
+    )
     n_docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     ).count()
-    idf = {w: (n_docs * 1_000_000) // d for w, d in zip(df_tbl["word"], df_tbl["df"])}
-    dfs = dict(zip(df_tbl["word"], df_tbl["df"].astype(int)))
-    ref = ray.put((idf, dfs))
 
-    def score(b: pd.DataFrame) -> pd.DataFrame:
-        idf_m, df_m = _cached_get(ref)
-        rows = []
+    if broadcast_limit:
+        df_mat = df_ds.materialize()
+        if _fits_broadcast(df_mat, broadcast_limit):
+            df_tbl = df_mat.to_pandas()
+            idf = {w: (n_docs * 1_000_000) // d for w, d in zip(df_tbl["word"], df_tbl["df"])}
+            dfs = dict(zip(df_tbl["word"], df_tbl["df"].astype(int)))
+            ref = ray.put((idf, dfs))
+
+            def score(b: pd.DataFrame) -> pd.DataFrame:
+                idf_m, df_m = _cached_get(ref)
+                rows = []
+                for doc_id, t in zip(b["doc_id"], b["text"]):
+                    words = t.split()
+                    if not words:
+                        continue
+                    tf: dict[str, int] = {}
+                    for w in words:
+                        tf[w] = tf.get(w, 0) + 1
+                    scored = sorted(
+                        ((w, c, c * idf_m[w]) for w, c in tf.items()),
+                        key=lambda x: (-x[2], x[0]),
+                    )[:top_k]
+                    for w, c, s in scored:
+                        rows.append((doc_id, w, c, df_m[w], s))
+                return pd.DataFrame(
+                    rows, columns=["doc_id", "word", "tf", "df", "score"]
+                ).astype({"doc_id": "int64", "tf": "int64", "df": "int64", "score": "int64"})
+
+            return ds_words.map_batches(score, batch_format="pandas", batch_size=8192)
+        df_ds = df_mat  # reuse the materialized blocks on the join path
+
+    # Scale path: the df table never touches the driver. Explode docs
+    # to per-(doc, word) term counts, hash-join df on word, then one
+    # bucketed exchange on doc_id re-co-locates each document's terms
+    # for the exact top-k. Two exchanges, both bounded by the data —
+    # never by driver or single-worker memory.
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids, words, tfs = [], [], []
         for doc_id, t in zip(b["doc_id"], b["text"]):
-            words = t.split()
-            if not words:
-                continue
             tf: dict[str, int] = {}
-            for w in words:
+            for w in t.split():
                 tf[w] = tf.get(w, 0) + 1
-            scored = sorted(
-                ((w, c, c * idf_m[w]) for w, c in tf.items()),
-                key=lambda x: (-x[2], x[0]),
-            )[:top_k]
-            for w, c, s in scored:
-                rows.append((doc_id, w, c, df_m[w], s))
+            ids.extend([doc_id] * len(tf))
+            words.extend(tf.keys())
+            tfs.extend(tf.values())
         return pd.DataFrame(
-            rows, columns=["doc_id", "word", "tf", "df", "score"]
-        ).astype({"doc_id": "int64", "tf": "int64", "df": "int64", "score": "int64"})
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "word": pd.Series(words, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int64"),
+            }
+        )
 
-    return ds_words.map_batches(score, batch_format="pandas", batch_size=8192)
+    word_counts = ds_words.map_batches(tf_partial, batch_format="pandas", batch_size=8192)
+    joined = join_datasets(word_counts, df_ds, on="word")
+
+    def add_score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["df"] = b["df"].astype("int64")
+        b["score"] = b["tf"].to_numpy() * ((n_docs * 1_000_000) // b["df"].to_numpy())
+        return b
+
+    scored = joined.map_batches(add_score, batch_format="pandas")
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "word"], ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("doc_id", sort=False).head(top_k)
+        return out[["doc_id", "word", "tf", "df", "score"]].astype(
+            {"doc_id": "int64", "tf": "int64", "df": "int64", "score": "int64"}
+        )
+
+    return grouped_apply(scored, ["doc_id"], doc_topk)
 
 
-# Exact SQL replica: same \s+ tokenization, same integer idf, same
-# (score DESC, word ASC) tie-break.
-TFIDF_SQL = r"""
+def tfidf_sql(top_k: int = TFIDF_TOP_K) -> str:
+    """Exact SQL replica of ``tfidf_top_terms(top_k=...)``: same \\s+
+    tokenization, same integer idf, same (score DESC, word ASC)
+    tie-break. ``top_k`` is interpolated so a non-default call can pair
+    with a matching oracle instead of silently diverging from a
+    hard-coded rank cutoff."""
+    return rf"""
 WITH w AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-    FROM documents WHERE trim(text) <> ''
+    SELECT doc_id, unnest(regexp_split_to_array({_TW}, '{_WS}')) AS word
+    FROM documents WHERE {_TW} <> ''
 ), tf AS (
     SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
 ), df AS (
@@ -539,8 +615,11 @@ s AS (
 )
 SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(score AS BIGINT) AS score
-FROM r WHERE rk <= 3
+FROM r WHERE rk <= {int(top_k)}
 """
+
+
+TFIDF_SQL = tfidf_sql()
 
 
 def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> pd.DataFrame:

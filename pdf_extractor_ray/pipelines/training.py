@@ -21,17 +21,22 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from pdf_extractor_ray.functions.exact import trim_ws_sql
 from pdf_extractor_ray.kernels.normalize import collapse_ws, normalize_compare
+
+_TW = trim_ws_sql("text")
 
 MIN_TRAINING_EXAMPLES = 10  # reference guard: train.py:277-281
 
 # Oracle for the driver's training_examples query (example build +
 # structure validation over documents): an example is invalid exactly
-# when the document contributes no content to the user turn.
-TRAINING_EXAMPLES_SQL = """
+# when the document contributes no content to the user turn. The
+# emptiness test must replicate Python str.strip() (full whitespace),
+# hence trim_ws_sql, not bare trim.
+TRAINING_EXAMPLES_SQL = f"""
 SELECT doc_id AS example_id,
-       len(trim(text)) > 0 AS valid,
-       CASE WHEN len(trim(text)) > 0 THEN '' ELSE 'empty document content' END AS error
+       len({_TW}) > 0 AS valid,
+       CASE WHEN len({_TW}) > 0 THEN '' ELSE 'empty document content' END AS error
 FROM documents
 """
 

@@ -20,6 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from pdf_extractor_ray.functions.exact import trim_ws_sql
 from pdf_extractor_ray.stages.extract import ExtractPages, sniff_batch
 from pdf_extractor_ray.sources.pages import make_pdf, wrap_in_boilerplate
 
@@ -132,11 +133,9 @@ def extract_fields_documents(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(project, batch_format="pandas")
 
 
-# SQL replica of Python's str.strip() emptiness test: DuckDB's bare
-# trim() strips spaces ONLY, so a tabs-/newlines-only document would
-# classify 'ok' in SQL while the engine (str.strip) calls it empty.
-# Trim the full ASCII whitespace set instead (chr(9)..chr(13) + space).
-_TRIM_WS = "trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+# SQL replica of Python's str.strip() emptiness test — shared single
+# source with every tokenizing oracle (see functions.exact.trim_ws_sql).
+_TRIM_WS = trim_ws_sql("text")
 
 
 # trim-empty docs derive meta-free pages (see _doc_to_page): nothing to
