@@ -25,6 +25,26 @@ import ray.data
 _HASH_KEY = "0123456789abcdef"
 
 
+def auto_num_buckets() -> int:
+    """Default exchange width for the bucketed operators, sized to the
+    CLUSTER rather than a constant: ``max(2, CPUs // 2)`` (VERDICT r3
+    — a fixed 16 caps shuffle parallelism well below a multi-node
+    cluster). On the 32-CPU test host this resolves to 16, the
+    previously-hard-coded value, so local results and perf are
+    unchanged. CPUs//2 (not the joins' CPUs//4) because ``groupby().
+    map_groups`` is a sort exchange with no per-partition aggregator-
+    actor reservations — the Ray 2.49 chained-join deadlock that
+    ``joins.auto_num_partitions`` works around does not apply here."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus // 2)
+
+
+
 def stable_key_hash(df: pd.DataFrame, keys: list[str]) -> np.ndarray:
     """Deterministic uint64 hash of key columns (process-independent)."""
     h = pd.util.hash_array(df[keys[0]].to_numpy(), hash_key=_HASH_KEY)
@@ -38,7 +58,7 @@ def grouped_sum(
     keys: list[str],
     sum_cols: list[str],
     *,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int | None = 32768,
     two_level: bool = False,
     arrow_partials: bool = False,
@@ -64,11 +84,13 @@ def grouped_apply(
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     *,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Bucketed groupby(keys).apply(fn): ``fn`` receives ALL rows of one
     bucket (possibly many keys) and must itself group by ``keys`` —
     use for vectorizable per-key logic like keep-first / dedup."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
 
     def route(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -88,7 +110,7 @@ def keep_first(
     keys: list[str],
     tie_break: str,
     *,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int = 32768,
 ) -> ray.data.Dataset:
     """Deterministic first-writer-wins dedup: per key group keep the row
@@ -100,6 +122,8 @@ def keep_first(
     bucket, instead of landing every raw row on one aggregator. The
     per-key bucket load is bounded by the batch count, not the row
     count."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket")
@@ -130,8 +154,10 @@ def _keep_first_partials(
     return ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
 
 
-def distinct(ds: ray.data.Dataset, keys: list[str], *, num_buckets: int = 16) -> ray.data.Dataset:
+def distinct(ds: ray.data.Dataset, keys: list[str], *, num_buckets: int | None = None) -> ray.data.Dataset:
     """Distinct rows over ``keys`` (bucketed drop_duplicates)."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b[keys].drop_duplicates()
@@ -152,7 +178,7 @@ def grouped_agg(
     keys: list[str],
     agg_spec: dict[str, tuple[str, str]],
     *,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int | None = 32768,
     two_level: bool = False,
     arrow_partials: bool = False,
@@ -171,10 +197,17 @@ def grouped_agg(
     upstream stage emits Arrow blocks (pair it with an Arrow-native
     derive so the chain never converts until the tiny exchange). The
     post-aggregation result is groups-sized, so its pandas hop for the
-    bucket hash costs nothing. Null KEYS differ between the engines
-    (pandas drops them, arrow groups them) — the pandas final drops
-    any null-key partial rows, so results agree with the pandas path
-    either way.
+    bucket hash costs nothing.
+
+    Null KEYS are RETAINED as one group (``dropna=False``), matching
+    SQL ``GROUP BY`` — a null ts must yield a null-hour row, not
+    silently vanish (pandas' groupby default would drop it; arrow's
+    group_by keeps it, so the two partial paths now also agree).
+    Routing is stable: ``pd.util.hash_array`` hashes NaN/None/NaT
+    deterministically, so a null key's partials all land in one
+    bucket. Mixed null REPRESENTATIONS in one object column (None vs
+    float('nan')) hash differently — normalize upstream if a key can
+    mix them.
 
     The per-batch partial already bounds a hot key to one row per
     batch; with ``two_level=True`` a SALTED intermediate exchange is
@@ -186,6 +219,8 @@ def grouped_agg(
     i.e. at the 100 TB duplicated-boilerplate scale, not at test SFs.
     Results are identical either way (all fns are associative and
     commutative; the salt only changes routing)."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
     allowed = {"sum", "min", "max", "count"}
     bad = {fn for _c, fn in agg_spec.values() if fn not in allowed}
     if bad:
@@ -194,7 +229,7 @@ def grouped_agg(
     final_spec = {out: (out, "sum" if fn == "count" else fn) for out, (_c, fn) in agg_spec.items()}
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, as_index=False, sort=False).agg(
+        return g.groupby(keys, as_index=False, sort=False, dropna=False).agg(
             **{out: spec for out, spec in final_spec.items()}
         )
 
@@ -209,7 +244,7 @@ def grouped_agg(
         return g
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(keys, as_index=False, sort=False).agg(
+        g = b.groupby(keys, as_index=False, sort=False, dropna=False).agg(
             **{out: (col, fn) for out, (col, fn) in agg_spec.items()}
         )
         return add_bucket(g)
@@ -256,7 +291,7 @@ def grouped_quantile_counts(
     q: float,
     *,
     out_col: str,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int = 32768,
 ) -> ray.data.Dataset:
     """Exact per-group nearest-rank quantile WITHOUT co-locating each

@@ -324,11 +324,15 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         b = b.copy()
         # ISO string, not a timestamp dtype: immune to the driver's
         # ns-vs-us canonicalization when hashing vs the SQL oracle
-        b["hour"] = (
+        hour = (
             (b["hour_epoch"] * 3_600_000_000)
             .astype("datetime64[us]")
             .dt.strftime("%Y-%m-%d %H:%M:%S")
         )
+        # the null-ts group (retained by grouped_agg's dropna=False,
+        # like SQL GROUP BY) must emit None — a float NaN would
+        # stringify 'nan' vs the oracle's NULL
+        b["hour"] = hour.where(hour.notna(), None)
         return b.drop(columns=["hour_epoch"])
 
     return agg.map_batches(restore_hour, batch_format="pandas")

@@ -622,7 +622,9 @@ FROM r WHERE rk <= {int(top_k)}
 TFIDF_SQL = tfidf_sql()
 
 
-def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> pd.DataFrame:
+def heavy_hitter_tokens(
+    sf_dir: str, k_counters: int = 64, top_m: int = 10, strict: bool = True
+) -> pd.DataFrame:
     """Approximate-then-exact heavy hitters: Misra-Gries candidate
     sweep + exact recount — the sketch path for "top tokens" when the
     vocabulary is too large to shuffle.
@@ -635,7 +637,14 @@ def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> p
     the candidates exactly (broadcast set, per-batch partial sums, one
     tiny exchange) — undercounts repaired, final top_m by exact count.
     Compare ``analytics.top_tokens``: exact but shuffles the full
-    token stream; this shuffles ≤ k_counters tokens' partials."""
+    token stream; this shuffles ≤ k_counters tokens' partials.
+
+    The result is only guaranteed COMPLETE when the weakest returned
+    count exceeds the N/(k_counters+1) candidacy floor (a non-candidate
+    token can hide at most that many occurrences). The floor is checked
+    at runtime from the fold pass's token total — below it the function
+    raises (``strict=True``, default) or warns and returns the
+    best-effort list: silent incompleteness was the ADVICE r3 finding."""
     import json as _json
 
     import ray
@@ -648,16 +657,21 @@ def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> p
 
     def fold(b: pd.DataFrame) -> pd.DataFrame:
         mg: dict[str, int] = {}
+        n_tokens = 0
         for t in b["text"]:
-            mg = sketches.mg_merge(mg, sketches.mg_fold(t.split(), k=k_counters), k=k_counters)
-        return pd.DataFrame({"summary": [_json.dumps(mg)]})
+            words = t.split()
+            n_tokens += len(words)
+            mg = sketches.mg_merge(mg, sketches.mg_fold(words, k=k_counters), k=k_counters)
+        return pd.DataFrame({"summary": [_json.dumps(mg)], "n_tokens": [n_tokens]})
 
     merged: dict[str, int] = {}
+    n_total = 0
     for batch in ds.map_batches(fold, batch_format="pandas", batch_size=4096).iter_batches(
         batch_format="pandas"
     ):
-        for s in batch["summary"]:
+        for s, nt in zip(batch["summary"], batch["n_tokens"]):
             merged = sketches.mg_merge(merged, _json.loads(s), k=k_counters)
+            n_total += int(nt)
     cand = frozenset(merged)
     ref = ray.put(cand)
 
@@ -678,11 +692,28 @@ def heavy_hitter_tokens(sf_dir: str, k_counters: int = 64, top_m: int = 10) -> p
         ["n"],
         num_buckets=2,
     ).to_pandas()
-    return (
+    result = (
         exact.sort_values(["n", "token"], ascending=[False, True])
         .head(top_m)
         .reset_index(drop=True)
     )
+    # completeness guard: any NON-candidate token has true frequency
+    # ≤ floor, so the top_m is provably complete iff its weakest
+    # returned count beats the floor (or the request outran the corpus)
+    floor = n_total // (k_counters + 1)
+    weakest = int(result["n"].iloc[-1]) if len(result) else 0
+    if n_total and (len(result) < min(top_m, len(exact)) or weakest <= floor):
+        msg = (
+            f"heavy_hitter_tokens: top_{top_m} not guaranteed complete — weakest "
+            f"returned count {weakest} ≤ candidacy floor N/(k+1) = {floor} "
+            f"(N={n_total}, k_counters={k_counters}); raise k_counters"
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return result
 
 
 def contamination_screen_bloom(

@@ -176,4 +176,9 @@ def with_fields(
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        # the constructor arg is an ObjectRef, which Ray 2.49 cannot
+        # replay on an actor restart — with restarts enabled it logs a
+        # spurious core_worker error per actor (upstream ray#53727).
+        # Stage retries are task-level anyway, so disable actor restart.
+        max_restarts=0,
     )

@@ -94,3 +94,102 @@ def test_tab_bounded_docs_match_tokenizing_oracles(tmp_path):
     # the whitespace-only doc really IS empty on both sides
     stats = textops.doc_token_stats(str(d)).to_pandas().set_index("doc_id")
     assert stats.loc[3, "n_tokens_ws"] == 0 and stats.loc[4, "n_tokens_ws"] == 0
+
+
+def test_auto_num_buckets_tracks_cluster(monkeypatch):
+    """Bucketed-op exchange width defaults to the CLUSTER size
+    (max(2, CPUs//2)) instead of a constant 16 (VERDICT r3): a 4N-node
+    cluster must not cap its shuffles at 16 tasks. Results are
+    bucket-invariant by construction (routing only)."""
+    import ray as _ray
+
+    from pdf_extractor_ray import ops
+
+    assert ops.auto_num_buckets() == max(2, int(_ray.cluster_resources()["CPU"]) // 2)
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 1024})
+    assert ops.auto_num_buckets() == 512
+    monkeypatch.setattr(_ray, "cluster_resources", lambda: {"CPU": 2})
+    assert ops.auto_num_buckets() == 2
+
+    # bucket-count invariance: same result at 2 and 32 buckets
+    src = ray.data.from_pandas(
+        pd.DataFrame({"k": ["a", "b", "c", "a", "b"] * 20, "v": list(range(100))})
+    )
+    a = ops.grouped_sum(src, ["k"], ["v"], num_buckets=2).to_pandas().sort_values("k").reset_index(drop=True)
+    b = ops.grouped_sum(src, ["k"], ["v"], num_buckets=32).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_heavy_hitter_guarantee_enforced(tmp_path):
+    """A flat token distribution with tiny k_counters cannot certify a
+    complete top-m: strict (default) raises; strict=False warns and
+    returns the best-effort list (ADVICE r3 — previously silent)."""
+    from pdf_extractor_ray.pipelines import textops
+
+    # 120 distinct tokens, each ~25 occurrences: every count is far
+    # below N/(k_counters+1) = 3000/5 at k_counters=4
+    texts = [" ".join(f"tok{j}" for j in range(i, i + 24)) for i in range(0, 120, 8) for _ in range(10)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), str(d / "documents.parquet"))
+
+    with pytest.raises(ValueError, match="not guaranteed complete"):
+        textops.heavy_hitter_tokens(str(d), k_counters=4, top_m=5)
+    with pytest.warns(UserWarning, match="not guaranteed complete"):
+        out = textops.heavy_hitter_tokens(str(d), k_counters=4, top_m=5, strict=False)
+    assert 0 < len(out) <= 5  # ≤ k_counters candidates survive the sweep
+
+    # with enough counters the same corpus certifies: no warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        ok = textops.heavy_hitter_tokens(str(d), k_counters=256, top_m=5)
+    assert len(ok) == 5
+
+
+def test_null_key_group_retained_like_sql(tmp_path):
+    """SQL GROUP BY keeps a NULL group; pandas groupby's default drops
+    it (ADVICE r3, latent with null-free testdata). grouped_agg now
+    uses dropna=False on BOTH partial paths — a null ts yields a
+    None-hour row matching the date_trunc oracle exactly."""
+    from pdf_extractor_ray.pipelines import analytics
+    from pdf_extractor_ray.ops import grouped_agg
+
+    ev = pa.table(
+        {
+            "event_type": ["click", "click", "view", "view", "click"],
+            "ts": pa.array(
+                [pd.Timestamp("2024-01-01 10:15"), None, pd.Timestamp("2024-01-01 10:45"), None, None],
+                type=pa.timestamp("us"),
+            ),
+            "value": [1.25, 2.5, 3.0, 4.0, 0.5],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(ev, str(d / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    exp = con.sql(analytics.EVENTS_HOURLY_SQL).df()
+    got = analytics.events_hourly(str(d)).to_pandas()
+    assert len(got) == len(exp) == 4  # 2 real hours + 2 null-hour groups
+    assert value_hash(got) == value_hash(exp)
+
+    # the pandas-partials path retains the null group too (events_hourly
+    # exercises only arrow_partials)
+    src = ray.data.from_pandas(
+        pd.DataFrame({"k": ["a", None, "a", None], "v": [1, 2, 3, 4]})
+    )
+    out = grouped_agg(src, ["k"], {"total": ("v", "sum")}).to_pandas()
+    assert len(out) == 2
+    assert int(out.loc[out["k"].isna(), "total"].iloc[0]) == 6
+    assert int(out.loc[out["k"] == "a", "total"].iloc[0]) == 4
