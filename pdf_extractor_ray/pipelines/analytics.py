@@ -492,6 +492,11 @@ def top_tokens(sf_dir: str, k: int = 20) -> ray.data.Dataset:
         ["token"],
         ["n"],
         num_buckets=8,
+        # a VIRAL token (boilerplate word in every doc) yields one
+        # partial row per batch for that key; the salted intermediate
+        # combine re-spreads those so the final exchange sees at most
+        # num_buckets rows per key (VERDICT r3 — skew-prone site)
+        two_level=True,
     )
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
@@ -523,6 +528,9 @@ def events_user_stats(sf_dir: str) -> ray.data.Dataset:
         ["user_id"],
         ["value_cents", "n_events"],
         num_buckets=16,
+        # a bot/crawler user_id can dominate the event stream; salted
+        # two-level bounds its final-exchange rows (VERDICT r3)
+        two_level=True,
     )
 
 

@@ -95,6 +95,49 @@ QUALIFY row_number() OVER (
 
 
 # ------------------------------------------------------------ near-dup
+def _sig_partial(
+    b: pd.DataFrame,
+    num_perm: int,
+    num_bands: int,
+    shingle_k: int,
+    collapse_exact_sigs: bool,
+) -> pd.DataFrame:
+    """The pre-exchange stage of ``minhash_lsh_pairs``, module-level so
+    the viral-key bound (≤ 1 band-row set per exact-sig class per
+    batch) is directly testable on the exchange INPUT."""
+    # pass 1: one signature per doc, grouped into exact-sig classes
+    classes: dict[bytes, list[tuple[int, np.ndarray]]] = {}
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        sig = hashing.minhash_signature(
+            hashing.shingle_hashes(text, k=shingle_k), num_perm=num_perm
+        )
+        classes.setdefault(sig.tobytes(), []).append((int(doc_id), sig))
+    # pass 2: band rows — all docs, or (collapsed) only each class's
+    # batch-min rep, plus one rep→loser marker per other member
+    # (band_id -1 with a unique band_hash = its own singleton group,
+    # so markers never enter the pair loop)
+    rows = []
+    for sig_b, members in classes.items():
+        members.sort(key=lambda m: m[0])
+        carriers = members[:1] if collapse_exact_sigs else members
+        if collapse_exact_sigs:
+            rep = members[0][0]
+            rows.extend(
+                {"band_id": -1, "band_hash": np.uint64(loser_id), "doc_id": rep, "sig": b""}
+                for loser_id, _sig in members[1:]
+            )
+        for doc_id, sig in carriers:
+            rows.extend(
+                {"band_id": band_id, "band_hash": band_hash, "doc_id": doc_id, "sig": sig_b}
+                for band_id, band_hash in enumerate(
+                    hashing.minhash_bands(sig, num_bands=num_bands)
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["band_id", "band_hash", "doc_id", "sig"]
+    ).astype({"band_id": "int64", "band_hash": "uint64", "doc_id": "int64", "sig": "object"})
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     *,
@@ -102,6 +145,7 @@ def minhash_lsh_pairs(
     num_bands: int = 16,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
+    collapse_exact_sigs: bool = False,
 ) -> ray.data.Dataset:
     """MinHash + LSH near-duplicate candidate pairs, Jaccard-verified.
 
@@ -114,27 +158,27 @@ def minhash_lsh_pairs(
     At scale: band rows are tiny (ints); bucket groups are small by
     construction (only near-dups collide in a band); the final distinct
     is a groupby on the pair key.
-    """
+
+    ``collapse_exact_sigs=True`` is the VIRAL-KEY bound for the dedup
+    use: within each batch, docs with IDENTICAL signatures collapse to
+    one representative (the batch-min doc_id) — only the rep's band
+    rows cross the exchange (≤ 1 row per sig-class per batch per band,
+    the keep_first bound), and each collapsed doc ships ONE
+    rep→loser marker row instead of ``num_bands`` band rows. A key
+    with 100k identical copies thus costs O(n) marker rows and O(1)
+    per-band group size, never an O(n²) in-bucket pair loop. The PAIR
+    LIST is then intentionally incomplete (loser↔loser and
+    loser↔other pairs are represented only through the rep), but the
+    LOSER SET — every doc with a verified smaller near-dup — is
+    provably identical: identical signatures have identical similarity
+    to every other doc, so any pair a collapsed doc would lose is also
+    lost by (or through) its rep. Keep the default for the pairs
+    QUERY; ``dedup_minhash`` enables it."""
     ds = _read_docs(sf_dir, columns=("doc_id", "text"))
-
-    def sig_rows(b: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(b["doc_id"], b["text"]):
-            sig = hashing.minhash_signature(
-                hashing.shingle_hashes(text, k=shingle_k), num_perm=num_perm
-            )
-            for band_id, band_hash in enumerate(hashing.minhash_bands(sig, num_bands=num_bands)):
-                rows.append(
-                    {
-                        "band_id": band_id,
-                        "band_hash": band_hash,
-                        "doc_id": doc_id,
-                        "sig": sig.tobytes(),
-                    }
-                )
-        return pd.DataFrame(rows)
-
-    bands = ds.map_batches(sig_rows, batch_format="pandas")
+    bands = ds.map_batches(
+        lambda b: _sig_partial(b, num_perm, num_bands, shingle_k, collapse_exact_sigs),
+        batch_format="pandas",
+    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -155,10 +199,23 @@ def minhash_lsh_pairs(
         )
 
     def all_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        markers = g[g["band_id"] < 0]
+        if len(markers):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": markers["doc_id"].astype("int64"),
+                        "doc_b": markers["band_hash"].astype("int64"),
+                        "jaccard_sim": np.ones(len(markers), dtype=np.float64),
+                    }
+                )
+            )
+            g = g[g["band_id"] >= 0]
         # singleton band-buckets (the overwhelming majority) can't form
         # pairs — drop them vectorized before the per-group Python loop
         g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
-        outs = [bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_hash"], sort=False)]
+        outs.extend(bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_hash"], sort=False))
         return pd.concat(outs, ignore_index=True) if outs else bucket_pairs(g.head(0))
 
     pairs = grouped_apply(bands, ["band_id", "band_hash"], all_bucket_pairs, num_buckets=32)
@@ -178,10 +235,17 @@ def dedup_minhash(sf_dir: str, **kw) -> ray.data.Dataset:
     driver: the pair list stays a Dataset and the removal is a
     distributed anti-join on the hash-partitioned exchange — bounded
     by nothing, correct at any dup rate.
+
+    Exact-signature classes are collapsed per batch (see
+    ``minhash_lsh_pairs(collapse_exact_sigs=True)``): a VIRAL text with
+    100k identical copies ships one band-row set per batch plus one
+    marker row per copy, and its LSH bucket holds one row per batch —
+    never the O(n²) in-bucket pair loop. The loser set is provably
+    unchanged (identical sigs are interchangeable in every pair).
     """
     from pdf_extractor_ray.joins import semi_join
 
-    pairs = minhash_lsh_pairs(sf_dir, **kw)
+    pairs = minhash_lsh_pairs(sf_dir, collapse_exact_sigs=True, **kw)
     # duplicate loser ids are harmless to the anti-join on either plan
     # (broadcast set or left_anti exchange) — no distinct pass needed
     losers = pairs.select_columns(["doc_b"])
