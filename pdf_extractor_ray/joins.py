@@ -315,17 +315,29 @@ def adaptive_inner_join(
     how: str = "inner",
     num_partitions: int | None = None,
     broadcast_limit: int | None = None,
+    batch_format: str = "pandas",
 ) -> ray.data.Dataset:
     """Inner (or left-outer) join with the measured-size broadcast
     plan: the right side is materialized and counted; at or below
     ``broadcast_limit`` rows it ships once via ``ray.put`` and each
-    batch pandas-merges against it locally (zero shuffle — the
-    broadcast hash join); above it the hash-partitioned exchange runs.
-    Semantics identical either way (including duplicate right keys).
+    batch merges against it locally (zero shuffle — the broadcast hash
+    join); above it the hash-partitioned exchange runs. Semantics
+    identical either way (including duplicate right keys).
     ``how`` ∈ {"inner", "left_outer"} — only plans where broadcasting
-    the RIGHT side is sound."""
+    the RIGHT side is sound.
+
+    ``batch_format="pyarrow"`` keeps the whole stage Arrow: the
+    broadcast plan ships the right side as a ``pa.Table`` and each
+    batch joins with Acero's hash join (``Table.join`` — zero-copy in,
+    no pandas hop), so an Arrow-emitting upstream feeds an
+    ``arrow_partials`` aggregation downstream conversion-free; the
+    exchange plan (Ray's native hash join) already emits Arrow blocks.
+    Output schema is identical on every (plan × format) combination:
+    left columns then right non-key columns, right key dropped."""
     if how not in ("inner", "left_outer"):
         raise ValueError(f"adaptive join supports inner/left_outer, got {how!r}")
+    if batch_format not in ("pandas", "pyarrow"):
+        raise ValueError(f"batch_format must be pandas|pyarrow, got {batch_format!r}")
     if broadcast_limit is None:  # resolved at CALL time (patchable)
         broadcast_limit = BROADCAST_KEY_LIMIT
     rk = right_on or on
@@ -333,6 +345,16 @@ def adaptive_inner_join(
         right = right.materialize()
         if _fits_broadcast(right, broadcast_limit):
             rdf = right.to_pandas()
+            if batch_format == "pyarrow":
+                rtbl = pa.Table.from_pandas(rdf, preserve_index=False)
+                ref = ray.put(rtbl)
+                pa_how = "left outer" if how == "left_outer" else "inner"
+
+                def merge_arrow(t: pa.Table) -> pa.Table:
+                    r = _cached_get(ref)  # deserialized once per worker
+                    return t.join(r, keys=[on], right_keys=[rk], join_type=pa_how)
+
+                return left.map_batches(merge_arrow, batch_format="pyarrow")
             ref = ray.put(rdf)
             pd_how = "left" if how == "left_outer" else "inner"
 
@@ -351,10 +373,17 @@ def adaptive_inner_join(
         # Ray's native hash join keeps the right key column; the
         # broadcast plan drops it — normalize so BOTH plans emit the
         # same schema and a call site can't change columns when data
-        # crosses the threshold
-        joined = joined.map_batches(
-            lambda b: b.drop(columns=[rk], errors="ignore"), batch_format="pandas"
-        )
+        # crosses the threshold (Arrow drop on the pyarrow format so
+        # the exchange plan's Arrow blocks stay Arrow)
+        if batch_format == "pyarrow":
+            joined = joined.map_batches(
+                lambda t: t.drop_columns([rk]) if rk in t.column_names else t,
+                batch_format="pyarrow",
+            )
+        else:
+            joined = joined.map_batches(
+                lambda b: b.drop(columns=[rk], errors="ignore"), batch_format="pandas"
+            )
     return joined
 
 

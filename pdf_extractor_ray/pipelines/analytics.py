@@ -36,6 +36,26 @@ def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+def _li_rev_preagg(t: "pa.Table") -> "pa.Table":
+    """Arrow-native per-batch (l_orderkey → rev_cents) partial: same
+    IEEE float64 sequence as cents_np (price*(1-disc) → *100 → +0.5 →
+    floor → int64), aggregated with pyarrow's hash group_by. Shared by
+    q3/q5/q10 so their whole join→aggregate tails stay Arrow."""
+    import pyarrow.compute as pc
+
+    rev = pc.multiply(
+        t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+    )
+    cents = pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))).cast(
+        pa.int64()
+    )
+    tmp = pa.table({"o_orderkey": t.column("l_orderkey"), "rev_cents": cents})
+    g = tmp.group_by(["o_orderkey"], use_threads=False).aggregate([("rev_cents", "sum")])
+    return pa.table(
+        {"o_orderkey": g.column("o_orderkey"), "rev_cents": g.column("rev_cents_sum")}
+    )
+
+
 # ----------------------------------------------------------------- Q1
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-style grouped pricing summary with exact-cents sums."""
@@ -123,20 +143,17 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
     orders = semi_join(orders, cust_keys, on="o_custkey", right_on="c_custkey")
     lineitem = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "o_orderkey": b["l_orderkey"],
-                "rev_cents": cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())),
-            }
-        ).groupby("o_orderkey", as_index=False).sum(),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(_li_rev_preagg, batch_format="pyarrow", batch_size=65536)
     # lineitem (the big stream) stays left; the semi-filtered orders side
-    # is the one the adaptive plan can broadcast
-    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
-    per_order = grouped_sum(joined.select_columns(["o_orderkey", "rev_cents"]), ["o_orderkey"], ["rev_cents"])
+    # is the one the adaptive plan can broadcast. The Arrow batch format
+    # keeps pre-agg → join → grouped partials conversion-free.
+    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey", batch_format="pyarrow")
+    per_order = grouped_sum(
+        joined.select_columns(["o_orderkey", "rev_cents"]),
+        ["o_orderkey"],
+        ["rev_cents"],
+        arrow_partials=True,
+    )
     per_order = per_order.map_batches(
         lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas"
     )
@@ -182,29 +199,14 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> ray.data.Data
     orders = adaptive_inner_join(orders, cust, on="o_custkey", right_on="c_custkey")
     orders = orders.select_columns(["o_orderkey", "n_name"])
 
-    def li_preagg(t: pa.Table) -> pa.Table:
-        # Arrow-native pre-aggregation (same IEEE float64 sequence as
-        # cents_np: price*(1-disc) → *100 → +0.5 → floor → int64); the
-        # native hash join downstream emits Arrow blocks too, so the
-        # whole join→aggregate tail runs conversion-free.
-        import pyarrow.compute as pc
-
-        rev = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
-        )
-        cents = pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))).cast(
-            pa.int64()
-        )
-        tmp = pa.table({"o_orderkey": t.column("l_orderkey"), "rev_cents": cents})
-        g = tmp.group_by(["o_orderkey"], use_threads=False).aggregate([("rev_cents", "sum")])
-        return pa.table(
-            {"o_orderkey": g.column("o_orderkey"), "rev_cents": g.column("rev_cents_sum")}
-        )
-
     lineitem = ray.data.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(li_preagg, batch_format="pyarrow", batch_size=65536)
-    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
+    ).map_batches(_li_rev_preagg, batch_format="pyarrow", batch_size=65536)
+    # Arrow broadcast/hash join either way — with the Arrow pre-agg
+    # above and the arrow_partials below, the whole join→aggregate
+    # tail runs conversion-free (measured 4.2× kernel win on q1-shaped
+    # batches, BENCH/BASELINE.md round 3).
+    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey", batch_format="pyarrow")
     out = grouped_sum(
         joined.select_columns(["n_name", "rev_cents"]),
         ["n_name"],
@@ -581,19 +583,15 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         _pq(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
         filter=pc.field("l_returnflag") == "R",
-    ).map_batches(
-        lambda b: pd.DataFrame(
-            {
-                "o_orderkey": b["l_orderkey"],
-                "rev_cents": cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())),
-            }
-        ).groupby("o_orderkey", as_index=False).sum(),
-        batch_format="pandas",
-        batch_size=65536,
-    )
+    ).map_batches(_li_rev_preagg, batch_format="pyarrow", batch_size=65536)
     orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey")
-    per_cust = grouped_sum(joined.select_columns(["o_custkey", "rev_cents"]), ["o_custkey"], ["rev_cents"])
+    joined = adaptive_inner_join(lineitem, orders, on="o_orderkey", batch_format="pyarrow")
+    per_cust = grouped_sum(
+        joined.select_columns(["o_custkey", "rev_cents"]),
+        ["o_custkey"],
+        ["rev_cents"],
+        arrow_partials=True,
+    )
     per_cust = per_cust.map_batches(
         lambda b: b.rename(columns={"o_custkey": "c_custkey", "rev_cents": "revenue_cents"}),
         batch_format="pandas",

@@ -96,6 +96,40 @@ def test_tab_bounded_docs_match_tokenizing_oracles(tmp_path):
     assert stats.loc[3, "n_tokens_ws"] == 0 and stats.loc[4, "n_tokens_ws"] == 0
 
 
+def test_adaptive_join_arrow_format_all_plans_identical():
+    """batch_format="pyarrow" (Acero broadcast join / native hash
+    exchange) must be row- and schema-identical to the pandas plans,
+    on both sides of the broadcast gate, including differently-named
+    keys and duplicate right keys."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+
+    left = pd.DataFrame(
+        {"k": pd.Series([1, 2, 3, 4, 2], dtype="int64"), "a": ["p", "q", "r", "s", "t"]}
+    )
+    right = pd.DataFrame(
+        {"rk": pd.Series([2, 3, 3, 5], dtype="int64"), "b": pd.Series([20, 30, 31, 50], dtype="int64")}
+    )
+    results = {}
+    for fmt in ("pandas", "pyarrow"):
+        for how in ("inner", "left_outer"):
+            for limit in (1_000_000, 0):  # broadcast plan vs forced exchange
+                lds = ray.data.from_pandas(left)
+                rds = ray.data.from_pandas(right)
+                out = adaptive_inner_join(
+                    lds, rds, on="k", right_on="rk", how=how,
+                    broadcast_limit=limit, batch_format=fmt,
+                ).to_pandas()
+                out = out.sort_values(["k", "a", "b"]).reset_index(drop=True)
+                out["b"] = out["b"].astype("float64")  # null padding parity
+                results[(fmt, how, limit)] = out
+    for how in ("inner", "left_outer"):
+        base = results[("pandas", how, 1_000_000)]
+        assert list(base.columns) == ["k", "a", "b"]
+        for key, out in results.items():
+            if key[1] == how:
+                pd.testing.assert_frame_equal(out, base, check_dtype=False), key
+
+
 def test_minhash_viral_key_bounded_and_loser_set_exact(tmp_path):
     """VERDICT r3 #5: a viral key (100k identical copies of one text)
     must not melt the LSH band exchange. With collapse_exact_sigs the
