@@ -60,7 +60,12 @@ def embed_documents(sf_dir: str, concurrency=(1, 4)) -> ray.data.Dataset:
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     out = ds.map_batches(
-        EmbedActor, batch_format="pyarrow", batch_size=512, concurrency=concurrency, num_cpus=1
+        EmbedActor,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+        num_cpus=1,
+        max_restarts=0,  # spurious ctor-arg restart error otherwise (ray#53727)
     )
     return out.drop_columns(["text"])
 

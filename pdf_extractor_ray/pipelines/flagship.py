@@ -126,6 +126,7 @@ def build_extraction_pipeline(
         batch_format="pyarrow",
         batch_size=max(32, batch_size // 4),
         concurrency=concurrency,
+        max_restarts=0,  # spurious ctor-arg restart error otherwise (ray#53727)
         num_cpus=1,
         fn_constructor_kwargs={"metrics_collector": metrics_collector},
     )

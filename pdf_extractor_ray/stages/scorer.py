@@ -114,5 +114,6 @@ def score_documents(
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,  # spurious ctor-arg restart error otherwise (ray#53727)
         num_cpus=1,
     )

