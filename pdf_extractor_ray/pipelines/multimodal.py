@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are not in this container, so the
-decode kernels are STUBS behind ``try: import`` — a deterministic fake
-decoder stands in (documented below), and everything Ray-side is real
-and tested: schema, batch sizing for large binary payloads, actor
-signature (state in ``__init__``), output layout, quarantine of
-undecodable rows.
+REAL codecs, no external library: binary netpbm (P5/P6), non-interlaced
+8-bit PNG (chunk walk + stored-zlib inflate + per-scanline unfilter,
+all in numpy — see ``_png_decode_pixels``), and RIFF/WAV PCM16 via the
+stdlib ``wave`` module. JPEG/MP3/video stay honestly gated behind the
+absent PIL import (DCT/entropy coding is out of scope for a hand
+decoder). Everything Ray-side is real and tested either way: schema,
+batch sizing for large binary payloads, actor signature (state in
+``__init__``), output layout, quarantine of undecodable rows.
 
-Deterministic fake codec (so tests have exact expectations):
+Deterministic synthetic containers (exact test expectations without a
+compressed fixture corpus):
 - "image" payloads: ``IMG1`` magic + 4-byte big-endian width + height +
   raw grayscale bytes (row-major). decode → (w, h, mean_pixel).
 - "audio" payloads: ``AUD1`` magic + 4-byte sample rate + int16 LE
