@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
         "dedup_normalized_documents": dedup.dedup_normalized,
+        "paragraph_dedup_documents": webdocs.paragraph_dedup_documents,
         "dedup_minhash_documents": dedup.dedup_minhash,
         "dedup_clusters": dedup.dedup_clusters,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).STRATIFIED_SAMPLE_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,
+        "paragraph_dedup_documents": webdocs.PARAGRAPH_DEDUP_SQL,
         "dedup_exact_documents": dedup.DEDUP_EXACT_SQL,
         "dedup_normalized_documents": dedup.DEDUP_NORMALIZED_SQL,
         "knn_cosine_topk": similarity.KNN_SQL,

@@ -601,3 +601,147 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.35
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def split_paragraphs(text: str) -> list[str]:
+    """Newline-split, empty lines dropped — the paragraph unit used by
+    CCNet-style corpus dedup. Single source for BOTH passes of
+    ``paragraph_dedup`` (count and rebuild must hash identical units)."""
+    return [p for p in text.split("\n") if p]
+
+
+def paragraph_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "url",
+    min_docs: int = 2,
+    num_buckets: int | None = None,
+    broadcast_limit: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-document paragraph dedup: remove every paragraph that
+    occurs in >= ``min_docs`` DISTINCT documents (CCNet's boilerplate
+    strip: repeated paragraphs across a crawl are nav bars, cookie
+    banners, license boilerplate). Returns one row per input document:
+    ``(id_col, n_paragraphs_kept, text_kept)`` with the surviving
+    paragraphs re-joined by newline in original order.
+
+    Scale shape (two streaming passes, no driver loop over rows):
+
+    - Pass 1 (document frequency): each doc emits the SET of its
+      paragraph hashes (within-doc dedupe makes a plain count equal
+      the distinct-doc count); the exchange carries 16-byte content
+      hashes + per-batch partial counts (``ops.grouped_sum``), never
+      paragraph text. A boilerplate paragraph present in every
+      document contributes one partial row per batch, not one per doc.
+    - Pass 2 (rebuild): the common-hash set is measured (rows AND
+      bytes, same gate as the join planner). Below the gate it is
+      broadcast once per worker and the rebuild is a zero-shuffle
+      ``map_batches``; above it, docs explode to paragraph rows, an
+      anti ``semi_join`` on the hash drops common ones, and a bucketed
+      reassembly restores per-doc order — the common set never lands
+      on the driver. ``broadcast_limit=0`` forces the exchange plan
+      (tests pin row-identity between both plans).
+    """
+    from pdf_extractor_ray import joins
+
+    if broadcast_limit is None:
+        broadcast_limit = joins.BROADCAST_KEY_LIMIT
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def emit_hash_sets(b: pd.DataFrame) -> pd.DataFrame:
+        hs: list[str] = []
+        for t in b[text_col]:
+            hs.extend({hashing.content_hash(p) for p in split_paragraphs(t)})
+        return pd.DataFrame({"__ph": hs, "n_docs": np.ones(len(hs), dtype=np.int64)})
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    counts = grouped_sum(
+        narrow.map_batches(emit_hash_sets, batch_format="pandas"),
+        ["__ph"],
+        ["n_docs"],
+        num_buckets=num_buckets,
+    )
+    common = counts.map_batches(
+        lambda b: b.loc[b["n_docs"] >= min_docs, ["__ph"]], batch_format="pandas"
+    )
+
+    if broadcast_limit:
+        common_m = common.materialize()
+        if joins._fits_broadcast(common_m, broadcast_limit):
+            ref = ray.put(frozenset(r["__ph"] for r in common_m.take_all()))
+
+            def rebuild(b: pd.DataFrame) -> pd.DataFrame:
+                drop = joins._cached_get(ref)
+                n_kept, texts = [], []
+                for t in b[text_col]:
+                    kept = [
+                        p for p in split_paragraphs(t) if hashing.content_hash(p) not in drop
+                    ]
+                    n_kept.append(len(kept))
+                    texts.append("\n".join(kept))
+                return pd.DataFrame(
+                    {
+                        id_col: b[id_col],
+                        "n_paragraphs_kept": np.array(n_kept, dtype=np.int64),
+                        "text_kept": texts,
+                    }
+                )
+
+            return narrow.map_batches(rebuild, batch_format="pandas")
+
+    # Exchange plan: explode → anti-join on hash → ordered reassembly.
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, pos, paras, phs = [], [], [], []
+        for u, t in zip(b[id_col], b[text_col]):
+            for j, p in enumerate(split_paragraphs(t)):
+                ids.append(u)
+                pos.append(j)
+                paras.append(p)
+                phs.append(hashing.content_hash(p))
+        return pd.DataFrame(
+            {id_col: ids, "__pos": np.array(pos, dtype=np.int64), "__para": paras, "__ph": phs}
+        )
+
+    kept_rows = joins.semi_join(
+        narrow.map_batches(explode, batch_format="pandas"),
+        common,
+        "__ph",
+        keep=False,
+        broadcast_limit=0,
+    )
+    # Anchor row per document so zero-kept (and zero-paragraph) docs
+    # still appear in the output — anchors bypass the anti-join, so no
+    # sentinel hash value can collide with a real paragraph hash.
+    def anchor(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "__pos": np.full(n, -1, dtype=np.int64),
+                "__para": [""] * n,
+                "__ph": [""] * n,
+            }
+        )
+
+    both = kept_rows.union(ds.select_columns([id_col]).map_batches(anchor, batch_format="pandas"))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "__pos"], kind="stable")
+        real = g[g["__pos"] >= 0]
+        agg = real.groupby(id_col, sort=False)["__para"].agg(list)
+        out = g[[id_col]].drop_duplicates()
+        paras = out[id_col].map(agg)
+        out = out.copy()
+        out["n_paragraphs_kept"] = paras.map(lambda v: 0 if v is np.nan or isinstance(v, float) else len(v)).astype(np.int64)
+        out["text_kept"] = paras.map(lambda v: "" if v is np.nan or isinstance(v, float) else "\n".join(v))
+        return out
+
+    return grouped_apply(both, [id_col], reassemble, num_buckets=num_buckets)

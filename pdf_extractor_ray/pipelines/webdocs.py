@@ -276,3 +276,73 @@ def extract_documents_summary(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(compact, batch_format="pyarrow")
+
+
+def paragraph_dedup_documents(sf_dir: str, min_docs: int = 2) -> ray.data.Dataset:
+    """End-to-end boilerplate strip: flagship extraction → CCNet-style
+    cross-document paragraph dedup (``pipelines.dedup.paragraph_dedup``).
+    The derived corpus plants real repeated boilerplate — every doc's
+    ``LANG CODE: <lang>`` / ``SOURCE NAME: <source>`` meta paragraphs
+    repeat across docs sharing a lang/source, and duplicate doc texts
+    repeat wholesale — so the SQL oracle checks genuine removals, not a
+    no-op."""
+    from pdf_extractor_ray.pipelines.dedup import paragraph_dedup
+
+    ds = extract_documents(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select(["url", "extracted_text"])
+
+    return paragraph_dedup(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        text_col="extracted_text",
+        id_col="url",
+        min_docs=min_docs,
+    )
+
+
+# SQL replay of the derived corpus's paragraph structure (_doc_to_page):
+# an HTML doc extracts to [text, meta×3]; a PDF doc (doc_id % 7 = 3)
+# extracts its text as 8-word reading-order lines, then meta×3. Meta
+# paragraphs sort after content (pos 1000+); only relative order
+# matters for the newline re-join. min_docs is interpolated from the
+# same constant the carrier defaults to.
+PARAGRAPH_DEDUP_MIN_DOCS = 2
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text,
+         len({_TRIM_WS}) > 0 AS ne,
+         doc_id % 7 = 3 AS is_pdf
+  FROM documents
+),
+pdf_words AS (
+  SELECT doc_id, regexp_split_to_array({_TRIM_WS}, '\\s+') AS ws
+  FROM d WHERE ne AND is_pdf
+),
+-- static stepped series (generate_series can't lateral-correlate on
+-- len(ws) in DuckDB): 208 = the PDF writer's 26-line cap × 8 words,
+-- so gs always covers every emitted line
+pdf_lines AS (
+  SELECT doc_id, CAST((gs - 1) / 8 AS BIGINT) AS pos,
+         array_to_string(ws[gs : gs + 7], ' ') AS para
+  FROM pdf_words JOIN generate_series(1, 208, 8) AS t(gs) ON gs <= len(ws)
+),
+paras AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS pos, text AS para FROM d WHERE ne AND NOT is_pdf
+  UNION ALL SELECT doc_id, pos, para FROM pdf_lines
+  UNION ALL SELECT doc_id, 1000, 'DOC ID: ' || CAST(doc_id AS VARCHAR) FROM d WHERE ne
+  UNION ALL SELECT doc_id, 1001, 'LANG CODE: ' || lang FROM d WHERE ne
+  UNION ALL SELECT doc_id, 1002, 'SOURCE NAME: ' || source FROM d WHERE ne
+),
+df AS (SELECT para, COUNT(DISTINCT doc_id) AS nd FROM paras GROUP BY para),
+kept AS (
+  SELECT p.doc_id, p.pos, p.para FROM paras p JOIN df USING (para)
+  WHERE df.nd < {PARAGRAPH_DEDUP_MIN_DOCS}
+)
+SELECT 'https://docs.example.com/' || CAST(d.doc_id AS VARCHAR) AS url,
+       CAST(COUNT(k.para) AS BIGINT) AS n_paragraphs_kept,
+       COALESCE(string_agg(k.para, chr(10) ORDER BY k.pos), '') AS text_kept
+FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""

@@ -348,3 +348,63 @@ def test_null_key_group_retained_like_sql(tmp_path):
     assert len(out) == 2
     assert int(out.loc[out["k"].isna(), "total"].iloc[0]) == 6
     assert int(out.loc[out["k"] == "a", "total"].iloc[0]) == 4
+
+
+def test_paragraph_dedup_planted_and_plan_identity():
+    """CCNet-style paragraph dedup: paragraphs in >= min_docs distinct
+    docs are removed everywhere, unique ones survive in order; the
+    broadcast and forced-exchange plans are row-identical; zero-kept
+    and zero-paragraph docs still emit a row."""
+    from pdf_extractor_ray.pipelines.dedup import paragraph_dedup
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": [
+                "unique one\nCOOKIE BANNER\nalpha",
+                "unique two\nCOOKIE BANNER",
+                "unique three\nNAV BAR\nCOOKIE BANNER",
+                "NAV BAR",  # fully boilerplate → 0 kept
+                "",  # no paragraphs at all
+                "solo paragraph",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    a = paragraph_dedup(ds, min_docs=2).to_pandas().sort_values("url").reset_index(drop=True)
+    b = (
+        paragraph_dedup(ds, min_docs=2, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert a["text_kept"].tolist() == [
+        "unique one\nalpha",
+        "unique two",
+        "unique three",
+        "",
+        "",
+        "solo paragraph",
+    ]
+    assert a["n_paragraphs_kept"].tolist() == [2, 1, 1, 0, 0, 1]
+
+
+def test_paragraph_dedup_documents_matches_oracle_sf0001():
+    """End-to-end extraction → paragraph dedup hash-matches the DuckDB
+    replay (including PDF rows' 8-word-line paragraph structure and the
+    shared LANG/SOURCE boilerplate actually being removed)."""
+    from pdf_extractor_ray.pipelines import webdocs
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    oracle = con.execute(webdocs.PARAGRAPH_DEDUP_SQL).df()
+    mine = webdocs.paragraph_dedup_documents(SF_DIR).to_pandas()
+    assert len(mine) == len(oracle)
+    assert value_hash(mine) == value_hash(oracle)
+    # the boilerplate meta paragraphs are genuinely removed: every
+    # non-empty doc emitted 3 meta lines, and LANG/SOURCE repeat
+    n_docs = (oracle["n_paragraphs_kept"] > 0).sum()
+    assert mine["n_paragraphs_kept"].sum() < mine["n_paragraphs_kept"].count() * 4
+    assert n_docs > 0
