@@ -1,0 +1,146 @@
+"""URL-keyed corpus operators: canonicalization and per-domain stats.
+
+A crawl-scale curation pipeline keys every page by canonical URL
+(near-identical decorated URLs — case, default ports, fragments,
+tracking params, trailing slashes — must collapse to one key) and
+aggregates corpus health per site domain. Scale shape: the
+canonicalizer is a zero-shuffle ``map_batches``; the stats are
+per-batch-partial aggregations plus batch-deduped distinct counts,
+joined on the (small) domain dimension by the adaptive planner.
+
+The driver carrier derives deliberately MESSY urls deterministically
+from the documents table (every decoration variant planted), so the
+DuckDB oracle can compute the expected canonical collapse directly
+from the table columns — the engine only matches if the canonicalizer
+actually normalizes every variant.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pdf_extractor_ray.functions.urls import canonical_url, site_domain
+from pdf_extractor_ray.joins import adaptive_inner_join
+from pdf_extractor_ray.ops import distinct, grouped_agg
+
+
+def canonicalize_urls(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    domain_col: str = "site_domain",
+) -> ray.data.Dataset:
+    """Add canonical-url and site-domain columns (zero shuffle)."""
+
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        canon = [canonical_url(u) for u in b[url_col]]
+        b[canonical_col] = canon
+        b[domain_col] = [site_domain(u) for u in canon]
+        return b
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def domain_stats(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Per-site-domain corpus stats over canonicalized URLs:
+    ``(site_domain, n_docs, n_urls, n_langs, chars_total)`` where
+    ``n_urls`` counts DISTINCT canonical urls — the column that proves
+    the canonical collapse happened.
+
+    Exchanges carry partials only: counts/sums batch-combine before
+    the bucket exchange, distinct counts batch-dedupe first, and the
+    final three domain-sized tables join via the broadcast plan."""
+    canon = canonicalize_urls(ds, url_col=url_col)
+
+    base = grouped_agg(
+        canon,
+        ["site_domain"],
+        {"n_docs": (url_col, "count"), "chars_total": (chars_col, "sum")},
+    )
+    n_urls = grouped_agg(
+        distinct(canon, ["site_domain", "canonical_url"]),
+        ["site_domain"],
+        {"n_urls": ("canonical_url", "count")},
+    )
+    n_langs = grouped_agg(
+        distinct(canon, ["site_domain", lang_col]),
+        ["site_domain"],
+        {"n_langs": (lang_col, "count")},
+    )
+    out = adaptive_inner_join(base, n_urls, "site_domain")
+    out = adaptive_inner_join(out, n_langs, "site_domain")
+    return out.select_columns(["site_domain", "n_docs", "n_urls", "n_langs", "chars_total"])
+
+
+# --------------------------------------------------------------------------
+# Driver carrier: messy-url derivation + per-domain stats over documents
+# --------------------------------------------------------------------------
+
+
+def derive_messy_urls(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic decorated url per doc: pairs (2k, 2k+1) share one
+    article id and must collapse to ONE canonical url despite
+    differing case, default-port, trailing-slash, fragment and
+    tracking-param decorations. Keyed only on doc_id — same url at any
+    scale factor or partitioning."""
+    urls = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        art = d // 2
+        scheme = "HTTPS" if d % 3 == 0 else "https"
+        host = f"WWW.s{art % 7}.Example.COM" if d % 2 else f"www.s{art % 7}.example.com"
+        port = ":443" if d % 6 == 1 else ""
+        path = f"/article/{art}" + ("/" if d % 2 else "")
+        if d % 4 == 0:
+            query = "?utm_source=feed&id=7&utm_campaign=x"
+        elif d % 4 == 1:
+            query = "?id=7"
+        else:
+            query = ""
+        frag = "#sec" if d % 5 == 0 else ""
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    out = b.copy()
+    out["url"] = urls
+    return out
+
+
+def domain_stats_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → messy urls → canonicalize → domain stats.
+    The oracle computes every expected value straight from doc_id
+    arithmetic (domain = s{(doc_id//2)%7}.example.com, distinct
+    canonical urls = distinct doc_id//2), so a single un-normalized
+    decoration breaks the hash match."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(derive_messy_urls, batch_format="pandas")
+    stats = domain_stats(ds)
+
+    def exact_types(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "n_urls", "n_langs", "chars_total"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return stats.map_batches(exact_types, batch_format="pandas")
+
+
+DOMAIN_STATS_SQL = """
+SELECT 's' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com' AS site_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT doc_id // 2) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents
+GROUP BY 1
+"""

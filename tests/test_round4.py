@@ -408,3 +408,37 @@ def test_paragraph_dedup_documents_matches_oracle_sf0001():
     n_docs = (oracle["n_paragraphs_kept"] > 0).sum()
     assert mine["n_paragraphs_kept"].sum() < mine["n_paragraphs_kept"].count() * 4
     assert n_docs > 0
+
+
+def test_canonical_url_variants_collapse():
+    """Every planted decoration variant — case, default port, trailing
+    slash, fragment, tracking params, param order — collapses to one
+    canonical key; canonicalization is idempotent; non-default ports
+    and real params survive."""
+    from pdf_extractor_ray.functions.urls import canonical_url, site_domain
+
+    want = "https://www.s3.example.com/article/9?id=7"
+    variants = [
+        "HTTPS://WWW.s3.Example.COM:443/article/9/?utm_source=feed&id=7&utm_campaign=x#sec",
+        "https://www.s3.example.com/article/9?id=7",
+        "https://www.S3.example.com./article/9/?id=7&fbclid=abc",
+    ]
+    for v in variants:
+        assert canonical_url(v) == want
+        assert canonical_url(canonical_url(v)) == want
+    assert canonical_url("http://a.b:8080/x/?b=2&a=1") == "http://a.b:8080/x?a=1&b=2"
+    assert site_domain(want) == "s3.example.com"
+    assert site_domain("example.com:443") == "example.com"
+
+
+def test_domain_stats_documents_matches_oracle_sf0001():
+    from pdf_extractor_ray.pipelines import urlops
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    oracle = con.execute(urlops.DOMAIN_STATS_SQL).df()
+    mine = urlops.domain_stats_documents(SF_DIR).to_pandas()
+    assert len(mine) == len(oracle) == 7
+    assert value_hash(mine) == value_hash(oracle)
+    # the collapse is real: messy urls outnumber canonical ones ~2:1
+    assert mine["n_urls"].sum() * 2 <= mine["n_docs"].sum() + 7
