@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textops.tfidf_top_terms,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens,
         "redact_pii_documents": textops.redact_pii,
+        "repetition_metrics": textops.repetition_metrics,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
@@ -159,9 +160,17 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
+# Oracle-checked queries beyond the 50-window: NEW this round, proven
+# by local exact tests + tools/check_oracle at sf0.001/sf0.01, and
+# parked at position 51+ so the 50 previously-green oracles all re-run
+# on this round's code. Rotate these in next round.
+_ORACLE_OVERFLOW = ["repetition_metrics"]
+
+
 def _order_for_driver(q: dict) -> dict:
     checked = set(oracle_sql())
-    ordered = [k for k in q if k in checked]
+    ordered = [k for k in q if k in checked and k not in _ORACLE_OVERFLOW]
+    ordered += [k for k in _ORACLE_OVERFLOW if k in q]
     ordered += [k for k in _ROWS_ONLY_PRIORITY if k in q]
     ordered += [k for k in q if k not in ordered]  # safety net: never drop
     return {k: q[k] for k in ordered}
@@ -212,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_documents": textops.GOPHER_RULES_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
         "redact_pii_documents": textops.REDACT_PII_SQL,
+        "repetition_metrics": textops.REPETITION_METRICS_SQL,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).INVINDEX_SQL,
         "lang_id_documents": textops.LANG_ID_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,

@@ -851,3 +851,104 @@ SELECT doc_id, n_emails,
        CAST(len(regexp_replace(t1, '{PII_PHONE_PAT}', '[PHONE]', 'g')) AS BIGINT) AS n_chars_redacted
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition metrics (the rule family gopher_quality_rules lacks)
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 §A1.1 repetition filters, bigram instance: a doc is
+# repetitious when its most frequent word 2-gram covers too many of its
+# characters, or too many of its 2-gram occurrences are repeats.
+TOP_BIGRAM_MAX_MICRO = 200_000  # top-2-gram char fraction ≤ 0.20
+DUP_BIGRAM_MAX_MICRO = 600_000  # non-first 2-gram occurrences ≤ 0.60
+
+
+def repetition_metrics(sf_dir: str) -> ray.data.Dataset:
+    """Per-document bigram repetition metrics in integer micro-units
+    (floor division — hash-exact vs the SQL oracle):
+
+    - ``dup_bigram_micro``: (n_bigrams − distinct_bigrams) / n_bigrams
+    - ``top_bigram_chars_micro``: top-bigram occurrences × its char
+      length / non-whitespace chars; the top bigram is chosen by
+      (count desc, char length desc, lexicographic asc) so ties are
+      deterministic on both sides.
+
+    Zero shuffle: one vectorized ``map_batches`` — a pure streaming
+    filter stage at 100 TB, same shape as ``gopher_quality_rules``."""
+    from collections import Counter
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        n_bg = np.zeros(n, dtype=np.int64)
+        dist = np.zeros(n, dtype=np.int64)
+        dup_micro = np.zeros(n, dtype=np.int64)
+        top_cnt = np.zeros(n, dtype=np.int64)
+        top_micro = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            words = t.split()
+            if len(words) < 2:
+                continue
+            nonws = sum(len(w) for w in words)
+            counts = Counter(zip(words, words[1:]))
+            n_bg[i] = len(words) - 1
+            dist[i] = len(counts)
+            dup_micro[i] = (n_bg[i] - dist[i]) * 1_000_000 // n_bg[i]
+            (a, bword), c = min(
+                counts.items(), key=lambda kv: (-kv[1], -(len(kv[0][0]) + len(kv[0][1])), kv[0])
+            )
+            top_cnt[i] = c
+            top_micro[i] = c * (len(a) + len(bword)) * 1_000_000 // nonws
+        keep = (top_micro <= TOP_BIGRAM_MAX_MICRO) & (dup_micro <= DUP_BIGRAM_MAX_MICRO)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_bigrams": n_bg,
+                "distinct_bigrams": dist,
+                "dup_bigram_micro": dup_micro,
+                "top_bigram_count": top_cnt,
+                "top_bigram_chars_micro": top_micro,
+                "keep_repetition": keep.astype(np.int8),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pandas", batch_size=8192)
+
+
+REPETITION_METRICS_SQL = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN {_TW} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({_TW}, '{_WS}') END AS ws,
+         length(regexp_replace(text, '{WS_CHAR_RE_SQL}', '', 'g')) AS nonws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, nonws, unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+  FROM d WHERE len(ws) >= 2
+),
+cnt AS (SELECT doc_id, ANY_VALUE(nonws) AS nonws, a, b, COUNT(*) AS c FROM bg GROUP BY doc_id, a, b),
+agg AS (SELECT doc_id, SUM(c) AS n_bigrams, COUNT(*) AS distinct_bigrams FROM cnt GROUP BY doc_id),
+top AS (
+  SELECT doc_id, c, length(a) + length(b) AS bl, nonws,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY c DESC, length(a) + length(b) DESC, a ASC, b ASC
+         ) AS rk
+  FROM cnt
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(agg.distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
+       CAST(COALESCE((agg.n_bigrams - agg.distinct_bigrams) * 1000000 // agg.n_bigrams, 0) AS BIGINT) AS dup_bigram_micro,
+       CAST(COALESCE(top.c, 0) AS BIGINT) AS top_bigram_count,
+       CAST(COALESCE(top.c * top.bl * 1000000 // top.nonws, 0) AS BIGINT) AS top_bigram_chars_micro,
+       CAST(COALESCE(top.c * top.bl * 1000000 // top.nonws, 0) <= {TOP_BIGRAM_MAX_MICRO}
+            AND COALESCE((agg.n_bigrams - agg.distinct_bigrams) * 1000000 // agg.n_bigrams, 0) <= {DUP_BIGRAM_MAX_MICRO}
+            AS TINYINT) AS keep_repetition
+FROM d
+LEFT JOIN agg ON d.doc_id = agg.doc_id
+LEFT JOIN top ON d.doc_id = top.doc_id AND top.rk = 1
+"""

@@ -442,3 +442,51 @@ def test_domain_stats_documents_matches_oracle_sf0001():
     assert value_hash(mine) == value_hash(oracle)
     # the collapse is real: messy urls outnumber canonical ones ~2:1
     assert mine["n_urls"].sum() * 2 <= mine["n_docs"].sum() + 7
+
+
+def test_repetition_metrics_planted_and_oracle():
+    """Bigram repetition metrics: planted extremes (all-one-word doc,
+    tie-broken top bigram, sub-2-word docs) plus the full sf0.001
+    corpus hash-matched against the SQL oracle."""
+    from pdf_extractor_ray.pipelines import textops
+
+    planted = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "spam spam spam spam",  # one bigram repeated: dup 2/3, top covers all chars
+                "tie a tie b",  # counts all 1 → tie-break by chars then lexicographic
+                "one",  # < 2 words → all zeros
+                "",  # empty
+                "a b c d",  # all distinct → dup 0
+            ],
+        }
+    )
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.register("documents", planted)
+    oracle = con.execute(textops.REPETITION_METRICS_SQL).df().sort_values("doc_id")
+    ds = ray.data.from_pandas(planted)
+    import pdf_extractor_ray.pipelines.textops as t
+
+    orig = t._docs
+    try:
+        t._docs = lambda sf, cols: ds.select_columns(list(cols))
+        mine = textops.repetition_metrics("unused").to_pandas().sort_values("doc_id")
+    finally:
+        t._docs = orig
+    assert value_hash(mine) == value_hash(oracle)
+    r0 = mine.iloc[0]
+    assert (r0["n_bigrams"], r0["distinct_bigrams"], r0["dup_bigram_micro"]) == (3, 1, 666666)
+    # 3 occurrences × 8 chars / 16 nonws chars — occurrences OVERLAP on
+    # repeats, so the micro-fraction can exceed 1e6 (documented; the
+    # keep threshold only needs an upper bound, not a true proportion)
+    assert r0["top_bigram_chars_micro"] == 1_500_000
+    assert mine.iloc[2]["n_bigrams"] == 0 and mine.iloc[3]["n_bigrams"] == 0
+
+    con2 = ddb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    oracle_sf = con2.execute(textops.REPETITION_METRICS_SQL).df()
+    mine_sf = textops.repetition_metrics(SF_DIR).to_pandas()
+    assert value_hash(mine_sf) == value_hash(oracle_sf)
