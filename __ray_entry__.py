@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).chunk_documents,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
+        "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
     }
     return _order_for_driver(q)
 
@@ -164,7 +165,7 @@ _ROWS_ONLY_PRIORITY = [
 # by local exact tests + tools/check_oracle at sf0.001/sf0.01, and
 # parked at position 51+ so the 50 previously-green oracles all re-run
 # on this round's code. Rotate these in next round.
-_ORACLE_OVERFLOW = ["repetition_metrics"]
+_ORACLE_OVERFLOW = ["repetition_metrics", "sample_k_documents"]
 
 
 def _order_for_driver(q: dict) -> dict:
@@ -231,4 +232,5 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CURATION_FUNNEL_SQL,
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CHUNK_SQL,
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
+        "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_SQL,
     }

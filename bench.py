@@ -102,6 +102,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "extract_flagship",
         "extract_fields_documents",
         "sessionize_events",
+        # added round 4 (extraction → cross-doc paragraph dedup): the
+        # suite TOTAL is therefore not comparable to r3 without
+        # subtracting this entry — per-query columns are.
+        "paragraph_dedup_documents",
     ]
     times = {}
     for name in bench_set:

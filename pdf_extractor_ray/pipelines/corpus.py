@@ -368,3 +368,49 @@ SELECT doc_id, chunk_id,
        array_to_string(list_slice(words, chunk_id*{CHUNK_WORDS} + 1, chunk_id*{CHUNK_WORDS} + {CHUNK_WORDS}), ' ') AS chunk_text
 FROM c
 """
+
+
+# Knuth multiplicative constant; the sample key is SQL-replicable
+# because (uint64-wraparound product) % 2^32 == (exact product) % 2^32.
+SAMPLE_HASH_MULT = 2654435761
+SAMPLE_SEED = 12345
+SAMPLE_K = 100
+
+
+def sample_k_documents(sf_dir: str, k: int = SAMPLE_K, seed: int = SAMPLE_SEED) -> ray.data.Dataset:
+    """Deterministic EXACT-k uniform sample — the distributed
+    reservoir-sample equivalent: rank every doc by a seeded
+    multiplicative hash of doc_id and keep the k smallest (ties broken
+    by doc_id). Unlike a reservoir, membership is independent of scan
+    order, partitioning, and corpus growth*, and the same seed
+    reproduces the same sample on any cluster size.
+
+    Scale shape: a per-batch partial top-k runs BEFORE the exchange,
+    so the final sort sees at most k rows per input batch, never the
+    corpus; the sort+limit exchange is k·blocks-sized.
+
+    (*growth: new docs displace old ones only by hash rank, matching
+    bottom-k sketch semantics — the standard distributed-sample key.)"""
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # XOR the seed in BEFORE the multiply: an additive seed would
+        # shift every hash equally and leave the sample unchanged
+        h = (
+            (b["doc_id"].to_numpy(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
+        ) & np.uint64(0xFFFFFFFF)
+        b["__h"] = h.astype(np.int64)
+        return b.nsmallest(k, ["__h", "doc_id"])
+
+    top = ds.map_batches(partial, batch_format="pandas").sort(["__h", "doc_id"]).limit(k)
+    return top.drop_columns(["__h"])
+
+
+SAMPLE_K_SQL = f"""
+SELECT doc_id, lang FROM documents
+ORDER BY (CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296, doc_id
+LIMIT {SAMPLE_K}
+"""

