@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
+        "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
     }
     return _order_for_driver(q)
 
@@ -165,7 +166,7 @@ _ROWS_ONLY_PRIORITY = [
 # by local exact tests + tools/check_oracle at sf0.001/sf0.01, and
 # parked at position 51+ so the 50 previously-green oracles all re-run
 # on this round's code. Rotate these in next round.
-_ORACLE_OVERFLOW = ["repetition_metrics", "sample_k_documents"]
+_ORACLE_OVERFLOW = ["repetition_metrics", "sample_k_documents", "domain_quota_documents"]
 
 
 def _order_for_driver(q: dict) -> dict:
@@ -233,4 +234,5 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CHUNK_SQL,
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_SQL,
+        "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
     }

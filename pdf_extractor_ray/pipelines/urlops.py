@@ -144,3 +144,107 @@ SELECT 's' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com' AS site_domai
 FROM documents
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Domain curation: blocklist filter + per-domain quota sampling
+# --------------------------------------------------------------------------
+
+# Planted deterministic blocklist for the driver carrier; production
+# callers pass their own sequence.
+BLOCKED_DOMAINS = ("s2.example.com",)
+DOMAIN_QUOTA = 40
+
+
+def domain_quota_sample(
+    ds: ray.data.Dataset,
+    *,
+    quota: int,
+    blocked_domains=(),
+    domain_col: str = "site_domain",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Crawl curation: drop blocklisted domains, then keep at most
+    ``quota`` docs per domain — chosen by seeded hash rank (not scan
+    order), so the kept set is independent of partitioning and stable
+    under corpus growth. The anti-spam / domain-mixing cap every web
+    corpus applies before training.
+
+    Scale shape: the blocklist is a broadcast filter (zero shuffle);
+    the quota is a decomposable min-k — a per-batch partial keeps at
+    most ``quota`` rows per domain per batch BEFORE the exchange, so a
+    spam domain with millions of pages lands quota×batches rows on its
+    bucket, never the raw page count."""
+    from pdf_extractor_ray.joins import broadcast_semi
+    from pdf_extractor_ray.ops import grouped_apply
+
+    if blocked_domains:
+        ds = broadcast_semi(ds, list(blocked_domains), domain_col, keep=False)
+
+    from pdf_extractor_ray.pipelines.corpus import SAMPLE_HASH_MULT
+
+    def add_rank_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__h"] = (
+            (b[id_col].to_numpy(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
+        ) & np.uint64(0xFFFFFFFF)
+        return b.groupby(domain_col, group_keys=False, sort=False).apply(
+            lambda g: g.nsmallest(quota, ["__h", id_col])
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(domain_col, group_keys=False, sort=False).apply(
+            lambda x: x.nsmallest(quota, ["__h", id_col])
+        )
+        return g.drop(columns="__h")
+
+    return grouped_apply(
+        ds.map_batches(add_rank_key, batch_format="pandas"), [domain_col], final
+    )
+
+
+def domain_quota_documents(sf_dir: str, quota: int = DOMAIN_QUOTA) -> ray.data.Dataset:
+    """Carrier: messy urls → canonicalize → blocklist + per-domain
+    quota; returns the kept (site_domain, doc_id) set. The oracle
+    replays the hash rank with HUGEINT arithmetic and a window rank."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_messy_urls, batch_format="pandas")
+    canon = canonicalize_urls(ds)
+    out = domain_quota_sample(
+        canon.select_columns(["site_domain", "doc_id"]),
+        quota=quota,
+        blocked_domains=BLOCKED_DOMAINS,
+        seed=corpus_seed(),
+    )
+    return out.select_columns(["site_domain", "doc_id"])
+
+
+def corpus_seed() -> int:
+    from pdf_extractor_ray.pipelines.corpus import SAMPLE_SEED
+
+    return SAMPLE_SEED
+
+
+def _domain_quota_sql() -> str:
+    from pdf_extractor_ray.pipelines.corpus import SAMPLE_HASH_MULT, SAMPLE_SEED
+
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         's' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com' AS site_domain,
+         (CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296 AS h
+  FROM documents
+),
+ranked AS (
+  SELECT site_domain, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY site_domain ORDER BY h, doc_id) AS rk
+  FROM c WHERE site_domain NOT IN ({blocked})
+)
+SELECT site_domain, doc_id FROM ranked WHERE rk <= {DOMAIN_QUOTA}
+"""
+
+
+DOMAIN_QUOTA_SQL = _domain_quota_sql()

@@ -508,3 +508,39 @@ def test_sample_k_documents_deterministic_and_oracle():
     assert sorted(mine["doc_id"]) == sorted(again["doc_id"])
     other = corpus.sample_k_documents(SF_DIR, seed=99).to_pandas()
     assert sorted(other["doc_id"]) != sorted(mine["doc_id"])
+
+
+def test_domain_quota_sample_planted_and_oracle():
+    """Blocklist + per-domain hash-rank quota: blocked domain fully
+    dropped, an over-quota domain trimmed to exactly quota with
+    membership independent of partitioning (1 vs 8 blocks), and the
+    sf0.001 carrier hash-matches the window-rank oracle."""
+    from pdf_extractor_ray.pipelines import urlops
+
+    docs = pd.DataFrame(
+        {
+            "site_domain": ["a.com"] * 10 + ["spam.com"] * 5 + ["b.com"] * 2,
+            "doc_id": pd.Series(range(17), dtype="int64"),
+        }
+    )
+    outs = []
+    for blocks in (1, 8):
+        ds = ray.data.from_pandas(docs).repartition(blocks)
+        out = (
+            urlops.domain_quota_sample(ds, quota=3, blocked_domains=("spam.com",), seed=7)
+            .to_pandas()
+            .sort_values(["site_domain", "doc_id"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    counts = outs[0].groupby("site_domain").size()
+    assert counts["a.com"] == 3 and counts["b.com"] == 2 and "spam.com" not in counts.index
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    oracle = con.execute(urlops.DOMAIN_QUOTA_SQL).df()
+    mine = urlops.domain_quota_documents(SF_DIR).to_pandas()
+    assert value_hash(mine) == value_hash(oracle)
+    per_dom = mine.groupby("site_domain").size()
+    assert per_dom.max() <= urlops.DOMAIN_QUOTA and "s2.example.com" not in per_dom.index
