@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
+        "dsir_importance_weights": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).dsir_importance_weights,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).curation_funnel,
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).chunk_documents,
@@ -159,6 +160,7 @@ _ROWS_ONLY_PRIORITY = [
     "contamination_screen_bloom",
     "heavy_hitter_tokens",
     "approx_distinct_counts",
+    "dsir_importance_weights",
 ]
 
 

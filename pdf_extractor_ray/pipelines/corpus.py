@@ -414,3 +414,132 @@ SELECT doc_id, lang FROM documents
 ORDER BY (CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296, doc_id
 LIMIT {SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram distribution matching)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 8192
+DSIR_ALPHA = 1.0  # add-alpha smoothing per bucket
+
+
+def _dsir_bucket_counts(texts, num_buckets: int) -> tuple[np.ndarray, int]:
+    """Hashed unigram+bigram bucket counts for a batch of texts
+    (one bincount per batch, not per doc)."""
+    from pdf_extractor_ray.kernels import hashing
+
+    buckets = []
+    for t in texts:
+        words = t.split()
+        h = hashing.word_hashes(words)
+        feats = [h % np.uint64(num_buckets)]
+        if len(h) >= 2:
+            bg = h[:-1] * np.uint64(1099511628211) + h[1:]
+            feats.append(bg % np.uint64(num_buckets))
+        buckets.append(np.concatenate(feats) if feats else np.empty(0, dtype=np.uint64))
+    flat = np.concatenate(buckets) if buckets else np.empty(0, dtype=np.uint64)
+    return np.bincount(flat.astype(np.int64), minlength=num_buckets), len(flat)
+
+
+def dsir_importance_weights(
+    sf_dir: str,
+    *,
+    target_lang: str = "en",
+    num_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    the log-likelihood ratio of a TARGET hashed-n-gram unigram model
+    (here: the corpus's ``target_lang`` slice stands in for the
+    high-quality target set) against the RAW corpus model. Docs whose
+    feature mix resembles the target get positive weights; importance
+    resampling then keeps/samples by weight.
+
+    Scale shape — two bounded passes, zero corpus-sized collection:
+
+    1. Feature counts: each batch bincounts its hashed unigram+bigram
+       features into ``num_buckets`` slots and emits the NONZERO
+       (bucket, n) partials; ``grouped_sum`` folds them — the exchange
+       and the final tables are bounded by the constant ``num_buckets``
+       (8k rows), independent of corpus size, so collecting the two
+       models to the driver is a fixed-size broadcast, the same bound
+       as the contamination Bloom.
+    2. Scoring: the log-ratio vector ships once via ``ray.put``; each
+       batch re-hashes its features and sums log-ratios per doc
+       (vectorized ``np.add.reduceat``-free segment sum) — zero
+       shuffle.
+
+    Float determinism: per-doc summation order is the doc's token
+    order, identical on every partitioning (per-doc np.sum over its
+    own feature vector), so results are bit-stable and pinned by an
+    independent replica test."""
+    import os
+
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.kernels import hashing
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+
+    def partial_counts(which: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            texts = b.loc[b["lang"] == target_lang, "text"] if which == "target" else b["text"]
+            counts, _n = _dsir_bucket_counts(texts, num_buckets)
+            nz = np.nonzero(counts)[0]
+            return pd.DataFrame({"bucket": nz.astype(np.int64), "n": counts[nz].astype(np.int64)})
+
+        return fn
+
+    model = {}
+    for which in ("target", "raw"):
+        tbl = grouped_sum(
+            ds.map_batches(partial_counts(which), batch_format="pandas"), ["bucket"], ["n"]
+        ).to_pandas()  # bounded by num_buckets, never corpus-sized
+        dense = np.zeros(num_buckets, dtype=np.float64)
+        dense[tbl["bucket"].to_numpy()] = tbl["n"].to_numpy()
+        total = dense.sum()
+        model[which] = np.log((dense + alpha) / (total + alpha * num_buckets))
+
+    log_ratio = model["target"] - model["raw"]
+    ref = ray.put(log_ratio)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lr = joins._cached_get(ref)
+        weights = np.zeros(len(b), dtype=np.float64)
+        n_feats = np.zeros(len(b), dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            words = t.split()
+            h = hashing.word_hashes(words)
+            feats = [h % np.uint64(num_buckets)]
+            if len(h) >= 2:
+                bg = h[:-1] * np.uint64(1099511628211) + h[1:]
+                feats.append(bg % np.uint64(num_buckets))
+            f = np.concatenate(feats)
+            n_feats[i] = len(f)
+            weights[i] = lr[f.astype(np.int64)].sum()
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "n_features": n_feats, "dsir_logweight": weights}
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=4096)
+
+
+def dsir_select_top(sf_dir: str, k: int = 100, **kw) -> ray.data.Dataset:
+    """Importance selection: top-k docs by DSIR weight (ties by
+    doc_id) — per-batch partial top-k, then a k·blocks-sized final."""
+    weights = dsir_importance_weights(sf_dir, **kw)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nlargest(k, ["dsir_logweight"]).sort_values(
+            ["dsir_logweight", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        weights.map_batches(partial, batch_format="pandas")
+        .sort(["dsir_logweight", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -544,3 +544,47 @@ def test_domain_quota_sample_planted_and_oracle():
     assert value_hash(mine) == value_hash(oracle)
     per_dom = mine.groupby("site_domain").size()
     assert per_dom.max() <= urlops.DOMAIN_QUOTA and "s2.example.com" not in per_dom.index
+
+
+def test_dsir_importance_weights_exact_replica_and_invariance():
+    """DSIR weights match an independent single-process replica
+    bit-for-bit (per-doc summation order is the doc's own token order,
+    so partitioning can't change it), and the target slice scores
+    higher on average than the rest."""
+    from pdf_extractor_ray.kernels import hashing
+    from pdf_extractor_ray.pipelines import corpus
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    B, alpha = corpus.DSIR_BUCKETS, corpus.DSIR_ALPHA
+
+    def feats(t):
+        h = hashing.word_hashes(t.split())
+        out = [h % np.uint64(B)]
+        if len(h) >= 2:
+            out.append((h[:-1] * np.uint64(1099511628211) + h[1:]) % np.uint64(B))
+        return np.concatenate(out)
+
+    def model(texts):
+        dense = np.zeros(B, dtype=np.float64)
+        for t in texts:
+            f = feats(t)
+            np.add.at(dense, f.astype(np.int64), 1.0)
+        return np.log((dense + alpha) / (dense.sum() + alpha * B))
+
+    lr = model(docs.loc[docs["lang"] == "en", "text"]) - model(docs["text"])
+    expect = {
+        int(r.doc_id): lr[feats(r.text).astype(np.int64)].sum() for r in docs.itertuples()
+    }
+
+    got = corpus.dsir_importance_weights(SF_DIR).to_pandas()
+    assert len(got) == len(docs)
+    for doc_id, w in zip(got["doc_id"], got["dsir_logweight"]):
+        assert w == expect[int(doc_id)], doc_id  # bit-exact
+
+    m = got.merge(docs[["doc_id", "lang"]], on="doc_id")
+    means = m.groupby("lang")["dsir_logweight"].mean()
+    assert means["en"] == means.max()
+
+    top = corpus.dsir_select_top(SF_DIR, k=10).to_pandas()
+    exp_top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert sorted(top["doc_id"]) == sorted(d for d, _ in exp_top)
