@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_examples": _training_examples,
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "dsir_importance_weights": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).dsir_importance_weights,
+        "substring_dedup_documents": dedup.substring_dedup_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).curation_funnel,
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).chunk_documents,
@@ -161,6 +162,7 @@ _ROWS_ONLY_PRIORITY = [
     "heavy_hitter_tokens",
     "approx_distinct_counts",
     "dsir_importance_weights",
+    "substring_dedup_documents",
 ]
 
 

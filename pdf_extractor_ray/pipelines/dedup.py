@@ -745,3 +745,215 @@ def paragraph_dedup(
         return out
 
     return grouped_apply(both, [id_col], reassemble, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr variant, re-expressed
+# as two streaming passes instead of a corpus-wide suffix array)
+# ---------------------------------------------------------------------------
+
+SUBSTR_NGRAM = 8
+SUBSTR_MIN_SPAN_WORDS = 16
+
+
+def _positional_shingles(words: list[str], k: int) -> np.ndarray:
+    """uint64 rolling-polynomial hash of EVERY k-word window, in
+    position order (no dedupe — position i hashes words[i:i+k]).
+    Case-preserving ws-split words, so kept text reconstructs
+    byte-identically for single-space corpora."""
+    if len(words) < k:
+        return np.empty(0, dtype=np.uint64)
+    hs = hashing.word_hashes(words)
+    n = len(words) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for j in range(k):
+        acc = acc * base + hs[j : j + n]
+    return acc
+
+
+def _cut_spans(flags: np.ndarray, k: int, min_span: int) -> np.ndarray:
+    """Word-keep mask from per-window duplicate flags: a run of m
+    consecutive duplicated k-gram windows covers m+k-1 words; runs
+    covering >= min_span words are removed."""
+    n_words = len(flags) + k - 1
+    keep = np.ones(n_words, dtype=bool)
+    i = 0
+    while i < len(flags):
+        if flags[i]:
+            j = i
+            while j < len(flags) and flags[j]:
+                j += 1
+            covered = (j - i) + k - 1
+            if covered >= min_span:
+                keep[i : j + k - 1] = False
+            i = j
+        else:
+            i += 1
+    return keep
+
+
+def exact_substring_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = SUBSTR_NGRAM,
+    min_span_words: int = SUBSTR_MIN_SPAN_WORDS,
+    num_buckets: int | None = None,
+    broadcast_limit: int | None = None,
+) -> ray.data.Dataset:
+    """Remove every >= ``min_span_words``-word span whose ``ngram``-gram
+    windows ALL occur more than once in the corpus (including repeats
+    within one document, per Lee et al. — every copy of a duplicated
+    span is cut, a later mixing stage re-adds one canonical copy if
+    wanted). Returns ``(id_col, n_words_kept, n_words_removed,
+    text_kept)``.
+
+    Scale shape (no suffix array, no corpus-sized driver state):
+
+    - Pass 1: positional n-gram hashes per doc; each batch emits its
+      hash multiset pre-counted (``grouped_sum`` partials), the
+      exchange carries (uint64 hash, count) — bounded by distinct
+      n-grams, the tf-idf-df bound, NOT total words.
+    - Pass 2: duplicated-hash set (count >= 2) measured by the join
+      planner's gate: broadcast below it (zero-shuffle flag-and-cut
+      per doc); above it, docs explode to (id, window, hash) rows, a
+      forced-exchange ``semi_join`` keeps duplicated windows, window
+      lists regroup per doc (small: only duplicated windows travel),
+      and a ``left_outer`` adaptive join hands each doc its dup-window
+      list for the same flag-and-cut — ``broadcast_limit=0`` pins
+      row-identity between plans.
+
+    Reconstruction joins kept words with single spaces: byte-exact for
+    single-space corpora (this repo's tables); general whitespace
+    needs span offsets instead — documented limitation."""
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    if broadcast_limit is None:
+        broadcast_limit = joins.BROADCAST_KEY_LIMIT
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def emit_counts(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [_positional_shingles(t.split(), ngram) for t in b[text_col]]
+        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"__h": uniq.astype(np.int64), "n": counts.astype(np.int64)})
+
+    counts = grouped_sum(
+        narrow.map_batches(emit_counts, batch_format="pandas"),
+        ["__h"],
+        ["n"],
+        num_buckets=num_buckets,
+    )
+    dup = counts.map_batches(lambda b: b.loc[b["n"] >= 2, ["__h"]], batch_format="pandas")
+
+    def cut_batch(dup_lookup):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            ids, kept_n, rem_n, texts = [], [], [], []
+            for rid, t in zip(b[id_col], b[text_col]):
+                words = t.split()
+                sh = _positional_shingles(words, ngram)
+                flags = dup_lookup(rid, sh)
+                keep = _cut_spans(flags, ngram, min_span_words) if len(flags) else np.ones(
+                    len(words), dtype=bool
+                )
+                ids.append(rid)
+                kept_n.append(int(keep.sum()))
+                rem_n.append(int(len(words) - keep.sum()))
+                texts.append(" ".join(w for w, m in zip(words, keep) if m))
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words_kept": np.array(kept_n, dtype=np.int64),
+                    "n_words_removed": np.array(rem_n, dtype=np.int64),
+                    "text_kept": texts,
+                }
+            )
+
+        return fn
+
+    if broadcast_limit:
+        dup_m = dup.materialize()
+        if joins._fits_broadcast(dup_m, broadcast_limit):
+            arr = np.sort(
+                np.array([r["__h"] for r in dup_m.take_all()], dtype=np.int64)
+            )
+            ref = ray.put(arr)
+
+            def lookup(_rid, sh):
+                d = joins._cached_get(ref)
+                return np.isin(sh.astype(np.int64), d, assume_unique=False)
+
+            return narrow.map_batches(cut_batch(lookup), batch_format="pandas")
+
+    # Exchange plan: explode windows → semi-join dup hashes → per-doc
+    # dup-window lists → left-outer join back to docs.
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, pos, hsl = [], [], []
+        for rid, t in zip(b[id_col], b[text_col]):
+            sh = _positional_shingles(t.split(), ngram)
+            ids.extend([rid] * len(sh))
+            pos.extend(range(len(sh)))
+            hsl.extend(sh.astype(np.int64))
+        return pd.DataFrame(
+            {id_col: ids, "__pos": np.array(pos, dtype=np.int64), "__h": np.array(hsl, dtype=np.int64)}
+        )
+
+    dup_windows = joins.semi_join(
+        narrow.map_batches(explode, batch_format="pandas"),
+        dup,
+        "__h",
+        keep=True,
+        broadcast_limit=0,
+    )
+
+    def collect_positions(g: pd.DataFrame) -> pd.DataFrame:
+        # comma-joined string, not a list column: Ray's native hash
+        # join (Acero) rejects list-typed non-key payload fields
+        agg = g.groupby(id_col, sort=False)["__pos"].agg(
+            lambda s: ",".join(str(int(x)) for x in sorted(s))
+        )
+        return pd.DataFrame({id_col: agg.index, "__dup_pos": agg.to_numpy()})
+
+    pos_lists = grouped_apply(dup_windows, [id_col], collect_positions, num_buckets=num_buckets)
+    joined = joins.adaptive_inner_join(
+        narrow, pos_lists, id_col, how="left_outer", broadcast_limit=0
+    )
+
+    def cut_joined(b: pd.DataFrame) -> pd.DataFrame:
+        out_rows = {"ids": [], "kept": [], "rem": [], "txt": []}
+        for rid, t, dp in zip(b[id_col], b[text_col], b["__dup_pos"]):
+            words = t.split()
+            n_windows = max(len(words) - ngram + 1, 0)
+            flags = np.zeros(n_windows, dtype=bool)
+            if isinstance(dp, str) and dp:
+                flags[np.array(dp.split(","), dtype=np.int64)] = True
+            keep = _cut_spans(flags, ngram, min_span_words) if n_windows else np.ones(
+                len(words), dtype=bool
+            )
+            out_rows["ids"].append(rid)
+            out_rows["kept"].append(int(keep.sum()))
+            out_rows["rem"].append(int(len(words) - keep.sum()))
+            out_rows["txt"].append(" ".join(w for w, m in zip(words, keep) if m))
+        return pd.DataFrame(
+            {
+                id_col: out_rows["ids"],
+                "n_words_kept": np.array(out_rows["kept"], dtype=np.int64),
+                "n_words_removed": np.array(out_rows["rem"], dtype=np.int64),
+                "text_kept": out_rows["txt"],
+            }
+        )
+
+    return joined.map_batches(cut_joined, batch_format="pandas")
+
+
+def substring_dedup_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: exact substring dedup over the documents table
+    (single-space texts, so reconstruction is byte-exact). Duplicate
+    doc texts guarantee real removals; rows-only driver check, pinned
+    by a bit-exact brute-force replica test."""
+    return exact_substring_dedup(_read_docs(sf_dir, columns=("doc_id", "text")))

@@ -588,3 +588,86 @@ def test_dsir_importance_weights_exact_replica_and_invariance():
     top = corpus.dsir_select_top(SF_DIR, k=10).to_pandas()
     exp_top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert sorted(top["doc_id"]) == sorted(d for d, _ in exp_top)
+
+
+def test_exact_substring_dedup_replica_and_plan_identity():
+    """Exact substring dedup (Lee et al. ExactSubstr shape): a
+    bit-exact brute-force replica over sf0.001, plan identity between
+    the broadcast and forced-exchange paths, and planted-span
+    semantics (only runs covering >= min_span_words are cut, every
+    copy is cut, non-duplicated text survives byte-identical)."""
+    from collections import Counter
+
+    from pdf_extractor_ray.pipelines.dedup import (
+        SUBSTR_MIN_SPAN_WORDS,
+        SUBSTR_NGRAM,
+        _cut_spans,
+        _positional_shingles,
+        exact_substring_dedup,
+        substring_dedup_documents,
+    )
+
+    # planted: two docs share a 20-word span (cut from both); a doc
+    # repeats a 20-word span internally (both copies cut); an 8-word
+    # shared run covers < min_span → kept.
+    span20 = " ".join(f"w{i}" for i in range(20))
+    short8 = " ".join(f"s{i}" for i in range(8))
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(5), dtype="int64"),
+            "text": [
+                f"alpha beta {span20} gamma delta",
+                f"intro words {span20} outro tail",
+                f"{span20} middle filler unique words here {span20}",
+                f"pre {short8} post plus extra unique filler tokens",
+                f"nothing shared in this document at all really",
+            ],
+        }
+    )
+
+    def replica(texts):
+        cnt = Counter()
+        for t in texts:
+            for h in _positional_shingles(t.split(), SUBSTR_NGRAM):
+                cnt[int(h)] += 1
+        out = []
+        for t in texts:
+            words = t.split()
+            sh = _positional_shingles(words, SUBSTR_NGRAM)
+            flags = np.array([cnt[int(h)] >= 2 for h in sh], dtype=bool)
+            keep = (
+                _cut_spans(flags, SUBSTR_NGRAM, SUBSTR_MIN_SPAN_WORDS)
+                if len(flags)
+                else np.ones(len(words), dtype=bool)
+            )
+            out.append(" ".join(w for w, m in zip(words, keep) if m))
+        return out
+
+    expected = replica(docs["text"])
+    ds = ray.data.from_pandas(docs)
+    for limit in (None, 0):
+        kw = {} if limit is None else {"broadcast_limit": 0}
+        got = (
+            exact_substring_dedup(ds, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["text_kept"].tolist() == expected, f"plan broadcast_limit={limit}"
+    # span semantics on the planted rows
+    assert span20 not in got["text_kept"][0] and "alpha beta" in got["text_kept"][0]
+    assert got["text_kept"][2].count("w0") == 0  # both internal copies cut
+    assert short8 in got["text_kept"][3]  # sub-threshold run kept
+    assert got["text_kept"][4] == docs["text"][4]  # untouched doc byte-identical
+
+    # full-corpus replica, bit-exact
+    corpus = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    exp_corpus = replica(corpus["text"])
+    mine = (
+        substring_dedup_documents(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert mine["text_kept"].tolist() == exp_corpus
+    assert (mine["n_words_removed"] > 0).any()
