@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
+        "latest_snapshot_documents": webdocs.latest_snapshot_documents,
     }
     return _order_for_driver(q)
 
@@ -170,7 +171,12 @@ _ROWS_ONLY_PRIORITY = [
 # by local exact tests + tools/check_oracle at sf0.001/sf0.01, and
 # parked at position 51+ so the 50 previously-green oracles all re-run
 # on this round's code. Rotate these in next round.
-_ORACLE_OVERFLOW = ["repetition_metrics", "sample_k_documents", "domain_quota_documents"]
+_ORACLE_OVERFLOW = [
+    "repetition_metrics",
+    "sample_k_documents",
+    "domain_quota_documents",
+    "latest_snapshot_documents",
+]
 
 
 def _order_for_driver(q: dict) -> dict:
@@ -239,4 +245,5 @@ def oracle_sql() -> dict[str, str]:
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_SQL,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
+        "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
     }

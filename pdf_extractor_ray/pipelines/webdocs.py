@@ -346,3 +346,51 @@ SELECT 'https://docs.example.com/' || CAST(d.doc_id AS VARCHAR) AS url,
 FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
 GROUP BY d.doc_id
 """
+
+
+def latest_snapshot_documents(sf_dir: str) -> ray.data.Dataset:
+    """Crawl snapshot dedup: a crawl re-fetches urls across visits;
+    training corpora keep only the LATEST snapshot per url (max
+    ``warc_ts``). The carrier derives 1-3 deterministic snapshots per
+    document (epoch-second timestamps, per-snapshot content drift in
+    ``snap_chars``) and reduces with ``ops.keep_first`` on the negated
+    timestamp — the same decomposable per-batch-partial min that
+    bounds a viral url to one row per batch on the exchange. Output:
+    (url, latest_ts_epoch, snap_chars)."""
+    import numpy as np
+
+    from pdf_extractor_ray.ops import keep_first
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def explode_snapshots(b: pd.DataFrame) -> pd.DataFrame:
+        urls, ts, chars = [], [], []
+        for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+            d, c = int(doc_id), int(n_chars)
+            for i in range(1 + d % 3):
+                urls.append(f"https://docs.example.com/{d}")
+                ts.append(1_600_000_000 + d * 7 + i * 86_400)
+                chars.append(c + i)
+        return pd.DataFrame(
+            {
+                "url": urls,
+                "latest_ts_epoch": np.array(ts, dtype=np.int64),
+                "snap_chars": np.array(chars, dtype=np.int64),
+                "__negts": -np.array(ts, dtype=np.int64),
+            }
+        )
+
+    flat = ds.map_batches(explode_snapshots, batch_format="pandas")
+    return keep_first(flat, ["url"], "__negts").drop_columns(["__negts"])
+
+
+# latest snapshot index per doc = (doc_id % 3): ts and drift are pure
+# doc_id/n_chars arithmetic, so the oracle needs no window function.
+LATEST_SNAPSHOT_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1600000000 + doc_id * 7 + (doc_id % 3) * 86400 AS BIGINT) AS latest_ts_epoch,
+       CAST(n_chars + (doc_id % 3) AS BIGINT) AS snap_chars
+FROM documents
+"""

@@ -671,3 +671,18 @@ def test_exact_substring_dedup_replica_and_plan_identity():
     )
     assert mine["text_kept"].tolist() == exp_corpus
     assert (mine["n_words_removed"] > 0).any()
+
+
+def test_latest_snapshot_documents_matches_oracle():
+    """Crawl snapshot dedup: 1-3 snapshots per url, keep max warc_ts;
+    exactly one row per url survives and matches the arithmetic
+    oracle."""
+    from pdf_extractor_ray.pipelines import webdocs
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')")
+    oracle = con.execute(webdocs.LATEST_SNAPSHOT_SQL).df()
+    mine = webdocs.latest_snapshot_documents(SF_DIR).to_pandas()
+    assert len(mine) == len(oracle)
+    assert mine["url"].is_unique
+    assert value_hash(mine) == value_hash(oracle)
