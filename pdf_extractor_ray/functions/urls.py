@@ -28,9 +28,15 @@ def canonical_url(url: str) -> str:
 
     Deterministic and idempotent: canonical_url(canonical_url(u)) ==
     canonical_url(u) — required for it to serve as a dedup key."""
-    parts = urlsplit(url.strip())
+    raw = url.strip()
+    parts = urlsplit(raw)
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower().rstrip(".")
+    if not host:
+        # scheme-less host-less input ('example.com/x', mailto:, data:)
+        # — pass through unchanged rather than emit a malformed
+        # '://...' that would NOT re-parse (idempotency violation)
+        return raw
     try:
         port = parts.port
     except ValueError:  # malformed port text → keep host only
@@ -46,7 +52,10 @@ def canonical_url(url: str) -> str:
     ]
     pairs.sort()
     query = urlencode(pairs)
-    return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+    # protocol-relative input keeps its '//' prefix (re-parses to the
+    # same netloc, so canonicalization stays idempotent)
+    prefix = f"{scheme}://" if scheme else "//"
+    return f"{prefix}{netloc}{path}" + (f"?{query}" if query else "")
 
 
 def site_domain(url: str) -> str:

@@ -485,22 +485,30 @@ def dsir_importance_weights(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
 
-    def partial_counts(which: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            texts = b.loc[b["lang"] == target_lang, "text"] if which == "target" else b["text"]
-            counts, _n = _dsir_bucket_counts(texts, num_buckets)
-            nz = np.nonzero(counts)[0]
-            return pd.DataFrame({"bucket": nz.astype(np.int64), "n": counts[nz].astype(np.int64)})
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        # ONE pass emits both models' partials — a second scan would
+        # re-read and re-hash every document just to count the
+        # target-lang subset
+        raw_counts, _ = _dsir_bucket_counts(b["text"], num_buckets)
+        tgt_counts, _ = _dsir_bucket_counts(b.loc[b["lang"] == target_lang, "text"], num_buckets)
+        nz = np.nonzero(raw_counts | tgt_counts)[0]
+        return pd.DataFrame(
+            {
+                "bucket": nz.astype(np.int64),
+                "n_raw": raw_counts[nz].astype(np.int64),
+                "n_target": tgt_counts[nz].astype(np.int64),
+            }
+        )
 
-        return fn
-
+    tbl = grouped_sum(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["bucket"],
+        ["n_raw", "n_target"],
+    ).to_pandas()  # bounded by num_buckets, never corpus-sized
     model = {}
-    for which in ("target", "raw"):
-        tbl = grouped_sum(
-            ds.map_batches(partial_counts(which), batch_format="pandas"), ["bucket"], ["n"]
-        ).to_pandas()  # bounded by num_buckets, never corpus-sized
+    for which, col in (("target", "n_target"), ("raw", "n_raw")):
         dense = np.zeros(num_buckets, dtype=np.float64)
-        dense[tbl["bucket"].to_numpy()] = tbl["n"].to_numpy()
+        dense[tbl["bucket"].to_numpy()] = tbl[col].to_numpy()
         total = dense.sum()
         model[which] = np.log((dense + alpha) / (total + alpha * num_buckets))
 
@@ -534,9 +542,11 @@ def dsir_select_top(sf_dir: str, k: int = 100, **kw) -> ray.data.Dataset:
     weights = dsir_importance_weights(sf_dir, **kw)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.nlargest(k, ["dsir_logweight"]).sort_values(
-            ["dsir_logweight", "doc_id"], ascending=[False, True]
-        ).head(k)
+        # sort on BOTH keys before head: nlargest on the weight alone
+        # would drop a boundary-tied row by batch position instead of
+        # the documented (weight desc, doc_id asc) rule — and tied
+        # weights are real (duplicate texts hash to identical features)
+        return b.sort_values(["dsir_logweight", "doc_id"], ascending=[False, True]).head(k)
 
     return (
         weights.map_batches(partial, batch_format="pandas")

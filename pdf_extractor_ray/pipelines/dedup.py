@@ -228,7 +228,7 @@ def minhash_lsh_pairs(
     )
 
 
-def dedup_minhash(sf_dir: str, **kw) -> ray.data.Dataset:
+def dedup_minhash(sf_dir: str, *, collapse_exact_sigs: bool = True, **kw) -> ray.data.Dataset:
     """Near-dup dedup: drop the larger doc_id of every verified pair.
 
     The loser set (doc_b of each pair) is NEVER collected on the
@@ -245,7 +245,10 @@ def dedup_minhash(sf_dir: str, **kw) -> ray.data.Dataset:
     """
     from pdf_extractor_ray.joins import semi_join
 
-    pairs = minhash_lsh_pairs(sf_dir, collapse_exact_sigs=True, **kw)
+    # explicit keyword (defaulting True) so a caller comparing plans can
+    # pass collapse_exact_sigs=False without a duplicate-kwarg TypeError;
+    # the loser SET is identical either way (see minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(sf_dir, collapse_exact_sigs=collapse_exact_sigs, **kw)
     # duplicate loser ids are harmless to the anti-join on either plan
     # (broadcast set or left_anti exchange) — no distinct pass needed
     losers = pairs.select_columns(["doc_b"])
@@ -735,6 +738,17 @@ def paragraph_dedup(
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "__pos"], kind="stable")
+        # one anchor per input row: a duplicated id_col would interleave
+        # two documents' paragraphs into one garbled row here, silently
+        # diverging from the broadcast plan (which rebuilds each row
+        # independently) — fail loudly instead
+        anchors_per_id = g[g["__pos"] < 0].groupby(id_col, sort=False).size()
+        if (anchors_per_id > 1).any():
+            dup = anchors_per_id[anchors_per_id > 1].index[0]
+            raise ValueError(
+                f"paragraph_dedup: id_col {id_col!r} is not unique (e.g. {dup!r}); "
+                "the exchange plan requires one row per id"
+            )
         real = g[g["__pos"] >= 0]
         agg = real.groupby(id_col, sort=False)["__para"].agg(list)
         out = g[[id_col]].drop_duplicates()

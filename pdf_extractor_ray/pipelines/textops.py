@@ -702,7 +702,10 @@ def heavy_hitter_tokens(
     # returned count beats the floor (or the request outran the corpus)
     floor = n_total // (k_counters + 1)
     weakest = int(result["n"].iloc[-1]) if len(result) else 0
-    if n_total and (len(result) < min(top_m, len(exact)) or weakest <= floor):
+    # fewer candidates than top_m is itself incompleteness: every
+    # absent token has count <= floor, but ranks len(result)+1..top_m
+    # cannot be named (min(top_m, len(exact)) made this clause dead)
+    if n_total and (len(result) < top_m or weakest <= floor):
         msg = (
             f"heavy_hitter_tokens: top_{top_m} not guaranteed complete — weakest "
             f"returned count {weakest} ≤ candidacy floor N/(k+1) = {floor} "

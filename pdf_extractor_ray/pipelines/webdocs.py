@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from pdf_extractor_ray.functions.exact import trim_ws_sql
+from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
 from pdf_extractor_ray.stages.extract import ExtractPages, sniff_batch
 from pdf_extractor_ray.sources.pages import make_pdf, wrap_in_boilerplate
 
@@ -317,7 +317,7 @@ WITH d AS (
   FROM documents
 ),
 pdf_words AS (
-  SELECT doc_id, regexp_split_to_array({_TRIM_WS}, '\\s+') AS ws
+  SELECT doc_id, regexp_split_to_array({_TRIM_WS}, '{WS_SPLIT_RE_SQL}') AS ws
   FROM d WHERE ne AND is_pdf
 ),
 -- static stepped series (generate_series can't lateral-correlate on

