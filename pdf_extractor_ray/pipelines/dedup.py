@@ -626,6 +626,7 @@ def paragraph_dedup(
     min_docs: int = 2,
     num_buckets: int | None = None,
     broadcast_limit: int | None = None,
+    hot_key_docs: int = 100_000,
 ) -> ray.data.Dataset:
     """Cross-document paragraph dedup: remove every paragraph that
     occurs in >= ``min_docs`` DISTINCT documents (CCNet's boilerplate
@@ -642,14 +643,27 @@ def paragraph_dedup(
       hashes + per-batch partial counts (``ops.grouped_sum``), never
       paragraph text. A boilerplate paragraph present in every
       document contributes one partial row per batch, not one per doc.
-    - Pass 2 (rebuild): the common-hash set is measured (rows AND
-      bytes, same gate as the join planner). Below the gate it is
-      broadcast once per worker and the rebuild is a zero-shuffle
+    - Pass 2 (rebuild): the common-hash set (with its doc counts) is
+      materialized ONCE — the gate check, the broadcast plan, the hot
+      split and the exchange right side all reuse those blocks, so the
+      pass-1 exchange never re-executes. Below the rows+bytes gate the
+      set is broadcast and the rebuild is a zero-shuffle
       ``map_batches``; above it, docs explode to paragraph rows, an
       anti ``semi_join`` on the hash drops common ones, and a bucketed
       reassembly restores per-doc order — the common set never lands
       on the driver. ``broadcast_limit=0`` forces the exchange plan
       (tests pin row-identity between both plans).
+    - Hot-key bound: a viral paragraph (cookie banner in ~every doc)
+      would otherwise route every one of its text-carrying exploded
+      rows to the single exchange partition owning its hash. Pass 1
+      already knows each hash's doc count, so paragraphs in
+      >= ``hot_key_docs`` docs are split out as a TINY broadcast set
+      and pre-dropped inside ``explode`` (sound: ``hot_key_docs`` is
+      clamped to >= ``min_docs``, so every hot hash is common and the
+      anti-join would drop those rows anyway). Any key surviving to
+      the exchange then carries < ``hot_key_docs`` rows — bounded
+      per-partition load. If the hot set itself exceeds the broadcast
+      gate the split degrades to a warning, never a wrong answer.
     """
     from pdf_extractor_ray import joins
 
@@ -672,14 +686,20 @@ def paragraph_dedup(
         ["n_docs"],
         num_buckets=num_buckets,
     )
-    common = counts.map_batches(
-        lambda b: b.loc[b["n_docs"] >= min_docs, ["__ph"]], batch_format="pandas"
-    )
+    # keep n_docs through the materialization: the hot split below needs
+    # the counts, and one materialize serves gate check + broadcast set +
+    # hot set + exchange right side (no pass-1 lineage re-run anywhere)
+    common_m = counts.map_batches(
+        lambda b: b.loc[b["n_docs"] >= min_docs, ["__ph", "n_docs"]], batch_format="pandas"
+    ).materialize()
 
     if broadcast_limit:
-        common_m = common.materialize()
+        # gate measured with the n_docs column attached — ~1.5x byte
+        # conservatism vs keys-only, rows identical
         if joins._fits_broadcast(common_m, broadcast_limit):
-            ref = ray.put(frozenset(r["__ph"] for r in common_m.take_all()))
+            ref = ray.put(
+                frozenset(r["__ph"] for r in common_m.select_columns(["__ph"]).take_all())
+            )
 
             def rebuild(b: pd.DataFrame) -> pd.DataFrame:
                 drop = joins._cached_get(ref)
@@ -701,21 +721,46 @@ def paragraph_dedup(
             return narrow.map_batches(rebuild, batch_format="pandas")
 
     # Exchange plan: explode → anti-join on hash → ordered reassembly.
+    # Hot split first: viral hashes (>= hot_key_docs docs) are resolved
+    # by a broadcast pre-drop inside explode, so no single exchange
+    # partition ever receives an unbounded viral paragraph's rows.
+    hot_thresh = max(hot_key_docs, min_docs)
+    hot_m = common_m.map_batches(
+        lambda b: b.loc[b["n_docs"] >= hot_thresh, ["__ph"]], batch_format="pandas"
+    ).materialize()
+    if joins._fits_broadcast(hot_m, broadcast_limit or joins.BROADCAST_KEY_LIMIT):
+        hot_set = frozenset(r["__ph"] for r in hot_m.take_all())
+    else:
+        import warnings
+
+        warnings.warn(
+            f"paragraph_dedup: hot-key set ({hot_m.count()} hashes in >= "
+            f"{hot_thresh} docs) exceeds the broadcast gate; the exchange "
+            "runs without the skew bound — raise hot_key_docs",
+            stacklevel=2,
+        )
+        hot_set = frozenset()
+    hot_ref = ray.put(hot_set)
+
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        hot = joins._cached_get(hot_ref)
         ids, pos, paras, phs = [], [], [], []
         for u, t in zip(b[id_col], b[text_col]):
             for j, p in enumerate(split_paragraphs(t)):
+                h = hashing.content_hash(p)
+                if h in hot:  # hot => common => the anti-join drops it
+                    continue
                 ids.append(u)
                 pos.append(j)
                 paras.append(p)
-                phs.append(hashing.content_hash(p))
+                phs.append(h)
         return pd.DataFrame(
             {id_col: ids, "__pos": np.array(pos, dtype=np.int64), "__para": paras, "__ph": phs}
         )
 
     kept_rows = joins.semi_join(
         narrow.map_batches(explode, batch_format="pandas"),
-        common,
+        common_m.select_columns(["__ph"]),
         "__ph",
         keep=False,
         broadcast_limit=0,
@@ -817,6 +862,7 @@ def exact_substring_dedup(
     min_span_words: int = SUBSTR_MIN_SPAN_WORDS,
     num_buckets: int | None = None,
     broadcast_limit: int | None = None,
+    hot_key_count: int = 100_000,
 ) -> ray.data.Dataset:
     """Remove every >= ``min_span_words``-word span whose ``ngram``-gram
     windows ALL occur more than once in the corpus (including repeats
@@ -831,14 +877,27 @@ def exact_substring_dedup(
       hash multiset pre-counted (``grouped_sum`` partials), the
       exchange carries (uint64 hash, count) — bounded by distinct
       n-grams, the tf-idf-df bound, NOT total words.
-    - Pass 2: duplicated-hash set (count >= 2) measured by the join
-      planner's gate: broadcast below it (zero-shuffle flag-and-cut
-      per doc); above it, docs explode to (id, window, hash) rows, a
-      forced-exchange ``semi_join`` keeps duplicated windows, window
-      lists regroup per doc (small: only duplicated windows travel),
-      and a ``left_outer`` adaptive join hands each doc its dup-window
-      list for the same flag-and-cut — ``broadcast_limit=0`` pins
-      row-identity between plans.
+    - Pass 2: duplicated-hash set (count >= 2, counts kept) is
+      materialized ONCE and reused by the gate check, the broadcast
+      plan, the hot split and the exchange right side (the pass-1
+      exchange never re-executes). Broadcast below the gate
+      (zero-shuffle flag-and-cut per doc); above it, docs explode to
+      (id, window, hash) rows, a forced-exchange ``semi_join`` keeps
+      duplicated windows, window lists regroup per doc (small: only
+      duplicated windows travel), and a ``left_outer`` join —
+      measured-size adaptive, since the per-doc position-list table is
+      far smaller than the corpus — hands each doc its dup-window list
+      for the same flag-and-cut. ``broadcast_limit=0`` pins
+      row-identity between plans end to end.
+    - Hot-key bound: a boilerplate window duplicated across ~every doc
+      is by definition the hottest key in the semi-join exchange, and
+      all its (id, pos, hash) rows would land on one partition. Pass-1
+      counts identify windows with >= ``hot_key_count`` occurrences;
+      that TINY set is broadcast, ``explode`` skips hot windows (they
+      never enter the exchange), and the final cut ORs in a local
+      ``np.isin`` against the hot set — same flags, bounded exchange
+      (< ``hot_key_count`` rows per surviving key). An over-gate hot
+      set degrades to a warning, never a wrong answer.
 
     Reconstruction joins kept words with single spaces: byte-exact for
     single-space corpora (this repo's tables); general whitespace
@@ -863,7 +922,11 @@ def exact_substring_dedup(
         ["n"],
         num_buckets=num_buckets,
     )
-    dup = counts.map_batches(lambda b: b.loc[b["n"] >= 2, ["__h"]], batch_format="pandas")
+    # counts kept through the materialization (hot split needs them);
+    # one materialize serves every downstream consumer
+    dup_m = counts.map_batches(
+        lambda b: b.loc[b["n"] >= 2, ["__h", "n"]], batch_format="pandas"
+    ).materialize()
 
     def cut_batch(dup_lookup):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -891,10 +954,14 @@ def exact_substring_dedup(
         return fn
 
     if broadcast_limit:
-        dup_m = dup.materialize()
+        # gate measured with the count column attached — byte-conservative
+        # vs keys-only, rows identical
         if joins._fits_broadcast(dup_m, broadcast_limit):
             arr = np.sort(
-                np.array([r["__h"] for r in dup_m.take_all()], dtype=np.int64)
+                np.array(
+                    [r["__h"] for r in dup_m.select_columns(["__h"]).take_all()],
+                    dtype=np.int64,
+                )
             )
             ref = ray.put(arr)
 
@@ -905,40 +972,95 @@ def exact_substring_dedup(
             return narrow.map_batches(cut_batch(lookup), batch_format="pandas")
 
     # Exchange plan: explode windows → semi-join dup hashes → per-doc
-    # dup-window lists → left-outer join back to docs.
+    # dup-window lists → left-outer join back to docs. Hot windows
+    # (>= hot_key_count occurrences) never enter the exchange: they are
+    # broadcast and resolved locally in the final cut.
+    hot_thresh = max(hot_key_count, 2)
+    hot_m = dup_m.map_batches(
+        lambda b: b.loc[b["n"] >= hot_thresh, ["__h"]], batch_format="pandas"
+    ).materialize()
+    if joins._fits_broadcast(hot_m, broadcast_limit or joins.BROADCAST_KEY_LIMIT):
+        hot_arr = np.sort(np.array([r["__h"] for r in hot_m.take_all()], dtype=np.int64))
+    else:
+        import warnings
+
+        warnings.warn(
+            f"exact_substring_dedup: hot-window set ({hot_m.count()} hashes with >= "
+            f"{hot_thresh} occurrences) exceeds the broadcast gate; the exchange "
+            "runs without the skew bound — raise hot_key_count",
+            stacklevel=2,
+        )
+        hot_arr = np.empty(0, dtype=np.int64)
+    hot_ref = ray.put(hot_arr)
+
+    # right side of the exchange: every dup hash NOT resolved by the hot
+    # broadcast (cheap — derived from the materialized count blocks)
+    if len(hot_arr):
+        exch_keys = dup_m.map_batches(
+            lambda b: b.loc[b["n"] < hot_thresh, ["__h"]], batch_format="pandas"
+        ).materialize()
+    else:
+        exch_keys = dup_m.select_columns(["__h"])
+    n_exch = exch_keys.count()
+
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        hot = joins._cached_get(hot_ref)
         ids, pos, hsl = [], [], []
         for rid, t in zip(b[id_col], b[text_col]):
-            sh = _positional_shingles(t.split(), ngram)
+            sh = _positional_shingles(t.split(), ngram).astype(np.int64)
+            if len(hot) and len(sh):
+                cold = ~np.isin(sh, hot)
+                ps = np.nonzero(cold)[0]
+                sh = sh[cold]
+            else:
+                ps = np.arange(len(sh))
             ids.extend([rid] * len(sh))
-            pos.extend(range(len(sh)))
-            hsl.extend(sh.astype(np.int64))
+            pos.extend(ps.tolist())
+            hsl.extend(sh)
         return pd.DataFrame(
             {id_col: ids, "__pos": np.array(pos, dtype=np.int64), "__h": np.array(hsl, dtype=np.int64)}
         )
 
-    dup_windows = joins.semi_join(
-        narrow.map_batches(explode, batch_format="pandas"),
-        dup,
-        "__h",
-        keep=True,
-        broadcast_limit=0,
-    )
-
-    def collect_positions(g: pd.DataFrame) -> pd.DataFrame:
-        # comma-joined string, not a list column: Ray's native hash
-        # join (Acero) rejects list-typed non-key payload fields
-        agg = g.groupby(id_col, sort=False)["__pos"].agg(
-            lambda s: ",".join(str(int(x)) for x in sorted(s))
+    if n_exch == 0:
+        # every duplicated window (if any) is hot-resolved: no exchange
+        # at all — an empty pos_lists would also leave the join's right
+        # side schema-less, so skip it outright
+        joined = narrow.map_batches(
+            lambda b: b.assign(__dup_pos=pd.Series([None] * len(b), dtype="object")),
+            batch_format="pandas",
         )
-        return pd.DataFrame({id_col: agg.index, "__dup_pos": agg.to_numpy()})
+    else:
+        dup_windows = joins.semi_join(
+            narrow.map_batches(explode, batch_format="pandas"),
+            exch_keys,
+            "__h",
+            keep=True,
+            broadcast_limit=0,
+        )
 
-    pos_lists = grouped_apply(dup_windows, [id_col], collect_positions, num_buckets=num_buckets)
-    joined = joins.adaptive_inner_join(
-        narrow, pos_lists, id_col, how="left_outer", broadcast_limit=0
-    )
+        def collect_positions(g: pd.DataFrame) -> pd.DataFrame:
+            # comma-joined string, not a list column: Ray's native hash
+            # join (Acero) rejects list-typed non-key payload fields
+            agg = g.groupby(id_col, sort=False)["__pos"].agg(
+                lambda s: ",".join(str(int(x)) for x in sorted(s))
+            )
+            return pd.DataFrame({id_col: agg.index, "__dup_pos": agg.to_numpy()})
+
+        pos_lists = grouped_apply(dup_windows, [id_col], collect_positions, num_buckets=num_buckets)
+        # pos_lists (one small row per doc WITH dup windows) is usually
+        # far below the gate even when the dup-hash set is not — let the
+        # measured-size planner decide; broadcast_limit=0 still forces
+        # the exchange everywhere for the plan-identity tests
+        joined = joins.adaptive_inner_join(
+            narrow,
+            pos_lists,
+            id_col,
+            how="left_outer",
+            broadcast_limit=(0 if broadcast_limit == 0 else None),
+        )
 
     def cut_joined(b: pd.DataFrame) -> pd.DataFrame:
+        hot = joins._cached_get(hot_ref)
         out_rows = {"ids": [], "kept": [], "rem": [], "txt": []}
         for rid, t, dp in zip(b[id_col], b[text_col], b["__dup_pos"]):
             words = t.split()
@@ -946,6 +1068,10 @@ def exact_substring_dedup(
             flags = np.zeros(n_windows, dtype=bool)
             if isinstance(dp, str) and dp:
                 flags[np.array(dp.split(","), dtype=np.int64)] = True
+            if len(hot) and n_windows:
+                # hot windows bypassed the exchange; flag them locally
+                sh = _positional_shingles(words, ngram).astype(np.int64)
+                flags |= np.isin(sh, hot)
             keep = _cut_spans(flags, ngram, min_span_words) if n_windows else np.ones(
                 len(words), dtype=bool
             )

@@ -305,11 +305,17 @@ def compact_ivf_index(index_dir: str) -> int:
     so rows land in the same lists; one distributed read→assign→write
     pass, then an atomic manifest bump. Returns the new version."""
     import shutil
+    import uuid
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
     manifest = _read_manifest(index_dir)
     files = [os.path.join(index_dir, f) for f in manifest["files"]]
-    gen = f"data-v{int(manifest.get('version', 1)) + 1}"
+    # UNIQUE generation dir (same rule as append staging): a compact
+    # that crashed after write_parquet but before the manifest commit
+    # leaves an orphan dir; a deterministic name would glob the
+    # orphan's fragments into the retry's manifest and double every
+    # vector. The post-commit GC sweeps the orphan instead.
+    gen = f"data-v{int(manifest.get('version', 1)) + 1}-{uuid.uuid4().hex[:12]}"
     ds = ray.data.read_parquet(files)
     ds.map_batches(_assign_stage(cents), batch_format="pyarrow", batch_size=4096).write_parquet(
         os.path.join(index_dir, gen), partition_cols=["list_id"]

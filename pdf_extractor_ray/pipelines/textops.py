@@ -18,6 +18,7 @@ from pdf_extractor_ray.kernels import hashing, textstats
 # source: functions.exact.trim_ws_sql).
 _TW = trim_ws_sql("text")
 _WS = WS_SPLIT_RE_SQL
+_I64_MAX = 2**63 - 1
 
 
 def _docs(sf_dir: str, columns):
@@ -520,7 +521,11 @@ def tfidf_top_terms(
         df_mat = df_ds.materialize()
         if _fits_broadcast(df_mat, broadcast_limit):
             df_tbl = df_mat.to_pandas()
-            idf = {w: (n_docs * 1_000_000) // d for w, d in zip(df_tbl["word"], df_tbl["df"])}
+            # pure-Python ints: c * idf must NOT wrap at int64 (a viral
+            # tf against a hapax idf at web scale), or the ranking
+            # silently diverges from the HUGEINT oracle; magnitudes are
+            # validated at the int64 output cast instead
+            idf = {w: int(n_docs * 1_000_000) // int(d) for w, d in zip(df_tbl["word"], df_tbl["df"])}
             dfs = dict(zip(df_tbl["word"], df_tbl["df"].astype(int)))
             ref = ray.put((idf, dfs))
 
@@ -539,6 +544,11 @@ def tfidf_top_terms(
                         key=lambda x: (-x[2], x[0]),
                     )[:top_k]
                     for w, c, s in scored:
+                        if s > _I64_MAX:
+                            raise ValueError(
+                                f"tfidf_top_terms: score {s} for word {w!r} exceeds "
+                                "int64 (the oracle's BIGINT cast would fail too)"
+                            )
                         rows.append((doc_id, w, c, df_m[w], s))
                 return pd.DataFrame(
                     rows, columns=["doc_id", "word", "tf", "df", "score"]
@@ -575,7 +585,23 @@ def tfidf_top_terms(
     def add_score(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["df"] = b["df"].astype("int64")
-        b["score"] = b["tf"].to_numpy() * ((n_docs * 1_000_000) // b["df"].to_numpy())
+        tf_a = b["tf"].to_numpy()
+        idf_a = (n_docs * 1_000_000) // b["df"].to_numpy()
+        # int64 wraparound guard: the vectorized product is only trusted
+        # when even max(tf) * max(idf) fits; otherwise recompute the
+        # batch with exact Python ints (ranking must match the broadcast
+        # plan / HUGEINT oracle) and fail loudly on true int64 overflow
+        if len(tf_a) and int(tf_a.max()) * int(idf_a.max()) > _I64_MAX:
+            exact = [int(t) * int(i) for t, i in zip(tf_a, idf_a)]
+            worst = max(exact)
+            if worst > _I64_MAX:
+                raise ValueError(
+                    f"tfidf_top_terms: score {worst} exceeds int64 "
+                    "(the oracle's BIGINT cast would fail too)"
+                )
+            b["score"] = np.array(exact, dtype=np.int64)
+        else:
+            b["score"] = tf_a * idf_a
         return b
 
     scored = joined.map_batches(add_score, batch_format="pandas")
@@ -658,19 +684,34 @@ def heavy_hitter_tokens(
     def fold(b: pd.DataFrame) -> pd.DataFrame:
         mg: dict[str, int] = {}
         n_tokens = 0
+        distinct: set[str] = set()
         for t in b["text"]:
             words = t.split()
             n_tokens += len(words)
+            if len(distinct) <= k_counters:  # early-exit: only ≤/> matters
+                distinct.update(words)
             mg = sketches.mg_merge(mg, sketches.mg_fold(words, k=k_counters), k=k_counters)
-        return pd.DataFrame({"summary": [_json.dumps(mg)], "n_tokens": [n_tokens]})
+        # batch distinct ≤ k ⟺ no decrement ever ran ⟺ this summary is
+        # EXACT and covers every token in the batch
+        return pd.DataFrame(
+            {
+                "summary": [_json.dumps(mg)],
+                "n_tokens": [n_tokens],
+                "exact": [len(distinct) <= k_counters],
+            }
+        )
 
     merged: dict[str, int] = {}
     n_total = 0
+    all_exact = True
     for batch in ds.map_batches(fold, batch_format="pandas", batch_size=4096).iter_batches(
         batch_format="pandas"
     ):
-        for s, nt in zip(batch["summary"], batch["n_tokens"]):
-            merged = sketches.mg_merge(merged, _json.loads(s), k=k_counters)
+        for s, nt, ex in zip(batch["summary"], batch["n_tokens"], batch["exact"]):
+            loaded = _json.loads(s)
+            if not ex or len(set(merged) | set(loaded)) > k_counters:
+                all_exact = False  # a merge that must decrement loses exactness
+            merged = sketches.mg_merge(merged, loaded, k=k_counters)
             n_total += int(nt)
     cand = frozenset(merged)
     ref = ray.put(cand)
@@ -699,13 +740,17 @@ def heavy_hitter_tokens(
     )
     # completeness guard: any NON-candidate token has true frequency
     # ≤ floor, so the top_m is provably complete iff its weakest
-    # returned count beats the floor (or the request outran the corpus)
+    # returned count beats the floor (or the request outran the corpus).
+    # Exemption: when no fold/merge ever decremented (all_exact), the
+    # candidate set IS the full vocabulary and the counts are exact —
+    # a corpus with fewer distinct tokens than top_m is then a complete
+    # answer, not an incompleteness to raise on.
     floor = n_total // (k_counters + 1)
     weakest = int(result["n"].iloc[-1]) if len(result) else 0
     # fewer candidates than top_m is itself incompleteness: every
     # absent token has count <= floor, but ranks len(result)+1..top_m
     # cannot be named (min(top_m, len(exact)) made this clause dead)
-    if n_total and (len(result) < top_m or weakest <= floor):
+    if n_total and not all_exact and (len(result) < top_m or weakest <= floor):
         msg = (
             f"heavy_hitter_tokens: top_{top_m} not guaranteed complete — weakest "
             f"returned count {weakest} ≤ candidacy floor N/(k+1) = {floor} "

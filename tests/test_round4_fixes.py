@@ -1,0 +1,165 @@
+"""Second-pass review fixes (round 4): viral-key hot splits in the
+paragraph/substring dedup exchange plans, crash-retried IVF compaction,
+and the heavy-hitter guard's provably-exact exemption."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from tests.conftest import SF_DIR
+
+
+def test_paragraph_dedup_hot_split_plan_identity():
+    """hot_key_docs=2 on the forced-exchange plan makes EVERY common
+    paragraph hot — the whole anti-join resolves through the broadcast
+    pre-drop in explode — and the result stays row-identical to the
+    broadcast plan and to the default (cold) exchange plan."""
+    from pdf_extractor_ray.pipelines.dedup import paragraph_dedup
+
+    docs = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": [
+                "unique one\nCOOKIE BANNER\nalpha",
+                "unique two\nCOOKIE BANNER",
+                "unique three\nNAV BAR\nCOOKIE BANNER",
+                "NAV BAR",
+                "",
+                "solo paragraph",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    bro = paragraph_dedup(ds, min_docs=2).to_pandas().sort_values("url").reset_index(drop=True)
+    for kw in ({"broadcast_limit": 0}, {"broadcast_limit": 0, "hot_key_docs": 2}):
+        got = (
+            paragraph_dedup(ds, min_docs=2, **kw)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bro, got[bro.columns], obj=f"plan {kw}")
+    assert bro["text_kept"].tolist()[0] == "unique one\nalpha"
+
+
+def test_exact_substring_dedup_hot_split_plan_identity():
+    """hot_key_count=2 forces every duplicated window through the
+    broadcast hot path (explode skips them; cut_joined re-derives them
+    locally) — byte-identical to the broadcast plan and the cold
+    exchange plan, including a doc whose ONLY dup windows are hot
+    (no pos_lists row at all)."""
+    from pdf_extractor_ray.pipelines.dedup import exact_substring_dedup
+
+    span20 = " ".join(f"w{i}" for i in range(20))
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(4), dtype="int64"),
+            "text": [
+                f"alpha beta {span20} gamma delta",
+                f"intro words {span20} outro tail",
+                f"{span20}",  # only-hot-windows doc: zero exchange rows
+                "nothing shared in this document at all really",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    bro = exact_substring_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for kw in ({"broadcast_limit": 0}, {"broadcast_limit": 0, "hot_key_count": 2}):
+        got = (
+            exact_substring_dedup(ds, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bro, got[bro.columns], obj=f"plan {kw}")
+    assert span20 not in bro["text_kept"][0]
+    assert bro["text_kept"][2] == ""  # the only-hot doc is fully cut
+    assert bro["text_kept"][3] == docs["text"][3]
+
+
+def test_substring_dedup_corpus_hot_split_matches_cold(tmp_path):
+    """On the sf0.001 documents corpus a low hot threshold must not
+    change a single byte vs the cold exchange plan (hot resolution is
+    a routing optimization, never a semantic one)."""
+    from pdf_extractor_ray.pipelines.dedup import exact_substring_dedup
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(tbl)
+    cold = (
+        exact_substring_dedup(ds, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    hot = (
+        exact_substring_dedup(ds, broadcast_limit=0, hot_key_count=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(cold, hot[cold.columns])
+
+
+def test_compact_retry_after_crash_no_duplicates(tmp_path):
+    """A compact that wrote its generation dir but crashed before the
+    manifest commit must not leak its fragments into a retried
+    compact's manifest (the unique staging-dir rule): the retry's
+    index holds each vector exactly once and GCs the orphan."""
+    from pdf_extractor_ray.pipelines import similarity as sim
+
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    base = tmp_path / "sf"
+    base.mkdir()
+    pq.write_table(full, str(base / "embeddings.parquet"))
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(str(base), idx, num_lists=4)
+    n = full.num_rows
+
+    # simulate the crashed first attempt: run the data-write phase by
+    # hand into a v2 generation dir, skip the manifest commit
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+    files = [os.path.join(idx, f) for f in sim._read_manifest(idx)["files"]]
+    ray.data.read_parquet(files).map_batches(
+        sim._assign_stage(cents), batch_format="pyarrow", batch_size=4096
+    ).write_parquet(os.path.join(idx, "data-v2-dead00000000"), partition_cols=["list_id"])
+
+    v2 = sim.compact_ivf_index(idx)  # the retry
+    assert v2 == 2
+    m = sim._read_manifest(idx)
+    rows = sum(pq.read_metadata(os.path.join(idx, f)).num_rows for f in m["files"])
+    assert rows == n, f"retried compact indexed {rows} rows for {n} vectors"
+    ids = []
+    for f in m["files"]:
+        ids.extend(pq.read_table(os.path.join(idx, f), columns=["vec_id"])["vec_id"].to_pylist())
+    assert len(ids) == len(set(ids)) == n
+    # the crashed attempt's dir was GC'd
+    assert not any(e == "data-v2-dead00000000" for e in os.listdir(idx))
+
+
+def test_heavy_hitters_small_vocab_is_complete_not_error(tmp_path):
+    """A corpus whose distinct-token count is below both k_counters and
+    top_m is provably complete (no fold/merge ever decremented) — the
+    strict guard must return all tokens instead of raising."""
+    from pdf_extractor_ray.pipelines.textops import heavy_hitter_tokens
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(3), dtype="int64"),
+            "text": [
+                "aa bb cc aa",
+                "bb cc dd ee",
+                "aa ff gg hh",
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(str(d / "documents.parquet"))
+    out = heavy_hitter_tokens(str(d), k_counters=64, top_m=10, strict=True)
+    assert len(out) == 8  # all distinct tokens, fewer than top_m — no raise
+    assert out.iloc[0]["token"] == "aa" and int(out.iloc[0]["n"]) == 3
+    counts = dict(zip(out["token"], out["n"].astype(int)))
+    assert counts == {"aa": 3, "bb": 2, "cc": 2, "dd": 1, "ee": 1, "ff": 1, "gg": 1, "hh": 1}
