@@ -3,10 +3,15 @@ with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 REAL codecs, no external library: binary netpbm (P5/P6), non-interlaced
 8-bit PNG (chunk walk + stored-zlib inflate + per-scanline unfilter,
-all in numpy — see ``_png_decode_pixels``), and RIFF/WAV PCM16 via the
-stdlib ``wave`` module. JPEG/MP3/video stay honestly gated behind the
-absent PIL import (DCT/entropy coding is out of scope for a hand
-decoder). Everything Ray-side is real and tested either way: schema,
+all in numpy — see ``_png_decode_pixels``), GIF87a/89a (hand LZW
+decoder with variable-width codes, interlace, local/global palettes —
+``_gif_decode_pixels``), uncompressed BMP (24-bit BGR and 8-bit
+palette, bottom-up rows, 4-byte padding — ``_bmp_decode_pixels``), and
+RIFF/WAV PCM16 via the stdlib ``wave`` module. JPEG/MP3/video stay
+honestly gated behind the absent PIL import (lossy DCT/entropy coding
+is out of scope for a hand decoder — a subtly-wrong lossy codec is
+worse than an honest gate, and unlike the lossless formats above it
+cannot be pinned byte-exact in tests). Everything Ray-side is real and tested either way: schema,
 batch sizing for large binary payloads, actor signature (state in
 ``__init__``), output layout, quarantine of undecodable rows.
 
@@ -298,6 +303,271 @@ def make_png(media_id: int, w: int, h: int, channels: int = 1, filter_type: int 
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+# ------------------------------------------------------------ GIF
+# GIF87a/89a (CompuServe spec, public): logical screen descriptor,
+# global/local color tables, extension-block skip, first image frame,
+# variable-code-width LZW, optional 4-pass interlace.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: codes start at ``min_code_size + 1`` bits
+    (LSB-first bitstream), the table grows by one entry per decoded
+    code, code width bumps when the table fills its width (cap 12
+    bits), CLEAR resets, EOI terminates."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bigint = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    out = bytearray()
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    bitpos = 0
+    while bitpos + code_size <= total_bits and len(out) < n_pixels:
+        code = (bigint >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < n_pixels:
+        raise ValueError(f"LZW stream short: {len(out)} of {n_pixels} pixels")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_decode_pixels(payload: bytes) -> np.ndarray:
+    """First frame of a GIF → (h, w, 3) uint8 RGB."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = np.empty(h, dtype=np.int64)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, h, step):
+                        rows[y] = src
+                        src += 1
+                idx = idx[rows]
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside palette")
+            return pal[idx]
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def _gif_lzw_encode_literal(indices: bytes) -> bytes:
+    """Valid LZW stream using only literal codes: a CLEAR every 250
+    codes keeps the decoder's growing table below the width bump, so
+    9-bit codes suffice throughout (the classic 'uncompressed GIF'
+    construction — large output, simple and always correct)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(256)  # clear
+    for i, c in enumerate(indices):
+        if i and i % 250 == 0:
+            emit(256)
+        emit(c)
+    emit(257)  # end of information
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: np.ndarray, *, interlace: bool = False) -> bytes:
+    """Minimal GIF89a writer for an (h, w, 3) uint8 RGB frame with
+    <= 256 distinct colors (inverse of ``_gif_decode_pixels`` — test
+    fixture generator, not a production encoder)."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} distinct colors exceed one GIF palette")
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+        idx = idx[np.array(order, dtype=np.int64)]
+    lzw = _gif_lzw_encode_literal(idx.tobytes())
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255] for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # global table, 256 entries
+        + table.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+        + bytes([8])  # LZW min code size
+        + sub
+        + b"\x00\x3b"
+    )
+
+
+def make_gif(media_id: int, w: int, h: int, *, interlace: bool = False) -> bytes:
+    """Deterministic GIF test image (16-color palette)."""
+    rng = np.random.RandomState(media_id % (2**31))
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    pixels = pal[rng.randint(0, 16, size=(h, w))]
+    return encode_gif(pixels, interlace=interlace)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF → the standard image feature dict (first frame)."""
+    pixels = _gif_decode_pixels(payload)
+    return {
+        "width": int(pixels.shape[1]),
+        "height": int(pixels.shape[0]),
+        "channels": 3,
+        "mean_pixel": float(pixels.mean()),
+    }
+
+
+# ------------------------------------------------------------ BMP
+# Uncompressed Windows BMP (BITMAPINFOHEADER): 24-bit BGR or 8-bit
+# palette, bottom-up or top-down rows, rows padded to 4 bytes.
+
+
+def _bmp_decode_pixels(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("bad BMP signature")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size, w, h_signed, _planes, bpp, compression = struct.unpack(
+        "<IiihHI", payload[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        raw = np.frombuffer(payload[data_off : data_off + stride * h], dtype=np.uint8)
+        if raw.size != stride * h:
+            raise ValueError("truncated BMP pixel data")
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        pixels = rows[:, :, ::-1]  # BGR → RGB
+    elif bpp == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        stride = (w + 3) & ~3
+        raw = np.frombuffer(payload[data_off : data_off + stride * h], dtype=np.uint8)
+        if raw.size != stride * h:
+            raise ValueError("truncated BMP pixel data")
+        idx = raw.reshape(h, stride)[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP pixel index outside palette")
+        pixels = pal[idx]
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return pixels if top_down else pixels[::-1]
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer for (h, w, 3) uint8 RGB
+    (bottom-up, rows padded to 4 bytes) — inverse of
+    ``_bmp_decode_pixels``."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB→BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiihHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+def make_bmp(media_id: int, w: int, h: int) -> bytes:
+    """Deterministic BMP test image (odd widths exercise row padding)."""
+    rng = np.random.RandomState(media_id % (2**31))
+    return encode_bmp(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8))
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """BMP → the standard image feature dict."""
+    pixels = _bmp_decode_pixels(payload)
+    return {
+        "width": int(pixels.shape[1]),
+        "height": int(pixels.shape[0]),
+        "channels": 3,
+        "mean_pixel": float(pixels.mean()),
+    }
+
+
 def decode_png(payload: bytes) -> dict:
     """PNG → the standard image feature dict (VERDICT r3 #8: the
     largest formerly-gated codec, now real via stored zlib inflate)."""
@@ -312,9 +582,9 @@ def decode_png(payload: bytes) -> dict:
 
 def decode_image(payload: bytes) -> dict:
     """Image decode: IMG1 (synthetic container), real binary netpbm
-    (P5/P6), and real non-interlaced 8-bit PNG decode natively; JPEG
-    (DCT entropy coding) still needs PIL, absent in this container —
-    that path stays gated."""
+    (P5/P6), non-interlaced 8-bit PNG, GIF87a/89a, and uncompressed
+    BMP decode natively; JPEG (lossy DCT entropy coding) still needs
+    PIL, absent in this container — that path stays gated."""
     if payload.startswith(b"IMG1"):
         w, h = struct.unpack(">II", payload[4:12])
         pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
@@ -325,6 +595,10 @@ def decode_image(payload: bytes) -> dict:
         return decode_pnm(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if HAVE_PIL:  # pragma: no cover
         raise NotImplementedError("compressed-format decode via PIL not wired")
     raise ValueError("bad image magic")
@@ -436,12 +710,16 @@ def generate_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             t, p, m = "image", make_pgm(i, 24 + (i % 40), 24 + (i % 32)), '{"codec":"pgm"}'
         elif r < 40:  # real binary PPM (P6), RGB
             t, p, m = "image", make_ppm(i, 16 + (i % 32), 16 + (i % 24)), '{"codec":"ppm"}'
-        elif r < 50:
+        elif r < 45:
             t, p, m = "image", make_fake_image(i, 32 + (i % 64), 32 + (i % 48)), '{"codec":"img1"}'
-        elif r < 60:  # real PNG (zlib inflate + unfilter) — gray/RGB/RGBA, all filters
+        elif r < 55:  # real PNG (zlib inflate + unfilter) — gray/RGB/RGBA, all filters
             t = "image"
             p = make_png(i, 12 + (i % 24), 10 + (i % 20), channels=(1, 3, 4)[i % 3], filter_type=i % 5)
             m = '{"codec":"png"}'
+        elif r < 58:  # real GIF (LZW decode), interlaced every other row
+            t, p, m = "image", make_gif(i, 10 + (i % 20), 8 + (i % 16), interlace=bool(i % 2)), '{"codec":"gif"}'
+        elif r < 60:  # real uncompressed 24-bit BMP (odd widths hit padding)
+            t, p, m = "image", make_bmp(i, 9 + (i % 22), 7 + (i % 14)), '{"codec":"bmp"}'
         elif r < 75:  # real RIFF/WAV PCM16 — exercised by the REAL decoder
             t, p, m = "audio", make_wav(i, 1000 + (i % 4000)), '{"codec":"wav"}'
         elif r < 90:

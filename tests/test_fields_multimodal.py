@@ -336,3 +336,129 @@ def test_media_corpus_png_rows_decode():
         )
         assert (f["width"], f["height"], f["channels"]) == (12 + (mid % 24), 10 + (mid % 20), c)
         assert f["mean_pixel"] == float(expected.mean()), mid
+
+
+# --------------------------------------------------------- GIF / BMP
+def _lzw_encode_real(indices: bytes, min_code_size: int) -> bytes:
+    """Independent REAL GIF-LZW compressor (compound codes, width
+    bumps, table-full clear) — exists only to cross-check the decoder's
+    branches the literal-only fixture encoder never reaches."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1
+
+    emit(clear)
+    table, next_code = reset()
+    s: tuple = ()
+    for c in indices:
+        sc = s + (c,)
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+            # decoder bumps after ITS add, one code behind ours
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            code_size = min_code_size + 1
+            table, next_code = reset()
+        s = (c,)
+    if s:
+        emit(table[s])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_decoder_against_real_compressor():
+    """decode(real_compress(x)) == x across width bumps (9→10→11→12
+    bits), compound codes, repeats, and a table-full clear — the
+    branches the literal-only fixture encoder cannot reach."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.multimodal import _gif_lzw_decode
+
+    rng = np.random.RandomState(11)
+    for n, alpha in ((300, 4), (5000, 16), (60000, 64)):
+        seq = rng.randint(0, alpha, size=n).astype(np.uint8)
+        # stretches of repetition force deep compound chains
+        seq[n // 3 : n // 3 + n // 10] = 3
+        data = _lzw_encode_real(seq.tobytes(), 8)
+        got = _gif_lzw_decode(data, 8, n)
+        assert (got == seq).all(), (n, alpha)
+
+
+def test_gif_bmp_round_trip_and_corpus_rows():
+    """encode→decode is pixel-exact for GIF (plain + interlaced) and
+    BMP (odd widths = row padding); the corpus's gif/bmp bands decode
+    ok with the generator's exact mean-pixel stats."""
+    import json as _json
+
+    import numpy as np
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.multimodal import (
+        _bmp_decode_pixels,
+        _gif_decode_pixels,
+        encode_bmp,
+        encode_gif,
+        generate_media_table,
+        make_bmp,
+        make_gif,
+        media_features_pipeline,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    for interlace in (False, True):
+        px = pal[rng.randint(0, 16, size=(13, 17))]
+        assert (_gif_decode_pixels(encode_gif(px, interlace=interlace)) == px).all()
+    for w in (1, 3, 17):
+        px = rng.randint(0, 256, size=(5, w, 3), dtype=np.uint8)
+        assert (_bmp_decode_pixels(encode_bmp(px)) == px).all()
+
+    tbl = generate_media_table(400)
+    metas = tbl.column("meta").to_pylist()
+    ids = tbl.column("media_id").to_pylist()
+    gif_ids = {i for i, m in zip(ids, metas) if "gif" in m}
+    bmp_ids = {i for i, m in zip(ids, metas) if "bmp" in m}
+    assert len(gif_ids) >= 8 and len(bmp_ids) >= 5  # bands populated
+    out = media_features_pipeline(ray.data.from_arrow(tbl), concurrency=2).to_pandas()
+    for mid_set, maker, dims in (
+        (gif_ids, None, lambda i: (10 + (i % 20), 8 + (i % 16))),
+        (bmp_ids, None, lambda i: (9 + (i % 22), 7 + (i % 14))),
+    ):
+        got = out[out["media_id"].isin(mid_set)]
+        assert (got["status"] == "ok").all()
+        for mid, feats in zip(got["media_id"], got["features"]):
+            f = _json.loads(feats)
+            w, h = dims(mid)
+            assert (f["width"], f["height"], f["channels"]) == (w, h, 3), mid
+    # exact mean-pixel for one row of each band (full pixel re-derivation)
+    from pdf_extractor_ray.pipelines import multimodal as mm
+
+    gid = min(gif_ids)
+    f = _json.loads(out.loc[out["media_id"] == gid, "features"].iloc[0])
+    assert f["mean_pixel"] == float(mm._gif_decode_pixels(make_gif(gid, 10 + (gid % 20), 8 + (gid % 16), interlace=bool(gid % 2))).mean())
+    bid = min(bmp_ids)
+    f = _json.loads(out.loc[out["media_id"] == bid, "features"].iloc[0])
+    assert f["mean_pixel"] == float(mm._bmp_decode_pixels(make_bmp(bid, 9 + (bid % 22), 7 + (bid % 14))).mean())
