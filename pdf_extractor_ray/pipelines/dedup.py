@@ -863,6 +863,7 @@ def exact_substring_dedup(
     num_buckets: int | None = None,
     broadcast_limit: int | None = None,
     hot_key_count: int = 100_000,
+    bloom_bits: int | None = None,
 ) -> ray.data.Dataset:
     """Remove every >= ``min_span_words``-word span whose ``ngram``-gram
     windows ALL occur more than once in the corpus (including repeats
@@ -898,6 +899,15 @@ def exact_substring_dedup(
       ``np.isin`` against the hot set — same flags, bounded exchange
       (< ``hot_key_count`` rows per surviving key). An over-gate hot
       set degrades to a warning, never a wrong answer.
+    - ``bloom_bits`` (opt-in): a fixed-size Bloom filter over the dup
+      hashes prefilters the exploded stream — windows PROVABLY not
+      duplicated (the overwhelming majority of a real corpus) never
+      enter the exchange at all; the maybe-present remainder is
+      re-verified exactly. Exact either way (Bloom has no false
+      negatives). Trade-off, same as ``joins.semi_join``: the split
+      makes two consumers of the exploded stream, so the per-doc
+      shingling lineage runs twice — worth it when the exchange, not
+      the scan, is the bottleneck (the 100-TB regime).
 
     Reconstruction joins kept words with single spaces: byte-exact for
     single-space corpora (this repo's tables); general whitespace
@@ -1035,6 +1045,7 @@ def exact_substring_dedup(
             exch_keys,
             "__h",
             keep=True,
+            bloom_bits=bloom_bits,
             broadcast_limit=0,
         )
 

@@ -163,3 +163,26 @@ def test_heavy_hitters_small_vocab_is_complete_not_error(tmp_path):
     assert out.iloc[0]["token"] == "aa" and int(out.iloc[0]["n"]) == 3
     counts = dict(zip(out["token"], out["n"].astype(int)))
     assert counts == {"aa": 3, "bb": 2, "cc": 2, "dd": 1, "ee": 1, "ff": 1, "gg": 1, "hh": 1}
+
+
+def test_substring_dedup_bloom_prefilter_matches():
+    """bloom_bits prefilters the exploded window stream (definite-absent
+    windows skip the exchange) with byte-identical output — Bloom has no
+    false negatives, the maybe-set is exactly re-verified."""
+    from pdf_extractor_ray.pipelines.dedup import exact_substring_dedup
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(tbl)
+    plain = (
+        exact_substring_dedup(ds, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bloomed = (
+        exact_substring_dedup(ds, broadcast_limit=0, bloom_bits=1 << 16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, bloomed[plain.columns])
