@@ -132,6 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
+        # rows-only (iterative k-means + order-dependent greedy keep —
+        # not SQL-expressible); pinned by planted-dup + greedy-replica
+        # tests in tests/test_round4_fixes.py
+        "semdedup_embeddings": dedup.semdedup,
     }
     return _order_for_driver(q)
 

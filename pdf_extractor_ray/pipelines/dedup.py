@@ -607,6 +607,94 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" — public method): k-means
+# over embeddings, exact cosine dedup WITHIN each cluster only.
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    sf_dir: str,
+    *,
+    num_clusters: int = 8,
+    cosine_threshold: float = 0.35,
+    max_cluster_rows: int = 200_000,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Semantic dedup: cluster embeddings with the IVF coarse k-means
+    (``similarity.train_centroids`` — bounded deterministic sample,
+    Lloyd on the driver), assign every vector to its nearest centroid
+    (broadcast centroids, vectorized ``map_batches``), then greedily
+    keep, within each cluster in ``vec_id`` order, only vectors not
+    within ``cosine_threshold`` of an already-KEPT vector (the leader
+    rule — deterministic, chain-consistent). Returns one row per
+    vector: ``(vec_id, list_id, keep)``.
+
+    Scale shape: ONE bucketed exchange on ``list_id``; per-cluster work
+    is O(c²·d) flops and O(c·d) memory — exactly SemDeDup's bargain
+    (clusters turn all-pairs N² into Σc²; ``num_clusters`` scales with
+    the corpus so c stays worker-sized). A cluster above
+    ``max_cluster_rows`` raises with instructions rather than silently
+    OOMing the worker — the fix is more clusters, not a bigger heap.
+    Default threshold 0.35 matches ``embedding_near_dups`` (the
+    synthetic corpus tops out near cosine 0.51; a real near-dup corpus
+    would use ~0.95).
+
+    Not SQL-expressible (iterative k-means + order-dependent greedy
+    keep) — rows-only driver check; exactness is pinned by a planted
+    duplicate-cluster test and a single-cluster brute-force replica."""
+    import os
+
+    from pdf_extractor_ray.ops import grouped_apply
+    from pdf_extractor_ray.pipelines.similarity import _assign_stage, train_centroids
+
+    cents = train_centroids(sf_dir, num_lists=num_clusters)
+    assigned = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(_assign_stage(cents), batch_format="pyarrow", batch_size=4096)
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lid, grp in g.groupby("list_id", sort=False):
+            if len(grp) > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup: cluster {lid} has {len(grp)} rows > "
+                    f"max_cluster_rows={max_cluster_rows}; raise num_clusters "
+                    "so per-cluster pair work stays worker-sized"
+                )
+            grp = grp.sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(grp["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            matn = mat / norms
+            kept = np.empty_like(matn)
+            n_kept = 0
+            keep = np.zeros(len(ids), dtype=bool)
+            for j in range(len(ids)):
+                if n_kept == 0 or float((kept[:n_kept] @ matn[j]).max()) < cosine_threshold:
+                    kept[n_kept] = matn[j]
+                    n_kept += 1
+                    keep[j] = True
+            outs.append(
+                pd.DataFrame(
+                    {"vec_id": ids, "list_id": np.full(len(ids), lid, dtype=np.int64), "keep": keep}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "list_id": pd.Series([], dtype="int64"),
+                    "keep": pd.Series([], dtype="bool"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(assigned, ["list_id"], cluster_dedup, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # Cross-document paragraph dedup (CCNet-style boilerplate removal)
 # ---------------------------------------------------------------------------
 

@@ -186,3 +186,80 @@ def test_substring_dedup_bloom_prefilter_matches():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(plain, bloomed[plain.columns])
+
+
+def _write_embeddings(tmp_path, vecs):
+    import pyarrow as pa
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_semdedup_planted_duplicates(tmp_path):
+    """Exact duplicate embeddings collapse to the lowest vec_id per
+    duplicate group; near-orthogonal vectors all survive. Single
+    cluster makes the expectation deterministic."""
+    from pdf_extractor_ray.pipelines.dedup import semdedup
+
+    e = np.eye(6)
+    vecs = [e[0], e[0], e[1], e[0] * 0.9 + e[1] * 0.1, e[2], e[1]]  # 1,5 dup of 0,2; 3 near 0
+    d = _write_embeddings(tmp_path, vecs)
+    out = semdedup(d, num_clusters=1, cosine_threshold=0.95).to_pandas().sort_values("vec_id")
+    assert out["keep"].tolist() == [True, False, True, False, True, False]
+    # raising the bar keeps the 0.9-blend row (cos(v3, v0) ≈ 0.994 < 0.999)
+    out2 = semdedup(d, num_clusters=1, cosine_threshold=0.999).to_pandas().sort_values("vec_id")
+    assert out2["keep"].tolist() == [True, False, True, True, True, False]
+
+
+def test_semdedup_matches_greedy_replica_on_corpus():
+    """num_clusters=1 over the sf0.001 embeddings equals a local greedy
+    leader replica bit-for-bit; multi-cluster output keeps exactly one
+    representative per within-cluster duplicate chain (every dropped
+    vector is within threshold of some kept vector in its cluster)."""
+    from pdf_extractor_ray.pipelines.dedup import semdedup
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+
+    thr = 0.45
+    kept_rows = []
+    keep_exp = {}
+    for i, v in zip(ids, matn):
+        if not kept_rows or max(float(np.dot(k, v)) for k in kept_rows) < thr:
+            kept_rows.append(v)
+            keep_exp[int(i)] = True
+        else:
+            keep_exp[int(i)] = False
+
+    out = (
+        semdedup(SF_DIR, num_clusters=1, cosine_threshold=thr)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["vec_id"], out["keep"])) == keep_exp
+    assert (~out["keep"]).sum() > 0  # the synthetic clusters really collapse
+
+    multi = semdedup(SF_DIR, num_clusters=4, cosine_threshold=thr).to_pandas()
+    assert len(multi) == len(ids)
+    by_cluster = {lid: g for lid, g in multi.groupby("list_id")}
+    id_to_row = {int(i): matn[k] for k, i in enumerate(ids)}
+    for lid, g in by_cluster.items():
+        kept = [id_to_row[int(i)] for i in g.loc[g["keep"], "vec_id"]]
+        for i in g.loc[~g["keep"], "vec_id"]:
+            assert max(float(np.dot(k, id_to_row[int(i)])) for k in kept) >= thr, (lid, i)
