@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
+        # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
+        "lm_nll_documents": textops.lm_bigram_nll,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
@@ -180,6 +182,7 @@ _ORACLE_OVERFLOW = [
     "sample_k_documents",
     "domain_quota_documents",
     "latest_snapshot_documents",
+    "lm_nll_documents",
 ]
 
 
@@ -250,4 +253,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_SQL,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
+        "lm_nll_documents": textops.LM_NLL_SQL,
     }

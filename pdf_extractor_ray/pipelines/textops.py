@@ -1000,3 +1000,208 @@ FROM d
 LEFT JOIN agg ON d.doc_id = agg.doc_id
 LEFT JOIN top ON d.doc_id = top.doc_id AND top.rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model NLL scoring (CCNet-style quality signal —
+# Wenzek et al. 2020 score documents by LM perplexity against clean
+# reference text; here the LM is a top-K-vocabulary bigram model
+# trained on the corpus's own lang='en' slice, so the whole thing is
+# SQL-replicable without any hash function)
+# ---------------------------------------------------------------------------
+
+LM_VOCAB_K = 256
+
+
+def lm_bigram_nll(
+    sf_dir: str, vocab_k: int = LM_VOCAB_K, ref_lang: str = "en"
+) -> ray.data.Dataset:
+    """Per-document bigram negative log likelihood in integer
+    micro-nats: ``(doc_id, n_bigrams, nll_total_micro)``.
+
+    Model (identical in the SQL oracle):
+    - tokens: full-whitespace split of trimmed text (repo convention);
+    - vocab: top ``vocab_k`` words of the ``ref_lang`` slice by count,
+      ties broken by word ASC; every other word maps to the OOV
+      sentinel ``''`` (unreachable by a real token — splits never
+      yield empties);
+    - counts: bigram table over the mapped reference slice; C1 is the
+      bigram-table marginal over the first word (so P(.|w1) sums to 1);
+    - per-bigram score: ``floor(-ln((C2+1)/(C1+V)) * 1e6 + 0.5)`` with
+      ``V = vocab_k + 1`` (add-one smoothing over the mapped alphabet);
+      summed per doc as exact integers.
+
+    Scale shape: vocab discovery is a per-batch local top-K prune →
+    sort+limit over the pruned stream (K rows per batch leave the
+    workers — the ``train_centroids`` pattern, never a full-vocab
+    sort); bigram counting is one ``grouped_sum`` exchange bounded by
+    the MAPPED alphabet, ≤ (K+1)² pairs regardless of corpus size (the
+    DSIR-style constant bound), which is also the driver-collect bound
+    for the broadcast model. Scoring is zero-shuffle.
+
+    Float note: the only non-integer step is ln() on one ratio per
+    DISTINCT (C2, C1) pair. numpy/DuckDB libm may differ by ~1 ulp
+    (1e-16 relative); a micro-round flip needs the value within 1e-10
+    of a rounding boundary — ≤ (K+1)² distinct pairs keeps the flip
+    probability ~1e-5, the same budget the micro-cosine oracles run
+    on."""
+    import math
+
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ref = ds.map_batches(
+        lambda b: b.loc[b["lang"] == ref_lang, ["text"]], batch_format="pandas"
+    )
+
+    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {"word": list(counts), "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))}
+        )
+
+    wc = grouped_sum(
+        ref.map_batches(word_counts, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["n"],
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        # any global top-K row is in its batch's local top-K: prune
+        # here so only K rows per batch reach the global sort
+        if len(b) > vocab_k:
+            b = b.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(
+                vocab_k
+            )
+        return b
+
+    top = (
+        wc.map_batches(local_topk, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    vocab = frozenset(r["word"] for r in top)
+    vref = ray.put(vocab)
+    v_total = vocab_k + 1
+
+    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vset = _cached_get(vref)
+        counts: dict[tuple[str, str], int] = {}
+        for t in b["text"]:
+            ws = t.split()
+            for a, c in zip(ws, ws[1:]):
+                key = (a if a in vset else "", c if c in vset else "")
+                counts[key] = counts.get(key, 0) + 1
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in counts],
+                "w2": [k[1] for k in counts],
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    c2_tbl = grouped_sum(
+        ref.map_batches(bigram_counts, batch_format="pandas", batch_size=8192),
+        ["w1", "w2"],
+        ["n"],
+    ).to_pandas()  # ≤ (K+1)² rows by construction — constant driver bound
+    c2 = {(a, b_): int(n) for a, b_, n in zip(c2_tbl["w1"], c2_tbl["w2"], c2_tbl["n"])}
+    c1: dict[str, int] = {}
+    for (a, _), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+    # per-(C2, C1) micro-nat table, computed ONCE (shared rounding site
+    # with the oracle); unseen-pair entries derive from C1 alone
+    nll_pair = {
+        k: int(math.floor(-math.log((n + 1) / (c1[k[0]] + v_total)) * 1_000_000 + 0.5))
+        for k, n in c2.items()
+    }
+    nll_miss = {
+        a: int(math.floor(-math.log(1 / (n + v_total)) * 1_000_000 + 0.5)) for a, n in c1.items()
+    }
+    nll_cold = int(math.floor(math.log(v_total) * 1_000_000 + 0.5))  # -ln(1/V)
+    mref = ray.put((vocab, nll_pair, nll_miss))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vset, pair_m, miss_m = _cached_get(mref)
+        ids, nbg, tot = [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            ws = t.split()
+            s = 0
+            n = max(len(ws) - 1, 0)
+            for a, c in zip(ws, ws[1:]):
+                key = (a if a in vset else "", c if c in vset else "")
+                v = pair_m.get(key)
+                if v is None:
+                    v = miss_m.get(key[0], nll_cold)
+                s += v
+            ids.append(doc_id)
+            nbg.append(n)
+            tot.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bigrams": pd.Series(nbg, dtype="int64"),
+                "nll_total_micro": pd.Series(tot, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+def lm_bigram_nll_sql(vocab_k: int = LM_VOCAB_K, ref_lang: str = "en") -> str:
+    """Exact SQL replica of ``lm_bigram_nll``: same tokenization, same
+    (count DESC, word ASC) vocab ties, same OOV sentinel, same add-one
+    micro-nat rounding."""
+    v_total = vocab_k + 1
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, lang, regexp_split_to_array({_TW}, '{_WS}') AS ws
+    FROM documents WHERE {_TW} <> ''
+), rw AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+    FROM tok WHERE lang = '{ref_lang}'
+), vocab AS (
+    SELECT w FROM (SELECT w, COUNT(*) AS n FROM rw GROUP BY w)
+    ORDER BY n DESC, w LIMIT {int(vocab_k)}
+), rbg AS (
+    SELECT CASE WHEN a.w IN (SELECT w FROM vocab) THEN a.w ELSE '' END AS w1,
+           CASE WHEN b.w IN (SELECT w FROM vocab) THEN b.w ELSE '' END AS w2
+    FROM rw a JOIN rw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), c2 AS (
+    SELECT w1, w2, COUNT(*) AS n FROM rbg GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, SUM(n) AS n1 FROM c2 GROUP BY w1
+), aw AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+), abg AS (
+    SELECT a.doc_id,
+           CASE WHEN a.w IN (SELECT w FROM vocab) THEN a.w ELSE '' END AS w1,
+           CASE WHEN b.w IN (SELECT w FROM vocab) THEN b.w ELSE '' END AS w2
+    FROM aw a JOIN aw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), scored AS (
+    SELECT abg.doc_id,
+           CAST(floor(-ln((COALESCE(c2.n, 0) + 1.0) / (COALESCE(c1.n1, 0) + {v_total}))
+                      * 1000000 + 0.5) AS BIGINT) AS nll
+    FROM abg
+    LEFT JOIN c2 ON abg.w1 = c2.w1 AND abg.w2 = c2.w2
+    LEFT JOIN c1 ON abg.w1 = c1.w1
+), agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_total_micro
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.nll_total_micro, 0) AS nll_total_micro
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+LM_NLL_SQL = lm_bigram_nll_sql()

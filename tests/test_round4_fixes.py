@@ -263,3 +263,63 @@ def test_semdedup_matches_greedy_replica_on_corpus():
         kept = [id_to_row[int(i)] for i in g.loc[g["keep"], "vec_id"]]
         for i in g.loc[~g["keep"], "vec_id"]:
             assert max(float(np.dot(k, id_to_row[int(i)])) for k in kept) >= thr, (lid, i)
+
+
+def test_lm_bigram_nll_matches_oracle_and_hand_computation(tmp_path):
+    """The bigram-LM NLL (CCNet-style quality signal) hash-matches its
+    DuckDB oracle on sf0.001, and a tiny planted corpus reproduces the
+    hand-computed add-one math (vocab ties, OOV mapping, micro-nat
+    rounding, <2-word and empty docs)."""
+    import math
+
+    import duckdb
+
+    from pdf_extractor_ray.pipelines import textops
+    from tools.check_oracle import value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = con.execute(textops.LM_NLL_SQL).df()
+    mine = textops.lm_bigram_nll(SF_DIR).to_pandas()
+    assert len(mine) == len(oracle)
+    assert value_hash(mine) == value_hash(oracle)
+    assert (mine["nll_total_micro"] > 0).any()
+
+    # planted: vocab_k=2 over ref 'a b a b c' → vocab {a, b} (counts
+    # a=2,b=2,c=1; ties a<b), OOV=''. Bigrams: (a,b)x2, (b,a), (b,'')
+    # → C2; C1: a=2, b=2. V=3.
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(4), dtype="int64"),
+            "text": ["a b a b c", "a b z", "solo", ""],
+            "lang": ["en", "fr", "fr", "fr"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(str(d / "documents.parquet"))
+
+    def m(p):
+        return int(math.floor(-math.log(p) * 1_000_000 + 0.5))
+
+    exp = {
+        0: (4, m(3 / 5) + m(2 / 5) + m(3 / 5) + m(2 / 5)),  # ab ba ab bc→(b,'')
+        1: (2, m(3 / 5) + m(2 / 5)),  # ab, bz→(b,'')
+        2: (0, 0),
+        3: (0, 0),
+    }
+    got = (
+        textops.lm_bigram_nll(str(d), vocab_k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i in range(4):
+        assert (int(got["n_bigrams"][i]), int(got["nll_total_micro"][i])) == exp[i], i
+    # planted oracle agrees too
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    o2 = con2.execute(textops.lm_bigram_nll_sql(vocab_k=2)).df()
+    assert value_hash(got) == value_hash(o2)
