@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
         "lm_nll_documents": textops.lm_bigram_nll,
+        "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
@@ -183,6 +184,7 @@ _ORACLE_OVERFLOW = [
     "domain_quota_documents",
     "latest_snapshot_documents",
     "lm_nll_documents",
+    "pack_sequences_documents",
 ]
 
 
@@ -254,4 +256,5 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
+        "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
     }

@@ -553,3 +553,127 @@ def dsir_select_top(sf_dir: str, k: int = 100, **kw) -> ray.data.Dataset:
         .sort(["dsir_logweight", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch prep: greedy next-fit of documents
+# into fixed token budgets — the step between chunking and the
+# dataloader in an LLM pipeline; local-per-shard packing with bounded
+# waste is how distributed packers work, cf. the chunking stage above)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 120
+PACK_BUCKETS = 8
+
+
+def pack_sequences(
+    sf_dir: str,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    pack_buckets: int = PACK_BUCKETS,
+) -> ray.data.Dataset:
+    """Greedy NEXT-FIT sequence packing: documents are split into
+    ``pack_buckets`` streams by ``doc_id % pack_buckets`` (a SEMANTIC
+    parameter — results are cluster-size-independent), each stream is
+    walked in ``doc_id`` order, and a document joins the current pack
+    while the running token sum stays within ``budget_tokens``,
+    otherwise it opens the next pack. A document longer than the budget
+    gets a pack of its own (and closes it for the next doc). Output:
+    one row per document, ``(doc_id, n_tokens, bucket, pack_seq)`` —
+    ``(bucket, pack_seq)`` is the pack key.
+
+    Scale shape: ONE bucketed exchange carrying (doc_id, n_tokens) —
+    integers only, never text; per-bucket packing is a sequential
+    integer walk (inherent to next-fit) over that bucket's rows, so
+    ``pack_buckets`` is also the packing parallelism. Waste vs a
+    global packer is bounded by one partial pack per bucket."""
+    import os
+
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": b["text"].map(textstats.token_count_ws).astype(np.int64),
+                "bucket": (b["doc_id"].astype("int64") % pack_buckets).astype(np.int64),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bucket, grp in g.groupby("bucket", sort=False):
+            grp = grp.sort_values("doc_id")
+            ns = grp["n_tokens"].to_numpy()
+            seqs = np.empty(len(ns), dtype=np.int64)
+            acc = 0
+            seq = -1
+            for i, n in enumerate(ns):
+                if seq < 0 or acc + n > budget_tokens:
+                    seq += 1
+                    acc = int(n)
+                else:
+                    acc += int(n)
+                seqs[i] = seq
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": grp["doc_id"].to_numpy(),
+                        "n_tokens": ns,
+                        "bucket": grp["bucket"].to_numpy(),
+                        "pack_seq": seqs,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "pack_seq": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(
+        ds.map_batches(tokens, batch_format="pandas", batch_size=8192), ["bucket"], pack
+    )
+
+
+def pack_sequences_sql(
+    budget_tokens: int = PACK_BUDGET_TOKENS, pack_buckets: int = PACK_BUCKETS
+) -> str:
+    """Exact SQL replica of ``pack_sequences``: the next-fit running
+    sum with reset is a recursive CTE advancing every bucket one row
+    per iteration (recursion depth = max rows per bucket)."""
+    return rf"""
+WITH RECURSIVE base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN {_TW} = '' THEN 0
+                     ELSE len(regexp_split_to_array({_TW}, '{_WS}')) END AS BIGINT) AS n_tokens,
+           CAST(doc_id % {int(pack_buckets)} AS BIGINT) AS bucket
+    FROM documents
+), t AS (
+    SELECT doc_id, n_tokens, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+    FROM base
+), p AS (
+    SELECT doc_id, n_tokens, bucket, rn, CAST(0 AS BIGINT) AS pack_seq, n_tokens AS acc
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.doc_id, t.n_tokens, t.bucket, t.rn,
+           CASE WHEN p.acc + t.n_tokens <= {int(budget_tokens)}
+                THEN p.pack_seq ELSE p.pack_seq + 1 END,
+           CASE WHEN p.acc + t.n_tokens <= {int(budget_tokens)}
+                THEN p.acc + t.n_tokens ELSE t.n_tokens END
+    FROM t JOIN p ON t.bucket = p.bucket AND t.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, pack_seq FROM p
+"""
+
+
+PACK_SQL = pack_sequences_sql()

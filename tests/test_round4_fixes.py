@@ -323,3 +323,52 @@ def test_lm_bigram_nll_matches_oracle_and_hand_computation(tmp_path):
     con2.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
     o2 = con2.execute(textops.lm_bigram_nll_sql(vocab_k=2)).df()
     assert value_hash(got) == value_hash(o2)
+
+
+def test_pack_sequences_matches_oracle_and_planted(tmp_path):
+    """Next-fit sequence packing hash-matches the recursive-CTE oracle
+    on sf0.001; a planted corpus pins the semantics: budget fits,
+    resets, and an oversize doc taking (and closing) its own pack."""
+    import duckdb
+
+    from pdf_extractor_ray.pipelines import corpus
+    from tools.check_oracle import value_hash
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    oracle = con.execute(corpus.PACK_SQL).df()
+    mine = corpus.pack_sequences(SF_DIR).to_pandas()
+    assert len(mine) == len(oracle) > 0
+    assert value_hash(mine) == value_hash(oracle)
+    assert mine["pack_seq"].max() > 0  # packing actually wraps
+
+    # planted, single bucket: tokens 5,4,12,3,6 @ budget 10
+    # → packs [5+4], [12 oversize], [3+6]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 8, 16, 24, 32], dtype="int64"),  # all bucket 0 (mod 8)
+            "text": [
+                "a b c d e",
+                "a b c d",
+                "a b c d e f g h i j k l",
+                "a b c",
+                "a b c d e f",
+            ],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(str(d / "documents.parquet"))
+    got = (
+        corpus.pack_sequences(str(d), budget_tokens=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["pack_seq"].tolist() == [0, 0, 1, 2, 2]
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    o2 = con2.execute(corpus.pack_sequences_sql(budget_tokens=10)).df()
+    assert value_hash(got) == value_hash(o2)
