@@ -570,6 +570,7 @@ def pack_sequences(
     sf_dir: str,
     budget_tokens: int = PACK_BUDGET_TOKENS,
     pack_buckets: int = PACK_BUCKETS,
+    max_bucket_rows: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Greedy NEXT-FIT sequence packing: documents are split into
     ``pack_buckets`` streams by ``doc_id % pack_buckets`` (a SEMANTIC
@@ -584,8 +585,19 @@ def pack_sequences(
     Scale shape: ONE bucketed exchange carrying (doc_id, n_tokens) —
     integers only, never text; per-bucket packing is a sequential
     integer walk (inherent to next-fit) over that bucket's rows, so
-    ``pack_buckets`` is also the packing parallelism. Waste vs a
-    global packer is bounded by one partial pack per bucket."""
+    ``pack_buckets`` is BOTH the packing parallelism and the
+    per-worker group bound: each bucket's ~corpus/``pack_buckets``
+    integer rows materialize as one group before packing, so pick
+    ``pack_buckets`` at pipeline-design time so a bucket fits a worker
+    (~corpus_docs / 1e5 is a sane start; being semantic, it must then
+    stay fixed for reproducibility). ``max_bucket_rows`` raises with
+    that advice before a silent OOM gets close. Waste vs a global
+    packer is bounded by one partial pack per bucket.
+
+    Parity precondition: ``doc_id`` must be non-negative — numpy ``%``
+    is sign-of-divisor while SQL ``%`` is sign-of-dividend, so a
+    negative id would land in different buckets engine-side vs
+    oracle-side."""
     import os
 
     from pdf_extractor_ray.ops import grouped_apply
@@ -606,6 +618,12 @@ def pack_sequences(
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for bucket, grp in g.groupby("bucket", sort=False):
+            if len(grp) > max_bucket_rows:
+                raise ValueError(
+                    f"pack_sequences: bucket {bucket} has {len(grp)} rows > "
+                    f"max_bucket_rows={max_bucket_rows}; raise pack_buckets "
+                    "(a semantic choice — fix it per corpus, ~corpus_docs/1e5)"
+                )
             grp = grp.sort_values("doc_id")
             ns = grp["n_tokens"].to_numpy()
             seqs = np.empty(len(ns), dtype=np.int64)

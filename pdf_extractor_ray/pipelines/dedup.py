@@ -634,8 +634,13 @@ def semdedup(
     is O(c²·d) flops and O(c·d) memory — exactly SemDeDup's bargain
     (clusters turn all-pairs N² into Σc²; ``num_clusters`` scales with
     the corpus so c stays worker-sized). A cluster above
-    ``max_cluster_rows`` raises with instructions rather than silently
-    OOMing the worker — the fix is more clusters, not a bigger heap.
+    ``max_cluster_rows`` raises with instructions — the fix is more
+    clusters, not a bigger heap. Note the guard's honest limit: it
+    runs after ``map_groups`` has assembled the cluster's rows, so it
+    protects the O(c²) flops/kept-matrix dimension; a cluster whose
+    raw rows alone exceed the worker heap still dies in group
+    collection before the check — sizing ``num_clusters`` to the
+    corpus remains the operator's contract.
     Default threshold 0.35 matches ``embedding_near_dups`` (the
     synthetic corpus tops out near cosine 0.51; a real near-dup corpus
     would use ~0.95).
@@ -1148,14 +1153,16 @@ def exact_substring_dedup(
         pos_lists = grouped_apply(dup_windows, [id_col], collect_positions, num_buckets=num_buckets)
         # pos_lists (one small row per doc WITH dup windows) is usually
         # far below the gate even when the dup-hash set is not — let the
-        # measured-size planner decide; broadcast_limit=0 still forces
-        # the exchange everywhere for the plan-identity tests
+        # measured-size planner decide AGAINST THE CALLER'S OWN LIMIT
+        # (a caller bounding broadcasts on memory-tight workers keeps
+        # that bound here too); broadcast_limit=0 still forces the
+        # exchange everywhere for the plan-identity tests
         joined = joins.adaptive_inner_join(
             narrow,
             pos_lists,
             id_col,
             how="left_outer",
-            broadcast_limit=(0 if broadcast_limit == 0 else None),
+            broadcast_limit=broadcast_limit,
         )
 
     def cut_joined(b: pd.DataFrame) -> pd.DataFrame:

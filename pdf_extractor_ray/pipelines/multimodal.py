@@ -320,16 +320,27 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarra
         raise ValueError(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
-    bigint = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
     out = bytearray()
     code_size = min_code_size + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     prev: bytes | None = None
-    bitpos = 0
-    while bitpos + code_size <= total_bits and len(out) < n_pixels:
-        code = (bigint >> bitpos) & ((1 << code_size) - 1)
-        bitpos += code_size
+    # streaming LSB-first bit buffer (a single Python bigint shifted per
+    # code is O(n²) in stream length — an ordinary multi-MB crawl GIF
+    # would pin a worker for minutes)
+    acc = 0
+    nbits = 0
+    pos = 0
+    n_data = len(data)
+    while len(out) < n_pixels:
+        while nbits < code_size and pos < n_data:
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
             code_size = min_code_size + 1

@@ -1031,13 +1031,17 @@ def lm_bigram_nll(
       ``V = vocab_k + 1`` (add-one smoothing over the mapped alphabet);
       summed per doc as exact integers.
 
-    Scale shape: vocab discovery is a per-batch local top-K prune →
-    sort+limit over the pruned stream (K rows per batch leave the
-    workers — the ``train_centroids`` pattern, never a full-vocab
-    sort); bigram counting is one ``grouped_sum`` exchange bounded by
-    the MAPPED alphabet, ≤ (K+1)² pairs regardless of corpus size (the
-    DSIR-style constant bound), which is also the driver-collect bound
-    for the broadcast model. Scoring is zero-shuffle.
+    Scale shape: vocab discovery pays ONE word-count ``grouped_sum``
+    whose exchange is bounded by the reference slice's distinct words
+    (the tf-idf-df bound — corpus-order on a heavy-tailed web corpus,
+    same as every vocabulary-building op here); the top-K then comes
+    from a per-batch local top-K prune → sort+limit over the PRUNED
+    stream (K rows per batch, the ``train_centroids`` pattern — the
+    full vocabulary is never sorted or collected). Bigram counting is
+    one ``grouped_sum`` exchange bounded by the MAPPED alphabet,
+    ≤ (K+1)² pairs regardless of corpus size (the DSIR-style constant
+    bound), which is also the driver-collect bound for the broadcast
+    model. Scoring is zero-shuffle.
 
     Float note: the only non-integer step is ln() on one ratio per
     DISTINCT (C2, C1) pair. numpy/DuckDB libm may differ by ~1 ulp
@@ -1112,12 +1116,21 @@ def lm_bigram_nll(
         ["w1", "w2"],
         ["n"],
     ).to_pandas()  # ≤ (K+1)² rows by construction — constant driver bound
-    c2 = {(a, b_): int(n) for a, b_, n in zip(c2_tbl["w1"], c2_tbl["w2"], c2_tbl["n"])}
+    if c2_tbl.empty:
+        # degenerate reference (no ref_lang docs, or none with >= 2
+        # tokens): every bigram scores cold — the oracle's COALESCE
+        # path; an empty grouped_sum yields a column-less frame, so the
+        # zip below must not touch named columns
+        c2 = {}
+    else:
+        c2 = {(a, b_): int(n) for a, b_, n in zip(c2_tbl["w1"], c2_tbl["w2"], c2_tbl["n"])}
     c1: dict[str, int] = {}
     for (a, _), n in c2.items():
         c1[a] = c1.get(a, 0) + n
-    # per-(C2, C1) micro-nat table, computed ONCE (shared rounding site
-    # with the oracle); unseen-pair entries derive from C1 alone
+    # per-(C2, C1) micro-nat table, computed ONCE; every expression
+    # mirrors the oracle's SHAPE exactly (-ln(num/den) with the same
+    # operand order) so the only float divergence is the shared-libm
+    # 1-ulp, never an extra rounding step
     nll_pair = {
         k: int(math.floor(-math.log((n + 1) / (c1[k[0]] + v_total)) * 1_000_000 + 0.5))
         for k, n in c2.items()
@@ -1125,7 +1138,7 @@ def lm_bigram_nll(
     nll_miss = {
         a: int(math.floor(-math.log(1 / (n + v_total)) * 1_000_000 + 0.5)) for a, n in c1.items()
     }
-    nll_cold = int(math.floor(math.log(v_total) * 1_000_000 + 0.5))  # -ln(1/V)
+    nll_cold = int(math.floor(-math.log(1 / v_total) * 1_000_000 + 0.5))
     mref = ray.put((vocab, nll_pair, nll_miss))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:

@@ -372,3 +372,38 @@ def test_pack_sequences_matches_oracle_and_planted(tmp_path):
     con2.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
     o2 = con2.execute(corpus.pack_sequences_sql(budget_tokens=10)).df()
     assert value_hash(got) == value_hash(o2)
+
+
+def test_lm_bigram_nll_empty_reference_cold_scores(tmp_path):
+    """A corpus with NO ref-lang documents (or none with >= 2 tokens)
+    must cold-score every bigram at -ln(1/V) — matching the oracle's
+    COALESCE path — instead of crashing on the empty count table."""
+    import math
+
+    import duckdb
+
+    from pdf_extractor_ray.pipelines import textops
+    from tools.check_oracle import value_hash
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+            "text": ["x y z", "solo", ""],
+            "lang": ["fr", "fr", "fr"],  # no 'en' reference at all
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(str(d / "documents.parquet"))
+    got = (
+        textops.lm_bigram_nll(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cold = int(math.floor(-math.log(1 / (textops.LM_VOCAB_K + 1)) * 1_000_000 + 0.5))
+    assert got["n_bigrams"].tolist() == [2, 0, 0]
+    assert got["nll_total_micro"].tolist() == [2 * cold, 0, 0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    assert value_hash(got) == value_hash(con.execute(textops.LM_NLL_SQL).df())
