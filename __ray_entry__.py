@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
         "semdedup_embeddings": dedup.semdedup,
+        # rows-only (iterative argmax — not SQL-expressible); pinned by
+        # a bit-exact local BPE reference test
+        "bpe_merges": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bpe_learn,
     }
     return _order_for_driver(q)
 

@@ -695,3 +695,139 @@ SELECT doc_id, n_tokens, bucket, pack_seq FROM p
 
 
 PACK_SQL = pack_sequences_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — public algorithm):
+# the tokenizer-fitting step of an LLM data pipeline, distributed.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 20
+_BPE_SEP = "\x01"  # joins symbol lists into a string column (corpus
+# charset is [a-z0-9]; the control char can never appear in a symbol)
+BPE_EOW = "</w>"  # end-of-word marker symbol (standard BPE)
+
+
+def _bpe_merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right, non-overlapping application of one merge."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_learn(sf_dir: str, num_merges: int = BPE_MERGES) -> pd.DataFrame:
+    """Learn ``num_merges`` BPE merges over the documents corpus:
+    returns ``(rank, left, right, n)`` — the merge table a tokenizer
+    consumes, in learned order. Deterministic: each round merges the
+    most frequent adjacent symbol pair, ties broken by (left, right)
+    lexicographic.
+
+    Ray-native shape (the word-frequency trick every real BPE trainer
+    uses, kept DISTRIBUTED): one corpus pass builds the (word, count)
+    table — the only corpus-sized exchange, bounded by distinct words
+    (the tf-idf-df bound); the table is then materialized once per
+    round with its current segmentation, and each merge round costs
+    one pair-count ``grouped_sum`` (bounded by distinct adjacent
+    pairs, << vocab) plus a local-top-1-pruned driver pick of ~one row
+    per block. The corpus text is never touched again after pass 1;
+    round cost is independent of corpus size.
+
+    Not SQL-expressible (iterative argmax); pinned by a bit-exact
+    local reference implementation test."""
+    import os
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {
+                "word": list(counts),
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    wf = grouped_sum(
+        docs.map_batches(word_counts, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["n"],
+    )
+
+    def seed_syms(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "sym": [_BPE_SEP.join(list(w) + [BPE_EOW]) for w in b["word"]],
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    vocab = wf.map_batches(seed_syms, batch_format="pandas").materialize()
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[tuple[str, str], int] = {}
+        for s, n in zip(b["sym"], b["n"]):
+            syms = s.split(_BPE_SEP)
+            for a, c in zip(syms, syms[1:]):
+                counts[(a, c)] = counts.get((a, c), 0) + int(n)
+        return pd.DataFrame(
+            {
+                "left": [k[0] for k in counts],
+                "right": [k[1] for k in counts],
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    def local_top1(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) > 1:
+            b = b.sort_values(["n", "left", "right"], ascending=[False, True, True]).head(1)
+        return b
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pc = grouped_sum(
+            vocab.map_batches(pair_counts, batch_format="pandas"),
+            ["left", "right"],
+            ["n"],
+        )
+        cand = pc.map_batches(local_top1, batch_format="pandas").take_all()
+        if not cand:
+            break
+        best = min(cand, key=lambda r: (-int(r["n"]), r["left"], r["right"]))
+        left, right, n_best = best["left"], best["right"], int(best["n"])
+        merges.append((rank, left, right, n_best))
+
+        def apply_merge(b: pd.DataFrame, _l=left, _r=right) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sym": [
+                        _BPE_SEP.join(_bpe_merge_word(s.split(_BPE_SEP), _l, _r))
+                        for s in b["sym"]
+                    ],
+                    "n": b["n"],
+                }
+            )
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        {
+            "rank": pd.Series([m[0] for m in merges], dtype="int64"),
+            "left": pd.Series([m[1] for m in merges], dtype="object"),
+            "right": pd.Series([m[2] for m in merges], dtype="object"),
+            "n": pd.Series([m[3] for m in merges], dtype="int64"),
+        }
+    )

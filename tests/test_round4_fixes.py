@@ -407,3 +407,57 @@ def test_lm_bigram_nll_empty_reference_cold_scores(tmp_path):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
     assert value_hash(got) == value_hash(con.execute(textops.LM_NLL_SQL).df())
+
+
+def test_bpe_learn_matches_local_reference(tmp_path):
+    """Distributed BPE merge learning is bit-exact vs a plain local
+    reference over sf0.001 (same tie-breaks), and a planted corpus
+    reproduces the hand-derived first merges."""
+    from collections import Counter
+
+    from pdf_extractor_ray.pipelines.corpus import BPE_EOW, _bpe_merge_word, bpe_learn
+
+    def reference(texts, num_merges):
+        wf = Counter()
+        for t in texts:
+            wf.update(t.split())
+        vocab = {w: list(w) + [BPE_EOW] for w in wf}
+        merges = []
+        for rank in range(num_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                n = wf[w]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += n
+            if not pc:
+                break
+            (left, right), n_best = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, n_best))
+            vocab = {w: _bpe_merge_word(s, left, right) for w, s in vocab.items()}
+        return merges
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
+    exp = reference(texts, 12)
+    got = bpe_learn(SF_DIR, num_merges=12)
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    assert len(got) == 12 and got["n"].iloc[0] >= got["n"].iloc[-1] >= 1
+
+    # planted: 'low lower lowest low low' → most frequent pair merges
+    # first; ties break lexicographically
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.Series([0], dtype="int64"),
+            "text": ["low lower lowest low low"],
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    docs.to_parquet(str(d / "documents.parquet"))
+    got2 = bpe_learn(str(d), num_merges=3)
+    exp2 = reference(["low lower lowest low low"], 3)
+    assert list(map(tuple, got2.itertuples(index=False))) == exp2
+    # 'l'+'o' (count 5) must be the first merge; then 'lo'+'w' (5)
+    assert (got2["left"].iloc[0], got2["right"].iloc[0]) == ("l", "o")
+    assert (got2["left"].iloc[1], got2["right"].iloc[1]) == ("lo", "w")
