@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (iterative argmax — not SQL-expressible); pinned by
         # a bit-exact local BPE reference test
         "bpe_merges": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bpe_learn,
+        "bpe_token_counts": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bpe_token_counts,
     }
     return _order_for_driver(q)
 

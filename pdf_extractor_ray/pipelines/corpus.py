@@ -831,3 +831,57 @@ def bpe_learn(sf_dir: str, num_merges: int = BPE_MERGES) -> pd.DataFrame:
             "n": pd.Series([m[3] for m in merges], dtype="int64"),
         }
     )
+
+
+def bpe_token_counts(
+    sf_dir: str, num_merges: int = BPE_MERGES
+) -> ray.data.Dataset:
+    """Apply a learned BPE merge table: per-document token counts under
+    the corpus's own ``bpe_learn`` vocabulary —
+    ``(doc_id, n_tokens_ws, n_tokens_bpe)``. The merge table (tiny) is
+    broadcast; encoding is a zero-shuffle ``map_batches`` with a
+    per-worker word→length cache (crawl vocabularies repeat heavily,
+    so most words hit the cache instead of replaying ``num_merges``
+    passes). Rows-only: pinned by a reference-encoder test."""
+    import os
+
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+
+    merges = bpe_learn(sf_dir, num_merges=num_merges)
+    mref = ray.put([(l, r) for l, r in zip(merges["left"], merges["right"])])
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        table = _cached_get(mref)
+        cache: dict[str, int] = {}
+
+        def n_tok(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                syms = list(w) + [BPE_EOW]
+                for left, right in table:
+                    syms = _bpe_merge_word(syms, left, right)
+                n = len(syms)
+                cache[w] = n
+            return n
+
+        ids, ws_n, bpe_n = [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            words = t.split()
+            ids.append(doc_id)
+            ws_n.append(len(words))
+            bpe_n.append(sum(n_tok(w) for w in words))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens_ws": pd.Series(ws_n, dtype="int64"),
+                "n_tokens_bpe": pd.Series(bpe_n, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pandas", batch_size=8192)

@@ -461,3 +461,40 @@ def test_bpe_learn_matches_local_reference(tmp_path):
     # 'l'+'o' (count 5) must be the first merge; then 'lo'+'w' (5)
     assert (got2["left"].iloc[0], got2["right"].iloc[0]) == ("l", "o")
     assert (got2["left"].iloc[1], got2["right"].iloc[1]) == ("lo", "w")
+
+
+def test_bpe_token_counts_matches_reference_encoding():
+    """Applying the learned merge table gives the same per-doc token
+    counts as a local reference encoder, and merging strictly reduces
+    token counts vs character length."""
+    from collections import Counter
+
+    from pdf_extractor_ray.pipelines.corpus import (
+        BPE_EOW,
+        _bpe_merge_word,
+        bpe_learn,
+        bpe_token_counts,
+    )
+
+    merges = bpe_learn(SF_DIR, num_merges=10)
+    table = list(zip(merges["left"], merges["right"]))
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+    def ref_count(t):
+        total = 0
+        for w in t.split():
+            syms = list(w) + [BPE_EOW]
+            for left, right in table:
+                syms = _bpe_merge_word(syms, left, right)
+            total += len(syms)
+        return total
+
+    exp = {int(i): ref_count(t) for i, t in zip(docs["doc_id"], docs["text"])}
+    got = bpe_token_counts(SF_DIR, num_merges=10).to_pandas()
+    assert dict(zip(got["doc_id"].astype(int), got["n_tokens_bpe"].astype(int))) == exp
+    nonempty = got[got["n_tokens_ws"] > 0]
+    # with the EOW marker, a word has <= len(w)+1 symbols; merges bite
+    chars = docs.set_index("doc_id")["text"].str.replace(" ", "", regex=False).str.len()
+    joined = nonempty.set_index("doc_id").join(chars.rename("n_chars"))
+    assert (joined["n_tokens_bpe"] < joined["n_chars"] + joined["n_tokens_ws"]).all()
+    assert (joined["n_tokens_bpe"] >= joined["n_tokens_ws"]).all()
