@@ -498,3 +498,20 @@ def test_bpe_token_counts_matches_reference_encoding():
     joined = nonempty.set_index("doc_id").join(chars.rename("n_chars"))
     assert (joined["n_tokens_bpe"] < joined["n_chars"] + joined["n_tokens_ws"]).all()
     assert (joined["n_tokens_bpe"] >= joined["n_tokens_ws"]).all()
+
+
+def test_truncated_gif_bmp_raise_never_decode():
+    """Every truncation of a valid GIF/BMP raises (quarantine path) —
+    no prefix silently decodes to wrong pixels."""
+    import pytest
+
+    from pdf_extractor_ray.pipelines import multimodal as mm
+
+    g = mm.make_gif(3, 12, 9)
+    b = mm.make_bmp(3, 12, 9)
+    for payload in (g, b):
+        full = mm.decode_image(payload)
+        assert full["width"] == 12 and full["height"] == 9
+        for cut in range(1, len(payload), max(1, len(payload) // 40)):
+            with pytest.raises(Exception):
+                mm.decode_image(payload[:cut])
