@@ -704,9 +704,24 @@ PACK_SQL = pack_sequences_sql()
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 20
-_BPE_SEP = "\x01"  # joins symbol lists into a string column (corpus
-# charset is [a-z0-9]; the control char can never appear in a symbol)
-BPE_EOW = "</w>"  # end-of-word marker symbol (standard BPE)
+_BPE_SEP = "\x01"  # joins symbol lists into a string column
+# End-of-word marker (standard BPE). A control char, NOT '</w>': no
+# chain of merges over printable input chars can ever construct a
+# symbol equal to it, so it cannot collide with real text the way
+# '</w>' could for a word containing '<','/','w','>' adjacently.
+BPE_EOW = "\x02"
+
+
+def _bpe_check_word(w: str) -> str:
+    """Loudly reject words that would corrupt the symbol encoding —
+    the charset precondition, enforced instead of assumed (learn-time
+    and encode-time segmentations silently diverge otherwise)."""
+    if _BPE_SEP in w or BPE_EOW in w:
+        raise ValueError(
+            f"bpe: word {w!r} contains a reserved control character "
+            f"(\\x01 separator / \\x02 end-of-word)"
+        )
+    return w
 
 
 def _bpe_merge_word(syms: list[str], left: str, right: str) -> list[str]:
@@ -770,7 +785,9 @@ def bpe_learn(sf_dir: str, num_merges: int = BPE_MERGES) -> pd.DataFrame:
     def seed_syms(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "sym": [_BPE_SEP.join(list(w) + [BPE_EOW]) for w in b["word"]],
+                "sym": [
+                    _BPE_SEP.join(list(_bpe_check_word(w)) + [BPE_EOW]) for w in b["word"]
+                ],
                 "n": b["n"].astype("int64"),
             }
         )
@@ -833,23 +850,34 @@ def bpe_learn(sf_dir: str, num_merges: int = BPE_MERGES) -> pd.DataFrame:
     )
 
 
+_BPE_LEN_CACHE: dict[str, dict[str, int]] = {}
+_BPE_LEN_CACHE_MAX = 1 << 20  # words per table; crawl vocabularies repeat
+
+
 def bpe_token_counts(
-    sf_dir: str, num_merges: int = BPE_MERGES
+    sf_dir: str,
+    num_merges: int = BPE_MERGES,
+    merges: "pd.DataFrame | None" = None,
 ) -> ray.data.Dataset:
     """Apply a learned BPE merge table: per-document token counts under
     the corpus's own ``bpe_learn`` vocabulary —
-    ``(doc_id, n_tokens_ws, n_tokens_bpe)``. The merge table (tiny) is
-    broadcast; encoding is a zero-shuffle ``map_batches`` with a
-    per-worker word→length cache (crawl vocabularies repeat heavily,
-    so most words hit the cache instead of replaying ``num_merges``
-    passes). Rows-only: pinned by a reference-encoder test."""
+    ``(doc_id, n_tokens_ws, n_tokens_bpe)``. Pass ``merges`` (a
+    ``bpe_learn`` result) to reuse an already-learned table instead of
+    paying the full learn again. The table (tiny) is broadcast;
+    encoding is a zero-shuffle ``map_batches`` with a PER-WORKER
+    word→length cache keyed by the broadcast ref (module-level, so it
+    survives across batches in a worker process — crawl vocabularies
+    repeat heavily, and most words hit the cache instead of replaying
+    ``num_merges`` passes). Rows-only: pinned by a reference-encoder
+    test."""
     import os
 
     import ray
 
     from pdf_extractor_ray.joins import _cached_get
 
-    merges = bpe_learn(sf_dir, num_merges=num_merges)
+    if merges is None:
+        merges = bpe_learn(sf_dir, num_merges=num_merges)
     mref = ray.put([(l, r) for l, r in zip(merges["left"], merges["right"])])
 
     ds = ray.data.read_parquet(
@@ -858,16 +886,19 @@ def bpe_token_counts(
 
     def encode(b: pd.DataFrame) -> pd.DataFrame:
         table = _cached_get(mref)
-        cache: dict[str, int] = {}
+        if len(_BPE_LEN_CACHE) > 4:  # bound stale tables, keep current
+            _BPE_LEN_CACHE.clear()
+        cache = _BPE_LEN_CACHE.setdefault(mref.hex(), {})
 
         def n_tok(w: str) -> int:
             n = cache.get(w)
             if n is None:
-                syms = list(w) + [BPE_EOW]
+                syms = list(_bpe_check_word(w)) + [BPE_EOW]
                 for left, right in table:
                     syms = _bpe_merge_word(syms, left, right)
                 n = len(syms)
-                cache[w] = n
+                if len(cache) < _BPE_LEN_CACHE_MAX:
+                    cache[w] = n
             return n
 
         ids, ws_n, bpe_n = [], [], []

@@ -500,11 +500,13 @@ def test_bpe_token_counts_matches_reference_encoding():
     assert (joined["n_tokens_bpe"] >= joined["n_tokens_ws"]).all()
 
 
-def test_truncated_gif_bmp_raise_never_decode():
-    """Every truncation of a valid GIF/BMP raises (quarantine path) —
-    no prefix silently decodes to wrong pixels."""
-    import pytest
-
+def test_truncated_gif_bmp_never_decode_wrong():
+    """EVERY proper prefix of a valid GIF/BMP either raises (the
+    quarantine path) or decodes byte-identically to the full payload —
+    no truncation silently yields WRONG pixels. (A GIF cut exactly at
+    its 0x3B trailer still carries complete pixel data; decoding it is
+    benign, and the exhaustive sweep distinguishes that one case from
+    a wrong decode.)"""
     from pdf_extractor_ray.pipelines import multimodal as mm
 
     g = mm.make_gif(3, 12, 9)
@@ -512,6 +514,12 @@ def test_truncated_gif_bmp_raise_never_decode():
     for payload in (g, b):
         full = mm.decode_image(payload)
         assert full["width"] == 12 and full["height"] == 9
-        for cut in range(1, len(payload), max(1, len(payload) // 40)):
-            with pytest.raises(Exception):
-                mm.decode_image(payload[:cut])
+        benign = 0
+        for cut in range(1, len(payload)):
+            try:
+                got = mm.decode_image(payload[:cut])
+            except Exception:
+                continue
+            assert got == full, f"cut={cut} decoded differently"
+            benign += 1
+        assert benign <= 1  # only the trailer-only GIF cut may succeed
