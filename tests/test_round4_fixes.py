@@ -523,3 +523,37 @@ def test_truncated_gif_bmp_never_decode_wrong():
             assert got == full, f"cut={cut} decoded differently"
             benign += 1
         assert benign <= 1  # only the trailer-only GIF cut may succeed
+
+
+def test_codec_property_round_trips():
+    """Property test: GIF (any palette size 1-256, plain/interlaced)
+    and BMP (any dims incl. degenerate 1-pixel and padding-triggering
+    widths) round-trip pixel-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_ray.pipelines import multimodal as mm
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 37),
+        h=st.integers(1, 23),
+        n_colors=st.integers(1, 256),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def gif_case(w, h, n_colors, interlace, seed):
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        px = pal[rng.randint(0, n_colors, size=(h, w))]
+        assert (mm._gif_decode_pixels(mm.encode_gif(px, interlace=interlace)) == px).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 41), h=st.integers(1, 19), seed=st.integers(0, 2**31 - 1))
+    def bmp_case(w, h, seed):
+        rng = np.random.RandomState(seed)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (mm._bmp_decode_pixels(mm.encode_bmp(px)) == px).all()
+
+    gif_case()
+    bmp_case()
