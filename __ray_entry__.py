@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
+        "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
         "lm_nll_documents": textops.lm_bigram_nll,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
         # rows-only (iterative k-means + order-dependent greedy keep —
@@ -178,17 +179,25 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
-# Oracle-checked queries beyond the 50-window: NEW this round, proven
-# by local exact tests + tools/check_oracle at sf0.001/sf0.01, and
-# parked at position 51+ so the 50 previously-green oracles all re-run
-# on this round's code. Rotate these in next round.
+# Oracle-checked queries beyond the 50-window (56 oracles, 50 slots).
+# ROUND-5 ROTATION: the six queries parked here are long-stable
+# oracles that were driver-green in rounds 1-4 (q6 / priority-counts /
+# lang-count / length-histogram / top-orders / events-hourly); the six
+# round-4 newcomers that sat here (repetition_metrics,
+# sample_k_documents, domain_quota_documents, latest_snapshot_documents,
+# lm_nll_documents, pack_sequences_documents) move INTO the window so
+# every oracle gets driver coverage across rounds. Parked queries stay
+# fully oracle-verified in CI (tests/test_oracle_parity.py runs all 56).
 _ORACLE_OVERFLOW = [
-    "repetition_metrics",
-    "sample_k_documents",
-    "domain_quota_documents",
-    "latest_snapshot_documents",
-    "lm_nll_documents",
-    "pack_sequences_documents",
+    "q6_forecast_revenue",
+    "order_priority_counts",
+    "lang_count_documents",
+    "doc_length_histogram",
+    "top_orders_by_price",
+    "events_hourly",
+    # NEW round 5 (PSL registrable-domain stats) — oracle-verified in
+    # CI at sf0.001/sf0.01; rotate into the window next round.
+    "registrable_domain_stats",
 ]
 
 
@@ -258,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_SQL,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
+        "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).REGISTRABLE_DOMAIN_STATS_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,

@@ -85,7 +85,13 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
-    """Per-query wall times for the registered operator suite."""
+    """Per-query wall times for the registered operator suite.
+
+    Each query is timed best-of-``$GRAFT_BENCH_REPS`` (default 3): the
+    host is a shared, throttled sandbox whose minute-scale CPU steal
+    swings single measurements 1.4-4× (BENCH/BASELINE.md, rounds 3-4),
+    so a single pass measures the host's minute, not the engine. The
+    suite is ~20 s, so 3× is affordable in the driver's one shot."""
     sys.path.insert(0, REPO)
     import __ray_entry__ as entrymod
 
@@ -107,14 +113,18 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         # subtracting this entry — per-query columns are.
         "paragraph_dedup_documents",
     ]
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
     times = {}
     for name in bench_set:
-        t0 = time.monotonic()
-        result = qs[name](sf_dir)
-        # consume lazily-built datasets without keeping data
-        if hasattr(result, "count"):
-            result.count()
-        times[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.monotonic()
+            result = qs[name](sf_dir)
+            # consume lazily-built datasets without keeping data
+            if hasattr(result, "count"):
+                result.count()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -129,6 +139,15 @@ def main() -> None:
     if args.scaling:
         run_scaling(args)
         return
+
+    # burn-test calibration BEFORE ray.init (no contention with Ray
+    # workers): how many effective cores the shared host delivers at
+    # this process count right now. Printed in the JSON so a throttled
+    # window is self-identifying — e.g. 18/32 means every wall time in
+    # this run carries a ~1.8× host deficit vs a healthy window (~20+),
+    # and the reader should compare against BENCH/BASELINE.md's
+    # calibrated bands rather than raw prior rounds.
+    cal_cores = host_effective_cores(args.cpus)
 
     import ray
 
@@ -162,6 +181,10 @@ def main() -> None:
         "docs_per_sec": headline["docs_per_sec"],
         "mb_per_sec": headline["mb_per_sec"],
         "headline_docs": headline["docs"],
+        # host throttle self-identification: effective cores the burn
+        # test measured at num_cpus procs, pre-Ray (healthy ≈ 20/32)
+        "host_effective_cores": cal_cores,
+        "bench_reps": int(os.environ.get("GRAFT_BENCH_REPS", "3")),
     }
     print(json.dumps(out))
     ray.shutdown()

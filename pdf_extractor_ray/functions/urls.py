@@ -1,9 +1,10 @@
-"""URL canonicalization and site-domain extraction.
+"""URL canonicalization, site-domain and registrable-domain extraction.
 
 The reference has no URL layer (its inputs are SharePoint drive paths
 — `sync_to_onedrive.py`'s M21 URL parsers are a justified drop); this
 module is part of the web-scale extension surface: crawl curation
-keys every doc by a canonical URL (dedup, domain mixing, blocklists).
+keys every doc by a canonical URL (dedup, domain mixing, blocklists)
+and aggregates per registrable domain (anti-spam quotas).
 
 Pure stdlib functions, vectorizable inside ``map_batches``; the
 pipeline layer is ``pipelines.urlops``.
@@ -14,14 +15,88 @@ from __future__ import annotations
 from urllib.parse import parse_qsl, urlencode, urlsplit
 
 # Query parameters that never change page content (analytics /
-# click-tracking decorations) — dropped by canonicalization.
+# click-tracking decorations) — dropped by canonicalization. Only
+# UNAMBIGUOUS analytics params belong here: e.g. ``ref`` is excluded
+# because real sites use it content-selectingly (``?ref=branch`` on a
+# code host selects a different page); callers with a known corpus can
+# extend the set via ``canonical_url``'s keyword arguments.
 TRACKING_PARAM_PREFIXES = ("utm_",)
-TRACKING_PARAMS = {"gclid", "fbclid", "msclkid", "mc_cid", "mc_eid", "ref"}
+TRACKING_PARAMS = frozenset({"gclid", "fbclid", "msclkid", "mc_cid", "mc_eid"})
 
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 
+# ---------------------------------------------------------------------------
+# Public-suffix snapshot
+# ---------------------------------------------------------------------------
+# A vendored SUBSET of the Mozilla Public Suffix List
+# (https://publicsuffix.org/ — public data, MPL-2.0), hand-snapshotted:
+# the multi-label ICANN country-code second-level suffixes with the
+# widest crawl presence plus the most common PRIVATE-section hosting
+# suffixes (github.io etc., under which every subdomain is an
+# independently-owned site). Single-label TLDs need no listing — the
+# algorithm falls back to "last label is the suffix". When packaging
+# for production, regenerate this set from the full upstream list; the
+# algorithm below is the standard PSL longest-match rule and needs no
+# change. (Wildcard `*.` and exception `!` rules, rare in practice,
+# are not represented in this snapshot.)
+PSL_SNAPSHOT = frozenset({
+    # ICANN section — United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz", "gen.nz",
+    "school.nz",
+    # Japan / Korea
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp",
+    "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    # China / Taiwan / Hong Kong / Singapore / Malaysia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    # India / Indonesia / Thailand / Vietnam / Philippines / Pakistan
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in", "nic.in",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co", "nom.co",
+    # Africa / Middle East
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "web.tr",
+    # Europe (multi-label cc suffixes)
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    # PRIVATE section — hosted-site suffixes (each subdomain is an
+    # independently-owned site; crucial for quota/blocklist fairness)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "appspot.com", "azurewebsites.net", "cloudfront.net",
+    "netlify.app", "vercel.app", "web.app", "firebaseapp.com",
+    "pages.dev", "workers.dev", "readthedocs.io", "neocities.org",
+    "s3.amazonaws.com",
+})
 
-def canonical_url(url: str) -> str:
+
+def canonical_url(
+    url: str,
+    *,
+    tracking_params: frozenset[str] | set[str] = TRACKING_PARAMS,
+    tracking_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES,
+) -> str:
     """Canonical form: lowercase scheme+host, default port stripped,
     fragment dropped, tracking params removed, remaining query params
     sorted by (key, value), trailing path slash stripped.
@@ -29,9 +104,12 @@ def canonical_url(url: str) -> str:
     Deterministic and idempotent: canonical_url(canonical_url(u)) ==
     canonical_url(u) — required for it to serve as a dedup key."""
     raw = url.strip()
-    parts = urlsplit(raw)
+    try:
+        parts = urlsplit(raw)
+        host = (parts.hostname or "").lower().rstrip(".")
+    except ValueError:  # malformed bracketed IPv6 literal
+        return raw
     scheme = parts.scheme.lower()
-    host = (parts.hostname or "").lower().rstrip(".")
     if not host:
         # scheme-less host-less input ('example.com/x', mailto:, data:)
         # — pass through unchanged rather than emit a malformed
@@ -48,7 +126,7 @@ def canonical_url(url: str) -> str:
     pairs = [
         (k, v)
         for k, v in parse_qsl(parts.query, keep_blank_values=True)
-        if k not in TRACKING_PARAMS and not k.startswith(TRACKING_PARAM_PREFIXES)
+        if k not in tracking_params and not k.startswith(tracking_prefixes)
     ]
     pairs.sort()
     query = urlencode(pairs)
@@ -58,14 +136,48 @@ def canonical_url(url: str) -> str:
     return f"{prefix}{netloc}{path}" + (f"?{query}" if query else "")
 
 
+def _extract_host(url: str) -> str:
+    """Lowercased host from a URL, protocol-relative URL, bare host, or
+    host/path fragment — scheme-less inputs get a '//' prefix so
+    urlsplit isolates the netloc instead of treating '/x' as host
+    text (ADVICE r4: 'example.com/x' must key as 'example.com')."""
+    s = url.strip()
+    if not s.startswith("//") and "://" not in s:
+        s = "//" + s
+    try:
+        return (urlsplit(s).hostname or "").lower().rstrip(".")
+    except ValueError:  # malformed bracketed IPv6 literal
+        return ""
+
+
 def site_domain(url: str) -> str:
-    """Site key for per-domain aggregation: lowercased host, port and
-    a leading ``www.`` stripped. (A full registrable-domain split
-    needs the public-suffix list, unavailable offline — ``www.`` strip
-    plus lowercase covers the crawl-stat use; swap in a PSL lookup
-    when packaging for production.)"""
-    host = url
-    if "://" in host:
-        host = urlsplit(host.strip()).hostname or ""
-    host = host.lower().rstrip(".").split(":")[0]
+    """Host-level site key for per-host aggregation: lowercased host,
+    port and a leading ``www.`` stripped. For ownership-level keys
+    (quota, blocklists) use :func:`registrable_domain`."""
+    host = _extract_host(url)
     return host[4:] if host.startswith("www.") else host
+
+
+def registrable_domain(url: str) -> str:
+    """Registrable ("eTLD+1") domain of a URL or host: the public
+    suffix plus one label, per the standard PSL longest-match rule over
+    :data:`PSL_SNAPSHOT` (single-label TLDs are implicit). The
+    ownership-granularity key for per-domain quotas and blocklists:
+
+    - ``a.example.com`` and ``b.example.com``  → ``example.com``
+    - ``foo.example.co.uk``                    → ``example.co.uk``
+    - ``a.b.github.io``                        → ``b.github.io``
+      (github.io is a PSL private-section suffix: every user site is
+      an independently-owned domain)
+
+    A host that IS a public suffix (e.g. ``github.io``) is returned
+    unchanged; an IP literal or empty host is returned as-is."""
+    host = _extract_host(url)
+    if not host or host.replace(".", "").isdigit():  # IPv4 literal
+        return host
+    labels = host.split(".")
+    # longest public suffix = smallest i with labels[i:] in the list
+    for i in range(len(labels)):
+        if ".".join(labels[i:]) in PSL_SNAPSHOT:
+            return host if i == 0 else ".".join(labels[i - 1 :])
+    return host if len(labels) <= 1 else ".".join(labels[-2:])

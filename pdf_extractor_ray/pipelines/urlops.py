@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from pdf_extractor_ray.functions.urls import canonical_url, site_domain
+from pdf_extractor_ray.functions.urls import canonical_url, registrable_domain, site_domain
 from pdf_extractor_ray.joins import adaptive_inner_join
 from pdf_extractor_ray.ops import distinct, grouped_agg
 
@@ -142,6 +142,123 @@ SELECT 's' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com' AS site_domai
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(SUM(n_chars) AS BIGINT) AS chars_total
 FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Registrable-domain ("eTLD+1") aggregation — PSL-backed ownership keys
+# --------------------------------------------------------------------------
+
+
+def registrable_domain_stats(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    chars_col: str = "n_chars",
+) -> ray.data.Dataset:
+    """Per-OWNERSHIP corpus stats: group by registrable domain (public
+    suffix + 1 label, via the vendored PSL snapshot) rather than raw
+    host, so ``a.example.com`` and ``b.example.com`` pool into one
+    quota/blocklist key while ``a.github.io`` and ``b.github.io`` stay
+    separate (github.io is a PSL private-section suffix — every user
+    site is independently owned). Output:
+    ``(registrable_domain, n_docs, n_hosts, chars_total)`` where
+    ``n_hosts`` counts DISTINCT site hosts under each owner — the
+    column that proves subdomains actually collapsed.
+
+    Scale shape: the domain split is a zero-shuffle ``map_batches``
+    (PSL lookup is an O(labels) frozenset probe); counts/sums
+    batch-combine before the bucket exchange; the distinct host count
+    batch-dedupes first; the two owner-sized tables join broadcast."""
+
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["site_domain"] = [site_domain(u) for u in b[url_col]]
+        b["registrable_domain"] = [registrable_domain(u) for u in b[url_col]]
+        return b
+
+    keyed = ds.map_batches(add, batch_format="pandas")
+    base = grouped_agg(
+        keyed,
+        ["registrable_domain"],
+        {"n_docs": (url_col, "count"), "chars_total": (chars_col, "sum")},
+    )
+    n_hosts = grouped_agg(
+        distinct(keyed, ["registrable_domain", "site_domain"]),
+        ["registrable_domain"],
+        {"n_hosts": ("site_domain", "count")},
+    )
+    out = adaptive_inner_join(base, n_hosts, "registrable_domain")
+    return out.select_columns(["registrable_domain", "n_docs", "n_hosts", "chars_total"])
+
+
+def derive_psl_hosts(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic multi-suffix url per doc, covering every PSL
+    lookup path: multi-label ICANN suffixes (co.uk, com.au), a PRIVATE
+    hosting suffix (github.io), and the implicit single-label TLD
+    fallback (example.com) — with extra subdomain labels planted so the
+    collapse is observable. Keyed only on doc_id."""
+    urls = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        art = d // 2
+        fam = d % 4
+        if fam == 0:
+            host = f"a{d % 5}.ex{art % 3}.co.uk"
+        elif fam == 1:
+            host = f"x.u{art % 11}.github.io"
+        elif fam == 2:
+            host = f"www.s{art % 7}.example.com"
+        else:
+            host = f"deep.a.ex{art % 3}.com.au"
+        urls.append(f"https://{host}/p/{d}")
+    out = b.copy()
+    out["url"] = urls
+    return out
+
+
+def registrable_domain_stats_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → multi-suffix urls → PSL registrable-domain
+    stats. The oracle computes the expected owner key straight from
+    doc_id arithmetic, so a wrong longest-match (e.g. treating co.uk
+    as a registrable domain, or collapsing github.io user sites)
+    breaks the hash."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).map_batches(derive_psl_hosts, batch_format="pandas")
+    stats = registrable_domain_stats(ds)
+
+    def exact_types(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "n_hosts", "chars_total"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return stats.map_batches(exact_types, batch_format="pandas")
+
+
+REGISTRABLE_DOMAIN_STATS_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+    CASE doc_id % 4
+      WHEN 0 THEN 'ex' || CAST((doc_id // 2) % 3 AS VARCHAR) || '.co.uk'
+      WHEN 1 THEN 'u' || CAST((doc_id // 2) % 11 AS VARCHAR) || '.github.io'
+      WHEN 2 THEN 'example.com'
+      ELSE 'ex' || CAST((doc_id // 2) % 3 AS VARCHAR) || '.com.au'
+    END AS registrable_domain,
+    CASE doc_id % 4
+      WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.ex' || CAST((doc_id // 2) % 3 AS VARCHAR) || '.co.uk'
+      WHEN 1 THEN 'x.u' || CAST((doc_id // 2) % 11 AS VARCHAR) || '.github.io'
+      WHEN 2 THEN 's' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com'
+      ELSE 'deep.a.ex' || CAST((doc_id // 2) % 3 AS VARCHAR) || '.com.au'
+    END AS site_domain
+  FROM documents
+)
+SELECT registrable_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT site_domain) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM c
 GROUP BY 1
 """
 
