@@ -136,16 +136,23 @@ def train_centroids(sf_dir: str, num_lists: int = 16, iters: int = 5, sample_row
         .limit(sample_rows)
         .to_pandas()
     )
-    ids = sample["vec_id"].to_numpy(dtype=np.int64)
     mat = np.array(list(sample["embedding"]), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    matn = mat / norms
-    seed_idx = np.linspace(0, len(ids) - 1, num_lists).astype(int)
+    return lloyd_unit_kmeans(mat / norms, num_lists, iters)
+
+
+def lloyd_unit_kmeans(matn: np.ndarray, k: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd iterations on UNIT-normalized rows (cosine
+    k-means): evenly-spaced-row seeding, mean-then-renormalize updates.
+    Shared by ``train_centroids`` and semdedup's oversized-cluster
+    sub-split so every path clusters identically. Caller provides rows
+    in a deterministic order (sorted by vec_id)."""
+    seed_idx = np.linspace(0, len(matn) - 1, k).astype(int)
     cents = matn[seed_idx].copy()
     for _ in range(iters):
         assign = (matn @ cents.T).argmax(axis=1)
-        for c in range(num_lists):
+        for c in range(k):
             members = matn[assign == c]
             if len(members):
                 v = members.mean(axis=0)

@@ -118,3 +118,128 @@ def test_registrable_domain_stats_matches_oracle_sf0001():
     # github.io user sites do NOT pool: every owner has exactly 1 host
     gh = mine[mine["registrable_domain"].str.endswith("github.io")]
     assert len(gh) > 1 and (gh["n_hosts"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup oversized-cluster sub-split (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings_r5(tmp_path, vecs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def _planted_three_lobe_corpus(n_per_lobe=40):
+    """3 groups of near-identical vectors around orthogonal axes, with
+    exact duplicate pairs planted inside each group; deterministic."""
+    import numpy as np
+
+    e = np.eye(8)
+    vecs = []
+    for lobe in range(3):
+        for j in range(n_per_lobe):
+            if j % 4 == 1:
+                vecs.append(vecs[-1])  # exact duplicate of previous row
+            else:
+                v = e[lobe] + 0.01 * e[(lobe + 3 + j % 3) % 8] * (1 + j % 5)
+                vecs.append(v / np.linalg.norm(v))
+    return vecs
+
+
+def test_semdedup_oversized_cluster_subsplits_instead_of_raising(tmp_path):
+    """120 rows forced into ONE coarse cluster with max_cluster_rows=60:
+    the r4 code raised; the sub-split must separate the three lobes,
+    return every row exactly once, still collapse exact duplicates, and
+    satisfy the within-final-cluster leader invariant."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.dedup import semdedup
+
+    vecs = _planted_three_lobe_corpus(40)
+    d = _write_embeddings_r5(tmp_path, vecs)
+    out = (
+        semdedup(
+            d,
+            num_clusters=1,
+            cosine_threshold=0.9999,
+            max_cluster_rows=60,
+            split_branch=4,
+            max_split_depth=3,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(vecs)
+    assert out["vec_id"].is_unique
+    # sub-split really happened: final list ids go beyond the 1 coarse id
+    assert out["list_id"].nunique() > 1
+    # exact duplicates collapsed: each planted dup (vec j%4==1 copies
+    # j-1) must be dropped iff its twin is in the same final cluster —
+    # identical vectors assign identically at every level, so always
+    lid = dict(zip(out["vec_id"], out["list_id"]))
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    matn = np.array([v / np.linalg.norm(v) for v in vecs])
+    n_dups = 0
+    for vid in range(len(vecs)):
+        if np.allclose(vecs[vid], vecs[vid - 1]) and vid % 40 != 0:
+            assert lid[vid] == lid[vid - 1]
+            assert not keep[vid]
+            n_dups += 1
+    assert n_dups > 10
+    # leader invariant within each final cluster
+    for l, g in out.groupby("list_id"):
+        kept = matn[g.loc[g["keep"], "vec_id"].to_numpy()]
+        for vid in g.loc[~g["keep"], "vec_id"]:
+            assert (kept @ matn[vid]).max() >= 0.9999
+
+
+def test_semdedup_split_is_noop_below_cap():
+    """With every cluster under the cap, split_oversized=True output is
+    bit-identical to the unsplit path (untouched clusters keep ids)."""
+    import pandas as pd
+
+    from pdf_extractor_ray.pipelines.dedup import semdedup
+
+    a = (
+        semdedup(SF_DIR, num_clusters=4, cosine_threshold=0.45, split_oversized=True)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semdedup(SF_DIR, num_clusters=4, cosine_threshold=0.45, split_oversized=False)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_inseparable_cluster_hits_backstop(tmp_path):
+    """A cluster of identical vectors can never be k-means-separated:
+    after max_split_depth rounds the in-group guard still raises (with
+    a warning from the splitter)."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.dedup import semdedup
+
+    vecs = [np.eye(4)[0]] * 30
+    d = _write_embeddings_r5(tmp_path, vecs)
+    with pytest.warns(UserWarning, match="sub-split rounds"):
+        with pytest.raises(Exception, match="max_cluster_rows"):
+            semdedup(
+                d,
+                num_clusters=1,
+                max_cluster_rows=10,
+                split_branch=2,
+                max_split_depth=1,
+            ).to_pandas()
