@@ -108,7 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen": textops.contamination_screen,
         "contamination_screen_bloom": textops.contamination_screen_bloom,
         "tfidf_top_terms": textops.tfidf_top_terms,
-        "heavy_hitter_tokens": textops.heavy_hitter_tokens,
+        "heavy_hitter_tokens": textops.heavy_hitter_tokens_query,
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,

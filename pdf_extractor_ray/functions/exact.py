@@ -12,6 +12,20 @@ operations — bit-identical in numpy and DuckDB for identical input
 doubles — and integer sums are exact and order-independent. (``floor(x
 + 0.5)`` also sidesteps the banker's-rounding vs half-away-from-zero
 mismatch between numpy ``round`` and SQL ``round``.)
+
+ASCII-WHITESPACE CORPUS PRECONDITION (ADVICE r4): the trim/split SQL
+fragments below replicate Python ``str.strip()`` / ``str.split()`` for
+the ASCII whitespace set only. Python additionally splits on the
+Unicode whitespace set (\\x1c-\\x1f, \\x85, NBSP, ideographic spaces,
+…), which neither DuckDB ``trim`` nor RE2 ``\\s`` covers — so ANY
+non-ASCII whitespace in a document makes every tokenizing oracle
+diverge from the engine. This holds for the synthetic test corpus
+(ASCII text by construction) and is the documented precondition for a
+production corpus: normalize exotic whitespace upstream (e.g. in the
+extraction/normalize stage) before running tokenizing oracles, or
+accept that the SQL oracle is not an exact replica there. This single
+module is the source of truth for that contract — every oracle that
+tokenizes imports these fragments rather than re-deriving them.
 """
 
 from __future__ import annotations

@@ -155,7 +155,7 @@ def q3_top_building_orders(sf_dir: str) -> pd.DataFrame:
         arrow_partials=True,
     )
     per_order = per_order.map_batches(
-        lambda b: b.rename(columns={"rev_cents": "revenue_cents"}), batch_format="pandas"
+        lambda t: t.rename_columns(["o_orderkey", "revenue_cents"]), batch_format="pyarrow"
     )
     top = per_order.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
     return top.to_pandas()

@@ -306,11 +306,19 @@ def append_to_ivf_index(index_dir: str, delta: "ray.data.Dataset") -> int:
 
 def compact_ivf_index(index_dir: str) -> int:
     """Rewrite the manifest-listed fragments into one consolidated
-    hive layout and GC everything unreferenced (pre-compaction
-    generations, orphaned append staging from crashes). List
-    assignment is recomputed from the sidecar centroids — deterministic,
-    so rows land in the same lists; one distributed read→assign→write
-    pass, then an atomic manifest bump. Returns the new version."""
+    hive layout, then GC with ONE generation of reader grace (ADVICE
+    r4): the just-replaced generation's directories are recorded as
+    ``retired`` in the new manifest and left on disk, so a reader that
+    listed fragments from the OLD manifest right before the bump can
+    still open them mid-query; they are swept by the NEXT compaction.
+    Everything referenced by neither the new manifest nor ``retired``
+    (two-generations-old data, orphaned append staging from crashes)
+    is GC'd immediately. List assignment is recomputed from the
+    sidecar centroids — deterministic, so rows land in the same lists;
+    one distributed read→assign→write pass, then an atomic manifest
+    bump. Writers stay single-at-a-time (serialized externally);
+    readers need no exclusion as long as a query does not outlive a
+    FULL compaction cycle. Returns the new version."""
     import shutil
     import uuid
 
@@ -327,13 +335,19 @@ def compact_ivf_index(index_dir: str) -> int:
     ds.map_batches(_assign_stage(cents), batch_format="pyarrow", batch_size=4096).write_parquet(
         os.path.join(index_dir, gen), partition_cols=["list_id"]
     )
+    # top-level dirs holding the generation being replaced — retained
+    # for one cycle so in-flight readers of the old manifest survive
+    retired = sorted({f.split(os.sep)[0] for f in manifest["files"]})
     new_manifest = {
         "version": int(manifest.get("version", 1)) + 1,
         "files": _rel_parquet_files(index_dir, gen),
+        "retired": retired,
     }
     _commit_manifest(index_dir, new_manifest)
-    # GC: every data/delta directory the new manifest does not reference
-    keep = {gen, "centroids.npy", os.path.basename(_manifest_path(index_dir))}
+    # GC: every data/delta directory that is neither current nor in the
+    # one-cycle grace set — i.e. dirs retired by the PREVIOUS compact
+    # and crash orphans no manifest ever referenced
+    keep = {gen, *retired, "centroids.npy", os.path.basename(_manifest_path(index_dir))}
     for entry in os.listdir(index_dir):
         if entry in keep or entry.startswith("manifest-"):
             continue

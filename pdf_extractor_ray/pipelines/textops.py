@@ -764,6 +764,21 @@ def heavy_hitter_tokens(
     return result
 
 
+def heavy_hitter_tokens_query(sf_dir: str, top_m: int = 10) -> pd.DataFrame:
+    """Driver/bench carrier for ``heavy_hitter_tokens`` (ADVICE r4): a
+    long-running unattended invocation must not hard-fail when the
+    completeness floor fires on a flatter corpus — auto-retry with a
+    4×-larger sketch (each retry re-streams the corpus but the summary
+    stays k_counters-bounded), then warn and return best-effort at the
+    cap. Direct API callers keep strict=True semantics."""
+    for k_counters in (64, 256, 1024):
+        try:
+            return heavy_hitter_tokens(sf_dir, k_counters=k_counters, top_m=top_m)
+        except ValueError:
+            continue
+    return heavy_hitter_tokens(sf_dir, k_counters=4096, top_m=top_m, strict=False)
+
+
 def contamination_screen_bloom(
     sf_dir: str, benchmark_mod: int = 50, k: int = 8, bloom_bits: int = 1 << 20
 ) -> ray.data.Dataset:

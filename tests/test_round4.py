@@ -140,16 +140,30 @@ def test_ivf_append_and_compact(tmp_path):
     before = sim.knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
     pd.testing.assert_frame_equal(before, approx)
 
+    pre_compact_files = [os.path.join(idx, f) for f in sim._read_manifest(idx)["files"]]
     v3 = sim.compact_ivf_index(idx)
     assert v3 == 3
     after = sim.knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
     pd.testing.assert_frame_equal(after, approx)
-    # orphans and old generations are gone; fragments consolidated
     entries = set(os.listdir(idx))
-    assert "data" not in entries and not any(e.startswith("delta-") for e in entries)
+    # the never-committed orphan is swept immediately…
+    assert "delta-deadbeef0000" not in entries
+    # …but the replaced generation gets ONE cycle of reader grace
+    # (ADVICE r4): a reader that listed the v2 manifest right before
+    # the bump can still open every file it saw
+    assert all(os.path.exists(f) for f in pre_compact_files)
+    assert set(sim._read_manifest(idx)["retired"]) <= entries
     files3 = sim._read_manifest(idx)["files"]
     assert len(files3) <= len(files)
     assert sum(pq.read_metadata(os.path.join(idx, f)).num_rows for f in files3) == n
+    # the NEXT compact sweeps the retired generation
+    v4 = sim.compact_ivf_index(idx)
+    assert v4 == 4
+    entries4 = set(os.listdir(idx))
+    assert "data" not in entries4 and not any(e.startswith("delta-") for e in entries4)
+    assert not any(os.path.exists(f) for f in pre_compact_files)
+    final = sim.knn_ivf_indexed(idx, qvec, exclude_vec_id=qid, k=10, n_probe=4)
+    pd.testing.assert_frame_equal(final, approx)
 
 
 def test_adaptive_join_arrow_format_all_plans_identical():
