@@ -224,6 +224,50 @@ def test_semdedup_split_is_noop_below_cap():
     pd.testing.assert_frame_equal(a, b)
 
 
+# ---------------------------------------------------------------------------
+# BPE round batching (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_round_batching_bit_exact_at_64_merges():
+    """Batched rounds (round_batch=16) produce the identical merge
+    table — ranks, pairs, counts — as the plain sequential algorithm
+    (round_batch=1) at 64 merges over sf0.001, and both match a local
+    single-process reference. The strict-dominance batch rule is what
+    makes this exact, not luck."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.corpus import BPE_EOW, _bpe_merge_word, bpe_learn
+
+    def reference(texts, num_merges):
+        wf = Counter()
+        for t in texts:
+            wf.update(t.split())
+        vocab = {w: list(w) + [BPE_EOW] for w in wf}
+        merges = []
+        for rank in range(num_merges):
+            pc = Counter()
+            for w, syms in vocab.items():
+                n = wf[w]
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += n
+            if not pc:
+                break
+            (left, right), n_best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            merges.append((rank, left, right, n_best))
+            vocab = {w: _bpe_merge_word(s, left, right) for w, s in vocab.items()}
+        return merges
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
+    exp = reference(texts, 64)
+    batched = bpe_learn(SF_DIR, num_merges=64, round_batch=16)
+    sequential = bpe_learn(SF_DIR, num_merges=64, round_batch=1)
+    assert list(map(tuple, batched.itertuples(index=False))) == exp
+    assert list(map(tuple, sequential.itertuples(index=False))) == exp
+
+
 def test_semdedup_inseparable_cluster_hits_backstop(tmp_path):
     """A cluster of identical vectors can never be k-means-separated:
     after max_split_depth rounds the in-group guard still raises (with
