@@ -1,0 +1,595 @@
+"""Baseline JPEG codec in pure numpy/stdlib (VERDICT r4 #10 — the last
+formerly-gated image format).
+
+Public-spec implementation (ITU-T T.81 / ISO 10918-1, baseline
+sequential DCT, Huffman entropy coding):
+
+- ``decode_jpeg`` parses SOI/APP*/COM/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI,
+  builds Huffman decoders from the embedded DHT segments (any valid
+  tables, not just the spec's Annex K examples), entropy-decodes the
+  interleaved MCU stream with byte-unstuffing and restart-interval DC
+  resets, dequantizes, inverse-zigzags, applies the 2-D IDCT (8×8
+  orthonormal DCT-II matrix, exact float), reassembles component
+  planes under arbitrary (Hi, Vi) sampling factors with nearest-
+  neighbor upsampling, and converts YCbCr→RGB for 3-component scans.
+- ``encode_jpeg`` writes valid single-scan baseline JFIF files for
+  test fixtures: 4:4:4 (no subsampling), embedded quant tables, and
+  CUSTOM flat-length canonical Huffman tables (all codes one length —
+  legal per the format, suboptimal compression, and crucially free of
+  any dependence on correctly-memorized Annex K code tables; the
+  decoder reads whatever DHT says).
+
+Progressive (SOF2), arithmetic-coded (SOF9+), hierarchical and 12-bit
+scans raise ``ValueError`` — the quarantine path, same contract as the
+PNG/GIF/BMP codecs in ``pipelines/multimodal.py``: any malformed or
+truncated payload raises, never returns garbage.
+
+Reference analog: none — the reference repo (pdf-extractor) delegates
+all raster work to PyMuPDF; this codec exists for the multimodal
+column pipelines (SURVEY.md training-data extensions).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared tables
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """The standard 8×8 zigzag scan, generated (not hard-coded): walk
+    anti-diagonals, alternating direction, starting (0,0),(0,1),(1,0)."""
+    order = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        if s % 2 == 0:
+            ij.reverse()  # even diagonals run bottom-left → top-right
+        order.extend(ij)
+    flat = np.array([i * 8 + j for i, j in order], dtype=np.int64)
+    assert flat.size == 64 and flat[1] == 1 and flat[2] == 8
+    return flat
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K luminance quantization table (public spec example); any
+# table is legal — it ships inside DQT and the decoder uses what it
+# reads, so fidelity here only shapes the loss profile of fixtures.
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+# mild flat chroma table (embedded in DQT like any other)
+QUANT_CHROMA = np.full((8, 8), 24, dtype=np.int64)
+QUANT_CHROMA[0, 0] = 17
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: coeffs = T @ block @ T.T
+    (JPEG's FDCT up to the level shift); inverse = T.T @ coeffs @ T."""
+    n = np.arange(8)
+    k = n.reshape(-1, 1)
+    t = np.cos((2 * n + 1) * k * np.pi / 16) / 2.0
+    t[0, :] = 1.0 / np.sqrt(8.0)
+    return t
+
+
+DCT_T = _dct_matrix()
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops at markers.
+    A marker mid-read (other than via explicit restart handling) or
+    running off the end raises — the truncation/quarantine contract."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: truncated entropy-coded segment")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("jpeg: truncated entropy-coded segment")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError(f"jpeg: unexpected marker 0xFF{nxt:02X} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Consume padding to the byte boundary, then the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("jpeg: truncated at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n & 7):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos += 2
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """DHT (Li, Vij) → {symbol: (code, length)} canonical assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        for sym, (code, length) in _canonical_codes(bits, vals).items():
+            self.lookup[(length, code)] = sym
+        self.max_len = max((l for l, _ in self.lookup), default=0)
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _flat_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """All-same-length canonical table over ``symbols`` (≤255 of them):
+    the simplest legal DHT, immune to Annex-K transcription errors."""
+    n = len(symbols)
+    length = max(1, (n + 1 - 1).bit_length())  # need n ≤ 2^length - 1
+    while (1 << length) - 1 < n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, sorted(symbols)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray, grid: tuple[int, int]) -> np.ndarray:
+    """Level-shifted 2-D DCT per 8×8 block over a plane edge-padded to
+    exactly ``grid`` = (blocks_y, blocks_x). Returns
+    (blocks_y, blocks_x, 64) int32 in zigzag order."""
+    by, bx = grid
+    h, w = plane.shape
+    padded = np.pad(
+        plane.astype(np.float64) - 128.0, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
+    )
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coeffs = np.einsum("ij,abjk,lk->abil", DCT_T, blocks, DCT_T)
+    q = np.round(coeffs / qt).astype(np.int32)
+    return q.reshape(by, bx, 64)[:, :, ZIGZAG]
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _scan_blocks(comps: list[tuple[np.ndarray, int, int]], mcu_grid: tuple[int, int]):
+    """Yield (component_index, block) in the EXACT interleaved MCU
+    order of the scan — single source for symbol collection and
+    emission, so DC-diff categories are computed over the same
+    sequence both times (a plane-row-major dry pass diverges from MCU
+    order whenever a component has hi or vi > 1)."""
+    mcuy, mcux = mcu_grid
+    for y in range(mcuy):
+        for x in range(mcux):
+            for ci, (q, hi, vi) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        yield ci, q[y * vi + by, x * hi + bx]
+
+
+def _collect_symbols(
+    comps: list[tuple[np.ndarray, int, int]], mcu_grid: tuple[int, int]
+) -> tuple[set[int], set[int]]:
+    """All DC categories and AC (run,size) symbols the scan will emit —
+    drives the custom flat Huffman tables."""
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = {0x00}  # EOB always representable
+    prev = [0] * len(comps)
+    for ci, blk in _scan_blocks(comps, mcu_grid):
+        dc_syms.add(_category(int(blk[0]) - prev[ci]))
+        prev[ci] = int(blk[0])
+        run = 0
+        for v in blk[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _category(int(v)))
+            run = 0
+    return dc_syms, ac_syms
+
+
+def _encode_scan(
+    bw: _BitWriter,
+    comps: list[tuple[np.ndarray, int, int]],
+    dc_codes: list[dict],
+    ac_codes: list[dict],
+    mcu_grid: tuple[int, int],
+) -> None:
+    """Interleaved MCU stream: (hi × vi) blocks per component per MCU."""
+    prev_dc = [0] * len(comps)
+    for ci, blk in _scan_blocks(comps, mcu_grid):
+        diff = int(blk[0]) - prev_dc[ci]
+        prev_dc[ci] = int(blk[0])
+        size = _category(diff)
+        code, length = dc_codes[ci][size]
+        bw.write(code, length)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last_nz = int(nz[-1]) + 1 if nz.size else 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[ci][0xF0]
+                bw.write(code, length)
+                run -= 16
+            size = _category(v)
+            code, length = ac_codes[ci][(run << 4) | size]
+            bw.write(code, length)
+            bw.write(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[ci][0x00]
+            bw.write(code, length)
+
+
+def encode_jpeg(pixels: np.ndarray, *, subsampling: str = "4:4:4") -> bytes:
+    """Baseline JFIF bytes for an (h, w) grayscale or (h, w, 3) RGB
+    uint8 array: single scan, embedded quant + flat Huffman tables.
+    ``subsampling="4:2:0"`` (3-channel only) downsamples chroma 2×2 —
+    the common web layout — exercising the decoder's general MCU walk.
+    Valid input for any baseline decoder."""
+    if pixels.ndim == 2:
+        planes = [pixels.astype(np.float64)]
+        qts = [QUANT_LUMA]
+        samp = [(1, 1)]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+        qts = [QUANT_LUMA, QUANT_CHROMA, QUANT_CHROMA]
+        if subsampling == "4:2:0":
+            samp = [(2, 2), (1, 1), (1, 1)]
+            planes = [planes[0]] + [_downsample2(p) for p in planes[1:]]
+        elif subsampling == "4:4:4":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"encode_jpeg: unsupported subsampling {subsampling!r}")
+    else:
+        raise ValueError("encode_jpeg: expected (h,w) or (h,w,3) uint8")
+    ncomp = len(planes)
+    h, w = pixels.shape[:2]
+    if not (0 < w < 65536 and 0 < h < 65536):
+        raise ValueError("encode_jpeg: dimensions out of range")
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes_q = [
+        _fdct_quant(np.asarray(p), qt, (mcuy * vi, mcux * hi))
+        for p, qt, (hi, vi) in zip(planes, qts, samp)
+    ]
+    comps_hv = [(q, hi, vi) for q, (hi, vi) in zip(planes_q, samp)]
+    dc_syms, ac_syms = _collect_symbols(comps_hv, (mcuy, mcux))
+    dc_bits, dc_vals = _flat_table(sorted(dc_syms))
+    ac_bits, ac_vals = _flat_table(sorted(ac_syms))
+    dc_code = _canonical_codes(dc_bits, dc_vals)
+    ac_code = _canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (8-bit precision), zigzag order
+    for tid, qt in enumerate(qts[: 2 if ncomp == 3 else 1]):
+        zz = qt.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    # SOF0
+    comp = b""
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        comp += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1 if ncomp == 3 else 0])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comp
+    # DHT: table 0 used by every component for both DC and AC classes
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(dc_vals))
+        + b"\x00"
+        + bytes(dc_bits)
+        + bytes(dc_vals)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(ac_vals))
+        + b"\x10"
+        + bytes(ac_bits)
+        + bytes(ac_vals)
+    )
+    # SOS
+    sos_comp = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) + sos_comp + b"\x00\x3f\x00"
+    bw = _BitWriter()
+    _encode_scan(bw, comps_hv, [dc_code] * ncomp, [ac_code] * ncomp, (mcuy, mcux))
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 mean downsample with edge padding to even dims."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
+    return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w) or (h, w, 3) uint8 pixels. Raises
+    ``ValueError`` on truncation, non-baseline scans, or any structural
+    damage — the quarantine contract."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}  # (class, id)
+    frame = None
+    restart_interval = 0
+
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("jpeg: truncated before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("jpeg: EOI before scan")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("jpeg: truncated segment")
+        body = payload[pos + 2 : pos + seglen]
+        pos += seglen
+
+        if marker == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                bpos += 1
+                n = 64 * (2 if pq else 1)
+                if bpos + n > len(body):
+                    raise ValueError("jpeg: truncated DQT")
+                raw = (
+                    np.frombuffer(body, dtype=">u2", count=64, offset=bpos)
+                    if pq
+                    else np.frombuffer(body, dtype=np.uint8, count=64, offset=bpos)
+                ).astype(np.int64)
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG] = raw  # DQT ships zigzagged
+                qtables[tq] = table.reshape(8, 8)
+                bpos += n
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                if bpos + 17 > len(body):
+                    raise ValueError("jpeg: truncated DHT")
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1 : bpos + 17])
+                nvals = sum(bits)
+                if bpos + 17 + nvals > len(body):
+                    raise ValueError("jpeg: truncated DHT values")
+                vals = list(body[bpos + 17 : bpos + 17 + nvals])
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                bpos += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline scan (progressive/arithmetic) not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("jpeg: scan references unknown component")
+                scan.append((comp, tdta >> 4, tdta & 0xF))
+            return _decode_scan(payload, pos, frame, scan, qtables, huff, restart_interval)
+        # else: APPn/COM — skipped
+
+
+def _decode_scan(data, pos, frame, scan, qtables, huff, restart_interval):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component block grids (MCU-padded)
+    planes = {}
+    for comp, _td, _ta in scan:
+        planes[comp["id"]] = np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64)
+
+    br = _BitReader(data, pos)
+    prev_dc = {c["id"]: 0 for c, _t, _a in scan}
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_expect_rst(rst)
+            rst = (rst + 1) & 7
+            for k in prev_dc:
+                prev_dc[k] = 0
+        my, mx = divmod(m, mcux)
+        for comp, td, ta in scan:
+            try:
+                dc_dec = huff[(0, td)]
+                ac_dec = huff[(1, ta)]
+                qt = qtables[comp["tq"]]
+            except KeyError:
+                raise ValueError("jpeg: scan references missing table") from None
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = _decode_block(br, dc_dec, ac_dec, qt, prev_dc, comp["id"])
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = blk
+
+    # crop to natural size and upsample to full resolution
+    out_planes = []
+    for comp, _td, _ta in scan:
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        p = planes[comp["id"]][:ch, :cw]
+        if comp["h"] != hmax or comp["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) == 3:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise ValueError(f"jpeg: unsupported component count {len(out_planes)}")
+
+
+def _decode_block(br, dc_dec, ac_dec, qt, prev_dc, cid):
+    zz = np.zeros(64, dtype=np.float64)
+    size = dc_dec.decode(br)
+    diff = _extend(br.receive(size), size) if size else 0
+    prev_dc[cid] += diff
+    zz[0] = prev_dc[cid]
+    k = 1
+    while k < 64:
+        sym = ac_dec.decode(br)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError("jpeg: invalid AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k >= 64:
+            raise ValueError("jpeg: AC run overflows block")
+        zz[k] = _extend(br.receive(size), size)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[ZIGZAG] = zz
+    block = coeffs.reshape(8, 8) * qt
+    return DCT_T.T @ block @ DCT_T + 128.0
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map ``size``-bit magnitude to signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
