@@ -87,11 +87,16 @@ def run_headline(corpus_dir: str, num_cpus: int) -> dict:
 def run_queries(sf_dir: str) -> dict[str, float]:
     """Per-query wall times for the registered operator suite.
 
-    Each query is timed best-of-``$GRAFT_BENCH_REPS`` (default 3): the
-    host is a shared, throttled sandbox whose minute-scale CPU steal
-    swings single measurements 1.4-4× (BENCH/BASELINE.md, rounds 3-4),
-    so a single pass measures the host's minute, not the engine. The
-    suite is ~20 s, so 3× is affordable in the driver's one shot."""
+    Each query is timed best-of-``$GRAFT_BENCH_REPS`` (default 3), and
+    the reps are INTERLEAVED as full passes over the suite rather than
+    run back-to-back: the host is a shared, throttled sandbox whose
+    CPU-steal episodes last minutes (BENCH/BASELINE.md, rounds 3-5 —
+    a round-5 consecutive-reps run read 66 s for a 21 s suite with a
+    healthy PRE-run calibration), so three consecutive reps of one
+    query all land inside the same bad minute, while passes put a
+    query's reps ~a suite-length apart and the min escapes any episode
+    shorter than the whole run. The suite is ~20 s, so 3× is
+    affordable in the driver's one shot."""
     sys.path.insert(0, REPO)
     import __ray_entry__ as entrymod
 
@@ -114,18 +119,16 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "paragraph_dedup_documents",
     ]
     reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
-    times = {}
-    for name in bench_set:
-        best = float("inf")
-        for _ in range(reps):
+    times = {name: float("inf") for name in bench_set}
+    for _ in range(reps):  # passes, not consecutive reps (see docstring)
+        for name in bench_set:
             t0 = time.monotonic()
             result = qs[name](sf_dir)
             # consume lazily-built datasets without keeping data
             if hasattr(result, "count"):
                 result.count()
-            best = min(best, time.monotonic() - t0)
-        times[name] = round(best, 3)
-    return times
+            times[name] = min(times[name], time.monotonic() - t0)
+    return {name: round(t, 3) for name, t in times.items()}
 
 
 def main() -> None:
@@ -169,6 +172,10 @@ def main() -> None:
     corpus, _ = ensure_bench_corpus(args.sf_dir)
     headline = run_headline(corpus, args.cpus)
     queries = {} if args.headline_only else run_queries(args.sf_dir)
+    # second calibration AFTER the suite: the pair brackets the run, so
+    # a throttle episode that began mid-run (invisible to the pre-run
+    # burn) is still self-identifying in the JSON
+    cal_after = host_effective_cores(args.cpus)
 
     total = headline["wall_s"] + sum(queries.values())
     out = {
@@ -182,8 +189,11 @@ def main() -> None:
         "mb_per_sec": headline["mb_per_sec"],
         "headline_docs": headline["docs"],
         # host throttle self-identification: effective cores the burn
-        # test measured at num_cpus procs, pre-Ray (healthy ≈ 20/32)
+        # test measured at num_cpus procs, before and after the suite
+        # (healthy ≈ 20-22/32; a low AFTER value flags a mid-run
+        # throttle episode even when the pre-run read was healthy)
         "host_effective_cores": cal_cores,
+        "host_effective_cores_after": cal_after,
         "bench_reps": int(os.environ.get("GRAFT_BENCH_REPS", "3")),
     }
     print(json.dumps(out))
