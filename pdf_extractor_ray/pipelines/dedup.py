@@ -624,6 +624,7 @@ def semdedup(
     split_branch: int = 8,
     split_sample_rows: int = 4096,
     max_split_depth: int = 4,
+    split_log: "list[dict] | None" = None,
 ) -> ray.data.Dataset:
     """Semantic dedup: cluster embeddings with the IVF coarse k-means
     (``similarity.train_centroids`` — bounded deterministic sample,
@@ -679,6 +680,7 @@ def semdedup(
             sample_rows=split_sample_rows,
             max_depth=max_split_depth,
             next_id=num_clusters,
+            split_log=split_log,
         )
 
     def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -730,6 +732,7 @@ def _split_oversized_clusters(
     sample_rows: int,
     max_depth: int,
     next_id: int,
+    split_log: "list[dict] | None" = None,
 ) -> ray.data.Dataset:
     """Recursive k-means sub-split of clusters whose ASSIGN-STAGE counts
     exceed ``max_cluster_rows`` — run before any ``map_groups`` so no
@@ -816,6 +819,17 @@ def _split_oversized_clusters(
         for lid, grp in sub.groupby("list_id", sort=True):
             plan[int(lid)] = (np.array(list(grp["centroid"]), dtype=np.float64), next_id)
             next_id += len(grp)
+        if split_log is not None:  # sizing lineage for 100-TB operators
+            counts_by_lid = dict(zip(counts["list_id"].astype(int), counts["n"].astype(int)))
+            split_log.append(
+                {
+                    "depth": _depth,
+                    "split": {
+                        lid: {"rows": counts_by_lid[lid], "first_new_id": base, "branch": len(c)}
+                        for lid, (c, base) in plan.items()
+                    },
+                }
+            )
         plan_ref = ray.put(plan)
 
         def reassign(t: pa.Table) -> pa.Table:

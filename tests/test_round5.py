@@ -169,6 +169,7 @@ def test_semdedup_oversized_cluster_subsplits_instead_of_raising(tmp_path):
 
     vecs = _planted_three_lobe_corpus(40)
     d = _write_embeddings_r5(tmp_path, vecs)
+    split_log = []
     out = (
         semdedup(
             d,
@@ -177,6 +178,7 @@ def test_semdedup_oversized_cluster_subsplits_instead_of_raising(tmp_path):
             max_cluster_rows=60,
             split_branch=4,
             max_split_depth=3,
+            split_log=split_log,
         )
         .to_pandas()
         .sort_values("vec_id")
@@ -184,6 +186,9 @@ def test_semdedup_oversized_cluster_subsplits_instead_of_raising(tmp_path):
     )
     assert len(out) == len(vecs)
     assert out["vec_id"].is_unique
+    # sizing lineage: the split of coarse cluster 0 (120 rows) is logged
+    assert split_log and 0 in split_log[0]["split"]
+    assert split_log[0]["split"][0]["rows"] == len(vecs)
     # sub-split really happened: final list ids go beyond the 1 coarse id
     assert out["list_id"].nunique() > 1
     # exact duplicates collapsed: each planted dup (vec j%4==1 copies
