@@ -37,8 +37,9 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 # algorithm falls back to "last label is the suffix". When packaging
 # for production, regenerate this set from the full upstream list; the
 # algorithm below is the standard PSL longest-match rule and needs no
-# change. (Wildcard `*.` and exception `!` rules, rare in practice,
-# are not represented in this snapshot.)
+# change. Wildcard ``*.`` and exception ``!`` rules ARE supported
+# (PSL_WILDCARD / PSL_EXCEPTIONS below), so regenerating from the full
+# upstream list is purely a data swap.
 PSL_SNAPSHOT = frozenset({
     # ICANN section — United Kingdom
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
@@ -88,6 +89,28 @@ PSL_SNAPSHOT = frozenset({
     "netlify.app", "vercel.app", "web.app", "firebaseapp.com",
     "pages.dev", "workers.dev", "readthedocs.io", "neocities.org",
     "s3.amazonaws.com",
+})
+
+# Wildcard rules (``*.B`` in the upstream list): EVERY direct child of
+# B is itself a public suffix, so the registrable domain is two labels
+# below B. The set stores the base B.
+PSL_WILDCARD = frozenset({
+    # ICANN: ccTLDs whose second level is delegated per-registrant
+    "ck", "jm", "kh", "mm", "np", "pg",
+    # ICANN: Japanese geographic city domains (*.kawasaki.jp etc.)
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+    # PRIVATE: per-customer cloud hostnames
+    "compute.amazonaws.com",
+})
+
+# Exception rules (``!E`` in the upstream list): E looks like a child
+# of a wildcard base but is a REGISTRABLE domain, not a suffix.
+PSL_EXCEPTIONS = frozenset({
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
 })
 
 
@@ -170,14 +193,38 @@ def registrable_domain(url: str) -> str:
       (github.io is a PSL private-section suffix: every user site is
       an independently-owned domain)
 
-    A host that IS a public suffix (e.g. ``github.io``) is returned
-    unchanged; an IP literal or empty host is returned as-is."""
+    Wildcard and exception rules follow the upstream algorithm:
+
+    - ``bar.foo.ck``       → ``bar.foo.ck``  (``*.ck``: foo.ck is a suffix)
+    - ``sub.www.ck``       → ``www.ck``      (``!www.ck`` exception)
+    - ``x.city.kobe.jp``   → ``city.kobe.jp``
+
+    A host that IS a public suffix (e.g. ``github.io``, ``foo.ck``) is
+    returned unchanged; an IP literal or empty host is returned as-is."""
     host = _extract_host(url)
     if not host or host.replace(".", "").isdigit():  # IPv4 literal
         return host
     labels = host.split(".")
-    # longest public suffix = smallest i with labels[i:] in the list
-    for i in range(len(labels)):
-        if ".".join(labels[i:]) in PSL_SNAPSHOT:
-            return host if i == 0 else ".".join(labels[i - 1 :])
-    return host if len(labels) <= 1 else ".".join(labels[-2:])
+    ps = _public_suffix_labels(labels)
+    if ps >= len(labels):
+        return host
+    return ".".join(labels[-(ps + 1) :])
+
+
+def _public_suffix_labels(labels: list[str]) -> int:
+    """Label count of the host's public suffix per the publicsuffix.org
+    algorithm: an exception rule wins outright (its suffix is the rule
+    minus its leading label); otherwise the longest match among plain
+    rules, wildcard rules (base + one label) and the implicit
+    single-label rule."""
+    n = len(labels)
+    best = 1  # implicit "*" rule: the bare TLD
+    for i in range(n):  # i ascending = longest candidate first
+        cand = ".".join(labels[i:])
+        if cand in PSL_EXCEPTIONS:
+            return n - i - 1
+        if cand in PSL_SNAPSHOT:
+            best = max(best, n - i)
+        if i > 0 and cand in PSL_WILDCARD:
+            best = max(best, n - i + 1)
+    return best

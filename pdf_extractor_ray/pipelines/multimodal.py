@@ -7,12 +7,14 @@ all in numpy — see ``_png_decode_pixels``), GIF87a/89a (hand LZW
 decoder with variable-width codes, interlace, local/global palettes —
 ``_gif_decode_pixels``), uncompressed BMP (24-bit BGR and 8-bit
 palette, bottom-up rows, 4-byte padding — ``_bmp_decode_pixels``), and
-RIFF/WAV PCM16 via the stdlib ``wave`` module, and baseline JPEG
-(T.81 sequential DCT + Huffman, pure numpy — ``kernels/jpeg.py``,
-VERDICT r4 #10; lossy, so pinned by dims/channel exactness, bounded
-reconstruction error, and the every-prefix quarantine sweep rather
-than byte identity). Progressive/arithmetic JPEG, MP3 and video stay
-honestly gated (ValueError → quarantine).
+RIFF/WAV PCM16 via the stdlib ``wave`` module, and JPEG — baseline
+(T.81 sequential DCT + Huffman, VERDICT r4 #10) AND progressive
+(SOF2 spectral selection + successive approximation, TODO_ROUND6 #6),
+pure numpy in ``kernels/jpeg.py``; lossy, so pinned by dims/channel
+exactness, bounded reconstruction error, the every-prefix quarantine
+sweep, and progressive-vs-baseline BIT-IDENTITY (both encoders share
+one quantization front end). Arithmetic/lossless JPEG, MP3 and video
+stay honestly gated (ValueError → quarantine).
 Everything Ray-side is real and tested either way: schema,
 batch sizing for large binary payloads, actor signature (state in
 ``__init__``), output layout, quarantine of undecodable rows.
@@ -571,10 +573,12 @@ def make_bmp(media_id: int, w: int, h: int) -> bytes:
 
 
 def make_jpeg(media_id: int, w: int, h: int) -> bytes:
-    """Deterministic baseline JPEG test image (smooth gradient + mild
-    noise, the codec's natural signal): grayscale for even ids, RGB
-    4:2:0 for odd — exercising both scan layouts of the decoder."""
-    from pdf_extractor_ray.kernels.jpeg import encode_jpeg
+    """Deterministic JPEG test image (smooth gradient + mild noise, the
+    codec's natural signal): grayscale for even ids, RGB 4:2:0 for odd;
+    every other RGB id is encoded PROGRESSIVE (SOF2) — pixels are
+    bit-identical either way (shared quantization), so downstream
+    features don't depend on the scan layout."""
+    from pdf_extractor_ray.kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 
     rng = np.random.RandomState(media_id % (2**31))
     gx, gy = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
@@ -582,6 +586,8 @@ def make_jpeg(media_id: int, w: int, h: int) -> bytes:
     if media_id % 2 == 0:
         return encode_jpeg(gray)
     rgb = np.stack([gray, 255 - gray, np.full_like(gray, 128)], axis=-1)
+    if (media_id // 4) % 2 == 1:
+        return encode_jpeg_progressive(rgb, subsampling="4:2:0")
     return encode_jpeg(rgb, subsampling="4:2:0")
 
 
@@ -609,10 +615,10 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_jpeg_features(payload: bytes) -> dict:
-    """Baseline JPEG → the standard image feature dict (VERDICT r4 #10:
-    the last formerly-gated image codec, now real via the pure-numpy
-    T.81 baseline decoder in ``kernels/jpeg.py``). Progressive /
-    arithmetic scans raise ValueError → quarantine, honestly."""
+    """Baseline or progressive JPEG → the standard image feature dict
+    (pure-numpy T.81 decoder in ``kernels/jpeg.py``; SOF0/1 single-scan
+    and SOF2 multi-scan both decode natively). Arithmetic / lossless
+    scans raise ValueError → quarantine, honestly."""
     from pdf_extractor_ray.kernels.jpeg import decode_jpeg
 
     pixels = decode_jpeg(payload)
@@ -627,8 +633,8 @@ def decode_jpeg_features(payload: bytes) -> dict:
 def decode_image(payload: bytes) -> dict:
     """Image decode: IMG1 (synthetic container), real binary netpbm
     (P5/P6), non-interlaced 8-bit PNG, GIF87a/89a, uncompressed BMP,
-    and baseline JPEG all decode natively (no external codec);
-    progressive JPEG / MP3 / video stay honestly gated."""
+    and JPEG (baseline + progressive) all decode natively (no
+    external codec); MP3 / video stay honestly gated."""
     if payload.startswith(b"IMG1"):
         w, h = struct.unpack(">II", payload[4:12])
         pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
@@ -758,7 +764,7 @@ def generate_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             t, p, m = "image", make_ppm(i, 16 + (i % 32), 16 + (i % 24)), '{"codec":"ppm"}'
         elif r < 43:
             t, p, m = "image", make_fake_image(i, 32 + (i % 64), 32 + (i % 48)), '{"codec":"img1"}'
-        elif r < 45:  # real baseline JPEG (gray / RGB 4:2:0 alternating)
+        elif r < 45:  # real JPEG: gray baseline / RGB 4:2:0, alternating baseline+progressive
             t, p, m = "image", make_jpeg(i, 13 + (i % 28), 11 + (i % 22)), '{"codec":"jpeg"}'
         elif r < 55:  # real PNG (zlib inflate + unfilter) — gray/RGB/RGBA, all filters
             t = "image"
