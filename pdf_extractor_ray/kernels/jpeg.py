@@ -183,15 +183,12 @@ class _BitReader:
 
     def align_and_expect_rst(self, n: int) -> None:
         """Consume padding to the byte boundary, then the RSTn marker.
-        An unread all-ones pad byte arrives as stuffed FF 00 — skip it."""
+        (A pad byte always carries at least one entropy bit, so ``_fill``
+        has already consumed it — and its FF 00 stuffing if all-ones —
+        before this runs; finding anything but the marker here means
+        the stream is desynced or corrupt, and raising is correct.)"""
         self.acc = 0
         self.nbits = 0
-        if (
-            self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and self.data[self.pos + 1] == 0x00
-        ):
-            self.pos += 2
         if self.pos + 1 >= len(self.data):
             raise ValueError("jpeg: truncated at restart marker")
         if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + (n & 7):
@@ -460,25 +457,11 @@ def encode_jpeg(
 
     out = _headers(h, w, samp, qts, 0xC0)
     # DHT: table 0 used by every component for both DC and AC classes
-    out += (
-        b"\xff\xc4"
-        + struct.pack(">H", 2 + 1 + 16 + len(dc_vals))
-        + b"\x00"
-        + bytes(dc_bits)
-        + bytes(dc_vals)
-    )
-    out += (
-        b"\xff\xc4"
-        + struct.pack(">H", 2 + 1 + 16 + len(ac_vals))
-        + b"\x10"
-        + bytes(ac_bits)
-        + bytes(ac_vals)
-    )
+    out += _dht(0, dc_bits, dc_vals)
+    out += _dht(1, ac_bits, ac_vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos_comp = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) + sos_comp + b"\x00\x3f\x00"
+    out += _sos([(ci + 1, 0x00) for ci in range(ncomp)], 0, 63, 0, 0)
     bw = _BitWriter()
     _encode_scan(bw, comps_hv, [dc_code] * ncomp, [ac_code] * ncomp, (mcuy, mcux), restart_interval)
     out += bw.flush()
@@ -1099,8 +1082,10 @@ def _dec_ac_first(br, ac_dec, blk, ss, se, al, eobrun) -> int:
         sym = ac_dec.decode(br)
         r, s = sym >> 4, sym & 0xF
         if s == 0:
-            if r == 15:  # ZRL
+            if r == 15:  # ZRL: 16 zeros + a following coefficient must fit
                 k += 16
+                if k > se:
+                    raise ValueError("jpeg: AC run overflows band")
                 continue
             eobrun = (1 << r) - 1  # current block is a member of the run
             if r:
@@ -1146,9 +1131,11 @@ def _dec_ac_refine(br, ac_dec, blk, ss, se, p1, m1, eobrun) -> int:
                         break
                     r -= 1
                 k += 1
+            if r != 0 or (val != 0 and k > se):
+                # the promised zero run / landing position overflows the
+                # band — corrupt stream, not a benign truncation
+                raise ValueError("jpeg: refinement run overflows band")
             if val != 0:
-                if k > se:
-                    raise ValueError("jpeg: refinement lands outside band")
                 blk[k] = val
             k += 1
     if eobrun > 0:

@@ -527,6 +527,46 @@ def test_jpeg_progressive_structural_validation():
         decode_jpeg(bytes(bad))
 
 
+def test_jpeg_progressive_zrl_band_overflow_raises():
+    """Corrupt-scan quarantine: a ZRL (or refinement zero-run) whose 16
+    zeros overflow the spectral band must raise, not silently desync
+    and return garbage pixels (review finding on the r5 Annex G code)."""
+    import numpy as np
+
+    from pdf_extractor_ray.kernels.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _HuffDecoder,
+        _canonical_codes,
+        _dec_ac_first,
+        _dec_ac_refine,
+        _flat_table,
+    )
+
+    bits, vals = _flat_table([0x00, 0xF0, 0xF1])
+    dec = _HuffDecoder(bits, vals)
+    codes = _canonical_codes(bits, vals)
+    # AC first scan: 4 ZRLs = 64 zeros, far past the 1..63 band
+    bw = _BitWriter()
+    for _ in range(4):
+        c, length = codes[0xF0]
+        bw.write(c, length)
+    br = _BitReader(bw.flush() + b"\xff\xd9", 0)
+    blk = np.zeros(64, dtype=np.int32)
+    with pytest.raises(ValueError, match="overflows band"):
+        _dec_ac_first(br, dec, blk, 1, 63, 0, 0)
+    # AC refinement: (15,1) symbol promises 15 zeros + a landing in a
+    # 4-position band
+    bw = _BitWriter()
+    c, length = codes[0xF1]
+    bw.write(c, length)
+    bw.write(1, 1)  # sign bit
+    br = _BitReader(bw.flush() + b"\xff\xd9", 0)
+    blk = np.zeros(64, dtype=np.int32)
+    with pytest.raises(ValueError, match="overflows band"):
+        _dec_ac_refine(br, dec, blk, 60, 63, 1, -1, 0)
+
+
 def test_media_pipeline_decodes_planted_jpegs():
     """generate_media_table's JPEG rows flow through the actor-pool
     feature stage with status=ok and correct dims in the features."""
