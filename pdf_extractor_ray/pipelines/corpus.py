@@ -745,6 +745,7 @@ def bpe_learn(
     *,
     round_batch: int = 16,
     round_sizes: "list[int] | None" = None,
+    incremental: bool = False,
 ) -> pd.DataFrame:
     """Learn ``num_merges`` BPE merges over the documents corpus:
     returns ``(rank, left, right, n)`` — the merge table a tokenizer
@@ -784,6 +785,17 @@ def bpe_learn(
     or new (no tie-break hazards). Zipfian pair tables make early
     batches run full; the tail degrades gracefully toward batch=1,
     which is the plain sequential algorithm.
+
+    ``incremental=True`` switches to the pair-count delta table
+    (TODO_ROUND6 #2): count all pairs once, then update the table from
+    each apply pass instead of recounting — bit-exact (pinned), but
+    measured 2.4× SLOWER at sf0.01/64 merges (47.7 s vs 19.9 s best-of,
+    healthy window): it trades the recount CPU for a second per-round
+    materialize plus a union+grouped_sum over the pair table, and at
+    this vocab size the per-round operator latency dominates, not the
+    recount. Default OFF; the crossover argument is a web-scale
+    vocabulary where the recount's O(total symbols) pair emission
+    dwarfs the pair-table exchange. Details in BENCH/BASELINE.md.
 
     Not SQL-expressible (iterative argmax); pinned by a bit-exact
     local reference implementation test."""
@@ -858,9 +870,28 @@ def bpe_learn(
     # object-store write. Per-round cost here is the pair-count
     # exchange round-trip (~0.34 s/round), which neither lever removes.
     # Reverted; details in BENCH/BASELINE.md.
+    # Incremental pair-count delta table (TODO_ROUND6 #2): count all
+    # pairs ONCE, then update the table from each apply pass — the
+    # apply walk already visits every changed word, so it emits
+    # (old pairs × -n, new pairs × +n) deltas for free and the
+    # per-round recount (CPU over every word × every symbol) is
+    # replaced by grouped_sum(pc ∪ deltas), whose volume is the pair
+    # table plus the touched-word deltas. Exactness: batch merges are
+    # pairwise symbol-disjoint, so a merge can neither create nor
+    # destroy an occurrence of another batch pair, and the substring
+    # probe (left+SEP+right in the joined symbol string) can false-
+    # positive (net-zero deltas, filtered below) but never false-
+    # negative. Same bit-exact contract as the batched sequential path.
     merges: list[tuple[int, str, str, int]] = []
+    pc_inc = None
+    if incremental:
+        pc_inc = grouped_sum(
+            vocab.map_batches(pair_counts, batch_format="pandas"),
+            ["left", "right"],
+            ["n"],
+        ).materialize()
     while len(merges) < num_merges:
-        pc = grouped_sum(
+        pc = pc_inc if incremental else grouped_sum(
             vocab.map_batches(pair_counts, batch_format="pandas"),
             ["left", "right"],
             ["n"],
@@ -896,6 +927,69 @@ def bpe_learn(
             round_sizes.append(len(batch))
         for left, right, n_best in batch:
             merges.append((len(merges), left, right, n_best))
+
+        if incremental:
+            probes = tuple(f"{left}{_BPE_SEP}{right}" for left, right, _n in batch)
+
+            def apply_and_delta(
+                b: pd.DataFrame, _batch=tuple(batch), _probes=probes
+            ) -> pd.DataFrame:
+                out_syms: list[str] = []
+                out_n: list[int] = []
+                dcounts: dict[tuple[str, str], int] = {}
+                for s, n in zip(b["sym"], b["n"]):
+                    if not any(p in s for p in _probes):
+                        out_syms.append(s)
+                        out_n.append(int(n))
+                        continue
+                    n = int(n)
+                    syms = s.split(_BPE_SEP)
+                    for a, c in zip(syms, syms[1:]):
+                        k = (a, c)
+                        dcounts[k] = dcounts.get(k, 0) - n
+                    for left, right, _cnt in _batch:
+                        syms = _bpe_merge_word(syms, left, right)
+                    for a, c in zip(syms, syms[1:]):
+                        k = (a, c)
+                        dcounts[k] = dcounts.get(k, 0) + n
+                    out_syms.append(_BPE_SEP.join(syms))
+                    out_n.append(n)
+                vf = pd.DataFrame(
+                    {
+                        "kind": ["v"] * len(out_syms),
+                        "sym": out_syms,
+                        "left": [""] * len(out_syms),
+                        "right": [""] * len(out_syms),
+                        "n": pd.Series(out_n, dtype="int64"),
+                    }
+                )
+                if not dcounts:
+                    return vf
+                df = pd.DataFrame(
+                    {
+                        "kind": ["d"] * len(dcounts),
+                        "sym": [""] * len(dcounts),
+                        "left": [k[0] for k in dcounts],
+                        "right": [k[1] for k in dcounts],
+                        "n": np.fromiter(dcounts.values(), dtype=np.int64, count=len(dcounts)),
+                    }
+                )
+                return pd.concat([vf, df], ignore_index=True)
+
+            combined = vocab.map_batches(apply_and_delta, batch_format="pandas").materialize()
+            vocab = combined.map_batches(
+                lambda b: b.loc[b["kind"] == "v", ["sym", "n"]], batch_format="pandas"
+            )
+            deltas = combined.map_batches(
+                lambda b: b.loc[b["kind"] == "d", ["left", "right", "n"]],
+                batch_format="pandas",
+            )
+            pc_inc = (
+                grouped_sum(pc_inc.union(deltas), ["left", "right"], ["n"])
+                .map_batches(lambda b: b[b["n"] != 0], batch_format="pandas")
+                .materialize()
+            )
+            continue
 
         def apply_batch(b: pd.DataFrame, _batch=tuple(batch)) -> pd.DataFrame:
             out = []
