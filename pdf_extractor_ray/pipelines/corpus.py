@@ -776,15 +776,21 @@ def bpe_learn(
     pair sharing a symbol with an accepted one, then keep only accepted
     pairs whose count STRICTLY exceeds the stop row's count. Why this
     is exact: applying a batch merge (a,b)→ab only creates pairs like
-    (x,ab), and every occurrence of (x,ab) was an occurrence of the OLD
-    pair (x,a) — which shares symbol ``a`` with the accepted pair, so
-    it ranks at-or-after the stop row and its count is ≤ the stop
-    count. Disjoint pairs' counts are invariant under the batch, so at
-    every intermediate step the sequential argmax is exactly the next
-    accepted pair, with strict count dominance over everything changed
-    or new (no tie-break hazards). Zipfian pair tables make early
-    batches run full; the tail degrades gracefully toward batch=1,
-    which is the plain sequential algorithm.
+    (x,ab), and — because an accepted concat must be a BRAND-NEW symbol
+    string (the ``made`` guard in the body: a pair whose concat already
+    exists as a symbol, built earlier via a different split, is
+    accepted only as a singleton batch) — every occurrence of (x,ab)
+    was an occurrence of the OLD pair (x,a), which shares symbol ``a``
+    with the accepted pair, so it ranks at-or-after the stop row and
+    its count is ≤ the stop count. Disjoint pairs' counts are invariant
+    under the batch, so at every intermediate step the sequential
+    argmax is exactly the next accepted pair, with strict count
+    dominance over everything changed or new (no tie-break hazards; the
+    stop count is also recorded when the round_batch limit ends the
+    scan, closing the tie between the batch tail and the first
+    unaccepted row). Zipfian pair tables make early batches run full;
+    the tail degrades gracefully toward batch=1, which is the plain
+    sequential algorithm.
 
     ``incremental=True`` switches to the pair-count delta table
     (TODO_ROUND6 #2): count all pairs once, then update the table from
@@ -877,25 +883,37 @@ def bpe_learn(
     # per-round recount (CPU over every word × every symbol) is
     # replaced by grouped_sum(pc ∪ deltas), whose volume is the pair
     # table plus the touched-word deltas. Exactness: batch merges are
-    # pairwise symbol-disjoint, so a merge can neither create nor
+    # pairwise symbol-disjoint AND create only brand-new symbol strings
+    # (the ``made`` guard below), so a merge can neither create nor
     # destroy an occurrence of another batch pair, and the substring
     # probe (left+SEP+right in the joined symbol string) can false-
     # positive (net-zero deltas, filtered below) but never false-
     # negative. Same bit-exact contract as the batched sequential path.
-    merges: list[tuple[int, str, str, int]] = []
-    pc_inc = None
-    if incremental:
-        pc_inc = grouped_sum(
-            vocab.map_batches(pair_counts, batch_format="pandas"),
-            ["left", "right"],
-            ["n"],
-        ).materialize()
-    while len(merges) < num_merges:
-        pc = pc_inc if incremental else grouped_sum(
-            vocab.map_batches(pair_counts, batch_format="pandas"),
+    def recount_pairs(v: ray.data.Dataset) -> ray.data.Dataset:
+        return grouped_sum(
+            v.map_batches(pair_counts, batch_format="pandas"),
             ["left", "right"],
             ["n"],
         )
+
+    merges: list[tuple[int, str, str, int]] = []
+    # Symbol strings ever CREATED by a merge. The batching proof needs
+    # every accepted concat to be a brand-new symbol: if left+right
+    # already exists as a symbol (built earlier via a different split —
+    # e.g. "abc" from (a,bc) while (ab,c) still has occurrences), other
+    # pairs referencing it can GAIN occurrences mid-batch, and their
+    # pre-round counts stop being the sequential counts. Such a pair is
+    # accepted only as a singleton batch (the global argmax alone is
+    # always exact) and otherwise stops the batch like an overlap.
+    # Every multi-char symbol is some previous merge's concat, and a
+    # concat (length ≥ 2) can never equal a seed symbol (single chars /
+    # EOW), so this driver-side set is a complete existence test.
+    made: set[str] = set()
+    pc_inc = None
+    if incremental and num_merges > 0:
+        pc_inc = recount_pairs(vocab).materialize()
+    while len(merges) < num_merges:
+        pc = pc_inc if incremental else recount_pairs(vocab)
         cand = pc.map_batches(local_topk, batch_format="pandas").take_all()
         if not cand:
             break
@@ -905,15 +923,28 @@ def bpe_learn(
         batch: list[tuple[str, str, int]] = []
         used: set[str] = set()
         c_stop: int | None = None
+        close_batch = False
         for row in head:
-            if len(batch) >= round_batch or len(merges) + len(batch) >= num_merges:
-                break
-            if row["left"] in used or row["right"] in used:
-                c_stop = int(row["n"])  # first overlap: stop, don't skip
+            if (
+                close_batch
+                or len(batch) >= round_batch
+                or len(merges) + len(batch) >= num_merges
+                or row["left"] in used
+                or row["right"] in used
+                # recreates an existing symbol: singleton-only (above)
+                or (batch and (row["left"] + row["right"]) in made)
+            ):
+                # first unaccepted row: everything at-or-below it in the
+                # sort order is bounded by its count (also closes the
+                # tie hazard when the round_batch limit is what stopped
+                # the scan)
+                c_stop = int(row["n"])
                 break
             batch.append((row["left"], row["right"], int(row["n"])))
             used.add(row["left"])
             used.add(row["right"])
+            if (row["left"] + row["right"]) in made:
+                close_batch = True
         else:
             # head exhausted without overlap/limit: pairs beyond the
             # collected top-k have n ≤ the head's tail count
@@ -927,6 +958,9 @@ def bpe_learn(
             round_sizes.append(len(batch))
         for left, right, n_best in batch:
             merges.append((len(merges), left, right, n_best))
+            made.add(left + right)
+        if len(merges) >= num_merges:
+            break  # the final apply/update below would never be read
 
         if incremental:
             probes = tuple(f"{left}{_BPE_SEP}{right}" for left, right, _n in batch)

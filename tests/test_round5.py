@@ -637,10 +637,12 @@ def test_bpe_round_batching_bit_exact_at_64_merges():
     assert list(map(tuple, sequential.itertuples(index=False))) == exp
     # incremental pair-count delta table (TODO_ROUND6 #2): same bit-
     # exact contract — the table updated from apply-pass deltas equals
-    # the full recount at every round (default stays OFF: measured
-    # 2.4× slower at sf0.01, BENCH/BASELINE.md round-5 section)
+    # the full recount at every round, batched AND sequential (default
+    # stays OFF: measured 2.4× slower at sf0.01, BENCH/BASELINE.md)
     inc = bpe_learn(SF_DIR, num_merges=64, round_batch=16, incremental=True)
     assert list(map(tuple, inc.itertuples(index=False))) == exp
+    inc1 = bpe_learn(SF_DIR, num_merges=64, round_batch=1, incremental=True)
+    assert list(map(tuple, inc1.itertuples(index=False))) == exp
 
 
 def test_semdedup_inseparable_cluster_hits_backstop(tmp_path):
