@@ -16,11 +16,14 @@ logic is tiny. No driver-side loops over rows.
 
 from __future__ import annotations
 
+import logging
 import re
 
 import numpy as np
 import pandas as pd
 import ray.data
+
+_LOG = logging.getLogger(__name__)
 
 from pdf_extractor_ray.kernels import hashing
 from pdf_extractor_ray.ops import grouped_apply, keep_first
@@ -819,17 +822,20 @@ def _split_oversized_clusters(
         for lid, grp in sub.groupby("list_id", sort=True):
             plan[int(lid)] = (np.array(list(grp["centroid"]), dtype=np.float64), next_id)
             next_id += len(grp)
-        if split_log is not None:  # sizing lineage for 100-TB operators
-            counts_by_lid = dict(zip(counts["list_id"].astype(int), counts["n"].astype(int)))
-            split_log.append(
-                {
-                    "depth": _depth,
-                    "split": {
-                        lid: {"rows": counts_by_lid[lid], "first_new_id": base, "branch": len(c)}
-                        for lid, (c, base) in plan.items()
-                    },
-                }
-            )
+        # sizing lineage for 100-TB operators: always logged (any
+        # production run captures it), additionally collected into
+        # split_log when the caller wants it programmatically
+        counts_by_lid = dict(zip(counts["list_id"].astype(int), counts["n"].astype(int)))
+        lineage = {
+            "depth": _depth,
+            "split": {
+                lid: {"rows": counts_by_lid[lid], "first_new_id": base, "branch": len(c)}
+                for lid, (c, base) in plan.items()
+            },
+        }
+        _LOG.info("semdedup sub-split round: %s", lineage)
+        if split_log is not None:
+            split_log.append(lineage)
         plan_ref = ray.put(plan)
 
         def reassign(t: pa.Table) -> pa.Table:
