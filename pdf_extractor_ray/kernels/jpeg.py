@@ -17,7 +17,7 @@ Public-spec implementation (ITU-T T.81 / ISO 10918-1):
   first and refinement passes with EOB-run and correction-bit
   semantics per Annex G — and IDCT once at EOI.
 - ``encode_jpeg`` writes valid single-scan baseline JFIF files for
-  test fixtures: 4:4:4 (no subsampling), embedded quant tables, and
+  test fixtures: 4:4:4 / 4:2:0 / 4:2:2 layouts, embedded quant tables, and
   CUSTOM flat-length canonical Huffman tables (all codes one length —
   legal per the format, suboptimal compression, and crucially free of
   any dependence on correctly-memorized Annex K code tables; the
@@ -390,6 +390,12 @@ def _prepare_components(
         if subsampling == "4:2:0":
             samp = [(2, 2), (1, 1), (1, 1)]
             planes = [planes[0]] + [_downsample2(p) for p in planes[1:]]
+        elif subsampling == "4:2:2":
+            # asymmetric factors (hi=2, vi=1): chroma halved horizontally
+            # only — exercises the decoders' per-axis upsampling and the
+            # 2×1-blocks-per-MCU walk
+            samp = [(2, 1), (1, 1), (1, 1)]
+            planes = [planes[0]] + [_downsample_h(p) for p in planes[1:]]
         elif subsampling == "4:4:4":
             samp = [(1, 1), (1, 1), (1, 1)]
         else:
@@ -442,7 +448,9 @@ def encode_jpeg(
     """Baseline JFIF bytes for an (h, w) grayscale or (h, w, 3) RGB
     uint8 array: single scan, embedded quant + flat Huffman tables.
     ``subsampling="4:2:0"`` (3-channel only) downsamples chroma 2×2 —
-    the common web layout — exercising the decoder's general MCU walk.
+    the common web layout — exercising the decoder's general MCU walk;
+    ``"4:2:2"`` halves chroma horizontally only (asymmetric Hi≠Vi
+    factors, per-axis upsampling).
     ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (the
     error-resilience layout real encoders use on large images).
     Valid input for any baseline decoder."""
@@ -474,6 +482,13 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
     h, w = plane.shape
     p = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge")
     return p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+
+
+def _downsample_h(plane: np.ndarray) -> np.ndarray:
+    """Horizontal-only 2× mean downsample (4:2:2 chroma)."""
+    h, w = plane.shape
+    p = np.pad(plane, ((0, 0), (0, w % 2)), mode="edge")
+    return p.reshape(h, p.shape[1] // 2, 2).mean(axis=2)
 
 
 # ---------------------------------------------------------------------------

@@ -411,6 +411,10 @@ def test_jpeg_progressive_bit_identical_to_baseline():
         (rgb, {}),
         (rgb, {"subsampling": "4:2:0"}),
         (noise, {"subsampling": "4:2:0"}),
+        # 4:2:2 = asymmetric Hi≠Vi factors: per-axis upsampling and the
+        # 2×1-blocks-per-MCU walk, untested by the square layouts
+        (rgb, {"subsampling": "4:2:2"}),
+        (noise, {"subsampling": "4:2:2"}),
         (sparse, {}),
         (np.full((8, 16), 200, dtype=np.uint8), {}),
         (np.array([[137]], dtype=np.uint8), {}),
@@ -436,7 +440,7 @@ def test_jpeg_restart_intervals_bit_identical():
 
     g = _smooth_image(57, 41, seed=11)
     rgb = np.stack([g, 255 - g, (g // 2 + 60).astype(np.uint8)], axis=-1)
-    for px, kw in [(g, {}), (rgb, {"subsampling": "4:2:0"})]:
+    for px, kw in [(g, {}), (rgb, {"subsampling": "4:2:0"}), (rgb, {"subsampling": "4:2:2"})]:
         ref = decode_jpeg(encode_jpeg(px, **kw))
         for ri in (1, 3, 7):
             assert np.array_equal(ref, decode_jpeg(encode_jpeg(px, restart_interval=ri, **kw)))
