@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
         "lm_nll_documents": textops.lm_bigram_nll,
+        "lm_nll_buckets_documents": textops.lm_nll_buckets,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
@@ -195,9 +196,11 @@ _ORACLE_OVERFLOW = [
     "doc_length_histogram",
     "top_orders_by_price",
     "events_hourly",
-    # NEW round 5 (PSL registrable-domain stats) — oracle-verified in
-    # CI at sf0.001/sf0.01; rotate into the window next round.
+    # NEW round 5 (PSL registrable-domain stats; CCNet perplexity
+    # terciles over the bigram-LM scores) — oracle-verified in CI at
+    # sf0.001/sf0.01; rotate into the window next round.
     "registrable_domain_stats",
+    "lm_nll_buckets_documents",
 ]
 
 
@@ -270,5 +273,6 @@ def oracle_sql() -> dict[str, str]:
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).REGISTRABLE_DOMAIN_STATS_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
+        "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
     }

@@ -328,3 +328,94 @@ def grouped_quantile_counts(
         return g.groupby(keys, sort=False).apply(one).reset_index()
 
     return grouped_apply(counts, keys, pick, num_buckets=num_buckets)
+
+
+def exact_kth_smallest(
+    ds: ray.data.Dataset,
+    col: str,
+    ks: "list[int]",
+    *,
+    collect_threshold: int = 65536,
+    nbins: int = 4096,
+) -> "list[int]":
+    """Exact k-th smallest values (1-based ranks) of an integer column,
+    selected DISTRIBUTEDLY — the global order-statistic primitive for
+    unbounded/continuous-like domains, where
+    :func:`grouped_quantile_counts`'s value-counts table would approach
+    the row count and a full ``sort`` would be an all-to-all exchange
+    just to read two rows.
+
+    Histogram-guided quickselect: each round runs one ``map_batches``
+    histogram over the current candidate value range (the driver sees
+    ≤ ``nbins`` rows after a ``grouped_sum``), narrows to the bin that
+    contains the target rank, and repeats until the bin holds
+    ≤ ``collect_threshold`` rows, which are then collected and sorted
+    locally. Integer bin arithmetic throughout — no float edges, so no
+    boundary ambiguity. Each round shrinks the value span ×``nbins``:
+    ≤ 3 rounds for any 32-bit domain, ≤ 6 for 64-bit. Every driver
+    collect is nbins- or threshold-bounded, never corpus-sized.
+
+    ``ds`` is scanned once per round per k — pass a MATERIALIZED
+    dataset so rounds re-read blocks instead of recomputing lineage.
+    """
+    if not ks:
+        return []
+    lo0 = ds.min(col)
+    hi0 = ds.max(col)
+    if lo0 is None:
+        raise ValueError("exact_kth_smallest: empty dataset")
+    lo0, hi0 = int(lo0), int(hi0)
+
+    def values_in(lo: int, hi: int) -> np.ndarray:
+        def pick(b: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
+            v = b[col].to_numpy()
+            return pd.DataFrame({col: pd.Series(v[(v >= lo) & (v <= hi)], dtype="int64")})
+
+        rows = ds.map_batches(pick, batch_format="pandas").take_all()
+        return np.sort(np.fromiter((r[col] for r in rows), dtype=np.int64, count=len(rows)))
+
+    out: list[int] = []
+    for k in ks:
+        if k < 1:
+            raise ValueError(f"exact_kth_smallest: rank {k} < 1")
+        lo, hi = lo0, hi0
+        below = 0  # rows with value < lo
+        while True:
+            span = hi - lo + 1
+            if span <= 1:
+                out.append(lo)
+                break
+            width = -(-span // nbins)
+
+            def hist(b: pd.DataFrame, lo=lo, hi=hi, width=width) -> pd.DataFrame:
+                v = b[col].to_numpy()
+                v = v[(v >= lo) & (v <= hi)]
+                if v.size == 0:
+                    return pd.DataFrame(
+                        {"bin": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+                    )
+                ub, cnt = np.unique((v - lo) // width, return_counts=True)
+                return pd.DataFrame({"bin": ub.astype("int64"), "n": cnt.astype("int64")})
+
+            rows = grouped_sum(
+                ds.map_batches(hist, batch_format="pandas"), ["bin"], ["n"]
+            ).take_all()
+            rows.sort(key=lambda r: int(r["bin"]))
+            cum = below
+            target_bin = None
+            bin_count = 0
+            for r in rows:
+                if cum + int(r["n"]) >= k:
+                    target_bin = int(r["bin"])
+                    bin_count = int(r["n"])
+                    break
+                cum += int(r["n"])
+            if target_bin is None:
+                raise ValueError(f"exact_kth_smallest: rank {k} exceeds row count")
+            below = cum
+            lo, hi = lo + target_bin * width, min(hi, lo + (target_bin + 1) * width - 1)
+            if bin_count <= collect_threshold:
+                vals = values_in(lo, hi)
+                out.append(int(vals[k - below - 1]))
+                break
+    return out

@@ -1233,3 +1233,93 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 
 
 LM_NLL_SQL = lm_bigram_nll_sql()
+
+
+def lm_nll_buckets(
+    sf_dir: str, vocab_k: int = LM_VOCAB_K, ref_lang: str = "en"
+) -> ray.data.Dataset:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    algorithm): split the corpus into ``head`` / ``middle`` / ``tail``
+    terciles by per-bigram LM score — the classic quality gate that
+    keeps the most-fluent third of a crawl and routes the rest to
+    cheaper treatment. ``(doc_id, avg_nll_micro, ppl_bucket)``.
+
+    Metric: ``nll_total_micro // max(n_bigrams, 1)`` from
+    :func:`lm_bigram_nll` — exact integer micro-nats per bigram, no
+    float in the compare path. Cutpoints are the values at nearest
+    ranks ``ceil(n/3)`` and ``ceil(2n/3)`` of the sorted metric;
+    ties go to the better bucket on both sides (``<=`` on the cut
+    value), so the result is deterministic regardless of row order.
+
+    Scale shape: scoring is the audited :func:`lm_bigram_nll` pipeline
+    (constant-bounded exchanges); the per-doc metric table is
+    materialized once; the two global order statistics come from
+    :func:`pdf_extractor_ray.ops.exact_kth_smallest` — a histogram-
+    guided distributed quickselect whose driver collects are bounded
+    by its bin count, NOT a full sort (which would be an all-to-all
+    exchange just to read two rows) and NOT a value-counts table
+    (micro-nat averages are effectively continuous, so
+    ``grouped_quantile_counts`` would carry ~one row per doc). Bucket
+    assignment is a zero-shuffle broadcast compare."""
+    from pdf_extractor_ray.ops import exact_kth_smallest
+
+    scored = lm_bigram_nll(sf_dir, vocab_k=vocab_k, ref_lang=ref_lang)
+
+    def add_avg(b: pd.DataFrame) -> pd.DataFrame:
+        nb = np.maximum(b["n_bigrams"].to_numpy().astype(np.int64), 1)
+        avg = b["nll_total_micro"].to_numpy().astype(np.int64) // nb
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "avg_nll_micro": pd.Series(avg, dtype="int64")}
+        )
+
+    metric = scored.map_batches(add_avg, batch_format="pandas").materialize()
+    n = metric.count()
+    if n == 0:
+        return metric.map_batches(
+            lambda b: b.assign(ppl_bucket=pd.Series([], dtype="object")),
+            batch_format="pandas",
+        )
+    k1 = (n + 2) // 3  # ceil(n/3), integer form shared with the oracle
+    k2 = (2 * n + 2) // 3
+    c1, c2 = exact_kth_smallest(metric, "avg_nll_micro", [k1, k2])
+
+    def assign(b: pd.DataFrame, c1=c1, c2=c2) -> pd.DataFrame:
+        v = b["avg_nll_micro"].to_numpy()
+        bucket = np.where(v <= c1, "head", np.where(v <= c2, "middle", "tail"))
+        out = b.copy()
+        out["ppl_bucket"] = bucket
+        return out
+
+    return metric.map_batches(assign, batch_format="pandas")
+
+
+def lm_nll_buckets_sql(vocab_k: int = LM_VOCAB_K, ref_lang: str = "en") -> str:
+    """Exact SQL replica of :func:`lm_nll_buckets`: same integer
+    per-bigram metric, same nearest-rank tercile cutpoints (integer
+    ceil via ``(n + 2) // 3``), same ``<=`` tie direction."""
+    return rf"""
+WITH base AS ({lm_bigram_nll_sql(vocab_k, ref_lang)}),
+scored AS (
+    SELECT doc_id,
+           nll_total_micro // GREATEST(n_bigrams, 1) AS avg_nll_micro
+    FROM base
+), ranked AS (
+    SELECT avg_nll_micro,
+           row_number() OVER (ORDER BY avg_nll_micro) AS r,
+           count(*) OVER () AS n
+    FROM scored
+), cuts AS (
+    SELECT
+        max(CASE WHEN r = (n + 2) // 3 THEN avg_nll_micro END) AS c1,
+        max(CASE WHEN r = (2 * n + 2) // 3 THEN avg_nll_micro END) AS c2
+    FROM ranked
+)
+SELECT s.doc_id, s.avg_nll_micro,
+       CASE WHEN s.avg_nll_micro <= c.c1 THEN 'head'
+            WHEN s.avg_nll_micro <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s, cuts c
+"""
+
+
+LM_NLL_BUCKETS_SQL = lm_nll_buckets_sql()
