@@ -350,21 +350,32 @@ def exact_kth_smallest(
     ≤ ``nbins`` rows after a ``grouped_sum``), narrows to the bin that
     contains the target rank, and repeats until the bin holds
     ≤ ``collect_threshold`` rows, which are then collected and sorted
-    locally. Integer bin arithmetic throughout — no float edges, so no
-    boundary ambiguity. Each round shrinks the value span ×``nbins``:
-    ≤ 3 rounds for any 32-bit domain, ≤ 6 for 64-bit. Every driver
-    collect is nbins- or threshold-bounded, never corpus-sized.
+    locally. Integer bin arithmetic throughout — value offsets are
+    computed in uint64 (two's-complement reinterpretation of the int64
+    difference), so the FULL 64-bit domain is safe even when the span
+    exceeds 2^63. Each round shrinks the value span ×``nbins``: ≤ 3
+    rounds for any 32-bit domain, ≤ 6 for 64-bit. Every driver collect
+    is nbins- or threshold-bounded, never corpus-sized.
 
-    ``ds`` is scanned once per round per k — pass a MATERIALIZED
-    dataset so rounds re-read blocks instead of recomputing lineage.
+    Ranks that share a candidate range (always true in round 1, and
+    for nearby quantiles usually every round) are served by ONE
+    histogram pass — asking for terciles costs the same scans as
+    asking for the median. ``ds`` is scanned once per round per
+    DISTINCT range, plus one count/min/max pass — pass a MATERIALIZED
+    dataset so scans re-read blocks instead of recomputing lineage.
     """
     if not ks:
         return []
-    lo0 = ds.min(col)
-    hi0 = ds.max(col)
-    if lo0 is None:
+    total = ds.count()
+    if total == 0:
         raise ValueError("exact_kth_smallest: empty dataset")
-    lo0, hi0 = int(lo0), int(hi0)
+    for k in ks:
+        if not 1 <= k <= total:
+            raise ValueError(f"exact_kth_smallest: rank {k} outside [1, {total}]")
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(col), Max(col))
+    lo0, hi0 = int(agg[f"min({col})"]), int(agg[f"max({col})"])
 
     def values_in(lo: int, hi: int) -> np.ndarray:
         def pick(b: pd.DataFrame, lo=lo, hi=hi) -> pd.DataFrame:
@@ -374,17 +385,21 @@ def exact_kth_smallest(
         rows = ds.map_batches(pick, batch_format="pandas").take_all()
         return np.sort(np.fromiter((r[col] for r in rows), dtype=np.int64, count=len(rows)))
 
-    out: list[int] = []
-    for k in ks:
-        if k < 1:
-            raise ValueError(f"exact_kth_smallest: rank {k} < 1")
-        lo, hi = lo0, hi0
-        below = 0  # rows with value < lo
-        while True:
+    # per-rank state: (lo, hi, below) — ranks sharing (lo, hi) share
+    # each round's histogram pass
+    state: "dict[int, tuple[int, int, int]]" = {i: (lo0, hi0, 0) for i in range(len(ks))}
+    out: "dict[int, int]" = {}
+    while state:
+        ranges: "dict[tuple[int, int], list[int]]" = {}
+        for i, (lo, hi, _b) in state.items():
+            ranges.setdefault((lo, hi), []).append(i)
+        for (lo, hi), idxs in ranges.items():
             span = hi - lo + 1
             if span <= 1:
-                out.append(lo)
-                break
+                for i in idxs:
+                    out[i] = lo
+                    del state[i]
+                continue
             width = -(-span // nbins)
 
             def hist(b: pd.DataFrame, lo=lo, hi=hi, width=width) -> pd.DataFrame:
@@ -394,28 +409,36 @@ def exact_kth_smallest(
                     return pd.DataFrame(
                         {"bin": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
                     )
-                ub, cnt = np.unique((v - lo) // width, return_counts=True)
+                # uint64 offsets: the int64 subtraction wraps mod 2^64
+                # and the reinterpretation recovers the true difference,
+                # so spans beyond 2^63 (full 64-bit domain) bin correctly
+                diff = (v - np.int64(lo)).view(np.uint64)
+                bins = diff // np.uint64(width)
+                ub, cnt = np.unique(bins, return_counts=True)
                 return pd.DataFrame({"bin": ub.astype("int64"), "n": cnt.astype("int64")})
 
             rows = grouped_sum(
                 ds.map_batches(hist, batch_format="pandas"), ["bin"], ["n"]
             ).take_all()
             rows.sort(key=lambda r: int(r["bin"]))
-            cum = below
-            target_bin = None
-            bin_count = 0
-            for r in rows:
-                if cum + int(r["n"]) >= k:
-                    target_bin = int(r["bin"])
-                    bin_count = int(r["n"])
-                    break
-                cum += int(r["n"])
-            if target_bin is None:
-                raise ValueError(f"exact_kth_smallest: rank {k} exceeds row count")
-            below = cum
-            lo, hi = lo + target_bin * width, min(hi, lo + (target_bin + 1) * width - 1)
-            if bin_count <= collect_threshold:
-                vals = values_in(lo, hi)
-                out.append(int(vals[k - below - 1]))
-                break
-    return out
+            bins = [(int(r["bin"]), int(r["n"])) for r in rows]
+            for i in idxs:
+                k = ks[i]
+                below = state[i][2]
+                cum = below
+                target_bin, bin_count = None, 0
+                for bno, bn in bins:
+                    if cum + bn >= k:
+                        target_bin, bin_count = bno, bn
+                        break
+                    cum += bn
+                assert target_bin is not None  # ranks validated upfront
+                nlo = lo + target_bin * width
+                nhi = min(hi, nlo + width - 1)
+                if bin_count <= collect_threshold:
+                    vals = values_in(nlo, nhi)
+                    out[i] = int(vals[k - cum - 1])
+                    del state[i]
+                else:
+                    state[i] = (nlo, nhi, cum)
+    return [out[i] for i in range(len(ks))]

@@ -1275,9 +1275,17 @@ def lm_nll_buckets(
     metric = scored.map_batches(add_avg, batch_format="pandas").materialize()
     n = metric.count()
     if n == 0:
-        return metric.map_batches(
-            lambda b: b.assign(ppl_bucket=pd.Series([], dtype="object")),
-            batch_format="pandas",
+        # explicit empty result with the full 3-column schema (an empty
+        # materialized dataset may have no blocks, so a map_batches
+        # column-add might never run)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "avg_nll_micro": pd.Series([], dtype="int64"),
+                    "ppl_bucket": pd.Series([], dtype="object"),
+                }
+            )
         )
     k1 = (n + 2) // 3  # ceil(n/3), integer form shared with the oracle
     k2 = (2 * n + 2) // 3

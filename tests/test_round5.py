@@ -630,13 +630,26 @@ def test_exact_kth_smallest_matches_numpy_sort():
         ks = [1, len(vals) // 3 or 1, (2 * len(vals)) // 3 or 1, len(vals)]
         got = exact_kth_smallest(ds, "x", ks, collect_threshold=256, nbins=32)
         assert got == [int(s[k - 1]) for k in ks]
-    # rank validation
-    with pytest.raises(ValueError, match="rank"):
-        exact_kth_smallest(
-            ray.data.from_pandas(pd.DataFrame({"x": pd.Series([1, 2], dtype="int64")})),
-            "x",
-            [3],
-        )
+    # full-64-bit span: int64 subtraction wraps; the uint64 offset view
+    # must still bin correctly (span > 2^63)
+    wide = np.array(
+        [-(2**63), -(2**62), -1, 0, 1, 2**62, 2**63 - 1], dtype=np.int64
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"x": pd.Series(wide, dtype="int64")}))
+    assert exact_kth_smallest(ds, "x", [1, 4, 7], collect_threshold=2, nbins=4) == [
+        -(2**63),
+        0,
+        2**63 - 1,
+    ]
+    # rank validation — including on an all-equal column, where the
+    # span-1 fast path must not mask an out-of-range rank
+    for vals_, bad_k in [([1, 2], 3), ([7] * 10, 11), ([7] * 10, 0)]:
+        with pytest.raises(ValueError, match="rank|empty"):
+            exact_kth_smallest(
+                ray.data.from_pandas(pd.DataFrame({"x": pd.Series(vals_, dtype="int64")})),
+                "x",
+                [bad_k],
+            )
 
 
 # ---------------------------------------------------------------------------
