@@ -373,6 +373,25 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarra
     return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
 
 
+def _quarantine_malformed(fn):
+    """Decoder wrapper: structural damage surfaces as struct.error /
+    IndexError from header unpacking — normalize to ValueError so the
+    quarantine contract ("malformed input raises ValueError") holds for
+    DIRECT decoder callers too, not just the pipeline's broad catch.
+    (Found by random-bytes fuzz, round 5.)"""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload: bytes):
+        try:
+            return fn(payload)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"malformed payload: {e}") from e
+
+    return wrapped
+
+
+@_quarantine_malformed
 def _gif_decode_pixels(payload: bytes) -> np.ndarray:
     """First frame of a GIF → (h, w, 3) uint8 RGB."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -512,6 +531,7 @@ def decode_gif(payload: bytes) -> dict:
 # palette, bottom-up or top-down rows, rows padded to 4 bytes.
 
 
+@_quarantine_malformed
 def _bmp_decode_pixels(payload: bytes) -> np.ndarray:
     if payload[:2] != b"BM":
         raise ValueError("bad BMP signature")
@@ -636,6 +656,8 @@ def decode_image(payload: bytes) -> dict:
     and JPEG (baseline + progressive) all decode natively (no
     external codec); MP3 / video stay honestly gated."""
     if payload.startswith(b"IMG1"):
+        if len(payload) < 12:
+            raise ValueError("truncated image payload")
         w, h = struct.unpack(">II", payload[4:12])
         pixels = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
         if pixels.size != w * h:

@@ -571,6 +571,42 @@ def test_jpeg_progressive_zrl_band_overflow_raises():
         _dec_ac_refine(br, dec, blk, 60, 63, 1, -1, 0)
 
 
+def test_decoders_random_bytes_quarantine_cleanly():
+    """Beyond prefix truncation: RANDOM bytes behind each codec's magic
+    must raise ValueError (the quarantine signal decode stages catch) —
+    never another exception type, a hang, or a silent wrong decode."""
+    import numpy as np
+
+    from pdf_extractor_ray.kernels.jpeg import decode_jpeg
+    from pdf_extractor_ray.pipelines.multimodal import decode_image
+
+    rng = np.random.RandomState(42)
+    magics = [
+        b"\xff\xd8",
+        b"\x89PNG\r\n\x1a\n",
+        b"GIF89a",
+        b"GIF87a",
+        b"BM",
+        b"P5\n",
+        b"P6\n",
+        b"IMG1",
+    ]
+    for magic in magics:
+        for _ in range(40):
+            payload = magic + rng.bytes(int(rng.randint(1, 400)))
+            try:
+                decode_image(payload)
+            except ValueError:
+                pass  # the quarantine contract
+    # the jpeg entry point directly too (progressive marker loop)
+    for _ in range(60):
+        payload = b"\xff\xd8" + rng.bytes(int(rng.randint(1, 600)))
+        try:
+            decode_jpeg(payload)
+        except ValueError:
+            pass
+
+
 def test_media_pipeline_decodes_planted_jpegs():
     """generate_media_table's JPEG rows flow through the actor-pool
     feature stage with status=ok and correct dims in the features."""
