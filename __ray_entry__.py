@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": analytics.revenue_rollup,
         "events_sliding_window": windows.events_sliding_window,
         "approx_distinct_counts": textops.approx_distinct_counts,
+        "approx_token_quantiles": textops.approx_token_quantiles,
         "top_orders_per_segment": windows.top_orders_per_segment,
         # -- dedup (exact ones SQL-checked) -----------------------------
         "dedup_exact_documents": dedup.dedup_exact,
@@ -175,6 +176,7 @@ _ROWS_ONLY_PRIORITY = [
     "contamination_screen_bloom",
     "heavy_hitter_tokens",
     "approx_distinct_counts",
+    "approx_token_quantiles",
     "dsir_importance_weights",
     "substring_dedup_documents",
 ]

@@ -1,4 +1,4 @@
-"""Distributed cardinality sketch: HyperLogLog.
+"""Distributed mergeable sketches: HyperLogLog, Misra-Gries, KLL.
 
 The mergeable-sketch pattern a 100 TB pipeline uses for COUNT DISTINCT
 without a distinct shuffle: every batch folds its values into a fixed
@@ -100,3 +100,117 @@ def mg_merge(a: dict[str, int], b: dict[str, int], k: int = 64) -> dict[str, int
         return out
     kth = sorted(out.values(), reverse=True)[k]
     return {t: n - kth for t, n in out.items() if n > kth}
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lang, Liberty 2016, "Optimal Quantile
+# Approximation in Streams" — public algorithm): the mergeable
+# order-statistic sketch. One pass, O(k) memory, rank error O(n/k);
+# per-batch sketches merge associatively, so quantiles of 100 TB cost
+# one map_batches plus a bounded driver merge — the approximate
+# complement to ops.exact_kth_smallest (exact, but multi-pass).
+# ---------------------------------------------------------------------------
+
+import math
+import random
+
+
+class KLL:
+    """Levels of compactors: level ``h`` items carry weight ``2**h``.
+    Level capacities decay geometrically (ratio 2/3) below the top, so
+    total memory is O(k). Compaction sorts an over-full level and
+    promotes every other element (random parity offset) to the next —
+    total weight is conserved EXACTLY (an invariant the tests pin), so
+    rank queries are unbiased with error O(n/k).
+
+    Deterministic for a fixed seed and update order; across a Ray
+    reduction the block order varies, so results are
+    bound-guaranteed, not bit-pinned (the HLL precedent)."""
+
+    def __init__(self, k: int = 200, seed: int = 0) -> None:
+        if k < 8:
+            raise ValueError("KLL: k must be >= 8")
+        self.k = k
+        self.levels: list[list[float]] = [[]]
+        self.n = 0
+        self._rng = random.Random(seed)
+
+    def _cap(self, h: int) -> int:
+        depth = len(self.levels) - h - 1
+        return max(2, int(math.ceil(self.k * (2.0 / 3.0) ** depth)))
+
+    def _size(self) -> int:
+        return sum(len(lv) for lv in self.levels)
+
+    def _compress(self) -> None:
+        changed = True
+        while changed:
+            changed = False
+            for h in range(len(self.levels)):
+                if len(self.levels[h]) <= self._cap(h):
+                    continue
+                buf = sorted(self.levels[h])
+                keep: list[float] = []
+                if len(buf) % 2:
+                    keep.append(buf.pop())  # odd item stays: weight exact
+                off = self._rng.randint(0, 1)
+                promoted = buf[off::2]
+                if h + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[h + 1].extend(promoted)
+                self.levels[h] = keep
+                changed = True
+                break  # capacities depend on len(levels); re-derive
+
+    def update_many(self, values) -> None:
+        vs = [float(v) for v in values]
+        self.levels[0].extend(vs)
+        self.n += len(vs)
+        self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for h, lv in enumerate(other.levels):
+            self.levels[h].extend(lv)
+        self.n += other.n
+        self._compress()
+        return self
+
+    def total_weight(self) -> int:
+        return sum(len(lv) * (1 << h) for h, lv in enumerate(self.levels))
+
+    def _cdf(self) -> "list[tuple[float, int]]":
+        items: list[tuple[float, int]] = []
+        for h, lv in enumerate(self.levels):
+            w = 1 << h
+            items.extend((v, w) for v in lv)
+        items.sort()
+        return items
+
+    def quantile(self, q: float) -> float:
+        """Approximate nearest-rank quantile: the smallest sketched
+        value whose cumulative weight reaches ceil(q * n)."""
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"KLL: quantile {q} outside [0, 1]")
+        if self.n == 0:
+            raise ValueError("KLL: empty sketch")
+        target = max(1, math.ceil(q * self.n))
+        cum = 0
+        items = self._cdf()
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+    def to_lists(self) -> "list[list[float]]":
+        """Arrow-friendly transport form (list per level)."""
+        return [list(lv) for lv in self.levels]
+
+    @classmethod
+    def from_lists(cls, levels: "list[list[float]]", n: int, k: int = 200, seed: int = 0) -> "KLL":
+        s = cls(k=k, seed=seed)
+        s.levels = [list(lv) for lv in levels] or [[]]
+        s.n = int(n)
+        return s

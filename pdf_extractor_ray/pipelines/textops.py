@@ -1331,3 +1331,49 @@ FROM scored s, cuts c
 
 
 LM_NLL_BUCKETS_SQL = lm_nll_buckets_sql()
+
+
+APPROX_QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def approx_token_quantiles(
+    sf_dir: str, qs: "tuple[float, ...]" = APPROX_QUANTILES, k: int = 200
+) -> pd.DataFrame:
+    """ONE-PASS approximate quantiles of per-document whitespace token
+    counts via the KLL sketch (``kernels/sketches.KLL``) — the length
+    distribution a curation run reads before picking filter/packing
+    thresholds. ``(q, approx_n_tokens)``, rank error O(n/k)
+    (≤ 0.6% observed at k=200 over adversarial shapes, unit-tested
+    with a guarantee bound).
+
+    Scale shape: the HLL pattern — each batch folds into a bounded
+    sketch row (O(k) floats, serialized level lists), the driver
+    merges the per-block sketches (blocks × O(k), never corpus-sized),
+    and the quantile grid is read once at the end. The EXACT
+    alternative is ``ops.exact_kth_smallest`` (histogram quickselect:
+    multiple full scans); this is the one-scan approximate complement.
+    Rows-only (randomized compaction is bound-guaranteed, not
+    bit-pinned — the HLL precedent)."""
+    import json
+
+    from pdf_extractor_ray.kernels.sketches import KLL
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        counts = b["text"].map(textstats.token_count_ws).to_numpy()
+        s = KLL(k=k, seed=7)
+        s.update_many(counts)
+        return pd.DataFrame({"sketch": [json.dumps(s.to_lists())], "n": [int(s.n)]})
+
+    merged = KLL(k=k, seed=11)
+    parts = _docs(sf_dir, ["text"]).map_batches(fold, batch_format="pandas")
+    for batch in parts.iter_batches(batch_format="pandas"):
+        for lists, n in zip(batch["sketch"], batch["n"]):
+            merged.merge(KLL.from_lists(json.loads(lists), n, k=k))
+    return pd.DataFrame(
+        {
+            "q": pd.Series(qs, dtype="float64"),
+            "approx_n_tokens": pd.Series(
+                [int(merged.quantile(q)) for q in qs], dtype="int64"
+            ),
+        }
+    )
