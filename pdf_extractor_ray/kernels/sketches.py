@@ -164,6 +164,8 @@ class KLL:
 
     def update_many(self, values) -> None:
         vs = [float(v) for v in values]
+        if any(v != v for v in vs):  # NaN breaks sorted() ordering
+            raise ValueError("KLL: NaN values are not sketchable")
         self.levels[0].extend(vs)
         self.n += len(vs)
         self._compress()
@@ -191,18 +193,29 @@ class KLL:
     def quantile(self, q: float) -> float:
         """Approximate nearest-rank quantile: the smallest sketched
         value whose cumulative weight reaches ceil(q * n)."""
-        if not 0.0 <= q <= 1.0:
-            raise ValueError(f"KLL: quantile {q} outside [0, 1]")
+        return self.quantiles([q])[0]
+
+    def quantiles(self, qs: "list[float]") -> "list[float]":
+        """Batch form: ONE weighted-CDF build serves every requested
+        quantile (the multi-quantile report path)."""
+        for q in qs:
+            if not 0.0 <= q <= 1.0:
+                raise ValueError(f"KLL: quantile {q} outside [0, 1]")
         if self.n == 0:
             raise ValueError("KLL: empty sketch")
-        target = max(1, math.ceil(q * self.n))
-        cum = 0
         items = self._cdf()
-        for v, w in items:
-            cum += w
-            if cum >= target:
-                return v
-        return items[-1][0]
+        out: "list[float]" = []
+        for q in qs:
+            target = max(1, math.ceil(q * self.n))
+            cum = 0
+            for v, w in items:
+                cum += w
+                if cum >= target:
+                    out.append(v)
+                    break
+            else:  # unreachable: total weight == n >= target (pinned)
+                raise AssertionError("KLL: weight conservation violated")
+        return out
 
     def to_lists(self) -> "list[list[float]]":
         """Arrow-friendly transport form (list per level)."""

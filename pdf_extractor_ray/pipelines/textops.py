@@ -1360,7 +1360,12 @@ def approx_token_quantiles(
 
     def fold(b: pd.DataFrame) -> pd.DataFrame:
         counts = b["text"].map(textstats.token_count_ws).to_numpy()
-        s = KLL(k=k, seed=7)
+        # per-block seed derived from the block's content so compaction
+        # randomness is independent across blocks (identical seeds would
+        # correlate compaction errors in sign and defeat the merge's
+        # error cancellation)
+        seed = int(np.uint64(pd.util.hash_array(counts.astype(np.int64)).sum()))
+        s = KLL(k=k, seed=seed)
         s.update_many(counts)
         return pd.DataFrame({"sketch": [json.dumps(s.to_lists())], "n": [int(s.n)]})
 
@@ -1369,11 +1374,17 @@ def approx_token_quantiles(
     for batch in parts.iter_batches(batch_format="pandas"):
         for lists, n in zip(batch["sketch"], batch["n"]):
             merged.merge(KLL.from_lists(json.loads(lists), n, k=k))
+    if merged.n == 0:  # empty corpus: empty report, not a kernel raise
+        return pd.DataFrame(
+            {
+                "q": pd.Series([], dtype="float64"),
+                "approx_n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+    ests = merged.quantiles(list(qs))
     return pd.DataFrame(
         {
             "q": pd.Series(qs, dtype="float64"),
-            "approx_n_tokens": pd.Series(
-                [int(merged.quantile(q)) for q in qs], dtype="int64"
-            ),
+            "approx_n_tokens": pd.Series([int(v) for v in ests], dtype="int64"),
         }
     )

@@ -747,23 +747,37 @@ def test_kll_sketch_guarantees():
 
 
 def test_approx_token_quantiles_vs_exact():
-    """The one-pass pipeline op agrees with the EXACT distributed
-    selection (ops.exact_kth_smallest) within the sketch's rank bound
-    on the same corpus — the approximate and exact order-statistic
-    paths cross-check each other."""
+    """The one-pass pipeline op agrees with BOTH the EXACT distributed
+    selection (ops.exact_kth_smallest over the same token counts) and
+    a local numpy sort, within the sketch's rank bound — the
+    approximate and exact order-statistic paths cross-check each
+    other end to end."""
+    import math
+
     import numpy as np
     import pyarrow.parquet as pq
+    import ray.data
 
     from pdf_extractor_ray.kernels import textstats
+    from pdf_extractor_ray.ops import exact_kth_smallest
     from pdf_extractor_ray.pipelines import textops
 
     out = textops.approx_token_quantiles(SF_DIR)
     assert list(out.columns) == ["q", "approx_n_tokens"]
     texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
-    counts = np.sort([textstats.token_count_ws(t) for t in texts])
+    raw = [textstats.token_count_ws(t) for t in texts]
+    counts = np.sort(raw)
     n = len(counts)
-    for q, est in zip(out["q"], out["approx_n_tokens"]):
+    # the exact distributed path over the identical counts
+    ds = ray.data.from_pandas(pd.DataFrame({"x": pd.Series(raw, dtype="int64")})).materialize()
+    ks = [max(1, math.ceil(float(q) * n)) for q in out["q"]]
+    exact = exact_kth_smallest(ds, "x", ks)
+    for q, est, ex in zip(out["q"], out["approx_n_tokens"], exact):
         assert _kll_rank_err(counts, est, float(q), n) <= 0.02, (q, est)
+        # the exact selection IS the true nearest-rank value
+        assert ex == int(counts[max(1, math.ceil(float(q) * n)) - 1])
+        # and the sketch's answer is within its rank bound of it
+        assert _kll_rank_err(counts, ex, float(q), n) == 0.0
 
 
 # ---------------------------------------------------------------------------
