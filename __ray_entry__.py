@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_examples": _training_examples,
         "embed_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).embed_documents,
         "dsir_importance_weights": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).dsir_importance_weights,
+        "dsir_resample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).dsir_resample,
         "substring_dedup_documents": dedup.substring_dedup_documents,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).curation_funnel,
@@ -178,6 +179,7 @@ _ROWS_ONLY_PRIORITY = [
     "approx_distinct_counts",
     "approx_token_quantiles",
     "dsir_importance_weights",
+    "dsir_resample",
     "substring_dedup_documents",
 ]
 

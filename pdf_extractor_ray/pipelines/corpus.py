@@ -555,6 +555,51 @@ def dsir_select_top(sf_dir: str, k: int = 100, **kw) -> ray.data.Dataset:
     )
 
 
+def dsir_resample(
+    sf_dir: str, k: int = 100, seed: int = 17, **kw
+) -> ray.data.Dataset:
+    """DSIR importance RESAMPLING (the paper's actual selection step,
+    completing :func:`dsir_importance_weights` + :func:`dsir_select_top`):
+    a weighted sample WITHOUT replacement of ``k`` docs, inclusion
+    probability proportional to ``exp(dsir_logweight)``, via the
+    Gumbel-top-k trick (Vieira 2014 / Kool et al. 2019, public):
+    ``key = logweight + Gumbel(hash(doc_id, seed))`` and the top-k keys
+    ARE a without-replacement weighted sample. Deterministic: the
+    Gumbel noise comes from the same seeded multiplicative doc_id hash
+    as :func:`sample_k_documents`, so membership is independent of scan
+    order, partitioning, and cluster size, and any seed reproduces.
+
+    Scale shape: identical to the other exact-k samplers — per-batch
+    partial top-k BEFORE the exchange, so the final sort+limit sees at
+    most k rows per input batch. Rows-only (float keys; pinned by a
+    local-reference replica test + a cross-seed preference check)."""
+    weights = dsir_importance_weights(sf_dir, **kw)
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__key"] = dsir_gumbel_keys(
+            b["doc_id"].to_numpy(), b["dsir_logweight"].to_numpy(), seed
+        )
+        return b.sort_values(["__key", "doc_id"], ascending=[False, True]).head(k)
+
+    return (
+        weights.map_batches(add_key, batch_format="pandas")
+        .sort(["__key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .drop_columns(["__key"])
+    )
+
+
+def dsir_gumbel_keys(doc_ids: np.ndarray, logweights: np.ndarray, seed: int) -> np.ndarray:
+    """Perturbed keys for Gumbel-top-k: logweight + G where
+    G = -ln(-ln(u)) and u is a (0,1) uniform derived from the seeded
+    multiplicative hash of doc_id — shared by the pipeline and the
+    test's local reference so parity is by construction."""
+    h = (doc_ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
+    u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+    return logweights.astype(np.float64) - np.log(-np.log(u))
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (training-batch prep: greedy next-fit of documents
 # into fixed token budgets — the step between chunking and the

@@ -689,6 +689,48 @@ def test_exact_kth_smallest_matches_numpy_sort():
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (Gumbel-top-k)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_resample_matches_local_reference_and_prefers_weighty_docs():
+    """The Gumbel-top-k weighted sample equals the local reference
+    (same key function over the same weights — parity by construction,
+    checked end to end through the distributed partial-top-k path),
+    and across seeds the inclusion frequency actually FOLLOWS the
+    weights: the top-weight decile appears far more often than the
+    bottom decile."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.corpus import (
+        dsir_gumbel_keys,
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    w = dsir_importance_weights(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ids = w["doc_id"].to_numpy()
+    lw = w["dsir_logweight"].to_numpy()
+    k = 40
+    for seed in (17, 99):
+        got = sorted(dsir_resample(SF_DIR, k=k, seed=seed).to_pandas()["doc_id"])
+        keys = dsir_gumbel_keys(ids, lw, seed)
+        order = np.lexsort((ids, -keys))  # key desc, doc_id asc
+        want = sorted(int(ids[i]) for i in order[:k])
+        assert got == want, seed
+    # preference: count inclusions over many seeds
+    top_decile = set(ids[np.argsort(-lw)][: len(ids) // 10])
+    bot_decile = set(ids[np.argsort(lw)][: len(ids) // 10])
+    top_hits = bot_hits = 0
+    for seed in range(30):
+        keys = dsir_gumbel_keys(ids, lw, seed)
+        chosen = set(ids[np.lexsort((ids, -keys))[:k]])
+        top_hits += len(chosen & top_decile)
+        bot_hits += len(chosen & bot_decile)
+    assert top_hits > 3 * max(bot_hits, 1), (top_hits, bot_hits)
+
+
+# ---------------------------------------------------------------------------
 # KLL quantile sketch + one-pass approximate quantiles
 # ---------------------------------------------------------------------------
 
