@@ -366,15 +366,15 @@ def exact_kth_smallest(
     """
     if not ks:
         return []
-    total = ds.count()
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = ds.aggregate(Count(), Min(col), Max(col))  # ONE stats pass
+    total = int(agg["count()"])
     if total == 0:
         raise ValueError("exact_kth_smallest: empty dataset")
     for k in ks:
         if not 1 <= k <= total:
             raise ValueError(f"exact_kth_smallest: rank {k} outside [1, {total}]")
-    from ray.data.aggregate import Max, Min
-
-    agg = ds.aggregate(Min(col), Max(col))
     lo0, hi0 = int(agg[f"min({col})"]), int(agg[f"max({col})"])
 
     def values_in(lo: int, hi: int) -> np.ndarray:
@@ -384,6 +384,14 @@ def exact_kth_smallest(
 
         rows = ds.map_batches(pick, batch_format="pandas").take_all()
         return np.sort(np.fromiter((r[col] for r in rows), dtype=np.int64, count=len(rows)))
+
+    vcache: "dict[tuple[int, int], np.ndarray]" = {}
+
+    def values_in_cached(lo: int, hi: int) -> np.ndarray:
+        key = (lo, hi)
+        if key not in vcache:
+            vcache[key] = values_in(lo, hi)
+        return vcache[key]  # ranks resolving into the same bin share one scan
 
     # per-rank state: (lo, hi, below) — ranks sharing (lo, hi) share
     # each round's histogram pass
@@ -436,7 +444,7 @@ def exact_kth_smallest(
                 nlo = lo + target_bin * width
                 nhi = min(hi, nlo + width - 1)
                 if bin_count <= collect_threshold:
-                    vals = values_in(nlo, nhi)
+                    vals = values_in_cached(nlo, nhi)
                     out[i] = int(vals[k - cum - 1])
                     del state[i]
                 else:

@@ -594,9 +594,19 @@ def dsir_gumbel_keys(doc_ids: np.ndarray, logweights: np.ndarray, seed: int) -> 
     """Perturbed keys for Gumbel-top-k: logweight + G where
     G = -ln(-ln(u)) and u is a (0,1) uniform derived from the seeded
     multiplicative hash of doc_id — shared by the pipeline and the
-    test's local reference so parity is by construction."""
-    h = (doc_ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
-    u = (h.astype(np.float64) + 0.5) / float(1 << 64)
+    test's local reference so parity is by construction.
+
+    The ``& 0xFFFFFFFF`` mask is load-bearing (same as
+    ``sample_k_documents``): the multiplicative hash is uniform MOD
+    2^32 — without the mask the raw 64-bit product never wraps for
+    realistic ids, leaving u tiny and monotone in doc_id, which
+    degenerates the noise to a ~0.08-std sliver and turns the
+    "weighted sample" into deterministic top-k-by-weight (caught by
+    review; the noise-spread assertion in tests pins it now)."""
+    h = (
+        (doc_ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
+    ) & np.uint64(0xFFFFFFFF)
+    u = (h.astype(np.float64) + 0.5) / float(1 << 32)
     return logweights.astype(np.float64) - np.log(-np.log(u))
 
 

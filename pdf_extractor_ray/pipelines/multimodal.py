@@ -196,6 +196,27 @@ def _png_unfilter(raw: np.ndarray, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _quarantine_malformed(fn):
+    """Decoder wrapper: structural damage surfaces as struct.error /
+    IndexError / zlib.error from header parsing, palette indexing or
+    stream inflation — normalize to ValueError so the quarantine
+    contract ("malformed input raises ValueError") holds for DIRECT
+    decoder callers too, not just the pipeline's broad catch. (Found
+    by random-bytes fuzz + review, round 5.)"""
+    import functools
+    import zlib
+
+    @functools.wraps(fn)
+    def wrapped(payload: bytes):
+        try:
+            return fn(payload)
+        except (struct.error, IndexError, zlib.error) as e:
+            raise ValueError(f"malformed payload: {e}") from e
+
+    return wrapped
+
+
+@_quarantine_malformed
 def _png_decode_pixels(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL PNG decode (non-interlaced, 8-bit) in numpy + stdlib zlib —
     the same inflate the PDF kernel already relies on; no codec library.
@@ -371,24 +392,6 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarra
     if len(out) < n_pixels:
         raise ValueError(f"LZW stream short: {len(out)} of {n_pixels} pixels")
     return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
-
-
-def _quarantine_malformed(fn):
-    """Decoder wrapper: structural damage surfaces as struct.error /
-    IndexError from header unpacking — normalize to ValueError so the
-    quarantine contract ("malformed input raises ValueError") holds for
-    DIRECT decoder callers too, not just the pipeline's broad catch.
-    (Found by random-bytes fuzz, round 5.)"""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(payload: bytes):
-        try:
-            return fn(payload)
-        except (struct.error, IndexError) as e:
-            raise ValueError(f"malformed payload: {e}") from e
-
-    return wrapped
 
 
 @_quarantine_malformed

@@ -592,19 +592,33 @@ def test_decoders_random_bytes_quarantine_cleanly():
         b"IMG1",
     ]
     for magic in magics:
+        accepted = 0
         for _ in range(40):
             payload = magic + rng.bytes(int(rng.randint(1, 400)))
             try:
                 decode_image(payload)
+                accepted += 1  # conceivable for trivial headers (PNM/IMG1)
             except ValueError:
                 pass  # the quarantine contract
-    # the jpeg entry point directly too (progressive marker loop)
+        # rejection must be the norm: a regression that silently accepts
+        # garbage (e.g. the pre-guard IMG1 header parse) fails here
+        assert accepted <= 2, (magic, accepted)
+    # the jpeg entry point directly too (progressive marker loop);
+    # random bytes can never be a structurally complete JPEG
     for _ in range(60):
         payload = b"\xff\xd8" + rng.bytes(int(rng.randint(1, 600)))
-        try:
+        with pytest.raises(ValueError):
             decode_jpeg(payload)
-        except ValueError:
-            pass
+    # structurally-valid chunk layout with corrupt content (beyond what
+    # random bytes reach): PNG IDAT bit-flips must still be ValueError
+    from pdf_extractor_ray.pipelines.multimodal import make_png
+
+    good = bytearray(make_png(1, 10, 8, channels=1, filter_type=0))
+    i = bytes(good).find(b"IDAT")
+    good[i + 8] ^= 0xFF
+    good[i + 9] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_image(bytes(good))
 
 
 def test_media_pipeline_decodes_planted_jpegs():
@@ -711,6 +725,10 @@ def test_dsir_resample_matches_local_reference_and_prefers_weighty_docs():
     w = dsir_importance_weights(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
     ids = w["doc_id"].to_numpy()
     lw = w["dsir_logweight"].to_numpy()
+    # the noise really is Gumbel-spread (std pi/sqrt(6) ~ 1.283), not a
+    # degenerate monotone sliver (the unmasked-hash bug the review caught)
+    noise = dsir_gumbel_keys(ids, np.zeros_like(lw), 17)
+    assert 1.0 < float(np.std(noise)) < 1.6, float(np.std(noise))
     k = 40
     for seed in (17, 99):
         got = sorted(dsir_resample(SF_DIR, k=k, seed=seed).to_pandas()["doc_id"])
