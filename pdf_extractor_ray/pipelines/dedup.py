@@ -836,6 +836,12 @@ def _split_oversized_clusters(
         _LOG.info("semdedup sub-split round: %s", lineage)
         if split_log is not None:
             split_log.append(lineage)
+        # run-metrics plane (TODO_ROUND5 #8 follow-up): when a named
+        # collector is live, the lineage lands in the next manifest
+        # commit's "events" — no caller-owned list needed in prod
+        from pdf_extractor_ray.state import metrics as _metrics
+
+        _metrics.log_event("semdedup_split", lineage)
         plan_ref = ray.put(plan)
 
         def reassign(t: pa.Table) -> pa.Table:

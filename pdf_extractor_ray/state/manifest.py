@@ -169,10 +169,15 @@ def run_partitioned_extraction(
             worker_metrics = _ray.get(collector.drain.remote(), timeout=10)
         except Exception:  # metrics plane never fails the data plane
             worker_metrics = []
+        try:
+            events = _ray.get(collector.drain_events.remote(), timeout=10)
+        except Exception:
+            events = []
         manifest.commit(
             {
                 "partition_id": pid,
                 "worker_metrics": worker_metrics,
+                "events": events,
                 "input_files": group,
                 "content_hash": fileset_hash(group),
                 "output_path": final,

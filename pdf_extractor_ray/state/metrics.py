@@ -24,6 +24,17 @@ NAMESPACE = "pdf_extractor_ray"
 class MetricsCollector:
     def __init__(self) -> None:
         self._records: list[dict] = []
+        self._events: list[dict] = []
+
+    def log_event(self, kind: str, payload: dict) -> None:
+        """Structured operator lineage (e.g. a semdedup sub-split round):
+        arbitrary JSON-safe payload, kept verbatim — unlike per-worker
+        throughput reports these are few and never aggregated."""
+        self._events.append({"kind": kind, "at": time.strftime("%Y-%m-%dT%H:%M:%S"), **payload})
+
+    def drain_events(self) -> list[dict]:
+        out, self._events = self._events, []
+        return out
 
     def report(self, worker_id: int, stage: str, docs: int, n_bytes: int, failures: int, seconds: float) -> None:
         self._records.append(
@@ -83,6 +94,7 @@ def start_collector():
             collector = ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE)
     try:
         ray.get(collector.drain.remote(), timeout=10)  # discard stale records
+        ray.get(collector.drain_events.remote(), timeout=10)
     except Exception:
         pass
     return collector
@@ -93,6 +105,20 @@ def stop_collector() -> None:
         ray.kill(ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE))
     except ValueError:
         pass
+
+
+def log_event(kind: str, payload: dict) -> None:
+    """Driver-side fire-and-forget lineage event to the NAMED collector
+    if one is running (operators like semdedup call this from the
+    driver, where a name lookup is cheap and cannot go stale the way a
+    worker-side global could); no-op when the metrics plane is absent."""
+    if not ray.is_initialized():
+        return
+    try:
+        collector = ray.get_actor(COLLECTOR_NAME, namespace=NAMESPACE)
+        collector.log_event.remote(kind, payload)
+    except Exception:
+        pass  # metrics plane never fails the data plane
 
 
 def report(collector, stage: str, docs: int, n_bytes: int, failures: int, seconds: float) -> None:

@@ -911,3 +911,36 @@ def test_semdedup_inseparable_cluster_hits_backstop(tmp_path):
                 split_branch=2,
                 max_split_depth=1,
             ).to_pandas()
+
+
+def test_semdedup_split_lineage_reaches_metrics_manifest_events(tmp_path):
+    """TODO_ROUND5 #8 follow-up: with the named metrics collector live,
+    the sub-split lineage flows into the run-metrics plane (and thus
+    into the next manifest commit's "events") without any caller-owned
+    list — and drain_events clears the buffer."""
+    import ray
+
+    from pdf_extractor_ray.pipelines.dedup import semdedup
+    from pdf_extractor_ray.state import metrics
+
+    collector = metrics.start_collector()
+    try:
+        vecs = _planted_three_lobe_corpus(40)
+        d = _write_embeddings_r5(tmp_path, vecs)
+        semdedup(
+            d,
+            num_clusters=1,
+            cosine_threshold=0.9999,
+            max_cluster_rows=60,
+            split_branch=4,
+            max_split_depth=3,
+        ).materialize()
+        events = ray.get(collector.drain_events.remote(), timeout=10)
+        splits = [e for e in events if e["kind"] == "semdedup_split"]
+        assert splits, events
+        assert splits[0]["split"][0]["rows"] == len(vecs)
+        assert "at" in splits[0] and splits[0]["depth"] == 0
+        # drained: a second drain is empty
+        assert ray.get(collector.drain_events.remote(), timeout=10) == []
+    finally:
+        metrics.stop_collector()
