@@ -13,7 +13,10 @@ RIFF/WAV PCM16 via the stdlib ``wave`` module, and JPEG — baseline
 pure numpy in ``kernels/jpeg.py``; lossy, so pinned by dims/channel
 exactness, bounded reconstruction error, the every-prefix quarantine
 sweep, and progressive-vs-baseline BIT-IDENTITY (both encoders share
-one quantization front end). Arithmetic/lossless JPEG, MP3 and video
+one quantization front end), and YUV4MPEG2 video (stream/FRAME header
+parse + BT.601 limited-range integer YUV→RGB with nearest-neighbour
+chroma upsampling for mono/4:2:0/4:2:2/4:4:4 — ``_y4m_parse``).
+Arithmetic/lossless JPEG, MP3 and compressed video (H.264/VP9/...)
 stay honestly gated (ValueError → quarantine).
 Everything Ray-side is real and tested either way: schema,
 batch sizing for large binary payloads, actor signature (state in
@@ -657,7 +660,8 @@ def decode_image(payload: bytes) -> dict:
     """Image decode: IMG1 (synthetic container), real binary netpbm
     (P5/P6), non-interlaced 8-bit PNG, GIF87a/89a, uncompressed BMP,
     and JPEG (baseline + progressive) all decode natively (no
-    external codec); MP3 / video stay honestly gated."""
+    external codec); MP3 / compressed video stay honestly gated
+    (Y4M video decodes natively via :func:`decode_video`)."""
     if payload.startswith(b"IMG1"):
         if len(payload) < 12:
             raise ValueError("truncated image payload")
@@ -742,7 +746,7 @@ class MediaFeatureActor:
     """
 
     def __init__(self) -> None:
-        self.decoders = {"image": decode_image, "audio": decode_audio}
+        self.decoders = {"image": decode_image, "audio": decode_audio, "video": decode_video}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -803,8 +807,15 @@ def generate_media_table(n_rows: int, seed: int = 42) -> pa.Table:
             t, p, m = "audio", make_wav(i, 1000 + (i % 4000)), '{"codec":"wav"}'
         elif r < 90:
             t, p, m = "audio", make_fake_audio(i, 1000 + (i % 4000)), '{"codec":"aud1"}'
-        elif r < 95:
-            t, p, m = "video", b"VID0" + bytes(8), '{"codec":"vid0"}'  # unsupported
+        elif r < 95:  # video: real Y4M (mono / 4:2:0 / 4:4:4), with
+            # VID0 rows kept to exercise the compressed-codec gate
+            if i % 4 == 0:
+                t, p, m = "video", b"VID0" + bytes(8), '{"codec":"vid0"}'  # unsupported
+            else:
+                cs = ("mono", "420jpeg", "444")[i % 3]
+                t = "video"
+                p = make_y4m(i, 2 + (i % 4), 12 + (i % 10), 10 + (i % 6), colorspace=cs)
+                m = f'{{"codec":"y4m","cs":"{cs}"}}'
         else:
             t, p, m = "image", b"IMG1\x00\x00", '{"codec":"img1"}'  # truncated
         ids.append(i)
@@ -855,6 +866,132 @@ def make_fake_video(media_id: int, n_frames: int, w: int = 16, h: int = 12) -> b
     return b"VID1" + struct.pack(">III", n_frames, w, h) + frames.tobytes()
 
 
+# --------------------------------------------------- YUV4MPEG2 (Y4M)
+# Real video container (public format: a plain-text stream header
+# "YUV4MPEG2 W.. H.. F.. C..\n" followed by per-frame "FRAME...\n" +
+# raw planar YUV) — the standard interchange format of mjpegtools /
+# ffmpeg's rawvideo path. Parsing it needs no entropy codec, so unlike
+# MP3/H.264 it decodes natively here; compressed video stays gated.
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _y4m_plane_dims(cs: str, w: int, h: int) -> list[tuple[int, int]]:
+    """(width, height) of each plane for colorspace ``cs`` — shared by
+    writer and parser so round-trips agree by construction. 4:2:0 and
+    4:2:2 chroma dims use ceil (odd frame dims stay self-consistent)."""
+    if cs == "mono":
+        return [(w, h)]
+    if cs.startswith("420"):  # C420 / C420jpeg / C420mpeg2 / C420paldv:
+        # chroma SITING differs between them, sample COUNTS don't — and
+        # nearest-neighbour upsampling (below) is siting-agnostic
+        return [(w, h), ((w + 1) // 2, (h + 1) // 2), ((w + 1) // 2, (h + 1) // 2)]
+    if cs == "422":
+        return [(w, h), ((w + 1) // 2, h), ((w + 1) // 2, h)]
+    if cs == "444":
+        return [(w, h), (w, h), (w, h)]
+    raise ValueError(f"unsupported Y4M colorspace C{cs}")
+
+
+def make_y4m(media_id: int, n_frames: int, w: int = 16, h: int = 12, colorspace: str = "420jpeg") -> bytes:
+    """Deterministic Y4M fixture writer (random planes per media_id)."""
+    rng = np.random.RandomState((media_id * 7919 + 13) % (2**31))
+    dims = _y4m_plane_dims(colorspace, w, h)
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{colorspace}\n".encode()]
+    for _ in range(n_frames):
+        parts.append(b"FRAME\n")
+        for pw, ph in dims:
+            parts.append(rng.randint(0, 256, size=ph * pw, dtype=np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def _y4m_parse(payload: bytes) -> tuple[int, int, str, list[list[np.ndarray]]]:
+    """Stream header + every frame's planes. Malformed → ValueError."""
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("bad Y4M magic")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    w = h = 0
+    cs = "420jpeg"  # spec default when no C tag
+    for tok in payload[len(_Y4M_MAGIC) : nl].split():
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cs = val.decode("ascii")
+            # F (rate) / I (interlacing) / A (aspect) / X (extension)
+            # don't affect pixel decode — ignored
+        except (ValueError, UnicodeDecodeError) as e:
+            raise ValueError(f"bad Y4M header token {tok!r}: {e}") from e
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing/invalid W or H")
+    dims = _y4m_plane_dims(cs, w, h)
+    frame_bytes = sum(pw * ph for pw, ph in dims)
+    frames: list[list[np.ndarray]] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad Y4M FRAME header")
+        pos = fnl + 1
+        if pos + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        planes = []
+        for pw, ph in dims:
+            planes.append(np.frombuffer(payload, dtype=np.uint8, count=pw * ph, offset=pos).reshape(ph, pw))
+            pos += pw * ph
+        frames.append(planes)
+    if not frames:
+        raise ValueError("Y4M contains no frames")
+    return w, h, cs, frames
+
+
+def _y4m_frame_rgb(planes: list[np.ndarray], cs: str, w: int, h: int) -> np.ndarray:
+    """One frame → (h, w, 3) uint8 RGB: BT.601 limited-range integer
+    conversion (the ITU-R fixed-point form: R = (298c + 409e + 128)>>8
+    etc.), chroma upsampled by nearest-neighbour sample replication.
+    Integer arithmetic end to end — bit-deterministic across hosts."""
+    c = planes[0].astype(np.int32) - 16
+    if cs == "mono":
+        d = e = np.zeros_like(c)
+    else:
+        fy = -(-h // planes[1].shape[0])
+        fx = -(-w // planes[1].shape[1])
+        d = planes[1].repeat(fy, axis=0).repeat(fx, axis=1)[:h, :w].astype(np.int32) - 128
+        e = planes[2].repeat(fy, axis=0).repeat(fx, axis=1)[:h, :w].astype(np.int32) - 128
+    r = np.clip((298 * c + 409 * e + 128) >> 8, 0, 255)
+    g = np.clip((298 * c - 100 * d - 208 * e + 128) >> 8, 0, 255)
+    b = np.clip((298 * c + 516 * d + 128) >> 8, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def decode_y4m(payload: bytes) -> dict:
+    """Y4M → the video feature dict (frame count, geometry, colorspace,
+    mean RGB pixel over all frames after full decode)."""
+    w, h, cs, frames = _y4m_parse(payload)
+    means = [float(_y4m_frame_rgb(p, cs, w, h).mean()) for p in frames]
+    return {
+        "n_frames": len(frames),
+        "width": int(w),
+        "height": int(h),
+        "colorspace": cs,
+        "mean_pixel": float(np.mean(means)),
+    }
+
+
+def decode_video(payload: bytes) -> dict:
+    """Video decode: YUV4MPEG2 decodes natively (real parser + BT.601
+    conversion above); compressed codecs (H.264/VP9/...) need entropy
+    decoders from external libraries absent in this environment and
+    stay honestly gated — rows quarantine, never drop."""
+    if payload.startswith(_Y4M_MAGIC):
+        return decode_y4m(payload)
+    raise ValueError("unsupported video codec (only YUV4MPEG2 decodes natively)")
+
+
 def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     """Nearest-neighbour resize, pure numpy: IMG1 containers and real
     binary netpbm (P5 grayscale / P6 RGB, per-channel) both supported;
@@ -879,8 +1016,15 @@ def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 
 def sample_frames(payload: bytes, every_k: int = 4) -> list[bytes]:
-    """Frame-sample a VID1 payload → list of IMG1 payloads (every k-th
-    frame), the decode side of a frame-sampling stage."""
+    """Frame-sample a video payload → every k-th frame as a standalone
+    image payload: Y4M frames decode to RGB and emit binary PPM (P6);
+    VID1 (synthetic grayscale container) emits IMG1."""
+    if payload.startswith(_Y4M_MAGIC):
+        w, h, cs, frames = _y4m_parse(payload)
+        return [
+            f"P6\n{w} {h}\n255\n".encode() + _y4m_frame_rgb(frames[i], cs, w, h).tobytes()
+            for i in range(0, len(frames), every_k)
+        ]
     if not payload.startswith(b"VID1"):
         raise ValueError("bad video magic")
     n, w, h = struct.unpack(">III", payload[4:16])

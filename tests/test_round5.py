@@ -944,3 +944,130 @@ def test_semdedup_split_lineage_reaches_metrics_manifest_events(tmp_path):
         assert ray.get(collector.drain_events.remote(), timeout=10) == []
     finally:
         metrics.stop_collector()
+
+
+# ------------------------------------------------------ Y4M video codec
+def test_y4m_round_trip_features_and_determinism():
+    from pdf_extractor_ray.pipelines.multimodal import decode_video, make_y4m
+
+    for cs in ("mono", "420jpeg", "444", "422"):
+        p = make_y4m(9, 5, 16, 12, colorspace=cs)
+        f = decode_video(p)
+        assert (f["n_frames"], f["width"], f["height"], f["colorspace"]) == (5, 16, 12, cs)
+        assert 0.0 <= f["mean_pixel"] <= 255.0
+        assert decode_video(make_y4m(9, 5, 16, 12, colorspace=cs)) == f  # deterministic
+    # spec default colorspace (no C tag) is 4:2:0
+    import re
+
+    p = make_y4m(3, 2, 8, 6, colorspace="420jpeg")
+    stripped = re.sub(rb" C420jpeg", b"", p, count=1)
+    assert decode_video(stripped)["colorspace"] == "420jpeg"
+
+
+def test_y4m_bt601_known_vectors():
+    """Hand-computed BT.601 limited-range integer vectors: black, white
+    and the canonical red (Y=81,U=90,V=240 -> 255,0,0)."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.multimodal import decode_image, sample_frames
+
+    def one_frame_y4m(y, u, v):
+        hdr = b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n"
+        mk = lambda val: bytes([val] * 4)
+        return hdr + mk(y) + mk(u) + mk(v)
+
+    # black/white/red invert exactly through the integer formula; the
+    # green/blue YUV triples are themselves rounded (Y=144.553->145
+    # etc.), so allow the +-1 the forward rounding costs
+    for (y, u, v), want, tol in [
+        ((16, 128, 128), (0, 0, 0), 0),
+        ((235, 128, 128), (255, 255, 255), 0),
+        ((81, 90, 240), (255, 0, 0), 0),
+        ((145, 54, 34), (0, 255, 0), 1),
+        ((41, 240, 110), (0, 0, 255), 1),
+    ]:
+        frames = sample_frames(one_frame_y4m(y, u, v), every_k=1)
+        assert len(frames) == 1 and frames[0].startswith(b"P6")
+        pix = np.frombuffer(frames[0].split(b"\n", 3)[3], dtype=np.uint8).reshape(2, 2, 3)
+        got = tuple(int(x) for x in pix[0, 0])
+        assert all(abs(g - w) <= tol for g, w in zip(got, want)), ((y, u, v), got, want)
+        # and the sampled PPM round-trips through the image decoder
+        m = decode_image(frames[0])
+        assert (m["width"], m["height"], m["channels"]) == (2, 2, 3)
+
+
+def test_y4m_420_chroma_upsample_blocks():
+    """4:2:0 chroma: each chroma sample must paint its full 2x2 luma
+    block identically (nearest-neighbour replication)."""
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.multimodal import sample_frames
+
+    w, h = 4, 2
+    y = bytes([128] * (w * h))
+    u = bytes([90, 200])  # 2x1 chroma plane -> two 2x2 blocks
+    v = bytes([240, 50])
+    p = f"YUV4MPEG2 W{w} H{h} F25:1 C420jpeg\n".encode() + b"FRAME\n" + y + u + v
+    pix = np.frombuffer(sample_frames(p, every_k=1)[0].split(b"\n", 3)[3], dtype=np.uint8).reshape(h, w, 3)
+    left, right = pix[:, :2], pix[:, 2:]
+    assert (left == left[0, 0]).all() and (right == right[0, 0]).all()
+    assert tuple(left[0, 0]) != tuple(right[0, 0])
+
+
+def test_y4m_truncation_and_malformed_quarantine():
+    """Non-frame-aligned prefixes raise ValueError; frame-aligned
+    prefixes are legitimately shorter videos (stream formats truncate
+    on frame boundaries) — enumerate every prefix and require exactly
+    that dichotomy. Plus malformed headers."""
+    import pytest as _pytest
+
+    from pdf_extractor_ray.pipelines.multimodal import decode_video, make_y4m
+
+    p = make_y4m(5, 3, 6, 4, colorspace="420jpeg")
+    hdr_len = p.index(b"\n") + 1
+    frame_len = len(b"FRAME\n") + 6 * 4 + 2 * 3 * 2  # Y + 2 ceil-dim chroma planes
+    assert (len(p) - hdr_len) % frame_len == 0
+    ok_lens = {hdr_len + k * frame_len for k in range(1, 4)}
+    for cut in range(len(p)):
+        if cut in ok_lens:
+            assert decode_video(p[:cut])["n_frames"] == (cut - hdr_len) // frame_len
+        else:
+            with _pytest.raises(ValueError):
+                decode_video(p[:cut])
+    for bad in (
+        b"YUV4MPEG2 W0 H4 C444\nFRAME\n",          # invalid W
+        b"YUV4MPEG2 W4 Hx C444\nFRAME\n",          # unparseable H
+        b"YUV4MPEG2 W4 H4 C9999\nFRAME\n",         # unknown colorspace
+        b"YUV4MPEG2 W2 H2 C444\nFRAMX\n" + bytes(12),  # bad frame marker
+        b"VID0" + bytes(8),                         # compressed-codec gate
+    ):
+        with _pytest.raises(ValueError):
+            decode_video(bad)
+
+
+def test_media_pipeline_decodes_planted_y4m_and_gates_vid0():
+    import json
+
+    import ray
+
+    from pdf_extractor_ray.pipelines.multimodal import (
+        generate_media_table,
+        media_features_pipeline,
+        media_transform_pipeline,
+    )
+
+    tbl = generate_media_table(400)
+    out = media_features_pipeline(ray.data.from_arrow(tbl), concurrency=2).to_pandas()
+    vids = out[out["media_type"] == "video"]
+    ok = vids[vids["status"] == "ok"]
+    gated = vids[vids["status"] != "ok"]
+    assert len(ok) > 0 and len(gated) > 0
+    f = json.loads(ok.iloc[0]["features"])
+    assert f["n_frames"] >= 2 and f["colorspace"] in ("mono", "420jpeg", "444")
+    assert all("unsupported video codec" in e for e in gated["error"])
+    # transform stage: Y4M rows emit sampled frames, VID0 rows quarantine
+    t = media_transform_pipeline(ray.data.from_arrow(tbl), concurrency=2).to_pandas()
+    tv = t[t["media_type"] == "video"]
+    assert (tv.loc[tv["status"] == "ok", "n_outputs"] >= 1).all()
+    assert len(tv[tv["status"] == "ok"]) == len(ok)
+    assert (tv["status"] != "ok").sum() == len(gated)
