@@ -783,7 +783,8 @@ class MediaFeatureActor:
 
 
 def generate_media_table(n_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic media corpus: ~60% images, ~30% audio, ~10% bad rows."""
+    """Deterministic media corpus: ~60% images, ~30% audio, ~4% decodable
+    Y4M video, ~6% bad rows (VID0 compressed-codec gate + truncated IMG1)."""
     ids, types, payloads, metas = [], [], [], []
     for i in range(n_rows):
         r = (i * 2654435761 + seed) % 100
@@ -934,7 +935,10 @@ def _y4m_parse(payload: bytes) -> tuple[int, int, str, list[list[np.ndarray]]]:
     pos = nl + 1
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
-        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+        marker = payload[pos:fnl]
+        # spec: the frame header is exactly "FRAME" plus optional
+        # space-prefixed params — "FRAMEJUNK" is a corrupt stream
+        if fnl < 0 or not (marker == b"FRAME" or marker.startswith(b"FRAME ")):
             raise ValueError("bad Y4M FRAME header")
         pos = fnl + 1
         if pos + frame_bytes > len(payload):
@@ -984,12 +988,28 @@ def decode_y4m(payload: bytes) -> dict:
 
 def decode_video(payload: bytes) -> dict:
     """Video decode: YUV4MPEG2 decodes natively (real parser + BT.601
-    conversion above); compressed codecs (H.264/VP9/...) need entropy
-    decoders from external libraries absent in this environment and
-    stay honestly gated — rows quarantine, never drop."""
+    conversion above); VID1 (this module's synthetic grayscale
+    container) decodes so the feature and transform stages agree on
+    what a supported video is; compressed codecs (H.264/VP9/...) need
+    entropy decoders from external libraries absent in this environment
+    and stay honestly gated — rows quarantine, never drop."""
     if payload.startswith(_Y4M_MAGIC):
         return decode_y4m(payload)
-    raise ValueError("unsupported video codec (only YUV4MPEG2 decodes natively)")
+    if payload.startswith(b"VID1"):
+        if len(payload) < 16:
+            raise ValueError("truncated VID1 header")
+        n, w, h = struct.unpack(">III", payload[4:16])
+        if len(payload) != 16 + n * w * h:
+            raise ValueError("truncated VID1 frames")
+        frames = np.frombuffer(payload, dtype=np.uint8, offset=16)
+        return {
+            "n_frames": int(n),
+            "width": int(w),
+            "height": int(h),
+            "colorspace": "gray",
+            "mean_pixel": float(frames.mean()) if frames.size else 0.0,
+        }
+    raise ValueError("unsupported video codec (YUV4MPEG2 and VID1 decode natively)")
 
 
 def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:

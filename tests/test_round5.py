@@ -1039,10 +1039,32 @@ def test_y4m_truncation_and_malformed_quarantine():
         b"YUV4MPEG2 W4 Hx C444\nFRAME\n",          # unparseable H
         b"YUV4MPEG2 W4 H4 C9999\nFRAME\n",         # unknown colorspace
         b"YUV4MPEG2 W2 H2 C444\nFRAMX\n" + bytes(12),  # bad frame marker
+        b"YUV4MPEG2 W2 H2 C444\nFRAMEXJUNK\n" + bytes(12),  # marker must be FRAME or "FRAME "
         b"VID0" + bytes(8),                         # compressed-codec gate
     ):
         with _pytest.raises(ValueError):
             decode_video(bad)
+    # spec allows space-prefixed frame params: "FRAME Xfoo\n" still decodes
+    ok = b"YUV4MPEG2 W2 H2 C444\nFRAME Xfoo\n" + bytes(12)
+    assert decode_video(ok)["n_frames"] == 1
+
+
+def test_decode_video_vid1_agrees_with_transform_stage():
+    """VID1 (the synthetic container sample_frames accepts) must also
+    decode through decode_video so the feature and transform stages
+    never disagree on what a supported video is."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdf_extractor_ray.pipelines.multimodal import decode_video, make_fake_video
+
+    p = make_fake_video(7, n_frames=4, w=6, h=3)
+    f = decode_video(p)
+    assert (f["n_frames"], f["width"], f["height"], f["colorspace"]) == (4, 6, 3, "gray")
+    assert f["mean_pixel"] == float(np.frombuffer(p[16:], dtype=np.uint8).mean())
+    for cut in (3, 10, len(p) - 1):
+        with _pytest.raises(ValueError):
+            decode_video(p[:cut])
 
 
 def test_media_pipeline_decodes_planted_y4m_and_gates_vid0():
