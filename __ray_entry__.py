@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a bit-exact local BPE reference test
         "bpe_merges": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bpe_learn,
         "bpe_token_counts": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bpe_token_counts,
+        # rows-only (iterative gradient descent — not SQL-expressible);
+        # pinned by bit-exact sequential-replica + partition-invariance
+        # tests in tests/test_round5.py
+        "quality_clf_scores": __import__("pdf_extractor_ray.pipelines.quality_clf", fromlist=["x"]).quality_clf_scores,
     }
     return _order_for_driver(q)
 

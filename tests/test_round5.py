@@ -4,6 +4,7 @@ round-5 operator work (SemDeDup sub-split, heavy-hitter strictness).
 """
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -1093,3 +1094,114 @@ def test_media_pipeline_decodes_planted_y4m_and_gates_vid0():
     assert (tv.loc[tv["status"] == "ok", "n_outputs"] >= 1).all()
     assert len(tv[tv["status"] == "ok"]) == len(ok)
     assert (tv["status"] != "ok").sum() == len(gated)
+
+
+# ------------------------------------------- trained quality classifier
+def _write_planted_clf_corpus(tmp_path, n=240):
+    """Separable synthetic corpus: positive (en) docs draw from pool A,
+    negative docs from pool B, both share filler words."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pos_pool = ["alpha", "beta", "gamma", "delta"]
+    neg_pool = ["zork", "quux", "fnord", "grue"]
+    shared = ["the", "data", "table", "row", "batch"]
+    rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    rng = np.random.RandomState(11)
+    for i in range(n):
+        pos = i % 2 == 0
+        pool = (pos_pool if pos else neg_pool) + shared
+        words = [pool[j % len(pool)] for j in rng.randint(0, len(pool), size=30)]
+        if i == 7:
+            words = []  # planted empty doc: n=0 path
+        t = " ".join(words)
+        rows["doc_id"].append(i)
+        rows["text"].append(t)
+        rows["lang"].append("en" if pos else "de")
+        rows["source"].append("src0")
+        rows["n_chars"].append(len(t))
+    d = tmp_path / "clf_corpus"
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(rows)
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_qclf_planted_separability_and_determinism(tmp_path):
+    from pdf_extractor_ray.pipelines.quality_clf import (
+        quality_clf_scores,
+        train_quality_classifier,
+    )
+
+    d = _write_planted_clf_corpus(tmp_path)
+    w1 = train_quality_classifier(d, iters=8)
+    w2 = train_quality_classifier(d, iters=8)
+    assert np.array_equal(w1, w2)  # bit-exact across runs
+    out = quality_clf_scores(d, iters=8).to_pandas()
+    assert sorted(out.columns) == ["clf_score", "doc_id", "label", "pred"]
+    assert len(out) == 240
+    acc = (out["pred"] == out["label"]).mean()
+    assert acc >= 0.95, acc
+    assert out["clf_score"].between(0, 1).all()
+
+
+def test_qclf_partition_invariance(tmp_path):
+    """Int64 fixed-point per-doc gradient rounding makes the summed
+    gradient — and so every weight — identical under any blocking."""
+    from pdf_extractor_ray.pipelines.quality_clf import train_quality_classifier
+
+    d = _write_planted_clf_corpus(tmp_path)
+    w1 = train_quality_classifier(d, iters=4, _num_blocks=1)
+    w8 = train_quality_classifier(d, iters=4, _num_blocks=8)
+    assert np.array_equal(w1, w8)
+
+
+def test_qclf_matches_sequential_reference(tmp_path):
+    """The distributed grad (map partials + grouped_sum exchange) must
+    be BIT-IDENTICAL to a single-process sequential replica of the
+    same fixed-point protocol."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.quality_clf import (
+        QCLF_DIM,
+        QCLF_L2,
+        QCLF_LR,
+        QCLF_SCALE,
+        _doc_grad_fixedpoint,
+        _featurize_one,
+        train_quality_classifier,
+    )
+
+    d = _write_planted_clf_corpus(tmp_path, n=120)
+    iters = 5
+    w_dist = train_quality_classifier(d, iters=iters)
+
+    tbl = pq.read_table(d + "/documents.parquet")
+    docs = [
+        (_featurize_one(t, QCLF_DIM), 1 if lang == "en" else 0)
+        for t, lang in zip(tbl["text"].to_pylist(), tbl["lang"].to_pylist())
+    ]
+    w = np.zeros(QCLF_DIM + 1, dtype=np.float64)
+    for _ in range(iters):
+        g = np.zeros(QCLF_DIM + 1, dtype=np.int64)
+        for (idx, cnt, n), y in docs:
+            du, db, _ = _doc_grad_fixedpoint(idx, cnt, n, y, w, QCLF_DIM)
+            np.add.at(g, idx, du)
+            g[QCLF_DIM] += db
+        w = w - QCLF_LR * (g.astype(np.float64) / (len(docs) * QCLF_SCALE) + QCLF_L2 * w)
+    assert np.array_equal(w_dist, w)
+
+
+def test_qclf_scores_on_sf_corpus_deterministic():
+    """On the real sf0.001 table: full row coverage, stable schema,
+    and a pinned checksum (lang is not text-separable in the synthetic
+    corpus, so accuracy is near the prior — the operator contract here
+    is determinism, not separability)."""
+    from tests.conftest import SF_DIR
+
+    from pdf_extractor_ray.pipelines.quality_clf import quality_clf_scores
+
+    out = quality_clf_scores(SF_DIR, iters=4).to_pandas().sort_values("doc_id")
+    assert len(out) == 500 and out["doc_id"].is_unique
+    again = quality_clf_scores(SF_DIR, iters=4).to_pandas().sort_values("doc_id")
+    assert np.array_equal(out["clf_score"].to_numpy(), again["clf_score"].to_numpy())
