@@ -57,6 +57,20 @@ def word_hashes(words: list[str]) -> np.ndarray:
     return out
 
 
+def ngram_buckets(words: list[str], num_buckets: int) -> np.ndarray:
+    """Hashed unigram+bigram bucket ids (int64, one per token occurrence,
+    NOT deduplicated) — the shared feature space of the DSIR importance
+    model (pipelines/corpus.py) and the trained quality classifier
+    (pipelines/quality_clf.py). One definition so the 'same feature
+    space' contract between them can't silently diverge."""
+    h = word_hashes(words)
+    feats = [h % np.uint64(num_buckets)]
+    if len(h) >= 2:
+        bg = h[:-1] * _SHINGLE_BASE + h[1:]
+        feats.append(bg % np.uint64(num_buckets))
+    return np.concatenate(feats).astype(np.int64)
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """uint64 hashes of the k-word shingles of ``text`` (deduplicated).
 

@@ -429,17 +429,9 @@ def _dsir_bucket_counts(texts, num_buckets: int) -> tuple[np.ndarray, int]:
     (one bincount per batch, not per doc)."""
     from pdf_extractor_ray.kernels import hashing
 
-    buckets = []
-    for t in texts:
-        words = t.split()
-        h = hashing.word_hashes(words)
-        feats = [h % np.uint64(num_buckets)]
-        if len(h) >= 2:
-            bg = h[:-1] * np.uint64(1099511628211) + h[1:]
-            feats.append(bg % np.uint64(num_buckets))
-        buckets.append(np.concatenate(feats) if feats else np.empty(0, dtype=np.uint64))
-    flat = np.concatenate(buckets) if buckets else np.empty(0, dtype=np.uint64)
-    return np.bincount(flat.astype(np.int64), minlength=num_buckets), len(flat)
+    buckets = [hashing.ngram_buckets(t.split(), num_buckets) for t in texts]
+    flat = np.concatenate(buckets) if buckets else np.empty(0, dtype=np.int64)
+    return np.bincount(flat, minlength=num_buckets), len(flat)
 
 
 def dsir_importance_weights(
@@ -520,15 +512,9 @@ def dsir_importance_weights(
         weights = np.zeros(len(b), dtype=np.float64)
         n_feats = np.zeros(len(b), dtype=np.int64)
         for i, t in enumerate(b["text"]):
-            words = t.split()
-            h = hashing.word_hashes(words)
-            feats = [h % np.uint64(num_buckets)]
-            if len(h) >= 2:
-                bg = h[:-1] * np.uint64(1099511628211) + h[1:]
-                feats.append(bg % np.uint64(num_buckets))
-            f = np.concatenate(feats)
+            f = hashing.ngram_buckets(t.split(), num_buckets)
             n_feats[i] = len(f)
-            weights[i] = lr[f.astype(np.int64)].sum()
+            weights[i] = lr[f].sum()
         return pd.DataFrame(
             {"doc_id": b["doc_id"], "n_features": n_feats, "dsir_logweight": weights}
         )

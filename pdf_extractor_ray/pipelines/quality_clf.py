@@ -63,17 +63,11 @@ QCLF_SCALE = float(1 << 24)  # fixed-point units per gradient unit
 
 
 def _featurize_one(text: str, dim: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """One doc -> (sorted unique bucket ids, counts, total count).
-    Same feature space as DSIR (hashed unigrams + bigrams)."""
+    """One doc -> (sorted unique bucket ids, counts, total count), in
+    the shared DSIR feature space (``hashing.ngram_buckets``)."""
     from pdf_extractor_ray.kernels import hashing
 
-    words = text.split()
-    h = hashing.word_hashes(words)
-    feats = [h % np.uint64(dim)]
-    if len(h) >= 2:
-        bg = h[:-1] * np.uint64(1099511628211) + h[1:]
-        feats.append(bg % np.uint64(dim))
-    f = np.concatenate(feats).astype(np.int64)
+    f = hashing.ngram_buckets(text.split(), dim)
     if f.size == 0:
         return f, f, 0
     idx, cnt = np.unique(f, return_counts=True)
@@ -151,7 +145,7 @@ def train_on_features(
                 du, db, _ = _doc_grad_fixedpoint(
                     ia, np.asarray(cnt, dtype=np.int64), int(n), int(y), wv, dim
                 )
-                np.add.at(g, ia, du)
+                g[ia] += du  # ia is unique per doc (np.unique output)
                 g[dim] += db
             nz = np.nonzero(g)[0]
             return pd.DataFrame({"bucket": nz.astype(np.int64), "g": g[nz]})
@@ -163,8 +157,28 @@ def train_on_features(
         ).to_pandas()  # bounded by dim + 1 rows, never corpus-sized
         dense = np.zeros(dim + 1, dtype=np.float64)
         dense[tbl["bucket"].to_numpy()] = tbl["g"].to_numpy().astype(np.float64)
-        w = w - lr * (dense / (max(n_docs, 1) * QCLF_SCALE) + l2 * w)
+        reg = l2 * w
+        reg[dim] = 0.0  # standard practice: the intercept is unpenalized
+        w = w - lr * (dense / (max(n_docs, 1) * QCLF_SCALE) + reg)
     return w
+
+
+def _featurize_and_train(
+    sf_dir: str,
+    *,
+    dim: int,
+    iters: int,
+    lr: float,
+    l2: float,
+    target_lang: str,
+    _num_blocks: int | None = None,
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """The one featurize+train path both public entry points share."""
+    feats = featurize_documents(
+        sf_dir, dim=dim, target_lang=target_lang, _num_blocks=_num_blocks
+    ).materialize()  # hash once; every GD round re-reads these blocks
+    w = train_on_features(feats, feats.count(), dim=dim, iters=iters, lr=lr, l2=l2)
+    return feats, w
 
 
 def train_quality_classifier(
@@ -178,10 +192,10 @@ def train_quality_classifier(
     _num_blocks: int | None = None,
 ) -> np.ndarray:
     """Featurize + train; returns the (dim + 1,) weight vector."""
-    feats = featurize_documents(
-        sf_dir, dim=dim, target_lang=target_lang, _num_blocks=_num_blocks
-    ).materialize()  # hash once; every GD round re-reads these blocks
-    return train_on_features(feats, feats.count(), dim=dim, iters=iters, lr=lr, l2=l2)
+    return _featurize_and_train(
+        sf_dir, dim=dim, iters=iters, lr=lr, l2=l2,
+        target_lang=target_lang, _num_blocks=_num_blocks,
+    )[1]
 
 
 def quality_clf_scores(
@@ -199,8 +213,9 @@ def quality_clf_scores(
     is exact."""
     from pdf_extractor_ray import joins
 
-    feats = featurize_documents(sf_dir, dim=dim, target_lang=target_lang).materialize()
-    w = train_on_features(feats, feats.count(), dim=dim, iters=iters, lr=lr, l2=l2)
+    feats, w = _featurize_and_train(
+        sf_dir, dim=dim, iters=iters, lr=lr, l2=l2, target_lang=target_lang
+    )
     ref = ray.put(w)
 
     def score(b: pd.DataFrame) -> pd.DataFrame:

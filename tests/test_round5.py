@@ -1188,7 +1188,9 @@ def test_qclf_matches_sequential_reference(tmp_path):
             du, db, _ = _doc_grad_fixedpoint(idx, cnt, n, y, w, QCLF_DIM)
             np.add.at(g, idx, du)
             g[QCLF_DIM] += db
-        w = w - QCLF_LR * (g.astype(np.float64) / (len(docs) * QCLF_SCALE) + QCLF_L2 * w)
+        reg = QCLF_L2 * w
+        reg[QCLF_DIM] = 0.0  # intercept unpenalized, like the engine
+        w = w - QCLF_LR * (g.astype(np.float64) / (len(docs) * QCLF_SCALE) + reg)
     assert np.array_equal(w_dist, w)
 
 
@@ -1201,7 +1203,13 @@ def test_qclf_scores_on_sf_corpus_deterministic():
 
     from pdf_extractor_ray.pipelines.quality_clf import quality_clf_scores
 
+    from tools.check_oracle import value_hash
+
     out = quality_clf_scores(SF_DIR, iters=4).to_pandas().sort_values("doc_id")
     assert len(out) == 500 and out["doc_id"].is_unique
+    # pinned against a silent deterministic regression (wrong default,
+    # sign flip, hashing change): regenerate CONSCIOUSLY, like
+    # golden_hashes.json
+    assert value_hash(out.reset_index(drop=True)) == "0bfdf727e08accb9081cfba4e43eb91a"
     again = quality_clf_scores(SF_DIR, iters=4).to_pandas().sort_values("doc_id")
     assert np.array_equal(out["clf_score"].to_numpy(), again["clf_score"].to_numpy())
