@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_query,
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
+        "banned_phrase_documents": textops.banned_phrase_documents,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
@@ -205,10 +206,12 @@ _ORACLE_OVERFLOW = [
     "top_orders_by_price",
     "events_hourly",
     # NEW round 5 (PSL registrable-domain stats; CCNet perplexity
-    # terciles over the bigram-LM scores) — oracle-verified in CI at
-    # sf0.001/sf0.01; rotate into the window next round.
+    # terciles over the bigram-LM scores; C4-style banned-phrase
+    # filter) — oracle-verified in CI at sf0.001/sf0.01; rotate into
+    # the window next round.
     "registrable_domain_stats",
     "lm_nll_buckets_documents",
+    "banned_phrase_documents",
 ]
 
 
@@ -282,5 +285,6 @@ def oracle_sql() -> dict[str, str]:
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
         "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,
+        "banned_phrase_documents": textops.BANNED_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
     }

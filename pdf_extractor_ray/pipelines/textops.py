@@ -1388,3 +1388,50 @@ def approx_token_quantiles(
             "approx_n_tokens": pd.Series([int(v) for v in ests], dtype="int64"),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style banned-phrase filter
+# ---------------------------------------------------------------------------
+# Raffel et al. 2020 §2.2: C4 drops any document containing a phrase
+# from a "bad words" blocklist. The production shape is a broadcast
+# multi-pattern matcher (the list ships once, compiled per actor) and a
+# zero-shuffle scan; the planted list below draws from the synthetic
+# corpus vocabulary so the driver carrier exercises real matches. The
+# pattern is a boundary-anchored literal alternation with no
+# backreferences/lookarounds, so Python re and DuckDB's RE2 match
+# IDENTICALLY and the oracle replays it verbatim (the PII contract).
+# Phrases share no words, so non-overlapping match counts agree between
+# engines regardless of alternation precedence.
+BANNED_PHRASES = ("slow merge", "vector filter", "big order")
+BANNED_PAT = r"\b(?:" + "|".join(BANNED_PHRASES) + r")\b"
+
+
+def banned_phrase_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc banned-phrase verdicts: total match count and the C4
+    drop decision. Zero shuffle; the compiled alternation is built once
+    per worker process (module-level compile on first batch)."""
+    import re
+
+    pat = re.compile(BANNED_PAT)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.count(pat).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_banned": n,
+                "banned": (n > 0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pandas", batch_size=8192)
+
+
+BANNED_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BANNED_PAT}')) AS BIGINT) AS n_banned,
+       CAST(len(regexp_extract_all(text, '{BANNED_PAT}')) > 0 AS BIGINT) AS banned
+FROM documents
+"""

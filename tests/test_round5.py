@@ -1213,3 +1213,41 @@ def test_qclf_scores_on_sf_corpus_deterministic():
     assert value_hash(out.reset_index(drop=True)) == "0bfdf727e08accb9081cfba4e43eb91a"
     again = quality_clf_scores(SF_DIR, iters=4).to_pandas().sort_values("doc_id")
     assert np.array_equal(out["clf_score"].to_numpy(), again["clf_score"].to_numpy())
+
+
+# --------------------------------------------- C4-style banned phrases
+def test_banned_phrase_edge_cases(tmp_path):
+    """Boundary anchoring, multiple matches, phrase at start/end,
+    substring non-matches ('slow merger' must NOT match)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import banned_phrase_documents
+
+    docs = [
+        "slow merge at the start",           # 1 match, at start
+        "ends with a big order",             # 1 match, at end
+        "slow merge then vector filter too",  # 2 matches, different phrases
+        "slow merge slow merge slow merge",  # 3 repeats
+        "a slow merger is not banned",       # boundary: merger != merge
+        "bigorder and vectorfilter joined",  # no word boundary -> clean
+        "",                                   # empty doc
+        "nothing to see here",               # clean
+    ]
+    d = tmp_path / "banned"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": docs,
+                "lang": ["en"] * len(docs),
+                "source": ["src0"] * len(docs),
+                "n_chars": [len(t) for t in docs],
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = banned_phrase_documents(str(d)).to_pandas().sort_values("doc_id")
+    assert out["n_banned"].tolist() == [1, 1, 2, 3, 0, 0, 0, 0]
+    assert out["banned"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
