@@ -189,7 +189,7 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
-# Oracle-checked queries beyond the 50-window (56 oracles, 50 slots).
+# Oracle-checked queries beyond the 50-window (59 oracles, 50 slots).
 # ROUND-5 ROTATION: the six queries parked here are long-stable
 # oracles that were driver-green in rounds 1-4 (q6 / priority-counts /
 # lang-count / length-histogram / top-orders / events-hourly); the six

@@ -1399,21 +1399,28 @@ def approx_token_quantiles(
 # zero-shuffle scan; the planted list below draws from the synthetic
 # corpus vocabulary so the driver carrier exercises real matches. The
 # pattern is a boundary-anchored literal alternation with no
-# backreferences/lookarounds, so Python re and DuckDB's RE2 match
-# IDENTICALLY and the oracle replays it verbatim (the PII contract).
-# Phrases share no words, so non-overlapping match counts agree between
-# engines regardless of alternation precedence.
+# backreferences/lookarounds, compiled with re.ASCII so Python's \b
+# matches RE2's ASCII-only \b even on non-ASCII text, and the oracle
+# replays it verbatim (the PII contract). Phrases share no words, so
+# non-overlapping match counts agree between engines regardless of
+# alternation precedence. The guards below enforce the invariants the
+# verbatim-replay contract relies on (ASCII, no SQL quote, literal).
+import re as _re
+
 BANNED_PHRASES = ("slow merge", "vector filter", "big order")
-BANNED_PAT = r"\b(?:" + "|".join(BANNED_PHRASES) + r")\b"
+for _p in BANNED_PHRASES:
+    assert _p.isascii() and "'" not in _p, f"phrase breaks oracle replay: {_p!r}"
+BANNED_PAT = r"\b(?:" + "|".join(_re.escape(p) for p in BANNED_PHRASES) + r")\b"
 
 
 def banned_phrase_documents(sf_dir: str) -> ray.data.Dataset:
     """Per-doc banned-phrase verdicts: total match count and the C4
-    drop decision. Zero shuffle; the compiled alternation is built once
-    per worker process (module-level compile on first batch)."""
+    drop decision. Zero shuffle; the alternation is compiled on the
+    driver and ships via closure pickling (re.Pattern pickles as
+    source+flags, recompiling once per worker on deserialization)."""
     import re
 
-    pat = re.compile(BANNED_PAT)
+    pat = re.compile(BANNED_PAT, re.ASCII)
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def scan(b: pd.DataFrame) -> pd.DataFrame:
@@ -1430,8 +1437,10 @@ def banned_phrase_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 BANNED_SQL = rf"""
-SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{BANNED_PAT}')) AS BIGINT) AS n_banned,
-       CAST(len(regexp_extract_all(text, '{BANNED_PAT}')) > 0 AS BIGINT) AS banned
-FROM documents
+SELECT doc_id, n_banned, CAST(n_banned > 0 AS BIGINT) AS banned
+FROM (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BANNED_PAT}')) AS BIGINT) AS n_banned
+    FROM documents
+)
 """
