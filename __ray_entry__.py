@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
+        "mixture_upsample_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).mixture_upsample_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
@@ -189,7 +190,7 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
-# Oracle-checked queries beyond the 50-window (59 oracles, 50 slots).
+# Oracle-checked queries beyond the 50-window (60 oracles, 50 slots).
 # ROUND-5 ROTATION: the six queries parked here are long-stable
 # oracles that were driver-green in rounds 1-4 (q6 / priority-counts /
 # lang-count / length-histogram / top-orders / events-hourly); the six
@@ -212,6 +213,7 @@ _ORACLE_OVERFLOW = [
     "registrable_domain_stats",
     "lm_nll_buckets_documents",
     "banned_phrase_documents",
+    "mixture_upsample_documents",
 ]
 
 
@@ -280,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CHUNK_SQL,
         "training_examples": __import__("pdf_extractor_ray.pipelines.training", fromlist=["x"]).TRAINING_EXAMPLES_SQL,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_SQL,
+        "mixture_upsample_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).MIXTURE_SQL,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).REGISTRABLE_DOMAIN_STATS_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,

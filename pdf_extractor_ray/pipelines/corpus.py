@@ -1153,3 +1153,87 @@ def bpe_token_counts(
         )
 
     return ds.map_batches(encode, batch_format="pandas", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Mixture up-sampling (per-source epoch weights)
+# ---------------------------------------------------------------------------
+# The Pile (Gao et al. 2020, table 1) and GPT-3 (Brown et al. 2020,
+# table 2.2) weight training mixtures by repeating high-quality sources
+# for >1 epoch while bulk crawl sees <1: each doc of source s is
+# emitted floor(w_s) times, plus once more in the partial epoch iff its
+# deterministic 32-bit hash rank falls below frac(w_s). Weights are in
+# integer MILLI-epochs so the partial-epoch cut is exact integer
+# arithmetic on both engines (h * 1000 < frac_milli * 2^32 — the
+# SAMPLE_K_SQL hash, no float thresholds). Zero shuffle: a vectorized
+# per-batch flat expansion; the weights map is a constant-sized closure
+# (a per-source curation decision, known a priori at any corpus size).
+MIXTURE_WEIGHTS_MILLI = {"src0": 2500, "src1": 2000, "src2": 500}  # others 1000
+MIXTURE_SEED = 777
+
+
+def mixture_upsample_documents(
+    sf_dir: str,
+    weights_milli: dict[str, int] | None = None,
+    seed: int = MIXTURE_SEED,
+) -> ray.data.Dataset:
+    """(doc_id, source, epoch) with one row per (doc, epoch) the
+    mixture includes — the deterministic up-sampling pass a training
+    loader consumes."""
+    import os
+
+    w = MIXTURE_WEIGHTS_MILLI if weights_milli is None else weights_milli
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        wm = b["source"].map(lambda s: w.get(s, 1000)).to_numpy(np.int64)
+        full = wm // 1000
+        frac_milli = wm % 1000
+        h = (
+            (b["doc_id"].to_numpy(np.uint64) ^ np.uint64(seed))
+            * np.uint64(SAMPLE_HASH_MULT)
+        ) & np.uint64(0xFFFFFFFF)
+        partial = (h.astype(np.int64) * 1000 < frac_milli * 4294967296).astype(np.int64)
+        n_copies = full + partial
+        rep = np.repeat(np.arange(len(b)), n_copies)
+        offsets = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        epoch = np.arange(int(n_copies.sum())) - np.repeat(offsets, n_copies)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64)[rep],
+                "source": b["source"].to_numpy()[rep],
+                "epoch": epoch.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pandas", batch_size=8192)
+
+
+def _mixture_case_sql(weights_milli: dict[str, int]) -> str:
+    arms = " ".join(f"WHEN '{s}' THEN {m}" for s, m in sorted(weights_milli.items()))
+    return f"CASE source {arms} ELSE 1000 END"
+
+
+# DuckDB's generate_series rejects lateral column bounds, so the
+# replay cross-joins a STATIC series sized by the largest weight and
+# filters per row — same rows, engine-friendly plan.
+_MIXTURE_MAX_EPOCH = max(list(MIXTURE_WEIGHTS_MILLI.values()) + [1000]) // 1000  # + partial
+
+MIXTURE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, source,
+           {_mixture_case_sql(MIXTURE_WEIGHTS_MILLI)} AS w_milli,
+           (CAST(xor(doc_id, {MIXTURE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296 AS h
+    FROM documents
+), c AS (
+    SELECT doc_id, source,
+           (w_milli // 1000)
+           + CASE WHEN h * 1000 < (w_milli % 1000) * 4294967296 THEN 1 ELSE 0 END AS n_copies
+    FROM w
+)
+SELECT c.doc_id, c.source, CAST(gs.e AS BIGINT) AS epoch
+FROM c CROSS JOIN generate_series(0, {_MIXTURE_MAX_EPOCH}) gs(e)
+WHERE gs.e < c.n_copies
+"""

@@ -1251,3 +1251,40 @@ def test_banned_phrase_edge_cases(tmp_path):
     out = banned_phrase_documents(str(d)).to_pandas().sort_values("doc_id")
     assert out["n_banned"].tolist() == [1, 1, 2, 3, 0, 0, 0, 0]
     assert out["banned"].tolist() == [1, 1, 1, 1, 0, 0, 0, 0]
+
+
+# -------------------------------------------- mixture up-sampling
+def test_mixture_upsample_copy_semantics():
+    """Pile/GPT-3-style epoch weighting: every doc of a w=2.5 source
+    appears 2 or 3 times (≈half get the partial epoch), a w=0.5 source
+    0 or 1 times, unweighted sources exactly once; epochs are
+    contiguous from 0; deterministic."""
+    from tests.conftest import SF_DIR
+
+    from pdf_extractor_ray.pipelines.corpus import mixture_upsample_documents
+
+    out = mixture_upsample_documents(SF_DIR).to_pandas()
+    per_doc = out.groupby(["doc_id", "source"]).agg(
+        n=("epoch", "size"), mx=("epoch", "max"), mn=("epoch", "min")
+    ).reset_index()
+    # epochs contiguous from 0 for every included doc
+    assert (per_doc["mn"] == 0).all() and (per_doc["mx"] == per_doc["n"] - 1).all()
+    for src, lo, hi in [("src0", 2, 3), ("src1", 2, 2), ("src2", 0, 1)]:
+        n = per_doc.loc[per_doc["source"] == src, "n"]
+        if len(n):
+            assert n.between(lo, hi).all(), (src, sorted(n.unique()))
+    others = per_doc[~per_doc["source"].isin(["src0", "src1", "src2"])]
+    assert (others["n"] == 1).all()
+    # src0 partial epoch hits roughly half its docs (hash-uniform)
+    n0 = per_doc.loc[per_doc["source"] == "src0", "n"]
+    assert 0.2 <= (n0 == 3).mean() <= 0.8
+    # w=0.5 drops roughly half (docs with 0 copies are absent entirely)
+    import duckdb
+
+    total_src2 = duckdb.sql(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet') where source='src2'"
+    ).fetchone()[0]
+    kept_src2 = (per_doc["source"] == "src2").sum()
+    assert 0.2 * total_src2 <= kept_src2 <= 0.8 * total_src2
+    again = mixture_upsample_documents(SF_DIR).to_pandas()
+    assert len(again) == len(out)
