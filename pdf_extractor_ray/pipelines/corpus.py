@@ -374,6 +374,19 @@ FROM c
 # because (uint64-wraparound product) % 2^32 == (exact product) % 2^32.
 SAMPLE_HASH_MULT = 2654435761
 SAMPLE_SEED = 12345
+
+
+def _hash32(doc_ids: np.ndarray, seed: int) -> np.ndarray:
+    """The shared Knuth 32-bit doc hash (uint64): XOR the seed in
+    BEFORE the multiply (an additive seed would shift every hash
+    equally), multiply mod 2^64, keep the low 32 bits. ONE definition
+    for every SQL-mirrored sampling cut (sample_k, DSIR Gumbel keys,
+    mixture up-sampling) so a fix here can't miss a copy. SQL replay
+    for signed ids: ((x % 2^32) + 2^32) % 2^32 equals this masked
+    value because 2^64 = 0 (mod 2^32)."""
+    return (
+        (doc_ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
+    ) & np.uint64(0xFFFFFFFF)
 SAMPLE_K = 100
 
 
@@ -399,19 +412,18 @@ def sample_k_documents(sf_dir: str, k: int = SAMPLE_K, seed: int = SAMPLE_SEED) 
         b = b.copy()
         # XOR the seed in BEFORE the multiply: an additive seed would
         # shift every hash equally and leave the sample unchanged
-        h = (
-            (b["doc_id"].to_numpy(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
-        ) & np.uint64(0xFFFFFFFF)
-        b["__h"] = h.astype(np.int64)
+        b["__h"] = _hash32(b["doc_id"].to_numpy(np.uint64), seed).astype(np.int64)
         return b.nsmallest(k, ["__h", "doc_id"])
 
     top = ds.map_batches(partial, batch_format="pandas").sort(["__h", "doc_id"]).limit(k)
     return top.drop_columns(["__h"])
 
 
+# the double-mod makes the replay sign-safe: DuckDB % returns negative
+# remainders for negative doc_id, numpy masks into [0, 2^32)
 SAMPLE_K_SQL = f"""
 SELECT doc_id, lang FROM documents
-ORDER BY (CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296, doc_id
+ORDER BY (((CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296) + 4294967296) % 4294967296, doc_id
 LIMIT {SAMPLE_K}
 """
 
@@ -589,9 +601,7 @@ def dsir_gumbel_keys(doc_ids: np.ndarray, logweights: np.ndarray, seed: int) -> 
     degenerates the noise to a ~0.08-std sliver and turns the
     "weighted sample" into deterministic top-k-by-weight (caught by
     review; the noise-spread assertion in tests pins it now)."""
-    h = (
-        (doc_ids.astype(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
-    ) & np.uint64(0xFFFFFFFF)
+    h = _hash32(doc_ids, seed)
     u = (h.astype(np.float64) + 0.5) / float(1 << 32)
     return logweights.astype(np.float64) - np.log(-np.log(u))
 
@@ -1188,17 +1198,14 @@ def mixture_upsample_documents(
     )
 
     def expand(b: pd.DataFrame) -> pd.DataFrame:
-        wm = b["source"].map(lambda s: w.get(s, 1000)).to_numpy(np.int64)
+        wm = b["source"].map(w).fillna(1000).to_numpy(np.int64)
         full = wm // 1000
         frac_milli = wm % 1000
-        h = (
-            (b["doc_id"].to_numpy(np.uint64) ^ np.uint64(seed))
-            * np.uint64(SAMPLE_HASH_MULT)
-        ) & np.uint64(0xFFFFFFFF)
+        h = _hash32(b["doc_id"].to_numpy(np.uint64), seed)
         partial = (h.astype(np.int64) * 1000 < frac_milli * 4294967296).astype(np.int64)
         n_copies = full + partial
         rep = np.repeat(np.arange(len(b)), n_copies)
-        offsets = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        offsets = np.cumsum(n_copies) - n_copies  # empty-batch safe
         epoch = np.arange(int(n_copies.sum())) - np.repeat(offsets, n_copies)
         return pd.DataFrame(
             {
@@ -1225,7 +1232,7 @@ MIXTURE_SQL = f"""
 WITH w AS (
     SELECT doc_id, source,
            {_mixture_case_sql(MIXTURE_WEIGHTS_MILLI)} AS w_milli,
-           (CAST(xor(doc_id, {MIXTURE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296 AS h
+           (((CAST(xor(doc_id, {MIXTURE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296) + 4294967296) % 4294967296 AS h
     FROM documents
 ), c AS (
     SELECT doc_id, source,

@@ -1287,4 +1287,26 @@ def test_mixture_upsample_copy_semantics():
     kept_src2 = (per_doc["source"] == "src2").sum()
     assert 0.2 * total_src2 <= kept_src2 <= 0.8 * total_src2
     again = mixture_upsample_documents(SF_DIR).to_pandas()
-    assert len(again) == len(out)
+    key = ["doc_id", "epoch"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        again.sort_values(key).reset_index(drop=True),
+    )
+    # empty batch through the expansion is a no-op, not a crash
+    import numpy as np_
+
+    from pdf_extractor_ray.pipelines.corpus import _hash32
+
+    assert _hash32(np_.array([], dtype=np_.uint64), 777).size == 0
+    # negative doc_id: engine and sign-safe SQL mod agree
+    import duckdb as _dd
+
+    from pdf_extractor_ray.pipelines.corpus import MIXTURE_SEED, SAMPLE_HASH_MULT
+
+    for did in (-5, -1, 2**40, 7):
+        py = int(_hash32(np_.array([did]).astype(np_.uint64), MIXTURE_SEED)[0])
+        sq = _dd.sql(
+            f"SELECT (((CAST(xor(CAST({did} AS BIGINT), {MIXTURE_SEED}) AS HUGEINT)"
+            f" * {SAMPLE_HASH_MULT}) % 4294967296) + 4294967296) % 4294967296"
+        ).fetchone()[0]
+        assert py == int(sq), (did, py, sq)
