@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_upsample_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).mixture_upsample_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
+        "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).ingest_snapshot_documents,
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
         "lm_nll_documents": textops.lm_bigram_nll,
@@ -214,6 +215,7 @@ _ORACLE_OVERFLOW = [
     "lm_nll_buckets_documents",
     "banned_phrase_documents",
     "mixture_upsample_documents",
+    "ingest_snapshot_documents",
 ]
 
 
@@ -286,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).REGISTRABLE_DOMAIN_STATS_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
+        "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).INGEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
         "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
