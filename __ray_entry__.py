@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
         "semdedup_embeddings": dedup.semdedup,
+        # rows-only (cluster formation is iterative label propagation);
+        # pinned by pandas-argmax replica + pruning-invariance tests in
+        # tests/test_round5.py
+        "dedup_canonical_documents": dedup.dedup_canonical_documents,
         # rows-only (iterative argmax — not SQL-expressible); pinned by
         # a bit-exact local BPE reference test
         "bpe_merges": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bpe_learn,

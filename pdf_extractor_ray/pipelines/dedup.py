@@ -1377,3 +1377,73 @@ def substring_dedup_documents(sf_dir: str) -> ray.data.Dataset:
     doc texts guarantee real removals; rows-only driver check, pinned
     by a bit-exact brute-force replica test."""
     return exact_substring_dedup(_read_docs(sf_dir, columns=("doc_id", "text")))
+
+
+# ------------------------------------------- quality-aware canonical
+def canonical_by_quality(
+    docs: ray.data.Dataset,
+    clusters: ray.data.Dataset,
+    *,
+    num_buckets: int | None = None,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """RefinedWeb-style canonical selection: within each near-dup
+    cluster keep the HIGHEST-quality member (tie → min doc_id), instead
+    of exact dedup's first-writer-wins. ``docs`` must carry
+    (doc_id, quality_micro); ``clusters`` (doc_id, cluster_id).
+
+    Argmax-per-key is decomposable, so the same hot-key shape as
+    ``ops.keep_first`` applies: a per-BATCH partial best-per-cluster
+    runs before the exchange, bounding a viral cluster's per-bucket
+    load by the batch count, not its member count. One join (adaptive:
+    broadcast under the byte gate, hash exchange above) + one bucketed
+    exchange on cluster_id."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import auto_num_buckets, stable_key_hash
+
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
+
+    joined = adaptive_inner_join(docs, clusters, on="doc_id")
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        # stable vectorized argmax: max quality, then min doc_id
+        g = g.sort_values(["cluster_id", "quality_micro", "doc_id"], ascending=[True, False, True])
+        return g.groupby("cluster_id", sort=False).head(1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = best(b).copy()
+        g["__bucket"] = (stable_key_hash(g, ["cluster_id"]) % np.uint64(num_buckets)).astype("int64")
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g.drop(columns="__bucket"))
+
+    return (
+        joined.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def dedup_canonical_documents(sf_dir: str, **kw) -> ray.data.Dataset:
+    """Driver carrier: minhash near-dup clusters over documents, then
+    quality-aware canonical selection. Rows-only (cluster formation is
+    iterative label propagation); pinned by a pandas argmax replica +
+    pruning-invariance tests in tests/test_round5.py."""
+    from pdf_extractor_ray.kernels import textstats
+
+    clusters = dedup_clusters(sf_dir, **kw)
+    docs = _read_docs(sf_dir, columns=("doc_id", "text"))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        raw = b["text"].map(textstats.quality_score_raw).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "quality_micro": np.floor(raw * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pandas", batch_size=4096)
+    return canonical_by_quality(scored, clusters)

@@ -1310,3 +1310,79 @@ def test_mixture_upsample_copy_semantics():
             f" * {SAMPLE_HASH_MULT}) % 4294967296) + 4294967296) % 4294967296"
         ).fetchone()[0]
         assert py == int(sq), (did, py, sq)
+
+
+# ---------------------------------------------------------------------------
+# dedup.canonical_by_quality — quality-aware canonical selection
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_by_quality_equals_pandas_argmax_replica():
+    """Distributed argmax-per-cluster == a driver pandas replica built
+    from the SAME cluster assignment (dedup_clusters, itself pinned
+    against union-find) and the SAME scorer."""
+    import ray.data
+
+    from pdf_extractor_ray.kernels import textstats
+    from pdf_extractor_ray.pipelines import dedup
+
+    got = (
+        dedup.dedup_canonical_documents(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    clusters = dedup.dedup_clusters(SF_DIR).to_pandas()
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs["quality_micro"] = np.floor(
+        docs["text"].map(textstats.quality_score_raw).to_numpy() * 1e6 + 0.5
+    ).astype(np.int64)
+    rep = docs.merge(clusters, on="doc_id").sort_values(
+        ["cluster_id", "quality_micro", "doc_id"], ascending=[True, False, True]
+    )
+    rep = (
+        rep.groupby("cluster_id", sort=False)
+        .head(1)[["doc_id", "quality_micro", "cluster_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[rep.columns.tolist()], rep)
+    # real consolidation happened (documents has planted near-dups)
+    assert len(got) < len(docs)
+
+
+def test_canonical_by_quality_tie_break_and_pruning_invariance():
+    """Ties go to min doc_id; the per-batch partial (hot-key bound)
+    cannot change the result — batch_size=2 vs default are identical."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.dedup import canonical_by_quality
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "quality_micro": [10, 30, 30, 7, 99, 5],
+        }
+    )
+    clusters = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5, 6], "cluster_id": [1, 1, 1, 4, 4, 6]}
+    )
+
+    def run(bs):
+        return (
+            canonical_by_quality(
+                ray.data.from_pandas(docs),
+                ray.data.from_pandas(clusters),
+                batch_size=bs,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out = run(32768)
+    # cluster 1: quality tie 30/30 between ids 2,3 → 2; cluster 4: max
+    # quality 99 wins over lower id; singleton 6 survives
+    assert out["doc_id"].tolist() == [2, 5, 6]
+    pd.testing.assert_frame_equal(out, run(2))
