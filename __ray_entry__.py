@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
         "lm_nll_documents": textops.lm_bigram_nll,
         "lm_nll_buckets_documents": textops.lm_nll_buckets,
+        "lm_trigram_nll_documents": textops.lm_trigram_nll,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
@@ -220,6 +221,7 @@ _ORACLE_OVERFLOW = [
     "banned_phrase_documents",
     "mixture_upsample_documents",
     "ingest_snapshot_documents",
+    "lm_trigram_nll_documents",
 ]
 
 
@@ -295,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).INGEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
         "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,
+        "lm_trigram_nll_documents": textops.LM_TRIGRAM_NLL_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
     }

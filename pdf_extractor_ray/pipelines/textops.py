@@ -1028,6 +1028,51 @@ LEFT JOIN top ON d.doc_id = top.doc_id AND top.rk = 1
 LM_VOCAB_K = 256
 
 
+def _lm_topk_vocab(ref: ray.data.Dataset, vocab_k: int) -> frozenset:
+    """Top-``vocab_k`` words of the reference slice by count, ties
+    broken by word ASC (the LM-family vocab contract, shared by the
+    bigram and trigram models so their oracles replay ONE definition).
+
+    Scale shape: one word-count ``grouped_sum`` whose exchange is
+    bounded by the slice's distinct words (the tf-idf-df bound), then
+    per-batch local top-K prune → sort+limit over the PRUNED stream
+    (K rows per batch, the ``train_centroids`` pattern — the full
+    vocabulary is never sorted or collected)."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {"word": list(counts), "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))}
+        )
+
+    wc = grouped_sum(
+        ref.map_batches(word_counts, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["n"],
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        # any global top-K row is in its batch's local top-K: prune
+        # here so only K rows per batch reach the global sort
+        if len(b) > vocab_k:
+            b = b.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(
+                vocab_k
+            )
+        return b
+
+    top = (
+        wc.map_batches(local_topk, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    return frozenset(r["word"] for r in top)
+
+
 def lm_bigram_nll(
     sf_dir: str, vocab_k: int = LM_VOCAB_K, ref_lang: str = "en"
 ) -> ray.data.Dataset:
@@ -1075,38 +1120,7 @@ def lm_bigram_nll(
     ref = ds.map_batches(
         lambda b: b.loc[b["lang"] == ref_lang, ["text"]], batch_format="pandas"
     )
-
-    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[str, int] = {}
-        for t in b["text"]:
-            for w in t.split():
-                counts[w] = counts.get(w, 0) + 1
-        return pd.DataFrame(
-            {"word": list(counts), "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))}
-        )
-
-    wc = grouped_sum(
-        ref.map_batches(word_counts, batch_format="pandas", batch_size=8192),
-        ["word"],
-        ["n"],
-    )
-
-    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
-        # any global top-K row is in its batch's local top-K: prune
-        # here so only K rows per batch reach the global sort
-        if len(b) > vocab_k:
-            b = b.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(
-                vocab_k
-            )
-        return b
-
-    top = (
-        wc.map_batches(local_topk, batch_format="pandas")
-        .sort(["n", "word"], descending=[True, False])
-        .limit(vocab_k)
-        .take_all()
-    )
-    vocab = frozenset(r["word"] for r in top)
+    vocab = _lm_topk_vocab(ref, vocab_k)
     vref = ray.put(vocab)
     v_total = vocab_k + 1
 
@@ -1233,6 +1247,184 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 
 
 LM_NLL_SQL = lm_bigram_nll_sql()
+
+# trigram default: the model table is bounded by min(corpus trigrams,
+# (K+1)³) — at K=64 that is ≤ 275k entries (driver- and broadcast-safe
+# at any corpus size); the bigram's K=256 would allow 17M. Guarded in
+# the function.
+LM_TRIGRAM_VOCAB_K = 64
+_LM_TRIGRAM_MODEL_LIMIT = 1 << 21
+
+
+def lm_trigram_nll(
+    sf_dir: str, vocab_k: int = LM_TRIGRAM_VOCAB_K, ref_lang: str = "en"
+) -> ray.data.Dataset:
+    """Per-document TRIGRAM negative log likelihood in integer
+    micro-nats: ``(doc_id, n_trigrams, nll_total_micro)`` — the
+    higher-order option of :func:`lm_bigram_nll` (TODO_ROUND6 #8),
+    sharing its vocab contract, OOV sentinel, add-one smoothing and
+    per-n-gram integer rounding, with the context marginal taken over
+    the trigram table (so P(.|w1,w2) sums to 1 over the mapped
+    alphabet).
+
+    Scale shape: identical to the bigram op except the count-table
+    bound is min(corpus trigrams, (K+1)³) instead of (K+1)². That cube
+    is why ``vocab_k`` defaults LOWER than the bigram's: the count
+    table is driver-collected and broadcast, so the function refuses a
+    ``vocab_k`` whose worst case exceeds ~2M entries rather than
+    silently building a corpus-sized model. Scoring is zero-shuffle.
+
+    Float note: same 1-ulp budget as the bigram model — one ln() per
+    distinct (C3, C2ctx) pair, per-trigram integer rounding."""
+    import math
+
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    if (vocab_k + 1) ** 3 > _LM_TRIGRAM_MODEL_LIMIT:
+        raise ValueError(
+            f"vocab_k={vocab_k}: worst-case trigram table {(vocab_k + 1) ** 3} entries "
+            f"exceeds the broadcast budget ({_LM_TRIGRAM_MODEL_LIMIT}); use a smaller "
+            "vocab or the bigram model"
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ref = ds.map_batches(
+        lambda b: b.loc[b["lang"] == ref_lang, ["text"]], batch_format="pandas"
+    )
+    vocab = _lm_topk_vocab(ref, vocab_k)
+    vref = ray.put(vocab)
+    v_total = vocab_k + 1
+
+    def trigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vset = _cached_get(vref)
+        counts: dict[tuple[str, str, str], int] = {}
+        for t in b["text"]:
+            ws = [w if w in vset else "" for w in t.split()]
+            for key in zip(ws, ws[1:], ws[2:]):
+                counts[key] = counts.get(key, 0) + 1
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in counts],
+                "w2": [k[1] for k in counts],
+                "w3": [k[2] for k in counts],
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    c3_tbl = grouped_sum(
+        ref.map_batches(trigram_counts, batch_format="pandas", batch_size=8192),
+        ["w1", "w2", "w3"],
+        ["n"],
+    ).to_pandas()  # ≤ min(corpus trigrams, (K+1)³) rows — guarded above
+    if c3_tbl.empty:
+        c3 = {}
+    else:
+        c3 = {
+            (a, b_, c): int(n)
+            for a, b_, c, n in zip(c3_tbl["w1"], c3_tbl["w2"], c3_tbl["w3"], c3_tbl["n"])
+        }
+    ctx: dict[tuple[str, str], int] = {}
+    for (a, b_, _), n in c3.items():
+        ctx[(a, b_)] = ctx.get((a, b_), 0) + n
+    nll_tri = {
+        k: int(math.floor(-math.log((n + 1) / (ctx[k[:2]] + v_total)) * 1_000_000 + 0.5))
+        for k, n in c3.items()
+    }
+    nll_miss = {
+        k: int(math.floor(-math.log(1 / (n + v_total)) * 1_000_000 + 0.5)) for k, n in ctx.items()
+    }
+    nll_cold = int(math.floor(-math.log(1 / v_total) * 1_000_000 + 0.5))
+    mref = ray.put((vocab, nll_tri, nll_miss))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vset, tri_m, miss_m = _cached_get(mref)
+        ids, ntg, tot = [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            ws = [w if w in vset else "" for w in t.split()]
+            s = 0
+            for key in zip(ws, ws[1:], ws[2:]):
+                v = tri_m.get(key)
+                if v is None:
+                    v = miss_m.get(key[:2], nll_cold)
+                s += v
+            ids.append(doc_id)
+            ntg.append(max(len(ws) - 2, 0))
+            tot.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_trigrams": pd.Series(ntg, dtype="int64"),
+                "nll_total_micro": pd.Series(tot, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+def lm_trigram_nll_sql(vocab_k: int = LM_TRIGRAM_VOCAB_K, ref_lang: str = "en") -> str:
+    """Exact SQL replica of :func:`lm_trigram_nll`: same tokenization,
+    vocab ties, OOV sentinel, context marginal and micro-nat rounding
+    (positional trigrams via pos+1/pos+2 self-joins — the same pattern
+    the bigram oracle uses, since ``generate_series`` cannot
+    lateral-correlate in DuckDB)."""
+    v_total = vocab_k + 1
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, lang, regexp_split_to_array({_TW}, '{_WS}') AS ws
+    FROM documents WHERE {_TW} <> ''
+), vtop AS (
+    SELECT w AS word FROM (
+        SELECT unnest(ws) AS w FROM tok WHERE lang = '{ref_lang}'
+    ) GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT {int(vocab_k)}
+), rw AS (
+    SELECT doc_id,
+           CASE WHEN w IN (SELECT word FROM vtop) THEN w ELSE '' END AS w, pos
+    FROM (
+        SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+        FROM tok WHERE lang = '{ref_lang}'
+    )
+), c3 AS (
+    SELECT a.w AS w1, b.w AS w2, c.w AS w3, COUNT(*) AS n
+    FROM rw a
+    JOIN rw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN rw c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    GROUP BY a.w, b.w, c.w
+), ctx AS (
+    SELECT w1, w2, SUM(n) AS n2 FROM c3 GROUP BY w1, w2
+), aw AS (
+    SELECT doc_id,
+           CASE WHEN w IN (SELECT word FROM vtop) THEN w ELSE '' END AS w, pos
+    FROM (
+        SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+    )
+), atg AS (
+    SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+    FROM aw a
+    JOIN aw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN aw c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+), scored AS (
+    SELECT atg.doc_id,
+           CAST(floor(-ln((COALESCE(c3.n, 0) + 1.0) / (COALESCE(ctx.n2, 0) + {v_total}))
+                      * 1000000 + 0.5) AS BIGINT) AS nll
+    FROM atg
+    LEFT JOIN c3 ON atg.w1 = c3.w1 AND atg.w2 = c3.w2 AND atg.w3 = c3.w3
+    LEFT JOIN ctx ON atg.w1 = ctx.w1 AND atg.w2 = ctx.w2
+), agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(nll) AS BIGINT) AS nll_total_micro
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+       COALESCE(agg.nll_total_micro, 0) AS nll_total_micro
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+LM_TRIGRAM_NLL_SQL = lm_trigram_nll_sql()
 
 
 def lm_nll_buckets(

@@ -1386,3 +1386,13 @@ def test_canonical_by_quality_tie_break_and_pruning_invariance():
     # quality 99 wins over lower id; singleton 6 survives
     assert out["doc_id"].tolist() == [2, 5, 6]
     pd.testing.assert_frame_equal(out, run(2))
+
+
+def test_lm_trigram_model_size_guard():
+    """The trigram count table is driver-collected and broadcast, so a
+    vocab whose (K+1)^3 worst case exceeds the budget must be refused
+    up front, not discovered as an OOM mid-job."""
+    from pdf_extractor_ray.pipelines.textops import lm_trigram_nll
+
+    with pytest.raises(ValueError, match="broadcast budget"):
+        lm_trigram_nll(SF_DIR, vocab_k=256)
