@@ -136,8 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_upsample_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).mixture_upsample_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
-        "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).ingest_snapshot_documents,
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
+        "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).ingest_snapshot_documents,
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
         "lm_nll_documents": textops.lm_bigram_nll,
         "lm_nll_buckets_documents": textops.lm_nll_buckets,

@@ -154,6 +154,46 @@ def _keep_first_partials(
     return ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
 
 
+def keep_best(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    ascending: list[bool],
+    *,
+    num_buckets: int | None = None,
+    batch_size: int = 32768,
+) -> ray.data.Dataset:
+    """Deterministic best-per-key: per key group keep the first row
+    under ``sort_values(order_cols, ascending)`` — the general form of
+    ``keep_first`` (keep_first stays specialized: its idxmin partial is
+    cheaper for the single-ascending-tie-break case and its exchange
+    shape is pinned by many oracle queries). Same decomposability, so
+    the same per-batch partial bounds a viral key's per-bucket load by
+    the batch count, not its row count."""
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
+    sort_cols = keys + order_cols
+    sort_asc = [True] * len(keys) + list(ascending)
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+        return g.groupby(keys, sort=False).head(1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = best(b).copy()
+        g["__bucket"] = (stable_key_hash(g, keys) % np.uint64(num_buckets)).astype("int64")
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return best(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def distinct(ds: ray.data.Dataset, keys: list[str], *, num_buckets: int | None = None) -> ray.data.Dataset:
     """Distinct rows over ``keys`` (bucketed drop_duplicates)."""
     if num_buckets is None:

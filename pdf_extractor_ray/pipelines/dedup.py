@@ -1392,37 +1392,22 @@ def canonical_by_quality(
     of exact dedup's first-writer-wins. ``docs`` must carry
     (doc_id, quality_micro); ``clusters`` (doc_id, cluster_id).
 
-    Argmax-per-key is decomposable, so the same hot-key shape as
-    ``ops.keep_first`` applies: a per-BATCH partial best-per-cluster
-    runs before the exchange, bounding a viral cluster's per-bucket
-    load by the batch count, not its member count. One join (adaptive:
-    broadcast under the byte gate, hash exchange above) + one bucketed
-    exchange on cluster_id."""
+    Argmax-per-key is decomposable — delegated to ``ops.keep_best``
+    (max quality, then min doc_id), whose per-batch partial bounds a
+    viral cluster's per-bucket load by the batch count, not its member
+    count. One join (adaptive: broadcast under the byte gate, hash
+    exchange above) + one bucketed exchange on cluster_id."""
     from pdf_extractor_ray.joins import adaptive_inner_join
-    from pdf_extractor_ray.ops import auto_num_buckets, stable_key_hash
-
-    if num_buckets is None:
-        num_buckets = auto_num_buckets()
+    from pdf_extractor_ray.ops import keep_best
 
     joined = adaptive_inner_join(docs, clusters, on="doc_id")
-
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        # stable vectorized argmax: max quality, then min doc_id
-        g = g.sort_values(["cluster_id", "quality_micro", "doc_id"], ascending=[True, False, True])
-        return g.groupby("cluster_id", sort=False).head(1)
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = best(b).copy()
-        g["__bucket"] = (stable_key_hash(g, ["cluster_id"]) % np.uint64(num_buckets)).astype("int64")
-        return g
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return best(g.drop(columns="__bucket"))
-
-    return (
-        joined.map_batches(partial, batch_format="pandas", batch_size=batch_size)
-        .groupby("__bucket")
-        .map_groups(final, batch_format="pandas")
+    return keep_best(
+        joined,
+        ["cluster_id"],
+        ["quality_micro", "doc_id"],
+        [False, True],
+        num_buckets=num_buckets,
+        batch_size=batch_size,
     )
 
 

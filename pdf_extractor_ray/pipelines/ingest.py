@@ -31,8 +31,6 @@ Scale contract (the part that matters at 10^12 documents):
 
 from __future__ import annotations
 
-import glob
-import json
 import os
 import tempfile
 import uuid
@@ -44,6 +42,7 @@ import ray.data
 from pdf_extractor_ray import joins
 from pdf_extractor_ray.kernels import hashing
 from pdf_extractor_ray.ops import keep_first
+from pdf_extractor_ray.state import index_manifest
 
 DEFAULT_NUM_BUCKETS = 64
 
@@ -57,23 +56,10 @@ def _bucket_of(hashes: pd.Series, num_buckets: int) -> np.ndarray:
     )
 
 
-def _manifest_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "manifest.json")
-
-
 def _read_manifest(index_dir: str) -> dict:
-    with open(_manifest_path(index_dir)) as f:
-        return json.load(f)
-
-
-def _commit_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic bump (tmp + os.replace): readers see the old or the new
-    fragment list, never a partial one. Single-writer, as with any
-    manifest-backed table format."""
-    fd, tmp = tempfile.mkstemp(prefix="manifest-", dir=index_dir)
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(index_dir))
+    # strict: no glob fallback — a content index without a manifest was
+    # never published, and globbing would resurrect orphan generations
+    return index_manifest.read_manifest(index_dir)
 
 
 def _bucket_files(index_dir: str, manifest: dict) -> dict[int, list[str]]:
@@ -87,11 +73,8 @@ def _bucket_files(index_dir: str, manifest: dict) -> dict[int, list[str]]:
     return out
 
 
-def _rel_fragments(index_dir: str, sub: str) -> list[str]:
-    return sorted(
-        os.path.relpath(p, index_dir)
-        for p in glob.glob(os.path.join(index_dir, sub, "**", "*.parquet"), recursive=True)
-    )
+_rel_fragments = index_manifest.rel_fragments
+_commit_manifest = index_manifest.commit_manifest
 
 
 def _hash_stage(text_col: str, num_buckets: int):
@@ -151,9 +134,18 @@ def build_content_index(
                 "files": _rel_fragments(tmp_dir, "data"),
             },
         )
-        os.replace(tmp_dir, index_dir)
-    except FileExistsError:
-        shutil.rmtree(tmp_dir, ignore_errors=True)  # lost the publish race
+        os.rename(tmp_dir, index_dir)
+    except OSError:
+        # on Linux, renaming onto an existing non-empty dir raises
+        # ENOTEMPTY (not FileExistsError): if a complete index is
+        # already published, another builder won the race — identical
+        # content by construction, discard ours (the IVF builder's
+        # handler, similarity.py)
+        if os.path.exists(index_manifest.manifest_path(index_dir)):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
     except Exception:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         raise

@@ -185,45 +185,20 @@ def _assign_stage(cents: np.ndarray):
     return assign
 
 
-def _manifest_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "manifest.json")
-
-
-def _rel_parquet_files(root: str, sub: str) -> list[str]:
-    """All parquet fragment paths under root/sub, relative to root."""
-    import glob as _glob
-
-    return sorted(
-        os.path.relpath(p, root)
-        for p in _glob.glob(os.path.join(root, sub, "**", "*.parquet"), recursive=True)
-    )
+# Atomic-manifest protocol shared with the ingest content index —
+# one implementation in state/index_manifest.py. A pre-manifest IVF
+# index (older build) falls back to globbing data/ — equivalent, since
+# without appends every fragment under data/ is committed.
+from pdf_extractor_ray.state.index_manifest import (  # noqa: E402
+    commit_manifest as _commit_manifest,
+    manifest_path as _manifest_path,
+    rel_fragments as _rel_parquet_files,
+)
+from pdf_extractor_ray.state.index_manifest import read_manifest as _shared_read_manifest  # noqa: E402
 
 
 def _read_manifest(index_dir: str) -> dict:
-    """Committed fragment list. A pre-manifest index (or a build from
-    an older version) falls back to globbing data/ — equivalent, since
-    without appends every fragment under data/ is committed."""
-    import json
-
-    mp = _manifest_path(index_dir)
-    if os.path.exists(mp):
-        with open(mp) as f:
-            return json.load(f)
-    return {"version": 1, "files": _rel_parquet_files(index_dir, "data")}
-
-
-def _commit_manifest(index_dir: str, manifest: dict) -> None:
-    """Atomic manifest bump (tmp + os.replace): readers see the old or
-    the new fragment list, never a partial one. Single-writer protocol
-    — concurrent appenders must be serialized by the caller, as with
-    any manifest-backed table format."""
-    import json
-    import tempfile
-
-    fd, tmp = tempfile.mkstemp(prefix="manifest-", dir=index_dir)
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, _manifest_path(index_dir))
+    return _shared_read_manifest(index_dir, fallback_sub="data")
 
 
 def build_ivf_index(

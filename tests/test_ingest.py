@@ -85,5 +85,23 @@ def test_fragment_write_is_atomic_per_bucket(tmp_path):
     frags = glob.glob(os.path.join(index_dir, "data", "gen-*", "bucket=*", "*"))
     assert frags and all(f.endswith(".parquet") for f in frags)
     committed = set(_manifest(index_dir)["files"])
-    gen_frags = {os.path.relpath(f, index_dir) for f in frags if "gen-0" not in f}
-    assert gen_frags <= committed
+    # exclude exactly the build generation (path COMPONENT, not a
+    # substring — an ingest uuid starting '0' must not match)
+    gen_frags = {
+        os.path.relpath(f, index_dir)
+        for f in frags
+        if (os.sep + "gen-0" + os.sep) not in f
+    }
+    assert gen_frags and gen_frags <= committed
+
+
+def test_build_publish_race_loser_yields(tmp_path):
+    """A builder that loses the publish race (index already complete)
+    discards its copy silently — on Linux the rename raises
+    OSError(ENOTEMPTY), not FileExistsError."""
+    index_dir = str(tmp_path / "idx")
+    ingest.build_content_index(_docs([(1, "alpha")]), index_dir, num_buckets=4)
+    before = _manifest(index_dir)
+    ingest.build_content_index(_docs([(1, "alpha")]), index_dir, num_buckets=4)  # must not raise
+    assert _manifest(index_dir) == before
+    assert not [d for d in os.listdir(os.path.dirname(index_dir)) if ".building-" in d]
