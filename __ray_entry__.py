@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_nll_buckets_documents": textops.lm_nll_buckets,
         "lm_trigram_nll_documents": textops.lm_trigram_nll,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
+        "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).concat_chunks,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
@@ -222,6 +223,7 @@ _ORACLE_OVERFLOW = [
     "mixture_upsample_documents",
     "ingest_snapshot_documents",
     "lm_trigram_nll_documents",
+    "concat_chunks_documents",
 ]
 
 
@@ -300,4 +302,5 @@ def oracle_sql() -> dict[str, str]:
         "lm_trigram_nll_documents": textops.LM_TRIGRAM_NLL_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
+        "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
     }

@@ -490,3 +490,77 @@ def exact_kth_smallest(
                 else:
                     state[i] = (nlo, nhi, cum)
     return [out[i] for i in range(len(ks))]
+
+
+def prefix_sum(
+    ds: ray.data.Dataset,
+    order_col: str,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    *,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """EXCLUSIVE prefix sum of ``value_col`` over rows ordered by
+    ``order_col`` (which must be unique integers) — the distributed
+    scan primitive behind global-offset layouts like concat-and-chunk
+    packing.
+
+    No global sort and no corpus-sized driver state: rows range-bucket
+    on ``order_col`` (order-PRESERVING across buckets, unlike a hash),
+    one ``grouped_sum`` reduces each bucket to a single total, the
+    driver cumsums the ``num_buckets`` totals into per-bucket offsets
+    (bounded collect), and one bucketed exchange sorts WITHIN each
+    bucket and adds its offset. Three column-pruned passes over the
+    input (min/max, bucket sums, final) — recomputing beats caching a
+    corpus-sized intermediate, the ``curation_funnel`` argument.
+
+    Skew note: range buckets inherit ``order_col``'s distribution (the
+    same trade every range-partitioned sort makes); ids dense-ish over
+    their span — the common case for crawl row ids — give balanced
+    buckets."""
+    import ray
+
+    from pdf_extractor_ray.joins import _cached_get
+
+    if num_buckets is None:
+        num_buckets = auto_num_buckets()
+
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(order_col), Max(order_col))
+    mn, mx = agg[f"min({order_col})"], agg[f"max({order_col})"]
+    if mn is None:  # empty input
+        return ds
+    span = int(mx) - int(mn) + 1
+    # width-based bucketing, not (o-mn)*B//span — the product overflows
+    # int64 on a wide id span; (o-mn)//width is order-preserving and
+    # stays in range
+    width = -(-span // num_buckets)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        o = b[order_col].to_numpy().astype(np.int64)
+        b["__rb"] = (o - int(mn)) // width
+        return b
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    sums = grouped_sum(bucketed, ["__rb"], [value_col]).to_pandas()  # ≤ num_buckets rows
+    sums = sums.sort_values("__rb")
+    offsets = dict(
+        zip(
+            sums["__rb"].astype(int),
+            np.concatenate([[0], np.cumsum(sums[value_col].to_numpy(dtype=np.int64))[:-1]]),
+        )
+    )
+    oref = ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = _cached_get(oref)
+        g = g.sort_values(["__rb", order_col], kind="mergesort")
+        v = g[value_col].to_numpy().astype(np.int64)
+        local = g.groupby("__rb", sort=False)[value_col].cumsum().to_numpy().astype(np.int64) - v
+        g = g.copy()
+        g[out_col] = local + g["__rb"].map(off).to_numpy().astype(np.int64)
+        return g.drop(columns="__rb")
+
+    return grouped_apply(bucketed, ["__rb"], fn=scan, num_buckets=num_buckets)

@@ -1244,3 +1244,106 @@ SELECT c.doc_id, c.source, CAST(gs.e AS BIGINT) AS epoch
 FROM c CROSS JOIN generate_series(0, {_MIXTURE_MAX_EPOCH}) gs(e)
 WHERE gs.e < c.n_copies
 """
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk packing (the GPT-pretraining layout: documents laid
+# end to end in token space, cut into fixed blocks that may span
+# document boundaries) — the complement of pack_sequences' next-fit
+# (which never splits a document).
+# ---------------------------------------------------------------------------
+
+CHUNK_BLOCK_TOKENS = 128
+
+
+def concat_chunks(sf_dir: str, block_tokens: int = CHUNK_BLOCK_TOKENS) -> ray.data.Dataset:
+    """All documents laid end to end in ``doc_id`` order in token
+    space, cut into fixed ``block_tokens`` blocks; a block may span
+    documents and a document may span blocks. Output: one row per
+    (document, block) overlap — ``(doc_id, block_id, tok_start,
+    tok_end)`` with token offsets within the document, end exclusive.
+    Empty documents occupy no tokens and emit no rows.
+
+    Scale shape: the global token offsets come from
+    :func:`pdf_extractor_ray.ops.prefix_sum` (range-bucketed
+    distributed scan — bounded driver state, no global sort, exchange
+    carries (doc_id, n_tokens) integers only); the overlap explode is
+    zero-shuffle, each row expanding locally into its
+    ~n/``block_tokens`` block rows."""
+    import os
+
+    from pdf_extractor_ray.ops import prefix_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n": pd.Series(
+                    [len(t.split()) for t in b["text"]], dtype="int64", index=b.index
+                ),
+            }
+        )
+
+    counts = ds.map_batches(tok_counts, batch_format="pandas", batch_size=4096)
+    laid = prefix_sum(counts, "doc_id", "n", out_col="s")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        B = block_tokens
+        n = b["n"].to_numpy(dtype=np.int64)
+        m = n > 0
+        n = n[m]
+        s = b["s"].to_numpy(dtype=np.int64)[m]
+        ids = b["doc_id"].to_numpy(dtype=np.int64)[m]
+        k0 = s // B
+        cnt = (s + n - 1) // B - k0 + 1
+        total = int(cnt.sum())
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]]) if len(cnt) else np.array([], dtype=np.int64)
+        blk = np.repeat(k0, cnt) + (np.arange(total, dtype=np.int64) - np.repeat(starts, cnt))
+        rs = np.repeat(s, cnt)
+        rn = np.repeat(n, cnt)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, cnt),
+                "block_id": blk,
+                "tok_start": np.maximum(0, blk * B - rs),
+                "tok_end": np.minimum(rn, (blk + 1) * B - rs),
+            }
+        )
+
+    return laid.map_batches(explode, batch_format="pandas")
+
+
+def concat_chunks_sql(block_tokens: int = CHUNK_BLOCK_TOKENS) -> str:
+    """Exact SQL replica: window-function prefix sum (exclusive),
+    per-doc block range via unnest(range(..)) — all-integer, so the
+    hash compare has no float path at all."""
+    b = int(block_tokens)
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(CASE WHEN {_TW} = '' THEN 0
+                ELSE len(regexp_split_to_array({_TW}, '{_WS}')) END AS BIGINT) AS n
+    FROM documents
+), s AS (
+    -- window SUM yields HUGEINT; cast back so range()/arithmetic bind
+    SELECT doc_id, n,
+           CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+    FROM t
+), e AS (
+    SELECT doc_id, n, s,
+           unnest(range(s // {b}, (s + n - 1) // {b} + 1)) AS block_id
+    FROM s WHERE n > 0
+)
+SELECT doc_id, block_id,
+       GREATEST(0, block_id * {b} - s) AS tok_start,
+       LEAST(n, (block_id + 1) * {b} - s) AS tok_end
+FROM e
+"""
+
+
+CONCAT_CHUNKS_SQL = concat_chunks_sql()

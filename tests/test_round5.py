@@ -1396,3 +1396,53 @@ def test_lm_trigram_model_size_guard():
 
     with pytest.raises(ValueError, match="broadcast budget"):
         lm_trigram_nll(SF_DIR, vocab_k=256)
+
+
+# ---------------------------------------------------------------------------
+# ops.prefix_sum — distributed scan primitive
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_sum_equals_pandas_cumsum():
+    """Exclusive scan over shuffled input with NON-contiguous, widely
+    spread ids (skewed range buckets) == pandas sorted cumsum; result
+    invariant to the bucket count."""
+    import ray.data
+
+    from pdf_extractor_ray.ops import prefix_sum
+
+    rng = np.random.RandomState(11)
+    ids = np.unique(rng.randint(0, 10_000_000, size=500))[:400]
+    vals = rng.randint(0, 50, size=len(ids)).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "n": vals}).sample(frac=1, random_state=3)
+
+    expect = df.sort_values("doc_id").copy()
+    expect["s"] = expect["n"].cumsum() - expect["n"]
+
+    for nb in (2, 7):
+        got = (
+            prefix_sum(ray.data.from_pandas(df), "doc_id", "n", out_col="s", num_buckets=nb)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect.reset_index(drop=True))
+
+
+def test_concat_chunks_covers_every_token_exactly_once():
+    """Block layout invariants at sf0.001: per-doc spans tile [0, n)
+    with no gaps/overlaps, per-block token totals are exactly
+    block_tokens except the last block, block ids are dense from 0."""
+    from pdf_extractor_ray.pipelines.corpus import CHUNK_BLOCK_TOKENS, concat_chunks
+
+    out = concat_chunks(SF_DIR).to_pandas()
+    spans = out.sort_values(["doc_id", "tok_start"])
+    for _, g in spans.groupby("doc_id"):
+        assert g["tok_start"].iloc[0] == 0
+        assert (g["tok_start"].iloc[1:].to_numpy() == g["tok_end"].iloc[:-1].to_numpy()).all()
+    per_block = out.groupby("block_id").apply(
+        lambda g: (g["tok_end"] - g["tok_start"]).sum(), include_groups=False
+    )
+    blocks = per_block.index.to_numpy()
+    assert blocks.min() == 0 and (np.diff(np.sort(blocks)) == 1).all()
+    assert (per_block.loc[per_block.index != blocks.max()] == CHUNK_BLOCK_TOKENS).all()
