@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_trigram_nll_documents": textops.lm_trigram_nll,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).concat_chunks,
+        "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).length_bucketed_batches,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
@@ -224,6 +225,7 @@ _ORACLE_OVERFLOW = [
     "ingest_snapshot_documents",
     "lm_trigram_nll_documents",
     "concat_chunks_documents",
+    "length_bucketed_batches",
 ]
 
 
@@ -303,4 +305,5 @@ def oracle_sql() -> dict[str, str]:
         "banned_phrase_documents": textops.BANNED_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
+        "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,
     }

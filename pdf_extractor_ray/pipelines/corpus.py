@@ -1347,3 +1347,99 @@ FROM e
 
 
 CONCAT_CHUNKS_SQL = concat_chunks_sql()
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: assign documents to fixed-size batches in
+# (token_count, doc_id) order so same-length docs batch together — the
+# standard padding-minimizing layout for batched inference / training.
+# ---------------------------------------------------------------------------
+
+BATCH_DOCS = 32
+# rank key = n_tokens * 2^32 + doc_id: one integer column both sorts
+# on. Preconditions (asserted): 0 <= doc_id < 2^32, n_tokens < 2^31 —
+# a document would need ~2 billion tokens to break the second.
+_LEN_KEY_SCALE = 1 << 32
+
+
+def length_bucketed_batches(sf_dir: str, batch_docs: int = BATCH_DOCS) -> ray.data.Dataset:
+    """Per-batch padding stats for length-bucketed batching:
+    ``(batch_id, n_docs, max_tokens, sum_tokens, padding_tokens)``
+    where docs are ranked by (n_tokens, doc_id) and batch =
+    rank // ``batch_docs``; padding = max·count − sum, the tokens a
+    dense rectangular batch would waste.
+
+    Scale shape: the global rank is :func:`pdf_extractor_ray.ops.
+    prefix_sum` with value 1 over the composite integer key — the
+    distributed-scan ranker (bounded driver state, no global sort; the
+    range buckets inherit the LENGTH distribution here, its documented
+    skew trade) — followed by one ``grouped_agg`` exchange carrying
+    four integers per doc."""
+    import os
+
+    from pdf_extractor_ray.ops import grouped_agg, prefix_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def tok_key(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        n = np.fromiter((len(t.split()) for t in b["text"]), dtype=np.int64, count=len(b))
+        if len(ids) and (ids.min() < 0 or ids.max() >= _LEN_KEY_SCALE or n.max() >= (1 << 31)):
+            raise ValueError("doc_id/n_tokens outside the composite-key range")
+        return pd.DataFrame(
+            {"doc_id": ids, "n": n, "key": n * _LEN_KEY_SCALE + ids, "one": np.ones(len(b), dtype=np.int64)}
+        )
+
+    ranked = prefix_sum(
+        ds.map_batches(tok_key, batch_format="pandas", batch_size=4096), "key", "one", out_col="rank"
+    )
+
+    def to_batch(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "batch_id": b["rank"].to_numpy(dtype=np.int64) // batch_docs,
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    agg = grouped_agg(
+        ranked.map_batches(to_batch, batch_format="pandas"),
+        ["batch_id"],
+        {
+            "n_docs": ("n", "count"),
+            "max_tokens": ("n", "max"),
+            "sum_tokens": ("n", "sum"),
+        },
+    )
+
+    def pad(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["padding_tokens"] = b["max_tokens"] * b["n_docs"] - b["sum_tokens"]
+        return b
+
+    return agg.map_batches(pad, batch_format="pandas")
+
+
+def length_bucketed_batches_sql(batch_docs: int = BATCH_DOCS) -> str:
+    b = int(batch_docs)
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(CASE WHEN {_TW} = '' THEN 0
+                ELSE len(regexp_split_to_array({_TW}, '{_WS}')) END AS BIGINT) AS n
+    FROM documents
+), r AS (
+    SELECT n, (row_number() OVER (ORDER BY n, doc_id) - 1) // {b} AS batch_id FROM t
+)
+SELECT batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n) AS BIGINT) AS max_tokens,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n) * COUNT(*) - SUM(n) AS BIGINT) AS padding_tokens
+FROM r GROUP BY batch_id
+"""
+
+
+LENGTH_BATCHES_SQL = length_bucketed_batches_sql()

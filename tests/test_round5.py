@@ -1446,3 +1446,17 @@ def test_concat_chunks_covers_every_token_exactly_once():
     blocks = per_block.index.to_numpy()
     assert blocks.min() == 0 and (np.diff(np.sort(blocks)) == 1).all()
     assert (per_block.loc[per_block.index != blocks.max()] == CHUNK_BLOCK_TOKENS).all()
+
+
+def test_length_bucketed_batches_invariants():
+    """Batches are length-ordered: max_tokens is non-decreasing in
+    batch_id, every batch but the last holds exactly BATCH_DOCS docs,
+    padding is non-negative and zero whenever a batch is uniform."""
+    from pdf_extractor_ray.pipelines.corpus import BATCH_DOCS, length_bucketed_batches
+
+    out = length_bucketed_batches(SF_DIR).to_pandas().sort_values("batch_id")
+    assert (np.diff(out["max_tokens"].to_numpy()) >= 0).all()
+    assert (out["n_docs"].iloc[:-1] == BATCH_DOCS).all()
+    assert (out["padding_tokens"] >= 0).all()
+    uniform = out["max_tokens"] * out["n_docs"] == out["sum_tokens"]
+    assert (out.loc[uniform, "padding_tokens"] == 0).all()
