@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).pack_sequences,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).concat_chunks,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).length_bucketed_batches,
+        "boilerplate_prefixes": textops.boilerplate_prefix_stats,
         # rows-only (iterative k-means + order-dependent greedy keep —
         # not SQL-expressible); pinned by planted-dup + greedy-replica
         # tests in tests/test_round4_fixes.py
@@ -226,6 +227,7 @@ _ORACLE_OVERFLOW = [
     "lm_trigram_nll_documents",
     "concat_chunks_documents",
     "length_bucketed_batches",
+    "boilerplate_prefixes",
 ]
 
 
@@ -306,4 +308,5 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,
+        "boilerplate_prefixes": textops.BOILERPLATE_PREFIX_SQL,
     }

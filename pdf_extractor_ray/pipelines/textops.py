@@ -1636,3 +1636,62 @@ FROM (
     FROM documents
 )
 """
+
+
+# ------------------------------------------------- boilerplate heads
+BOILERPLATE_PREFIX_WORDS = 8
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_prefix_stats(
+    sf_dir: str,
+    k_words: int = BOILERPLATE_PREFIX_WORDS,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> ray.data.Dataset:
+    """Site-template discovery: documents sharing their first
+    ``k_words`` tokens are flagged as carrying a boilerplate head
+    (CCNet-style shared-prefix signal — cookie banners, nav headers,
+    legal blurbs repeat verbatim at document start across a site).
+    Output: ``(prefix, n_docs)`` for prefixes shared by ≥ ``min_docs``
+    documents.
+
+    Scale shape: one ``grouped_sum`` exchange whose keys are k-word
+    strings (bounded payload) and whose per-batch partial bounds a
+    viral prefix to one row per batch; the HAVING filter is applied in
+    the bucket, so only qualifying prefixes leave the exchange."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        pref = [" ".join(t.split()[:k_words]) for t in b["text"]]
+        out = pd.DataFrame({"prefix": pref, "one": np.ones(len(b), dtype=np.int64)})
+        return out[out["prefix"] != ""]
+
+    counted = grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=4096), ["prefix"], ["one"]
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["one"] >= min_docs].rename(columns={"one": "n_docs"})
+        return b
+
+    return counted.map_batches(finish, batch_format="pandas")
+
+
+def boilerplate_prefix_sql(
+    k_words: int = BOILERPLATE_PREFIX_WORDS, min_docs: int = BOILERPLATE_MIN_DOCS
+) -> str:
+    return rf"""
+WITH t AS (
+    SELECT array_to_string(
+               list_slice(regexp_split_to_array({_TW}, '{_WS}'), 1, {int(k_words)}), ' '
+           ) AS prefix
+    FROM documents WHERE {_TW} <> ''
+)
+SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM t GROUP BY prefix HAVING COUNT(*) >= {int(min_docs)}
+"""
+
+
+BOILERPLATE_PREFIX_SQL = boilerplate_prefix_sql()
