@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
+        "c4_clean_documents": webdocs.c4_clean_documents,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
@@ -221,6 +222,10 @@ _ORACLE_OVERFLOW = [
     # rotated out in the final round-5 session to admit the nine
     # round-5 newcomers; driver-green r1/r2-r4 (see CORRECTNESS_r0*).
     "customers_without_big_orders",
+    # oracle-checked ops added AFTER the final rotation — CI-verified
+    # at sf0.001/sf0.01, parked here (the window is already full of
+    # this round's newcomers).
+    "c4_clean_documents",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -306,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,
         "lm_trigram_nll_documents": textops.LM_TRIGRAM_NLL_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
+        "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

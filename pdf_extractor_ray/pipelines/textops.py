@@ -1679,6 +1679,79 @@ def boilerplate_prefix_stats(
     return counted.map_batches(finish, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+# Beyond the document-level banned-phrase drop above, C4 cleans INSIDE
+# each page: lines with too few words are removed, lines carrying
+# code/boilerplate markers ("javascript" warnings, curly braces) are
+# removed, and a page containing "lorem ipsum" is dropped wholesale.
+# The production shape is a zero-shuffle per-batch scan — every rule is
+# per-line or per-page, so nothing ever leaves the worker but the
+# cleaned rows. The terminal-punctuation rule is implemented behind a
+# knob (default off: the synthetic corpus plants no sentence
+# punctuation, so the rule would degenerate to drop-everything; it is
+# unit-tested on planted fixtures instead).
+C4_MIN_WORDS = 5
+C4_LINE_BANNED = ("javascript", "{")
+C4_PAGE_DROP_PHRASE = "lorem ipsum"
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_MIN_WORDS,
+    require_terminal_punct: bool = False,
+) -> ray.data.Dataset:
+    """Per-document C4 line cleaning. Output one row per input row:
+    ``(id, n_lines, n_kept, page_dropped, text_kept)`` where a line is
+    kept iff it has ≥ ``min_words`` whitespace tokens, contains no
+    banned substring (case-insensitive "javascript", literal "{"), and
+    — when ``require_terminal_punct`` — ends in .!?" after rstrip;
+    ``page_dropped`` pages (any line containing "lorem ipsum",
+    case-insensitive) keep their line counts but emit ``text_kept=''``.
+
+    Scale: zero shuffle; line splitting and the rule scan run inside
+    ``map_batches`` and only the per-doc verdict rows leave the worker.
+    """
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        n_lines = np.empty(len(b), dtype=np.int64)
+        n_kept = np.empty(len(b), dtype=np.int64)
+        dropped = np.empty(len(b), dtype=np.int64)
+        text_kept = []
+        for i, t in enumerate(b[text_col]):
+            lines = t.splitlines()
+            kept = []
+            for ln in lines:
+                low = ln.lower()
+                if len(ln.split()) < min_words:
+                    continue
+                if any(s in (low if s.islower() else ln) for s in C4_LINE_BANNED):
+                    continue
+                if require_terminal_punct and not ln.rstrip().endswith(_C4_TERMINAL):
+                    continue
+                kept.append(ln)
+            page_drop = C4_PAGE_DROP_PHRASE in t.lower()
+            n_lines[i] = len(lines)
+            n_kept[i] = len(kept)
+            dropped[i] = int(page_drop)
+            text_kept.append("" if page_drop else "\n".join(kept))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "n_lines": n_lines,
+                "n_kept": n_kept,
+                "page_dropped": dropped,
+                "text_kept": text_kept,
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pandas", batch_size=2048)
+
+
 def boilerplate_prefix_sql(
     k_words: int = BOILERPLATE_PREFIX_WORDS, min_docs: int = BOILERPLATE_MIN_DOCS
 ) -> str:

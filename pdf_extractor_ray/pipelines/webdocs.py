@@ -309,8 +309,13 @@ def paragraph_dedup_documents(sf_dir: str, min_docs: int = 2) -> ray.data.Datase
 # same constant the carrier defaults to.
 PARAGRAPH_DEDUP_MIN_DOCS = 2
 
-PARAGRAPH_DEDUP_SQL = f"""
-WITH d AS (
+# Shared CTE chain deriving the per-document LINE structure of the
+# synthetic corpus (see _doc_to_page): ``d`` (one row per document with
+# emptiness/kind flags) and ``paras`` (one row per extracted line with
+# a sort position). Reused by every oracle that replays line-level
+# semantics (paragraph dedup, C4 line cleaning).
+DERIVED_LINES_CTES = f"""
+d AS (
   SELECT doc_id, lang, source, text,
          len({_TRIM_WS}) > 0 AS ne,
          doc_id % 7 = 3 AS is_pdf
@@ -334,7 +339,10 @@ paras AS (
   UNION ALL SELECT doc_id, 1000, 'DOC ID: ' || CAST(doc_id AS VARCHAR) FROM d WHERE ne
   UNION ALL SELECT doc_id, 1001, 'LANG CODE: ' || lang FROM d WHERE ne
   UNION ALL SELECT doc_id, 1002, 'SOURCE NAME: ' || source FROM d WHERE ne
-),
+)"""
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH {DERIVED_LINES_CTES},
 df AS (SELECT para, COUNT(DISTINCT doc_id) AS nd FROM paras GROUP BY para),
 kept AS (
   SELECT p.doc_id, p.pos, p.para FROM paras p JOIN df USING (para)
@@ -384,6 +392,61 @@ def latest_snapshot_documents(sf_dir: str) -> ray.data.Dataset:
 
     flat = ds.map_batches(explode_snapshots, batch_format="pandas")
     return keep_first(flat, ["url"], "__negts").drop_columns(["__negts"])
+
+
+def c4_clean_documents(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end C4 page cleaning: flagship extraction → line-level
+    C4 rules (``pipelines.textops.c4_line_filter``). On the derived
+    corpus the min-words rule genuinely bites — every meta line
+    ('DOC ID: 7' = 3 tokens) drops, PDF tail lines with < 5 words drop,
+    and short documents drop their main paragraph — while the
+    javascript/curly-brace/lorem-ipsum rules are verified as no-ops by
+    the value hash (the synthetic vocabulary never contains them; the
+    rules themselves are pinned on planted fixtures in tests)."""
+    from pdf_extractor_ray.pipelines.textops import c4_line_filter
+
+    ds = extract_documents(sf_dir)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select(["url", "extracted_text"])
+
+    return c4_line_filter(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        text_col="extracted_text",
+        id_col="url",
+    )
+
+
+def _c4_clean_sql() -> str:
+    from pdf_extractor_ray.pipelines.textops import C4_MIN_WORDS
+
+    trim_para = trim_ws_sql("para")
+    # page_dropped replays the engine's whole-text scan per line: the
+    # phrase contains no newline, so it cannot span the chr(10) joins
+    # and any-line ⇔ whole-text.
+    return f"""
+WITH {DERIVED_LINES_CTES},
+flags AS (
+  SELECT doc_id, pos, para,
+         (len(regexp_split_to_array({trim_para}, '{WS_SPLIT_RE_SQL}')) >= {int(C4_MIN_WORDS)}
+          AND para NOT LIKE '%{{%'
+          AND lower(para) NOT LIKE '%javascript%') AS keep,
+         (lower(para) LIKE '%lorem ipsum%') AS lorem
+  FROM paras
+)
+SELECT 'https://docs.example.com/' || CAST(d.doc_id AS VARCHAR) AS url,
+       CAST(COUNT(f.para) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(MAX(CASE WHEN f.lorem THEN 1 ELSE 0 END), 0) AS BIGINT) AS page_dropped,
+       CASE WHEN COALESCE(MAX(CASE WHEN f.lorem THEN 1 ELSE 0 END), 0) = 1 THEN ''
+            ELSE COALESCE(string_agg(CASE WHEN f.keep THEN f.para END, chr(10) ORDER BY f.pos), '')
+       END AS text_kept
+FROM d LEFT JOIN flags f USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+C4_CLEAN_SQL = _c4_clean_sql()
 
 
 # latest snapshot index per doc = (doc_id % 3): ts and drift are pure

@@ -1460,3 +1460,48 @@ def test_length_bucketed_batches_invariants():
     assert (out["padding_tokens"] >= 0).all()
     uniform = out["max_tokens"] * out["n_docs"] == out["sum_tokens"]
     assert (out.loc[uniform, "padding_tokens"] == 0).all()
+
+
+def test_c4_line_filter_rules():
+    """Planted fixtures exercise every C4 rule the synthetic corpus
+    cannot: javascript (case-insensitive) and curly-brace line drops,
+    lorem-ipsum page drop, the terminal-punctuation knob, and the
+    min-words boundary (exactly 5 words keeps, 4 drops)."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.textops import c4_line_filter
+
+    docs = [
+        # 0: mixed page — two good lines, one short, one JS, one brace
+        "alpha beta gamma delta epsilon zeta\n"
+        "only four words here\n"
+        "please enable JavaScript to view this site today\n"
+        "function f() { return 1; } padding words here\n"
+        "eta theta iota kappa lambda",
+        # 1: lorem-ipsum page — line rules still counted, text dropped
+        "good line with five words\nLorem Ipsum dolor sit amet consectetur",
+        # 2: empty page
+        "",
+        # 3: exactly five words on one line
+        "one two three four five",
+    ]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    out = c4_line_filter(ds, "text", "doc_id").to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "n_kept"] == 2
+    assert out.loc[0, "text_kept"] == (
+        "alpha beta gamma delta epsilon zeta\neta theta iota kappa lambda"
+    )
+    assert out.loc[1, "page_dropped"] == 1 and out.loc[1, "text_kept"] == ""
+    assert out.loc[1, "n_lines"] == 2 and out.loc[1, "n_kept"] == 2
+    assert out.loc[2, "n_lines"] == 0 and out.loc[2, "text_kept"] == ""
+    assert out.loc[3, "n_kept"] == 1
+
+    # terminal-punctuation knob: only lines ending in .!?" survive
+    punct_docs = [
+        {"doc_id": 0, "text": 'ends with period one two.\nno punct one two three\nends bang one two three!\nquoted line one two three"'}
+    ]
+    ds2 = ray.data.from_items(punct_docs)
+    out2 = c4_line_filter(ds2, "text", "doc_id", require_terminal_punct=True).to_pandas()
+    assert out2.loc[0, "n_kept"] == 3
+    assert "no punct" not in out2.loc[0, "text_kept"]
