@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
+        "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
@@ -226,6 +227,7 @@ _ORACLE_OVERFLOW = [
     # at sf0.001/sf0.01, parked here (the window is already full of
     # this round's newcomers).
     "c4_clean_documents",
+    "pagerank_documents",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -312,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_trigram_nll_documents": textops.LM_TRIGRAM_NLL_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
+        "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

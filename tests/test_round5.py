@@ -1505,3 +1505,51 @@ def test_c4_line_filter_rules():
     out2 = c4_line_filter(ds2, "text", "doc_id", require_terminal_punct=True).to_pandas()
     assert out2.loc[0, "n_kept"] == 3
     assert "no punct" not in out2.loc[0, "text_kept"]
+
+
+def test_pagerank_bit_exact_vs_reference():
+    """Distributed PageRank equals the sequential integer replica
+    bit-for-bit on an adversarial planted graph: a star (viral dst), a
+    chain, a dangling sink, and an isolated pair — across a forced
+    repartition (partition invariance) and both join plans."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.graph import pagerank, pagerank_reference
+
+    edges = []
+    edges += [{"src": s, "dst": 0} for s in range(1, 30)]      # star into 0
+    edges += [{"src": i, "dst": i + 1} for i in range(30, 40)]  # chain, 40 dangling
+    edges += [{"src": 100, "dst": 101}, {"src": 101, "dst": 100}]  # 2-cycle
+    edges += [{"src": 0, "dst": 17}]                            # star center points back out
+    df = __import__("pandas").DataFrame(edges)
+
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = pagerank(ds, iters=5).to_pandas().sort_values("node").reset_index(drop=True)
+    want = (
+        pagerank_reference(df, iters=5).sort_values("node").reset_index(drop=True)
+    )
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["rank_micro"].tolist() == want["rank_micro"].tolist()
+    # the star center must dominate
+    r = got.set_index("node")["rank_micro"]
+    assert r[0] == r.max() and r[0] > 10 * r[40]
+
+
+def test_pagerank_exchange_plan_identical():
+    """broadcast_limit=0 pins the exchange join plan; result rows are
+    identical to the broadcast plan (the adaptive-join contract)."""
+    import ray.data
+
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.pipelines.graph import pagerank
+
+    df = __import__("pandas").DataFrame(
+        [{"src": i, "dst": (i * 7 + 3) % 23} for i in range(60)]
+    )
+    ds = ray.data.from_pandas(df)
+    base = pagerank(ds, iters=3).to_pandas().sort_values("node").reset_index(drop=True)
+    import unittest.mock as mock
+
+    with mock.patch.object(joins, "BROADCAST_KEY_LIMIT", 0):
+        exch = pagerank(ds, iters=3).to_pandas().sort_values("node").reset_index(drop=True)
+    assert base.equals(exch)
