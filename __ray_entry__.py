@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_topk": similarity.knn_brute_force,
         "knn_ivf_topk": similarity.knn_ivf,
         "knn_ivf_indexed_topk": similarity.knn_ivf_indexed_query,
+        "pca_embeddings": similarity.pca_embeddings,
         # -- text analysis ----------------------------------------------
         "doc_token_stats": textops.doc_token_stats,
         "lang_count_documents": textops.lang_count,
@@ -190,6 +191,7 @@ _ROWS_ONLY_PRIORITY = [
     "ngram_jaccard_pairs",
     "knn_ivf_topk",
     "knn_ivf_indexed_topk",
+    "pca_embeddings",
     "contamination_screen",
     "contamination_screen_bloom",
     "heavy_hitter_tokens",

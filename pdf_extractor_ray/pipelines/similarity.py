@@ -460,3 +460,91 @@ def knn_ivf(sf_dir: str, k: int = 20, num_lists: int = 16, n_probe: int = 4) -> 
     )
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["vec_id", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding column
+# ---------------------------------------------------------------------------
+# The classic two-phase shape: workers reduce the corpus to EXACT
+# integer second-moment statistics (one (2 + d + d²)-cell vector per
+# batch, summed through one bucketed grouped_sum exchange), the driver
+# assembles the d×d covariance and eigendecomposes it. Nothing
+# corpus-sized ever reaches the driver — the exchange output is
+# 2 + d + d² rows regardless of corpus size. Embeddings are quantized
+# to 2^-20 before the moment sums, so the statistics are exact int64
+# and the result is bit-identical across partitionings, batch sizes,
+# and worker counts (the float work happens once, on the driver, from
+# identical integers). Overflow is guarded by a summed per-batch bound
+# cell: Σ_b n_b·max_b(|q|)² dominates every |Gram| entry, so if the
+# bound stays below 2^62 no cell can have wrapped.
+PCA_SCALE = 1 << 20
+PCA_TOP_K = 8
+
+
+def pca_embeddings(sf_dir: str, k: int = PCA_TOP_K) -> pd.DataFrame:
+    """Top-``k`` principal components of the embedding corpus:
+    ``(component, eigenvalue_nano, explained_var_ppm)``, eigenvalues
+    descending, explained fraction against the covariance trace.
+    Rows-only (eigendecomposition is not SQL-expressible); pinned by a
+    bit-exact single-process replica and a partition-invariance test."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(b["embedding"].to_numpy())
+        Q = np.rint(X.astype(np.float64) * PCA_SCALE).astype(np.int64)
+        n, d = Q.shape
+        G = Q.T @ Q  # exact int64 matmul
+        s = Q.sum(axis=0, dtype=np.int64)
+        bound = n * int(np.abs(Q).max(initial=0)) ** 2
+        cells = np.concatenate([[n, bound], s, G.ravel()])
+        ids = np.arange(-2, d + d * d, dtype=np.int64)
+        return pd.DataFrame({"cell": ids, "v": cells.astype(np.int64)})
+
+    stats = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096), ["cell"], ["v"]
+    ).to_pandas()  # 2 + d + d² rows — bounded by construction, never corpus-sized
+    return _pca_finish(stats, k)
+
+
+def _pca_finish(stats: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver epilogue shared with the replica: integer moments →
+    covariance → eigh → rounded integer report rows."""
+    stats = stats.sort_values("cell").reset_index(drop=True)
+    m = len(stats) - 2
+    d = int((-1 + (1 + 4 * m) ** 0.5) / 2)
+    assert d + d * d == m, f"cell count {m} is not d+d² for any integer d"
+    v = stats["v"].to_numpy(np.int64)
+    n, bound = int(v[0]), int(v[1])
+    if bound >= 1 << 62:
+        raise OverflowError(
+            f"moment bound {bound} risks int64 wrap: lower PCA_SCALE or shard the corpus"
+        )
+    s = v[2 : 2 + d].astype(np.float64)
+    G = v[2 + d :].astype(np.float64).reshape(d, d)
+    mu = s / (n * PCA_SCALE)
+    C = G / (n * PCA_SCALE**2) - np.outer(mu, mu)
+    w = np.linalg.eigh(C)[0][::-1]  # descending
+    total = float(np.trace(C))
+    top = w[: int(k)]
+    return pd.DataFrame(
+        {
+            "component": np.arange(1, len(top) + 1, dtype=np.int64),
+            "eigenvalue_nano": np.floor(top * 1e9 + 0.5).astype(np.int64),
+            "explained_var_ppm": np.floor(top / total * 1e6 + 0.5).astype(np.int64),
+        }
+    )
+
+
+def pca_reference(X: np.ndarray, k: int = PCA_TOP_K) -> pd.DataFrame:
+    """Single-process replica of ``pca_embeddings`` on an in-memory
+    matrix — identical quantization, moments, and epilogue."""
+    Q = np.rint(X.astype(np.float64) * PCA_SCALE).astype(np.int64)
+    n, d = Q.shape
+    G = Q.T @ Q
+    s = Q.sum(axis=0, dtype=np.int64)
+    bound = n * int(np.abs(Q).max(initial=0)) ** 2
+    cells = np.concatenate([[n, bound], s, G.ravel()])
+    stats = pd.DataFrame({"cell": np.arange(-2, d + d * d, dtype=np.int64), "v": cells})
+    return _pca_finish(stats, k)

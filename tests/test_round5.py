@@ -1553,3 +1553,59 @@ def test_pagerank_exchange_plan_identical():
     with mock.patch.object(joins, "BROADCAST_KEY_LIMIT", 0):
         exch = pagerank(ds, iters=3).to_pandas().sort_values("node").reset_index(drop=True)
     assert base.equals(exch)
+
+
+def test_pca_bit_exact_vs_replica_and_partition_invariant():
+    """Distributed PCA equals the in-memory replica bit-for-bit on the
+    real corpus (the integer-moment contract), and is invariant to a
+    forced repartition of the input."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.similarity import pca_embeddings, pca_reference
+
+    X = np.stack(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")
+        .to_pandas()
+        .to_numpy()
+    )
+    want = pca_reference(X)
+    got = pca_embeddings(SF_DIR)
+    assert got.equals(want)
+
+    # partition invariance: same moments regardless of batch boundaries
+    import os
+
+    from pdf_extractor_ray.ops import grouped_sum
+    from pdf_extractor_ray.pipelines import similarity as sim
+
+    ds = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"), columns=["embedding"]).repartition(13)
+    # replicate pca_embeddings' stage over the repartitioned input
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        Q = np.rint(np.stack(b["embedding"].to_numpy()).astype(np.float64) * sim.PCA_SCALE).astype(np.int64)
+        n, d = Q.shape
+        G = Q.T @ Q
+        s = Q.sum(axis=0, dtype=np.int64)
+        bound = n * int(np.abs(Q).max(initial=0)) ** 2
+        return pd.DataFrame({"cell": np.arange(-2, d + d * d, dtype=np.int64),
+                             "v": np.concatenate([[n, bound], s, G.ravel()]).astype(np.int64)})
+
+    stats = grouped_sum(ds.map_batches(partial, batch_format="pandas", batch_size=37), ["cell"], ["v"]).to_pandas()
+    assert sim._pca_finish(stats, sim.PCA_TOP_K).equals(want)
+
+
+def test_pca_planted_dominant_direction():
+    """A corpus with one dominant direction reports it: component 1
+    explains the overwhelming share of variance."""
+    from pdf_extractor_ray.pipelines.similarity import pca_reference
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    X = np.outer(rng.randn(400) * 0.5, direction) + rng.randn(400, 16) * 0.01
+    out = pca_reference(X.astype(np.float32), k=3)
+    assert out.loc[0, "explained_var_ppm"] > 900_000
+    assert out.loc[1, "explained_var_ppm"] < 50_000
