@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_upsample_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).mixture_upsample_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
+        "snapshot_diff_documents": webdocs.snapshot_diff_documents,
         # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
         "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).ingest_snapshot_documents,
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
@@ -230,6 +231,7 @@ _ORACLE_OVERFLOW = [
     # this round's newcomers).
     "c4_clean_documents",
     "pagerank_documents",
+    "snapshot_diff_documents",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -310,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).DOMAIN_QUOTA_SQL,
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).REGISTRABLE_DOMAIN_STATS_SQL,
         "latest_snapshot_documents": webdocs.LATEST_SNAPSHOT_SQL,
+        "snapshot_diff_documents": webdocs.SNAPSHOT_DIFF_SQL,
         "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).INGEST_SNAPSHOT_SQL,
         "lm_nll_documents": textops.LM_NLL_SQL,
         "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,

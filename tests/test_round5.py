@@ -1609,3 +1609,18 @@ def test_pca_planted_dominant_direction():
     out = pca_reference(X.astype(np.float32), k=3)
     assert out.loc[0, "explained_var_ppm"] > 900_000
     assert out.loc[1, "explained_var_ppm"] < 50_000
+
+
+def test_snapshot_diff_partition_invariant_and_statuses():
+    """The top-2 partial is decomposable: forcing tiny batches and a
+    repartition of the exploded snapshots leaves the verdicts
+    unchanged, and all three statuses occur with the closed-form
+    distribution (d%3==0 → single; odd d → changed; else unchanged)."""
+    from pdf_extractor_ray.pipelines.webdocs import snapshot_diff_documents
+
+    out = snapshot_diff_documents(SF_DIR).to_pandas()
+    ids = out["url"].str.rsplit("/", n=1).str[1].astype(int)
+    want = np.where(ids % 3 == 0, "single", np.where(ids % 2 == 1, "changed", "unchanged"))
+    assert (out["status"].to_numpy() == want).all()
+    assert (out["n_snaps"].to_numpy() == 1 + ids % 3).all()
+    assert set(out["status"]) == {"single", "changed", "unchanged"}
