@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": dedup.simhash_near_dups,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dups": dedup.embedding_near_dups_query,
+        "setsim_join_documents": dedup.setsim_join_documents,
         # -- similarity search ------------------------------------------
         "knn_cosine_topk": similarity.knn_brute_force,
         "knn_ivf_topk": similarity.knn_ivf,
@@ -232,6 +233,7 @@ _ORACLE_OVERFLOW = [
     "c4_clean_documents",
     "pagerank_documents",
     "snapshot_diff_documents",
+    "setsim_join_documents",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -303,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "source_lang_matrix": textops.SOURCE_LANG_MATRIX_SQL,
         "embedding_near_dups": dedup.EMBEDDING_NEAR_DUPS_SQL,
+        "setsim_join_documents": dedup.SETSIM_SQL,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_SQL,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CURATION_FUNNEL_SQL,
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CHUNK_SQL,

@@ -1432,3 +1432,249 @@ def dedup_canonical_documents(sf_dir: str, **kw) -> ray.data.Dataset:
 
     scored = docs.map_batches(score, batch_format="pandas", batch_size=4096)
     return canonical_by_quality(scored, clusters)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (distributed prefix filtering)
+#
+# The exact counterpart to the approximate near-dup family above:
+# MinHash/SimHash trade recall for speed; this operator returns EVERY
+# pair of documents whose word-set Jaccard similarity meets the
+# threshold, with the exact intersection/union sizes. Shape follows the
+# published MapReduce set-similarity join (Vernica, Carey, Li — SIGMOD
+# 2010) built on the prefix-filter principle (Chaudhuri et al. ICDE'06;
+# Bayardo et al. WWW'07): order every token stream by ascending global
+# document frequency, and any pair with J >= t must share a token in
+# their (L - ceil(t*L) + 1)-prefixes — so candidate generation only
+# exchanges the PREFIX tokens (the rarest ~(1-t) fraction), never the
+# full posting lists of stopwords.
+
+SETSIM_THRESHOLD_MILLI = 900  # J >= 0.900; single source for fn + SQL
+# (the synthetic corpus is template-generated and token-dense: at 0.6
+# over half of ALL pairs qualify — 0.9 keeps the answer a near-dup set)
+_SETSIM_SEP = "\x1f"  # never inside a token: str.split() splits on \x1f
+
+
+def setsim_join(
+    docs: ray.data.Dataset,
+    threshold_milli: int = SETSIM_THRESHOLD_MILLI,
+    *,
+    broadcast_limit: int | None = None,
+    num_buckets: int | None = None,
+    max_prefix_group: int = 4096,
+) -> ray.data.Dataset:
+    """All pairs (doc_a < doc_b) with word-set Jaccard >= t, exact.
+
+    Distributed plan (one df exchange + one doc_id exchange + one word
+    exchange + two adaptive joins — nothing corpus-sized touches the
+    driver):
+
+    1. per-doc profile: distinct word set -> (doc_id, set_size, toks)
+       with ``toks`` a \\x1f-joined string (Acero joins reject list
+       payload columns; a control-char join is loss-free because the
+       tokenizer splits on \\x1f).
+    2. global document frequency per word: per-batch partial +
+       ``grouped_sum`` (vocab-sized, stays in the cluster).
+    3. prefix emission: explode distinct (doc_id, word, set_size),
+       attach df via the byte-gated ``adaptive_inner_join``, then one
+       bucketed exchange on doc_id ranks each doc's tokens by
+       (df, word) and keeps the first L - ceil(t*L/1000) + 1 — the
+       prefix-filter guarantee (rank is vectorized cumcount, no row
+       loop).
+    4. candidate pairs: one bucketed exchange on word; inside a word
+       group the pair grid is numpy ``triu_indices`` with the exact
+       length filter min*1000 >= t*max applied before emission.
+       ``max_prefix_group`` guards the O(G^2) grid — G is the df of a
+       PREFIX token, rare by construction; a corpus where a rare-rank
+       token still exceeds it needs a higher threshold or shingled
+       keys, and the raise says so.
+    5. verify: pairs are deduped (``distinct``), both profiles attach
+       via two adaptive joins, and the exact integer test
+       inter*1000 >= t_milli*(sa+sb-inter) filters — bit-identical to
+       the DuckDB oracle (SETSIM_SQL), no float anywhere.
+
+    Scale note: candidate volume is driven by prefix-token df, so the
+    operator degrades gracefully on stopword-heavy corpora (stopwords
+    land at the END of the (df, word) order and never enter short
+    prefixes). Near-identical mega-clusters (G identical docs) emit
+    G^2/2 TRUE pairs — that is the answer's size, not an artifact.
+    """
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    tm = int(threshold_milli)
+    if not (0 < tm <= 1000):
+        raise ValueError(f"threshold_milli must be in (0, 1000], got {tm}")
+    sep = _SETSIM_SEP
+
+    def profile(b: pd.DataFrame) -> pd.DataFrame:
+        ids, szs, toks = [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            ws = sorted(set(t.split()))
+            if not ws:
+                continue
+            ids.append(int(doc_id))
+            szs.append(len(ws))
+            toks.append(sep.join(ws))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "set_size": np.asarray(szs, dtype=np.int64),
+                "toks": pd.Series(toks, dtype=object),
+            }
+        )
+
+    profiles = docs.map_batches(profile, batch_format="pandas", batch_size=4096)
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in set(t.split()):
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {
+                "word": list(counts),
+                "df": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    df_ds = grouped_sum(
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["df"],
+        num_buckets=8,
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, words, szs = [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            ws = set(t.split())
+            for w in ws:
+                ids.append(int(doc_id))
+                words.append(w)
+                szs.append(len(ws))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "word": pd.Series(words, dtype=object),
+                "set_size": np.asarray(szs, dtype=np.int64),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pandas", batch_size=4096)
+    with_df = adaptive_inner_join(exploded, df_ds, on="word", broadcast_limit=broadcast_limit)
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "word"], kind="mergesort")
+        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        size = g["set_size"].to_numpy()
+        p = size - (tm * size + 999) // 1000 + 1
+        keep = rank < p
+        return pd.DataFrame(
+            {
+                "word": g["word"].to_numpy()[keep],
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "set_size": size[keep],
+            }
+        )
+
+    prefix_rows = grouped_apply(with_df, ["doc_id"], prefix, num_buckets=num_buckets)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for word, grp in g.groupby("word", sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            if n > max_prefix_group:
+                raise ValueError(
+                    f"setsim_join: prefix token {word!r} appears in {n} prefixes "
+                    f"(> max_prefix_group={max_prefix_group}); the O(G^2) pair grid "
+                    "would not fit one worker. Raise the threshold, pre-shingle the "
+                    "text, or raise max_prefix_group if the worker heap allows."
+                )
+            order = np.argsort(grp["doc_id"].to_numpy(), kind="stable")
+            ids = grp["doc_id"].to_numpy()[order]
+            szs = grp["set_size"].to_numpy()[order]
+            i, j = np.triu_indices(n, k=1)
+            sa, sb = szs[i], szs[j]
+            ok = np.minimum(sa, sb) * 1000 >= tm * np.maximum(sa, sb)
+            outs.append(pd.DataFrame({"doc_a": ids[i][ok], "doc_b": ids[j][ok]}))
+        if not outs:
+            return pd.DataFrame(
+                {"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cands = distinct(
+        grouped_apply(prefix_rows, ["word"], pairs, num_buckets=num_buckets),
+        ["doc_a", "doc_b"],
+        num_buckets=num_buckets,
+    )
+
+    def _rename(names: list[str]):
+        def fn(t):
+            return t.rename_columns(names)
+
+        return fn
+
+    prof_a = profiles.map_batches(_rename(["doc_id", "size_a", "toks_a"]), batch_format="pyarrow")
+    prof_b = profiles.map_batches(_rename(["doc_id", "size_b", "toks_b"]), batch_format="pyarrow")
+    j1 = adaptive_inner_join(cands, prof_a, on="doc_a", right_on="doc_id", broadcast_limit=broadcast_limit)
+    j2 = adaptive_inner_join(j1, prof_b, on="doc_b", right_on="doc_id", broadcast_limit=broadcast_limit)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_a, doc_b, sa, ta, sb, tb in zip(
+            b["doc_a"], b["doc_b"], b["size_a"], b["toks_a"], b["size_b"], b["toks_b"]
+        ):
+            inter = len(set(ta.split(sep)) & set(tb.split(sep)))
+            uni = int(sa) + int(sb) - inter
+            if inter * 1000 >= tm * uni:
+                rows.append((int(doc_a), int(doc_b), inter, uni))
+        return pd.DataFrame(
+            rows, columns=["doc_a", "doc_b", "inter_size", "union_size"]
+        ).astype("int64")
+
+    out = j2.map_batches(verify, batch_format="pandas", batch_size=2048)
+    return out.sort(["doc_a", "doc_b"])
+
+
+def setsim_join_documents(
+    sf_dir: str, threshold_milli: int = SETSIM_THRESHOLD_MILLI
+) -> ray.data.Dataset:
+    """Driver carrier: exact Jaccard set-similarity self-join over the
+    documents table (word sets, J >= SETSIM_THRESHOLD_MILLI/1000)."""
+    return setsim_join(_read_docs(sf_dir, ("doc_id", "text")), threshold_milli)
+
+
+def _setsim_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    return f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, w AS word
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}')) AS w
+        FROM documents
+        WHERE length({tw}) > 0
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter_size
+    FROM toks a JOIN toks b ON a.word = b.word AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_size,
+       CAST(sa.sz + sb.sz - i.inter_size AS BIGINT) AS union_size
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter_size * 1000 >= {SETSIM_THRESHOLD_MILLI} * (sa.sz + sb.sz - i.inter_size)
+ORDER BY doc_a, doc_b
+"""
+
+
+SETSIM_SQL = _setsim_sql()

@@ -1624,3 +1624,120 @@ def test_snapshot_diff_partition_invariant_and_statuses():
     assert (out["status"].to_numpy() == want).all()
     assert (out["n_snaps"].to_numpy() == 1 + ids % 3).all()
     assert set(out["status"]) == {"single", "changed", "unchanged"}
+
+
+# ---------------------------------------------------------------------------
+# setsim_join — exact set-similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _setsim_brute(df: pd.DataFrame, tm: int) -> pd.DataFrame:
+    """All-pairs reference: exact Jaccard over distinct word sets.
+    Empty-token docs don't participate (engine + SQL semantics)."""
+    sets = {int(r.doc_id): set(r.text.split()) for r in df.itertuples()}
+    ids = sorted(k for k, v in sets.items() if v)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * 1000 >= tm * uni:
+                rows.append((a, b, inter, uni))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "inter_size", "union_size"]).astype(
+        "int64"
+    )
+
+
+def test_setsim_join_planted_boundary_pairs():
+    """J == t exactly is IN (>=, both sides integer-exact); one token
+    less is OUT; empty docs never pair."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.dedup import setsim_join
+
+    shared = [f"w{i}" for i in range(9)]
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                " ".join(shared + ["only1"]),  # size 10
+                " ".join(shared),  # size 9 -> J(1,2) = 9/10 = 0.9 exactly
+                " ".join(shared[:8] + ["x1", "x2"]),  # J(1,3) = 8/12, J(2,3)=8/11
+                "",  # empty: excluded
+                " ".join(shared + ["only1"]),  # exact dup of 1 -> J = 1.0
+            ],
+        }
+    )
+    out = setsim_join(ray.data.from_pandas(df), 900).to_pandas().astype("int64")
+    exp = _setsim_brute(df, 900)
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), exp.reset_index(drop=True), check_like=False
+    )
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in got  # boundary J == 0.900
+    assert (1, 5) in got and (2, 5) in got  # exact dup transitivity
+    assert not any(4 in p for p in got)  # empty doc never pairs
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_setsim_join_matches_bruteforce_on_sf_corpus():
+    """Exact equality vs the all-pairs pandas replica over the real
+    sf0.001 documents table at the default threshold — the prefix
+    filter must lose NO qualifying pair (completeness) and the verify
+    stage must admit NO extra pair (soundness)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.dedup import (
+        SETSIM_THRESHOLD_MILLI,
+        setsim_join_documents,
+    )
+
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    exp = _setsim_brute(docs, SETSIM_THRESHOLD_MILLI)
+    out = setsim_join_documents(SF_DIR).to_pandas().astype("int64")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp.reset_index(drop=True))
+
+
+def test_setsim_join_exchange_plan_identical():
+    """broadcast_limit=0 pins every adaptive join to the exchange
+    plan; rows must be identical to the default (gated) plan."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.dedup import setsim_join
+
+    rng = np.random.default_rng(7)
+    base = [f"t{i}" for i in range(40)]
+    texts = []
+    for d in range(60):
+        ws = list(base)
+        for _ in range(d % 5):
+            ws[rng.integers(0, len(ws))] = f"u{d}_{rng.integers(0, 9)}"
+        texts.append(" ".join(ws))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    a = setsim_join(ray.data.from_pandas(df), 900).to_pandas().astype("int64")
+    b = (
+        setsim_join(ray.data.from_pandas(df), 900, broadcast_limit=0)
+        .to_pandas()
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert len(a) == len(_setsim_brute(df, 900))
+
+
+def test_setsim_join_prefix_group_guard():
+    """A prefix token shared by more docs than max_prefix_group raises
+    with sizing advice instead of materializing the O(G^2) grid."""
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.dedup import setsim_join
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": ["a b c d e f g h i j" for _ in range(8)],
+        }
+    )
+    with pytest.raises(ValueError, match="max_prefix_group"):
+        setsim_join(ray.data.from_pandas(df), 900, max_prefix_group=4).to_pandas()
