@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_documents": webdocs.c4_clean_documents,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
+        "pmi_collocations": textops.pmi_collocations,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -234,6 +235,7 @@ _ORACLE_OVERFLOW = [
     "pagerank_documents",
     "snapshot_diff_documents",
     "setsim_join_documents",
+    "pmi_collocations",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -327,4 +329,5 @@ def oracle_sql() -> dict[str, str]:
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,
         "boilerplate_prefixes": textops.BOILERPLATE_PREFIX_SQL,
+        "pmi_collocations": textops.PMI_SQL,
     }

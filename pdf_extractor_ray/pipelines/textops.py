@@ -1768,3 +1768,154 @@ FROM t GROUP BY prefix HAVING COUNT(*) >= {int(min_docs)}
 
 
 BOILERPLATE_PREFIX_SQL = boilerplate_prefix_sql()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (word2vec-phrases-style corpus statistics)
+# ---------------------------------------------------------------------------
+
+PMI_TOP_K = 20
+PMI_MIN_COUNT = 5  # Mikolov et al. 2013 §4 discard-rare-pairs floor
+PMI_SCALE = 10**12  # integer count-ratio scale; see pmi_collocations
+
+
+def pmi_collocations(
+    sf_dir: str,
+    top_k: int = PMI_TOP_K,
+    min_count: int = PMI_MIN_COUNT,
+    *,
+    broadcast_limit: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k bigram collocations ranked by PMI, exact-integer scored.
+
+    Phrase discovery for a training-data pipeline (merge "new york"
+    into one token before BPE / embedding): rank adjacent word pairs
+    by pointwise mutual information ln(p12 / (p1*p2)). For a FIXED
+    corpus, PMI = ln(c12 * N / (c1*c2)) is monotone in the integer
+    ratio ``score = c12 * PMI_SCALE // (c1 * c2)`` (N is a constant
+    shift) — so the ranking needs no transcendentals and the DuckDB
+    oracle hash-matches bit-exactly, the same trick as tfidf's integer
+    idf. Score arithmetic is pure-Python int over the DISTINCT-pair
+    table only (numpy int64 would silently wrap at web-scale counts;
+    the oracle runs the identical expression in HUGEINT).
+
+    Plan: two vectorized passes over the corpus (unigram partials,
+    bigram partials), each folded by one bucketed ``grouped_sum`` —
+    the exchanges carry (word, count) partials, never raw tokens; the
+    ``min_count`` floor prunes the pair table BEFORE the two adaptive
+    joins attach c1/c2; global top-k is a sort+limit over the scored
+    distinct-pair table.
+    """
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    k, mc, scale = int(top_k), int(min_count), PMI_SCALE
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {
+                "word": list(counts),
+                "c": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    def bg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[tuple[str, str], int] = {}
+        for t in b["text"]:
+            ws = t.split()
+            for pair in zip(ws, ws[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        w1 = [p[0] for p in counts]
+        w2 = [p[1] for p in counts]
+        return pd.DataFrame(
+            {
+                "w1": pd.Series(w1, dtype=object),
+                "w2": pd.Series(w2, dtype=object),
+                "c12": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    uni = grouped_sum(
+        docs.map_batches(uni_partial, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["c"],
+        num_buckets=8,
+    )
+    bg = grouped_sum(
+        docs.map_batches(bg_partial, batch_format="pandas", batch_size=8192),
+        ["w1", "w2"],
+        ["c12"],
+        num_buckets=8,
+    )
+    bg = bg.filter(expr=f"c12 >= {mc}")
+
+    def _rename(names: list[str]):
+        def fn(t):
+            return t.rename_columns(names)
+
+        return fn
+
+    uni1 = uni.map_batches(_rename(["word", "c1"]), batch_format="pyarrow")
+    uni2 = uni.map_batches(_rename(["word", "c2"]), batch_format="pyarrow")
+    j = adaptive_inner_join(bg, uni1, on="w1", right_on="word", broadcast_limit=broadcast_limit)
+    j = adaptive_inner_join(j, uni2, on="w2", right_on="word", broadcast_limit=broadcast_limit)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        # c12 <= min(c1, c2) ==> score <= PMI_SCALE: always fits int64.
+        s = [
+            int(c12) * scale // (int(c1) * int(c2))
+            for c12, c1, c2 in zip(b["c12"], b["c1"], b["c2"])
+        ]
+        return pd.DataFrame(
+            {
+                "w1": b["w1"].to_numpy(),
+                "w2": b["w2"].to_numpy(),
+                "c12": b["c12"].to_numpy().astype(np.int64),
+                "c1": b["c1"].to_numpy().astype(np.int64),
+                "c2": b["c2"].to_numpy().astype(np.int64),
+                "score": np.asarray(s, dtype=np.int64),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pandas", batch_size=8192)
+    return scored.sort(["score", "w1", "w2"], descending=[True, False, False]).limit(k)
+
+
+def pmi_collocations_sql(
+    top_k: int = PMI_TOP_K, min_count: int = PMI_MIN_COUNT
+) -> str:
+    """Exact SQL replica of ``pmi_collocations``: same tokenization,
+    same integer count-ratio score (HUGEINT product, floor division —
+    operands are positive so ``//`` truncation == floor), same
+    (score DESC, w1, w2) total order."""
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, regexp_split_to_array({_TW}, '{_WS}') AS ws
+    FROM documents WHERE {_TW} <> ''
+), aw AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+), uni AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM aw GROUP BY w
+), bg AS (
+    SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM aw a JOIN aw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+)
+SELECT bg.w1, bg.w2, bg.c12, u1.c AS c1, u2.c AS c2,
+       CAST(CAST(bg.c12 AS HUGEINT) * {PMI_SCALE}
+            // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS score
+FROM bg
+JOIN uni u1 ON bg.w1 = u1.w
+JOIN uni u2 ON bg.w2 = u2.w
+WHERE bg.c12 >= {int(min_count)}
+ORDER BY score DESC, w1, w2
+LIMIT {int(top_k)}
+"""
+
+
+PMI_SQL = pmi_collocations_sql()

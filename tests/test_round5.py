@@ -1741,3 +1741,97 @@ def test_setsim_join_prefix_group_guard():
     )
     with pytest.raises(ValueError, match="max_prefix_group"):
         setsim_join(ray.data.from_pandas(df), 900, max_prefix_group=4).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations — integer-scored PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+
+def _pmi_brute(df: pd.DataFrame, k: int, mc: int) -> pd.DataFrame:
+    from pdf_extractor_ray.pipelines.textops import PMI_SCALE
+
+    uni: dict[str, int] = {}
+    bg: dict[tuple, int] = {}
+    for t in df["text"]:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for p in zip(ws, ws[1:]):
+            bg[p] = bg.get(p, 0) + 1
+    rows = [
+        (w1, w2, c12, uni[w1], uni[w2], c12 * PMI_SCALE // (uni[w1] * uni[w2]))
+        for (w1, w2), c12 in bg.items()
+        if c12 >= mc
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return pd.DataFrame(
+        rows[:k], columns=["w1", "w2", "c12", "c1", "c2", "score"]
+    ).astype({"c12": "int64", "c1": "int64", "c2": "int64", "score": "int64"})
+
+
+def test_pmi_collocations_matches_bruteforce_on_sf_corpus():
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import PMI_MIN_COUNT, PMI_TOP_K, pmi_collocations
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"]).to_pandas()
+    exp = _pmi_brute(docs, PMI_TOP_K, PMI_MIN_COUNT)
+    out = pmi_collocations(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp.reset_index(drop=True))
+    assert len(out) == PMI_TOP_K
+
+
+def test_pmi_collocations_exchange_plan_identical(tmp_path):
+    """broadcast_limit=0 pins both c1/c2 attaches to the exchange
+    plan; the top-k must be row-identical to the gated default."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import pmi_collocations
+
+    texts = []
+    for d in range(40):
+        phrase = f"new york" if d % 2 == 0 else "los angeles"
+        texts.append(" ".join([phrase] * 6 + [f"filler{d % 7} common word"] * 3))
+    tbl = pa.table(
+        {"doc_id": pa.array(range(40), type=pa.int64()), "text": pa.array(texts)}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    a = pmi_collocations(str(tmp_path)).to_pandas()
+    b = pmi_collocations(str(tmp_path), broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # the planted phrases out-rank the shared fillers: exclusive pairs
+    # (c12 == c1 == c2) score exactly PMI_SCALE // c and lead the list
+    assert {("new", "york"), ("los", "angeles")} <= set(zip(a["w1"], a["w2"]))
+
+
+def test_pmi_score_is_exact_python_int_ratio():
+    """Boundary: score floor-divides exactly (no float rounding) and
+    deterministic (score DESC, w1, w2) tie order holds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import PMI_SCALE, pmi_collocations
+
+    # two pairs with identical scores force the (w1, w2) tie-break
+    txt = " ".join(["a b"] * 5) + " " + " ".join(["c d"] * 5)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        tbl = pa.table({"doc_id": pa.array([0], type=pa.int64()), "text": pa.array([txt])})
+        pq.write_table(tbl, os.path.join(td, "documents.parquet"))
+        out = pmi_collocations(td, top_k=4, min_count=2).to_pandas()
+    # unigrams: a=5 b=5 c=5 d=5; bigrams: (a,b)=5 (b,a)=4 (c,d)=5 (d,c)=4 (b,c)=1
+    assert list(zip(out["w1"], out["w2"])) == [
+        ("a", "b"),
+        ("c", "d"),
+        ("b", "a"),
+        ("d", "c"),
+    ]
+    assert out["score"].tolist() == [
+        5 * PMI_SCALE // 25,
+        5 * PMI_SCALE // 25,
+        4 * PMI_SCALE // 25,
+        4 * PMI_SCALE // 25,
+    ]
