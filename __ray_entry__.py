@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banned_phrase_documents": textops.banned_phrase_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
+        "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).hits_documents,
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "pmi_collocations": textops.pmi_collocations,
         "fingerprint_documents": textops.fingerprint_documents,
@@ -236,6 +237,7 @@ _ORACLE_OVERFLOW = [
     "snapshot_diff_documents",
     "setsim_join_documents",
     "pmi_collocations",
+    "hits_documents",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -325,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "banned_phrase_documents": textops.BANNED_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
+        "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

@@ -215,3 +215,189 @@ it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999), exact int64 fixed-point
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_INIT = 1_000  # initial hub score per node
+HITS_SCALE = 1_000_000_000  # per-round L1 target: sum of scores ~ 1e9
+
+
+def hits(edges: ray.data.Dataset, iters: int = HITS_ITERS) -> ray.data.Dataset:
+    """Distributed HITS over an (src, dst) edge Dataset in exact int64
+    fixed-point — the complement to ``pagerank`` (authority = pointed
+    to by good hubs; hub = points at good authorities; Kleinberg,
+    JACM 1999). Per round:
+
+        a_raw[v] = Σ_{u→v} h[u];   a[v] = a_raw[v] // q_a
+        h_raw[u] = Σ_{u→v} a[v];   h[u] = h_raw[u] // q_h
+
+    where ``q = max(1, S // HITS_SCALE)`` and S is the global sum of
+    the raw scores — an L1 renormalization in pure integer floor
+    arithmetic, so the result is bit-identical under any partitioning
+    and exactly replayable in SQL (the oracle unrolls the rounds; the
+    global S is a scalar subquery). The classical L2 normalization
+    only changes the scale, never the ranking.
+
+    Scale shape per half-round: one adaptive join (scores onto edges)
+    + one ``grouped_sum`` exchange keyed by the receiving node + one
+    scalar ``sum`` (dimension-0 driver scalar). Overflow bound: after
+    rescale every score ≤ ~HITS_SCALE, so a node's raw inflow ≤
+    degree × 1e9 — int64-safe up to ~9e9 in/out-degree; rescale the
+    unit beyond that.
+    """
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    def keyed(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": b[col].to_numpy(np.int64)})
+
+        return fn
+
+    nodes = distinct(
+        edges.map_batches(keyed("src"), batch_format="pandas").union(
+            edges.map_batches(keyed("dst"), batch_format="pandas")
+        ),
+        ["node"],
+    ).materialize()
+    edges = edges.materialize()  # reused 2 * iters times
+
+    def zero(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"].to_numpy(np.int64), "c": np.zeros(len(b), np.int64)}
+        )
+
+    def init(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"].to_numpy(np.int64), "c": np.full(len(b), HITS_INIT, np.int64)}
+        )
+
+    def half(scores: ray.data.Dataset, from_col: str, to_col: str) -> ray.data.Dataset:
+        """One HITS half-round: push ``scores`` along edges from
+        ``from_col`` to ``to_col``, fold, L1-rescale."""
+        pushed = joins.adaptive_inner_join(edges, scores, on=from_col, right_on="node")
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": b[to_col].to_numpy(np.int64), "c": b["c"].to_numpy(np.int64)}
+            )
+
+        raw = grouped_sum(
+            pushed.map_batches(contrib, batch_format="pandas").union(
+                nodes.map_batches(zero, batch_format="pandas")
+            ),
+            ["node"],
+            ["c"],
+        ).materialize()
+        total = int(raw.sum("c") or 0)
+        q = max(1, total // HITS_SCALE)
+
+        def rescale(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["node"].to_numpy(np.int64),
+                    "c": b["c"].to_numpy(np.int64) // q,
+                }
+            )
+
+        return raw.map_batches(rescale, batch_format="pandas").materialize()
+
+    hub = nodes.map_batches(init, batch_format="pandas").materialize()
+    auth = None
+    for _ in range(int(iters)):
+        auth = half(hub, "src", "dst")
+        hub = half(auth, "dst", "src")
+
+    def _rename(names: list[str]):
+        def fn(t):
+            return t.rename_columns(names)
+
+        return fn
+
+    a = auth.map_batches(_rename(["node", "auth_scaled"]), batch_format="pyarrow")
+    h = hub.map_batches(_rename(["node", "hub_scaled"]), batch_format="pyarrow")
+    return joins.adaptive_inner_join(a, h, on="node")
+
+
+def hits_documents(sf_dir: str, iters: int = HITS_ITERS) -> ray.data.Dataset:
+    """Driver carrier: HITS over the deterministic document link graph
+    (same edge derivation as ``pagerank_documents``)."""
+    return hits(document_link_edges(sf_dir), iters=iters)
+
+
+def hits_reference(edges_df: pd.DataFrame, iters: int = HITS_ITERS) -> pd.DataFrame:
+    """Sequential single-process replica of ``hits`` (same exact
+    integer arithmetic) for bit-exactness tests."""
+    src = edges_df["src"].to_numpy(np.int64)
+    dst = edges_df["dst"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    si = np.array([idx[int(s)] for s in src])
+    di = np.array([idx[int(t)] for t in dst])
+    h = np.full(len(nodes), HITS_INIT, np.int64)
+    a = np.zeros(len(nodes), np.int64)
+
+    def rescale(raw: np.ndarray) -> np.ndarray:
+        q = max(1, int(raw.sum()) // HITS_SCALE)
+        return raw // q
+
+    for _ in range(int(iters)):
+        raw_a = np.zeros(len(nodes), np.int64)
+        np.add.at(raw_a, di, h[si])
+        a = rescale(raw_a)
+        raw_h = np.zeros(len(nodes), np.int64)
+        np.add.at(raw_h, si, a[di])
+        h = rescale(raw_h)
+    return pd.DataFrame({"node": nodes, "auth_scaled": a, "hub_scaled": h})
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """Oracle: edge arithmetic replayed from documents; rounds unrolled
+    as chained CTEs (same reason as PAGERANK_SQL); the L1 rescale's
+    global sum is a scalar subquery; BIGINT // HUGEINT floor division
+    matches numpy ``//`` on the non-negative scores."""
+    ctes = [
+        f"""e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+h0 AS (SELECT node, CAST({HITS_INIT} AS BIGINT) AS c FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for k in range(1, int(iters) + 1):
+        ctes.append(
+            f"""ar{k} AS (
+  SELECT n.node, CAST(COALESCE(SUM(s.c), 0) AS BIGINT) AS c
+  FROM nodes n LEFT JOIN e ON e.dst = n.node LEFT JOIN {prev_h} s ON s.node = e.src
+  GROUP BY n.node
+),
+a{k} AS (
+  SELECT node, CAST(c // GREATEST(1, (SELECT SUM(c) FROM ar{k}) // {HITS_SCALE}) AS BIGINT) AS c
+  FROM ar{k}
+),
+hr{k} AS (
+  SELECT n.node, CAST(COALESCE(SUM(s.c), 0) AS BIGINT) AS c
+  FROM nodes n LEFT JOIN e ON e.src = n.node LEFT JOIN a{k} s ON s.node = e.dst
+  GROUP BY n.node
+),
+h{k} AS (
+  SELECT node, CAST(c // GREATEST(1, (SELECT SUM(c) FROM hr{k}) // {HITS_SCALE}) AS BIGINT) AS c
+  FROM hr{k}
+)"""
+        )
+        prev_h = f"h{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.node, a.c AS auth_scaled, h.c AS hub_scaled
+FROM a{int(iters)} a JOIN h{int(iters)} h ON a.node = h.node"""
+    )
+
+
+HITS_SQL = _hits_sql()

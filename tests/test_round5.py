@@ -1835,3 +1835,50 @@ def test_pmi_score_is_exact_python_int_ratio():
         4 * PMI_SCALE // 25,
         4 * PMI_SCALE // 25,
     ]
+
+
+def test_hits_bit_exact_vs_reference():
+    """Distributed HITS equals the sequential integer replica
+    bit-for-bit on an adversarial planted graph (star hub, chain,
+    2-cycle, dangling sink) across a forced repartition."""
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.graph import hits, hits_reference
+
+    edges = []
+    edges += [{"src": 0, "dst": t} for t in range(1, 25)]       # 0 is a strong hub
+    edges += [{"src": s, "dst": 1} for s in range(30, 45)]      # 1 is a strong authority
+    edges += [{"src": i, "dst": i + 1} for i in range(50, 58)]  # chain
+    edges += [{"src": 100, "dst": 101}, {"src": 101, "dst": 100}]  # 2-cycle
+    df = pd.DataFrame(edges)
+
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = hits(ds, iters=3).to_pandas().sort_values("node").reset_index(drop=True)
+    want = hits_reference(df, iters=3).sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["auth_scaled"].tolist() == want["auth_scaled"].tolist()
+    assert got["hub_scaled"].tolist() == want["hub_scaled"].tolist()
+    # structural sanity: 0 is the top hub, 1 the top authority
+    g = got.set_index("node")
+    assert g["hub_scaled"].idxmax() == 0
+    assert g["auth_scaled"].idxmax() == 1
+
+
+def test_hits_exchange_plan_identical():
+    """broadcast_limit=0 pins the exchange join plan; rows identical
+    to the broadcast plan (the adaptive-join contract)."""
+    import unittest.mock as mock
+
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.pipelines.graph import hits
+
+    df = pd.DataFrame([{"src": i, "dst": (i * 7 + 3) % 23} for i in range(60)])
+    ds = ray.data.from_pandas(df)
+    base = hits(ds, iters=2).to_pandas().sort_values("node").reset_index(drop=True)
+    with mock.patch.object(joins, "BROADCAST_KEY_LIMIT", 0):
+        exch = hits(ds, iters=2).to_pandas().sort_values("node").reset_index(drop=True)
+    assert base.equals(exch)
