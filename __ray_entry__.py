@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).inverted_index_postings,
         "pmi_collocations": textops.pmi_collocations,
         "bm25_topk_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).bm25_topk,
+        "textrank_keywords": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).textrank_keywords,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -240,6 +241,7 @@ _ORACLE_OVERFLOW = [
     "pmi_collocations",
     "hits_documents",
     "bm25_topk_documents",
+    "textrank_keywords",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -331,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,
         "bm25_topk_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).BM25_SQL,
+        "textrank_keywords": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TEXTRANK_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

@@ -72,11 +72,20 @@ def pagerank(
     *,
     base_micro: int = PAGERANK_BASE_MICRO,
     damp_milli: int = PAGERANK_DAMP_MILLI,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """Distributed PageRank over an (src, dst) edge Dataset in exact
     int64 fixed-point: ``r0 = 1e6`` per node, then ``iters`` rounds of
 
-        r'[v] = base_micro + (damp_milli * Σ_{u→v} (r[u] // outdeg[u])) // 1000
+        r'[v] = base_micro + (damp_milli * Σ_{u→v} (r[u]·w(u,v) // wtot[u])) // 1000
+
+    where ``w`` is the optional integer edge weight (``weight_col``;
+    default 1, in which case ``wtot = outdeg`` and the per-edge term
+    is exactly the classical ``r // outdeg``). Weighted mode is the
+    TextRank/co-citation form (Mihalcea & Tarau 2004 use exactly this
+    weighted update). Overflow: ``r·w`` must fit int64 — r is bounded
+    by total mass (n_nodes × 1e6), so weights up to ~9e18/(n×1e6) are
+    safe; rescale the unit beyond that.
 
     Nodes = union of srcs and dsts; dangling nodes (no out-edges) leak
     their mass, as in the simplified formulation — both engine and
@@ -101,13 +110,28 @@ def pagerank(
         ["node"],
     ).materialize()
 
-    def ones(b: pd.DataFrame) -> pd.DataFrame:
+    def wcol(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"src": b["src"].to_numpy(np.int64), "outdeg": np.ones(len(b), np.int64)}
+            {
+                "src": b["src"].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64),
+                "w": (
+                    np.ones(len(b), np.int64)
+                    if weight_col is None
+                    else b[weight_col].to_numpy(np.int64)
+                ),
+            }
         )
 
-    deg = grouped_sum(edges.map_batches(ones, batch_format="pandas"), ["src"], ["outdeg"])
-    edges_deg = joins.adaptive_inner_join(edges, deg, on="src").materialize()
+    ew = edges.map_batches(wcol, batch_format="pandas")
+
+    def tot(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": b["src"].to_numpy(np.int64), "wtot": b["w"].to_numpy(np.int64)}
+        )
+
+    deg = grouped_sum(ew.map_batches(tot, batch_format="pandas"), ["src"], ["wtot"])
+    edges_deg = joins.adaptive_inner_join(ew, deg, on="src").materialize()
 
     def init(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -125,10 +149,14 @@ def pagerank(
         )
 
     def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        # per-edge mass: (r·w) // wtot — with unit weights this is
+        # exactly the classical r // outdeg, so the unweighted oracle
+        # is bit-unchanged
         return pd.DataFrame(
             {
                 "node": b["dst"].to_numpy(np.int64),
-                "c": b["r"].to_numpy(np.int64) // b["outdeg"].to_numpy(np.int64),
+                "c": (b["r"].to_numpy(np.int64) * b["w"].to_numpy(np.int64))
+                // b["wtot"].to_numpy(np.int64),
             }
         )
 
@@ -401,3 +429,207 @@ FROM a{int(iters)} a JOIN h{int(iters)} h ON a.node = h.node"""
 
 
 HITS_SQL = _hits_sql()
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+# PageRank over the token co-occurrence graph
+# ---------------------------------------------------------------------------
+
+TEXTRANK_VOCAB_K = 100
+TEXTRANK_TOP_K = 30
+
+
+def _topk_vocab_ordered(sf_dir: str, vocab_k: int) -> list[str]:
+    """Ordered top-``vocab_k`` corpus words by count, ties broken word
+    ASC — list index IS the node id (the ``_lm_topk_vocab`` contract,
+    kept ordered so the SQL oracle can replay the id assignment with
+    ROW_NUMBER). Same scale shape: one word-count ``grouped_sum``
+    bounded by distinct words, per-batch local top-K prune, global
+    sort+limit over the pruned stream."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def word_counts(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b["text"]:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame(
+            {
+                "word": list(counts),
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    wc = grouped_sum(
+        ds.map_batches(word_counts, batch_format="pandas", batch_size=8192),
+        ["word"],
+        ["n"],
+    )
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) > vocab_k:
+            b = b.sort_values(["n", "word"], ascending=[False, True], kind="mergesort").head(
+                vocab_k
+            )
+        return b
+
+    top = (
+        wc.map_batches(local_topk, batch_format="pandas")
+        .sort(["n", "word"], descending=[True, False])
+        .limit(vocab_k)
+        .take_all()
+    )
+    return [r["word"] for r in top]
+
+
+def textrank_keywords(
+    sf_dir: str,
+    vocab_k: int = TEXTRANK_VOCAB_K,
+    iters: int = PAGERANK_ITERS,
+    top_k: int = TEXTRANK_TOP_K,
+) -> ray.data.Dataset:
+    """Corpus-level TextRank keywords: weighted PageRank over the
+    adjacent-token co-occurrence graph restricted to the top-``vocab_k``
+    vocabulary; output ``(word, rank_micro)``, top ``top_k`` by
+    (rank DESC, word ASC).
+
+    Graph (identical in the oracle): nodes = vocab ids (count DESC,
+    word ASC order); for every adjacent token pair inside a document
+    where both tokens are in-vocab and distinct, add weight 1 in BOTH
+    directions (the undirected-as-symmetric-digraph convention); an
+    in-vocab word with no in-vocab neighbor is isolated and excluded
+    (nodes are defined by the edge list, as in ``pagerank``).
+
+    Scale shape: the vocab pass is the ``_lm_topk_vocab`` shape; the
+    pair pass emits per-batch (src, dst, w) partials folded by one
+    ``grouped_sum`` whose exchange is bounded by vocab² pairs
+    regardless of corpus size (the DSIR-style constant bound); the
+    PageRank rounds then run on the ≤ vocab²-edge graph. The final
+    id→word mapping is a driver-side list captured in the closure
+    (vocab-sized, never corpus-sized)."""
+    import os
+
+    vocab = _topk_vocab_ordered(sf_dir, int(vocab_k))
+    ids = {w: i for i, w in enumerate(vocab)}
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[tuple[int, int], int] = {}
+        for t in b["text"]:
+            ws = t.split()
+            for a, c in zip(ws, ws[1:]):
+                ia = ids.get(a)
+                ic = ids.get(c)
+                if ia is None or ic is None or ia == ic:
+                    continue
+                counts[(ia, ic)] = counts.get((ia, ic), 0) + 1
+                counts[(ic, ia)] = counts.get((ic, ia), 0) + 1
+        return pd.DataFrame(
+            {
+                "src": np.fromiter((p[0] for p in counts), dtype=np.int64, count=len(counts)),
+                "dst": np.fromiter((p[1] for p in counts), dtype=np.int64, count=len(counts)),
+                "w": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    edges = grouped_sum(
+        ds.map_batches(pair_partial, batch_format="pandas", batch_size=8192),
+        ["src", "dst"],
+        ["w"],
+    )
+    ranks = pagerank(edges, iters=iters, weight_col="w")
+
+    words = np.array(vocab, dtype=object)
+
+    def to_word(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "word": pd.Series(words[b["node"].to_numpy(np.int64)], dtype=object),
+                "rank_micro": b["rank_micro"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ranks.map_batches(to_word, batch_format="pandas")
+        .sort(["rank_micro", "word"], descending=[True, False])
+        .limit(int(top_k))
+    )
+
+
+def _textrank_sql(
+    vocab_k: int = TEXTRANK_VOCAB_K,
+    iters: int = PAGERANK_ITERS,
+    top_k: int = TEXTRANK_TOP_K,
+) -> str:
+    """Oracle: vocab ids via ROW_NUMBER over (count DESC, word ASC),
+    symmetric weighted edges from positional bigrams (the PMI oracle's
+    parallel-unnest pattern), weighted PageRank rounds unrolled as
+    chained CTEs with the identical ``(r·w) // wtot`` integer term."""
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    ctes = [
+        rf"""tok AS (
+    SELECT doc_id, regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') AS ws
+    FROM documents WHERE {tw} <> ''
+),
+aw AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+),
+vocab AS (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) - 1 AS id
+    FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM aw GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT {int(vocab_k)}
+    )
+),
+eraw AS (
+    SELECT v1.id AS src, v2.id AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM aw a JOIN aw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN vocab v1 ON a.w = v1.w JOIN vocab v2 ON b.w = v2.w
+    WHERE v1.id <> v2.id
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM eraw
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM eraw
+    ) GROUP BY src, dst
+),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wtot FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+it0 AS (SELECT node, CAST({PAGERANK_INIT_MICRO} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for k in range(1, int(iters) + 1):
+        ctes.append(
+            f"""it{k} AS (
+  SELECT n.node,
+         CAST({PAGERANK_BASE_MICRO} + ({PAGERANK_DAMP_MILLI} * COALESCE(SUM((rr.r * e.w) // d.wtot), 0)) // 1000 AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN it{k - 1} rr ON rr.node = e.src
+  GROUP BY n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.w AS word, it.r AS rank_micro
+FROM it{int(iters)} it JOIN vocab v ON v.id = it.node
+ORDER BY rank_micro DESC, word ASC
+LIMIT {int(top_k)}"""
+    )
+
+
+TEXTRANK_SQL = _textrank_sql()

@@ -1965,3 +1965,88 @@ def test_bm25_overflow_guard():
             with pytest.raises((OverflowError, Exception)) as ei:
                 bm25_topk(td, k=5).to_pandas()
     assert "int64" in str(ei.value) or "OverflowError" in str(ei.value)
+
+
+def test_weighted_pagerank_bit_exact_and_unweighted_equivalence():
+    """pagerank(weight_col=...) matches a sequential weighted replica
+    bit-for-bit; with all weights 1 it equals the unweighted path
+    exactly (the (r·w)//wtot ≡ r//outdeg contract)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.graph import (
+        PAGERANK_BASE_MICRO,
+        PAGERANK_DAMP_MILLI,
+        PAGERANK_INIT_MICRO,
+        pagerank,
+    )
+
+    edges = pd.DataFrame(
+        [
+            {"src": 0, "dst": 1, "w": 5},
+            {"src": 0, "dst": 2, "w": 1},
+            {"src": 1, "dst": 0, "w": 3},
+            {"src": 2, "dst": 1, "w": 7},
+            {"src": 3, "dst": 0, "w": 2},  # 3 is a source-only node
+        ]
+    )
+
+    def replica(df, iters):
+        nodes = sorted(set(df["src"]) | set(df["dst"]))
+        idx = {n: i for i, n in enumerate(nodes)}
+        wtot = {}
+        for _, e in df.iterrows():
+            wtot[e["src"]] = wtot.get(e["src"], 0) + e["w"]
+        r = {n: PAGERANK_INIT_MICRO for n in nodes}
+        for _ in range(iters):
+            inflow = {n: 0 for n in nodes}
+            for _, e in df.iterrows():
+                inflow[e["dst"]] += (r[e["src"]] * e["w"]) // wtot[e["src"]]
+            r = {
+                n: PAGERANK_BASE_MICRO + (PAGERANK_DAMP_MILLI * inflow[n]) // 1000
+                for n in nodes
+            }
+        return pd.DataFrame({"node": nodes, "rank_micro": [r[n] for n in nodes]})
+
+    ds = ray.data.from_pandas(edges).repartition(3)
+    got = pagerank(ds, iters=4, weight_col="w").to_pandas().sort_values("node").reset_index(drop=True)
+    want = replica(edges, 4)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["rank_micro"].tolist() == want["rank_micro"].tolist()
+
+    ones = edges.assign(w=np.int64(1))
+    a = pagerank(ray.data.from_pandas(ones), iters=3, weight_col="w").to_pandas()
+    b = pagerank(ray.data.from_pandas(ones[["src", "dst"]]), iters=3).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_textrank_hub_word_ranks_top():
+    """A planted corpus where one word co-occurs with every other
+    vocab word puts that word first; isolated vocab words (no
+    in-vocab neighbor) are excluded."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.graph import textrank_keywords
+
+    docs = []
+    # 'hub' is adjacent to eight distinct partner words, partners only
+    # ever touch 'hub'
+    for i, p in enumerate(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]):
+        docs.append({"doc_id": i, "text": f"hub {p} hub {p}"})
+    # 'loner' appears often but always flanked by out-of-vocab singletons
+    docs.append({"doc_id": 100, "text": "xq1 loner xq2 loner xq3 loner xq4 loner xq5 loner xq6"})
+    df = pd.DataFrame(docs)
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "documents.parquet"))
+        out = textrank_keywords(td, vocab_k=10, iters=4, top_k=10).to_pandas()
+    assert out.iloc[0]["word"] == "hub"
+    assert "loner" not in set(out["word"])  # isolated → excluded
+    assert out["rank_micro"].is_monotonic_decreasing
