@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_era_range_join": analytics.orders_by_era_range_join,
         "revenue_rollup": analytics.revenue_rollup,
         "events_sliding_window": windows.events_sliding_window,
+        "funnel_events": windows.funnel_events,
+        "retention_cohorts": windows.retention_cohorts,
         "approx_distinct_counts": textops.approx_distinct_counts,
         "approx_token_quantiles": textops.approx_token_quantiles,
         "top_orders_per_segment": windows.top_orders_per_segment,
@@ -242,6 +244,8 @@ _ORACLE_OVERFLOW = [
     "hits_documents",
     "bm25_topk_documents",
     "textrank_keywords",
+    "funnel_events",
+    "retention_cohorts",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -290,6 +294,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_era_range_join": analytics.ORDERS_BY_ERA_SQL,
         "revenue_rollup": analytics.REVENUE_ROLLUP_SQL,
         "events_sliding_window": windows.EVENTS_SLIDING_SQL,
+        "funnel_events": windows.FUNNEL_SQL,
+        "retention_cohorts": windows.RETENTION_SQL,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SPLIT_SQL,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).STRATIFIED_SAMPLE_SQL,
         "top_orders_per_segment": windows.TOP_ORDERS_PER_SEGMENT_SQL,

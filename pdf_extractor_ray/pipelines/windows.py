@@ -276,3 +276,173 @@ SELECT e.event_id,
 FROM events e
 ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis + retention cohorts (events table)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+_DAY_US = 86_400_000_000
+
+
+def funnel_events(
+    sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES
+) -> ray.data.Dataset:
+    """Ordered conversion funnel: a user reaches stage k when they have
+    an event of type ``stages[k]`` STRICTLY after their earliest
+    completion of stage k-1 (the classic min-timestamp chain, strict
+    ``>`` on integer epoch-µs so engine and oracle share one total
+    order). Output ``(stage_ix, stage, n_users)``, one row per stage.
+
+    Scale shape: rows not in any stage type are dropped at the read;
+    ONE bucketed exchange on user_id co-locates each user's events;
+    the per-bucket chain is vectorized pandas groupby-min per stage
+    (|stages| passes over the bucket, no per-user Python loop); each
+    bucket emits |stages| partial-count rows, folded by a
+    |stages|-row ``grouped_sum``."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    stage_set = frozenset(stages)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(stage_set)]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "us": b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "event_type": b["event_type"].to_numpy(),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (
+            g[g["event_type"] == stages[0]].groupby("user_id")["us"].min()
+        )  # Series: user -> t_stage0
+        counts = [len(cur)]
+        for s in stages[1:]:
+            ev = g[g["event_type"] == s]
+            prev = ev["user_id"].map(cur)
+            ev = ev[prev.notna() & (ev["us"] > prev)]
+            cur = ev.groupby("user_id")["us"].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "stage_ix": np.arange(len(stages), dtype=np.int64),
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    partials = grouped_apply(
+        ds.map_batches(narrow, batch_format="pandas"), ["user_id"], per_bucket
+    )
+    totals = grouped_sum(partials, ["stage_ix"], ["n_users"], num_buckets=2)
+
+    names = np.array(stages, dtype=object)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ix = b["stage_ix"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "stage_ix": ix,
+                "stage": pd.Series(names[ix], dtype=object),
+                "n_users": b["n_users"].to_numpy(np.int64),
+            }
+        )
+
+    return totals.map_batches(finish, batch_format="pandas").sort("stage_ix")
+
+
+def funnel_sql(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    """Oracle: the identical min-epoch-µs chain, one CTE per stage."""
+    ctes = [
+        f"""s0 AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS t
+  FROM events WHERE event_type = '{stages[0]}' GROUP BY user_id
+)"""
+    ]
+    for k, s in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+  FROM events e JOIN s{k - 1} p ON p.user_id = e.user_id
+  WHERE e.event_type = '{s}' AND CAST(epoch_us(e.ts) AS BIGINT) > p.t
+  GROUP BY e.user_id
+)"""
+        )
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS stage_ix, '{s}' AS stage, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM s{k}) AS n_users"
+        for k, s in enumerate(stages)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+FUNNEL_SQL = funnel_sql()
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Classic retention matrix: cohort = a user's first active day
+    (integer days since epoch — timestamps are positive so floor
+    division agrees between numpy and SQL), day_offset = active day −
+    cohort day, n_users = distinct users active at that offset.
+    Output ``(cohort_day, day_offset, n_users)``.
+
+    Scale shape: per-batch (user, day) dedup partials → one exchange
+    keyed by user_id for the first-day min → adaptive join of the
+    (user, day) activity set against the per-user cohort → distinct
+    (user, cohort, offset) → per-batch count partials folded by a
+    cohort×offset-bounded ``grouped_sum``."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_agg, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def days(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "day": us // _DAY_US}
+        )
+        return out.drop_duplicates()
+
+    activity = distinct(
+        ds.map_batches(days, batch_format="pandas"), ["user_id", "day"]
+    ).materialize()
+    first = grouped_agg(activity, ["user_id"], {"d0": ("day", "min")})
+    j = adaptive_inner_join(activity, first, on="user_id")
+
+    def offs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_day": b["d0"].to_numpy(np.int64),
+                "day_offset": b["day"].to_numpy(np.int64) - b["d0"].to_numpy(np.int64),
+                "one": np.ones(len(b), np.int64),
+            }
+        )
+
+    counted = grouped_sum(
+        j.map_batches(offs, batch_format="pandas"), ["cohort_day", "day_offset"], ["one"]
+    )
+    return counted.map_batches(
+        lambda b: b.rename(columns={"one": "n_users"}), batch_format="pandas"
+    )
+
+
+RETENTION_SQL = """
+WITH a AS (
+    SELECT DISTINCT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+    FROM events
+),
+f AS (SELECT user_id, MIN(day) AS d0 FROM a GROUP BY user_id)
+SELECT f.d0 AS cohort_day,
+       a.day - f.d0 AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""

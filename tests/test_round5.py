@@ -2050,3 +2050,103 @@ def test_textrank_hub_word_ranks_top():
     assert out.iloc[0]["word"] == "hub"
     assert "loner" not in set(out["word"])  # isolated → excluded
     assert out["rank_micro"].is_monotonic_decreasing
+
+
+def _write_events(td, rows):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    df["event_id"] = range(len(df))
+    pq.write_table(pa.Table.from_pandas(df), os.path.join(td, "events.parquet"))
+
+
+def test_funnel_events_ordered_chain():
+    """Hand-checked ordered funnel: out-of-order stages don't count,
+    equality of timestamps doesn't count (strict >), repeat events
+    use the EARLIEST qualifying completion."""
+    import tempfile
+
+    from pdf_extractor_ray.pipelines.windows import funnel_events
+
+    rows = []
+    # user 1: full ordered funnel
+    rows += [
+        {"user_id": 1, "ts": "2024-01-01 00:00", "event_type": "signup"},
+        {"user_id": 1, "ts": "2024-01-01 00:01", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01 00:02", "event_type": "click"},
+        {"user_id": 1, "ts": "2024-01-01 00:03", "event_type": "purchase"},
+    ]
+    # user 2: view BEFORE signup → stalls at signup
+    rows += [
+        {"user_id": 2, "ts": "2024-01-01 00:00", "event_type": "view"},
+        {"user_id": 2, "ts": "2024-01-01 00:01", "event_type": "signup"},
+    ]
+    # user 3: view at the SAME µs as signup → strict > rejects it
+    rows += [
+        {"user_id": 3, "ts": "2024-01-01 00:05", "event_type": "signup"},
+        {"user_id": 3, "ts": "2024-01-01 00:05", "event_type": "view"},
+    ]
+    # user 4: signup→view→(click missing)→purchase → stalls at view
+    rows += [
+        {"user_id": 4, "ts": "2024-01-01 00:00", "event_type": "signup"},
+        {"user_id": 4, "ts": "2024-01-01 00:01", "event_type": "view"},
+        {"user_id": 4, "ts": "2024-01-01 00:02", "event_type": "purchase"},
+    ]
+    # user 5: never signed up
+    rows += [{"user_id": 5, "ts": "2024-01-01 00:00", "event_type": "click"}]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(td, rows)
+        out = funnel_events(td).to_pandas().set_index("stage")
+    assert out.loc["signup", "n_users"] == 4
+    assert out.loc["view", "n_users"] == 2  # users 1, 4
+    assert out.loc["click", "n_users"] == 1  # user 1
+    assert out.loc["purchase", "n_users"] == 1
+    assert out["stage_ix"].tolist() == [0, 1, 2, 3]
+
+
+def test_retention_cohorts_hand_checked():
+    """Two cohorts, hand-computed day offsets; a user active twice the
+    same day counts once."""
+    import tempfile
+
+    from pdf_extractor_ray.pipelines.windows import retention_cohorts
+
+    rows = []
+    # cohort day0: users 1, 2 — user 1 active d0, d1, d3; user 2 d0 only
+    rows += [
+        {"user_id": 1, "ts": "2024-01-01 08:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01 09:00", "event_type": "click"},  # same day dup
+        {"user_id": 1, "ts": "2024-01-02 08:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-04 08:00", "event_type": "view"},
+        {"user_id": 2, "ts": "2024-01-01 23:59", "event_type": "view"},
+    ]
+    # cohort day1: user 3 active d1, d2
+    rows += [
+        {"user_id": 3, "ts": "2024-01-02 00:00", "event_type": "view"},
+        {"user_id": 3, "ts": "2024-01-03 12:00", "event_type": "view"},
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_events(td, rows)
+        out = (
+            retention_cohorts(td)
+            .to_pandas()
+            .sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True)
+        )
+    d0 = 19723  # 2024-01-01 in days since epoch
+    want = [
+        (d0, 0, 2),  # users 1+2 on cohort day
+        (d0, 1, 1),  # user 1
+        (d0, 3, 1),  # user 1
+        (d0 + 1, 0, 1),  # user 3
+        (d0 + 1, 1, 1),  # user 3
+    ]
+    got = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
+    assert got == want
