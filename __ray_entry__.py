@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": textops.pmi_collocations,
         "bm25_topk_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).bm25_topk,
         "textrank_keywords": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).textrank_keywords,
+        "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).connected_components_documents,
+        "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).anchor_text_stats,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -246,6 +248,8 @@ _ORACLE_OVERFLOW = [
     "textrank_keywords",
     "funnel_events",
     "retention_cohorts",
+    "connected_components_documents",
+    "anchor_text_stats",
     "distinct_event_types",
     "supplier_balance_by_nation",
     "events_props_k_sum",
@@ -340,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,
         "bm25_topk_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).BM25_SQL,
         "textrank_keywords": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TEXTRANK_SQL,
+        "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CONNECTED_COMPONENTS_SQL,
+        "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ANCHOR_TEXT_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

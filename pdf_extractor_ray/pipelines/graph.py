@@ -633,3 +633,133 @@ LIMIT {int(top_k)}"""
 
 
 TEXTRANK_SQL = _textrank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Connected components + anchor-text aggregation over the link graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components_documents(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of the document link graph: ``(node,
+    label)`` with label = min node id of the component — the
+    driver-checkable carrier for ``dedup.label_propagation`` (whose
+    minhash-cluster use is rows-only). The engine iterates
+    min-label propagation with pointer jumping to a CONVERGED
+    fixpoint, so the result is the mathematical component labeling —
+    no round count to replay; the oracle computes the same labeling
+    via a recursive-CTE transitive closure (safe here because the
+    block-structured graph has bounded component size; the engine side
+    has no such bound)."""
+    from pdf_extractor_ray.pipelines.dedup import label_propagation
+
+    return label_propagation(document_link_edges(sf_dir)).map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["node"].to_numpy(np.int64), "label": b["label"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+CONNECTED_COMPONENTS_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+reach AS (
+  SELECT src AS node, dst AS r FROM e
+  UNION
+  SELECT reach.node, e.dst AS r FROM reach JOIN e ON e.src = reach.r
+)
+SELECT node, CAST(LEAST(node, MIN(r)) AS BIGINT) AS label
+FROM reach GROUP BY node
+"""
+
+
+def anchor_text_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-target anchor-text aggregation — the classic web-graph
+    signal (anchor text describes the TARGET page; search engines and
+    crawl-quality scorers aggregate it per destination). Anchor for an
+    edge = the source document's first whitespace token ('' for empty
+    docs — both engines share that convention). Output per target:
+    ``(dst, n_links, n_anchors, top_anchor)`` where top_anchor is the
+    most frequent anchor, ties broken anchor ASC.
+
+    Scale shape: one adaptive join attaches the source's anchor to its
+    out-edges (build side is a 2-column projection of documents); one
+    ``grouped_sum`` exchange keyed (dst, anchor) with per-batch
+    partials bounding viral targets; the per-dst top-1/counts fold is
+    a second bucketed exchange keyed dst whose input is the already
+    count-collapsed (dst, anchor) table."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def first_tok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "anchor": pd.Series(
+                    [(t.split() or [""])[0] for t in b["text"]], dtype=object
+                ),
+            }
+        )
+
+    anchors = docs.map_batches(first_tok, batch_format="pandas")
+    edges = document_link_edges(sf_dir)
+    j = joins.adaptive_inner_join(edges, anchors, on="src", right_on="doc_id")
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "dst": b["dst"].to_numpy(np.int64),
+                "anchor": b["anchor"],
+                "c": np.ones(len(b), np.int64),
+            }
+        )
+
+    counts = grouped_sum(j.map_batches(pairs, batch_format="pandas"), ["dst", "anchor"], ["c"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dst", "c", "anchor"], ascending=[True, False, True], kind="mergesort")
+        agg = g.groupby("dst", sort=True).agg(
+            n_links=("c", "sum"), n_anchors=("anchor", "size"), top_anchor=("anchor", "first")
+        )
+        return agg.reset_index()
+
+    return grouped_apply(counts, ["dst"], per_bucket)
+
+
+def _anchor_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+a AS (
+  SELECT e.dst, (regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}'))[1] AS anchor
+  FROM e JOIN documents d ON d.doc_id = e.src
+),
+c AS (SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY dst, anchor),
+r AS (
+  SELECT dst, anchor, c,
+         ROW_NUMBER() OVER (PARTITION BY dst ORDER BY c DESC, anchor ASC) AS rn
+  FROM c
+)
+SELECT dst,
+       CAST(SUM(c) AS BIGINT) AS n_links,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       MAX(CASE WHEN rn = 1 THEN anchor END) AS top_anchor
+FROM r GROUP BY dst
+"""
+
+
+ANCHOR_TEXT_SQL = _anchor_sql()

@@ -2150,3 +2150,51 @@ def test_retention_cohorts_hand_checked():
     ]
     got = list(zip(out["cohort_day"], out["day_offset"], out["n_users"]))
     assert got == want
+
+
+def test_anchor_text_stats_hand_checked():
+    """Planted corpus: top anchor per target with count-desc /
+    anchor-asc tie break, empty-text source contributes '' anchor."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.graph import anchor_text_stats, document_link_edges
+
+    # ids 0..9 form one block; edge derivation is doc d -> 1 + d%3 dsts
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "text": [
+                "zeta more words",   # 0
+                "alpha x",           # 1
+                "alpha y",           # 2
+                "",                  # 3 → anchor ''
+                "beta",              # 4
+                "alpha z",           # 5
+                "gamma",             # 6
+                "delta",             # 7
+                "beta q",            # 8
+                "eps",               # 9
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        edges = document_link_edges(td).to_pandas()
+        out = anchor_text_stats(td).to_pandas().set_index("dst")
+
+    # recompute expectations straight from the edge list
+    anchor = {i: (t.split() or [""])[0] for i, t in zip(docs["doc_id"], docs["text"])}
+    exp: dict[int, dict[str, int]] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        exp.setdefault(int(d), {})[anchor[int(s)]] = exp.get(int(d), {}).get(anchor[int(s)], 0) + 1
+    assert set(out.index) == set(exp)
+    for d, cnts in exp.items():
+        assert out.loc[d, "n_links"] == sum(cnts.values())
+        assert out.loc[d, "n_anchors"] == len(cnts)
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        assert out.loc[d, "top_anchor"] == top
