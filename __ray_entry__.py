@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
         "latest_snapshot_documents": webdocs.latest_snapshot_documents,
         "snapshot_diff_documents": webdocs.snapshot_diff_documents,
-        # oracle-checked, parked in _ORACLE_OVERFLOW (position 51+)
+        # oracle-checked, runs in the overflow slot (position 51+)
         "ingest_snapshot_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).ingest_snapshot_documents,
         "registrable_domain_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).registrable_domain_stats_documents,
         "lm_nll_documents": textops.lm_bigram_nll,
@@ -225,19 +225,26 @@ _ROWS_ONLY_PRIORITY = [
 # queries stay fully oracle-verified in CI —
 # tests/test_oracle_parity.py parametrizes ALL oracle_sql() entries,
 # window and overflow alike, with the identical rows+schema+hash gate.
-_ORACLE_OVERFLOW = [
-    "q6_forecast_revenue",
-    "order_priority_counts",
-    "lang_count_documents",
-    "doc_length_histogram",
-    "top_orders_by_price",
-    "events_hourly",
-    # rotated out in the final round-5 session to admit the nine
-    # round-5 newcomers; driver-green r1/r2-r4 (see CORRECTNESS_r0*).
-    "customers_without_big_orders",
-    # oracle-checked ops added AFTER the final rotation — CI-verified
-    # at sf0.001/sf0.01, parked here (the window is already full of
-    # this round's newcomers).
+_NEVER_DRIVER_RUN = [
+    # oracle-checked ops that have not yet appeared in a
+    # CORRECTNESS_r*.json (r4 overflow + every round-5 addition) —
+    # the window policy is: ALL of these run first, so each new oracle
+    # gets driver coverage the round it lands (VERDICT r4 item #1).
+    "repetition_metrics",
+    "banned_phrase_documents",
+    "sample_k_documents",
+    "mixture_upsample_documents",
+    "domain_quota_documents",
+    "latest_snapshot_documents",
+    "ingest_snapshot_documents",
+    "registrable_domain_stats",
+    "lm_nll_documents",
+    "lm_nll_buckets_documents",
+    "lm_trigram_nll_documents",
+    "pack_sequences_documents",
+    "concat_chunks_documents",
+    "length_bucketed_batches",
+    "boilerplate_prefixes",
     "c4_clean_documents",
     "pagerank_documents",
     "snapshot_diff_documents",
@@ -250,22 +257,50 @@ _ORACLE_OVERFLOW = [
     "retention_cohorts",
     "connected_components_documents",
     "anchor_text_stats",
-    "distinct_event_types",
-    "supplier_balance_by_nation",
-    "events_props_k_sum",
-    "events_user_stats",
-    "part_price_range_by_brand",
-    "events_value_p95_hist",
-    "customer_order_counts_full",
-    "revenue_rollup",
 ]
+
+_WINDOW_KEEPERS = [
+    # driver-green in r4 (see CORRECTNESS_r04.json); these re-run each
+    # round as regression sentinels for the flagship and the widest
+    # operator families. Everything oracle-checked but not in the
+    # 50-query window is overflow: identical check in CI
+    # (tests/test_oracle_parity.py) at sf0.001, plus the full-gate
+    # pre-flight at sf0.01.
+    "extract_flagship",
+    "extract_fields_documents",
+    "llm_score_documents",
+    "training_examples",
+    "corpus_pipeline",
+    "curation_funnel",
+    "dedup_exact_documents",
+    "dedup_normalized_documents",
+    "paragraph_dedup_documents",
+    "domain_stats_documents",
+    "embedding_near_dups",
+    "knn_cosine_topk",
+    "tfidf_top_terms",
+    "quality_documents",
+    "gopher_quality_documents",
+    "lang_id_documents",
+    "doc_token_stats",
+    "sessionize_events",
+    "q1_pricing_summary",
+    "q5_region_nation_revenue",
+    "events_last_purchase_asof",
+    "top_orders_per_segment",
+    "chunk_documents",
+]
+
+_DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
 
 
 def _order_for_driver(q: dict) -> dict:
     checked = set(oracle_sql())
-    ordered = [k for k in q if k in checked and k not in _ORACLE_OVERFLOW]
-    ordered += [k for k in _ORACLE_OVERFLOW if k in q]
-    ordered += [k for k in _ROWS_ONLY_PRIORITY if k in q]
+    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    assert all(k in q and k in checked for k in _DRIVER_WINDOW)
+    ordered = list(_DRIVER_WINDOW)
+    ordered += [k for k in q if k in checked and k not in ordered]  # oracle overflow
+    ordered += [k for k in _ROWS_ONLY_PRIORITY if k in q and k not in ordered]
     ordered += [k for k in q if k not in ordered]  # safety net: never drop
     return {k: q[k] for k in ordered}
 
