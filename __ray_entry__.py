@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
+        "clean_unicode_documents": textops.clean_unicode_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).hits_documents,
@@ -257,6 +258,7 @@ _NEVER_DRIVER_RUN = [
     "retention_cohorts",
     "connected_components_documents",
     "anchor_text_stats",
+    "clean_unicode_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -288,7 +290,6 @@ _WINDOW_KEEPERS = [
     "q5_region_nation_revenue",
     "events_last_purchase_asof",
     "top_orders_per_segment",
-    "chunk_documents",
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -374,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_nll_buckets_documents": textops.LM_NLL_BUCKETS_SQL,
         "lm_trigram_nll_documents": textops.LM_TRIGRAM_NLL_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
+        "clean_unicode_documents": textops.CLEAN_UNICODE_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,

@@ -1919,3 +1919,130 @@ LIMIT {int(top_k)}
 
 
 PMI_SQL = pmi_collocations_sql()
+
+
+# ---------------------------------------------------------------------------
+# Unicode cleanup (CCNet/Dolma-style character normalization)
+# ---------------------------------------------------------------------------
+
+# Explicit fold map — NOT library NFC/NFKC (whose tables drift across
+# Unicode versions between Python's unicodedata and DuckDB's utf8proc,
+# which would make the oracle silently version-dependent): unicode
+# spaces → ASCII space, curly quotes → ASCII quotes, dashes → hyphen,
+# ellipsis → '...'; zero-widths / soft hyphen / C0 controls (except
+# \t \n \r) stripped. This is the normalization pass every public web
+# corpus build runs before tokenization (CCNet, C4, Dolma all carry a
+# variant); the map is the contract, replayed verbatim in SQL.
+UNICODE_FOLD: dict[str, str] = {
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    " ": " ", "　": " ",
+    "‘": "'", "’": "'", "“": '"', "”": '"',
+    "–": "-", "—": "-",
+    "…": "...",
+}
+UNICODE_STRIP = (
+    "​‌‍﻿­"
+    + "".join(chr(c) for c in range(0x00, 0x09))
+    + "\x0b\x0c"
+    + "".join(chr(c) for c in range(0x0e, 0x20))
+    + "\x7f"
+)
+_FOLD_TABLE = {ord(k): v for k, v in UNICODE_FOLD.items()} | {
+    ord(c): None for c in UNICODE_STRIP
+}
+_FOLD_RE = _re.compile("[" + "".join(_re.escape(c) for c in UNICODE_FOLD) + "]")
+_STRIP_RE = _re.compile("[" + "".join(_re.escape(c) for c in UNICODE_STRIP) + "]")
+
+
+def fold_unicode(text: str) -> tuple[str, int, int]:
+    """(cleaned, n_folded, n_stripped) under the UNICODE_FOLD /
+    UNICODE_STRIP contract — one translate pass."""
+    n_folded = len(_FOLD_RE.findall(text))
+    n_stripped = len(_STRIP_RE.findall(text))
+    return text.translate(_FOLD_TABLE), n_folded, n_stripped
+
+
+# Deterministic decoration variants for the driver carrier: the
+# synthetic corpus is pure ASCII, so the carrier plants the junk the
+# operator exists to remove — derived from doc_id arithmetic so the
+# oracle rebuilds the identical decorated text (the messy-url-carrier
+# pattern, webdocs.py).
+_DECOR = [
+    ("“Q” ", "…​"),
+    ("‘a’ ", "\x07\x01"),
+    ("–x—　", "﻿"),
+    ("", " ­ "),
+]
+
+
+def clean_unicode_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: decorate each document with its doc_id-selected
+    junk variant, then clean. Output ``(doc_id, n_folded, n_stripped,
+    text_clean)`` — the cleaned STRING is hash-compared, so the whole
+    fold map is oracle-pinned. Zero shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        out_t, nf, ns = [], np.empty(len(b), np.int64), np.empty(len(b), np.int64)
+        for i, (d, t) in enumerate(zip(ids, b["text"])):
+            pre, suf = _DECOR[int(d) % len(_DECOR)]
+            c, f, s = fold_unicode(pre + t + suf)
+            out_t.append(c)
+            nf[i], ns[i] = f, s
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_folded": nf,
+                "n_stripped": ns,
+                "text_clean": pd.Series(out_t, dtype=object),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pandas", batch_size=8192)
+
+
+def _clean_unicode_sql() -> str:
+    """Oracle: rebuild the decoration from doc_id, count the fold/strip
+    classes with RE2 ``\\x{..}`` escapes (ASCII-clean SQL text), apply
+    the fold map as chained replace() and the strip class as one
+    regexp_replace."""
+
+    def sql_str(s: str) -> str:
+        # build a DuckDB expression producing s via chr() so the SQL
+        # stays ASCII
+        if not s:
+            return "''"
+        parts = []
+        for ch in s:
+            parts.append(f"chr({ord(ch)})" if ord(ch) > 126 or ord(ch) < 32 else f"'{ch}'")
+        return " || ".join(parts)
+
+    decor_pre = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {j} THEN {sql_str(p)}" for j, (p, _) in enumerate(_DECOR)
+    ) + " END"
+    decor_suf = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {j} THEN {sql_str(s)}" for j, (_, s) in enumerate(_DECOR)
+    ) + " END"
+
+    fold_class = "[" + "".join(rf"\x{{{ord(c):04x}}}" for c in UNICODE_FOLD) + "]"
+    strip_class = "[" + "".join(rf"\x{{{ord(c):04x}}}" for c in UNICODE_STRIP) + "]"
+
+    folded = "t"
+    for k, v in UNICODE_FOLD.items():
+        vq = v.replace("'", "''")
+        folded = f"replace({folded}, chr({ord(k)}), '{vq}')"
+
+    return f"""
+WITH d AS (
+    SELECT doc_id, {decor_pre} || text || {decor_suf} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{fold_class}')) AS BIGINT) AS n_folded,
+       CAST(len(regexp_extract_all(t, '{strip_class}')) AS BIGINT) AS n_stripped,
+       regexp_replace({folded}, '{strip_class}', '', 'g') AS text_clean
+FROM d
+"""
+
+
+CLEAN_UNICODE_SQL = _clean_unicode_sql()

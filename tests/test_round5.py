@@ -2198,3 +2198,25 @@ def test_anchor_text_stats_hand_checked():
         assert out.loc[d, "n_anchors"] == len(cnts)
         top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         assert out.loc[d, "top_anchor"] == top
+
+
+def test_fold_unicode_contract():
+    """Every fold-map entry and strip char behaves per contract;
+    \\t/\\n/\\r survive; counts are exact."""
+    from pdf_extractor_ray.pipelines.textops import (
+        UNICODE_FOLD,
+        UNICODE_STRIP,
+        fold_unicode,
+    )
+
+    for k, v in UNICODE_FOLD.items():
+        c, f, s = fold_unicode(f"a{k}b")
+        assert c == f"a{v}b" and f == 1 and s == 0
+    for ch in UNICODE_STRIP:
+        c, f, s = fold_unicode(f"a{ch}b")
+        assert c == "ab" and f == 0 and s == 1
+    keep = "a\tb\nc\rd"
+    assert fold_unicode(keep) == (keep, 0, 0)
+    # combined
+    c, f, s = fold_unicode("“x” —​y\x07")
+    assert c == '"x" -y' and f == 4 and s == 2
