@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen_bloom": textops.contamination_screen_bloom,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_query,
+        "cms_token_counts": textops.cms_token_counts,
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # rotates out is fully pinned by exact local tests
 # (tests/test_rowsonly_exact.py) and was driver-green in earlier rounds.
 _ROWS_ONLY_PRIORITY = [
+    "cms_token_counts",
     # not in the round-3 driver file — run these first
     "fingerprint_documents",
     "extraction_metrics_by_bucket",

@@ -227,3 +227,46 @@ class KLL:
         s.levels = [list(lv) for lv in levels] or [[]]
         s.n = int(n)
         return s
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 wraparound) — the
+    derived-hash trick from joins._splitmix64: d independent rows come
+    from iterating the finalizer, never from re-keying (pd.util.
+    hash_array IGNORES hash_key for numeric dtypes — round-2 finding)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def cms_fold(hashes: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Fold 64-bit item hashes into a (depth, width) int64 Count-Min
+    table: row j buckets by the j-th splitmix64 iterate. Mergeable by
+    elementwise +; point estimate = min over rows (one-sided:
+    estimate ≥ true count always)."""
+    table = np.zeros((depth, width), dtype=np.int64)
+    h = hashes.astype(np.uint64, copy=False)
+    for j in range(depth):
+        h = _cms_splitmix64(h)
+        np.add.at(table[j], (h % np.uint64(width)).astype(np.int64), 1)
+    return table
+
+
+def cms_query(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates for item hashes against a folded table."""
+    depth, width = table.shape
+    est = np.full(len(hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    h = np.asarray(hashes, dtype=np.uint64)
+    for j in range(depth):
+        h = _cms_splitmix64(h)
+        est = np.minimum(est, table[j, (h % np.uint64(width)).astype(np.int64)])
+    return est

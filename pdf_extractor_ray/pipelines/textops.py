@@ -2046,3 +2046,50 @@ FROM d
 
 
 CLEAN_UNICODE_SQL = _clean_unicode_sql()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch token counts (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_token_counts(
+    sf_dir: str,
+    tokens: tuple[str, ...] = ("data", "spark", "window"),
+    width: int = 1 << 14,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Approximate token frequencies from ONE corpus pass with a fixed
+    ``depth × width`` int64 Count-Min table per block — the
+    heavy-hitter/HLL reduction shape: no (token, count) exchange at
+    all; each block contributes one fixed-size sketch row and the
+    driver sum-merges them (CMS merge = elementwise +). Estimates are
+    one-sided (≥ true count; overshoot ≤ 2N/width per row w.p. ≥ 1/2,
+    so ≤ that with prob 1 − 2^-depth) — the knob for "roughly how
+    often does each of these million phrases occur" where
+    ``heavy_hitter_tokens`` answers "which tokens are the biggest" and
+    ``grouped_sum`` answers exactly at exchange cost. Completing the
+    sketch family: MG, HLL, Bloom, KLL, CMS."""
+    from pdf_extractor_ray.kernels.sketches import cms_fold, cms_query
+
+    ds = _docs(sf_dir, ["text"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ").explode()
+        toks = toks[toks.notna() & (toks != "")]
+        h = pd.util.hash_array(toks.to_numpy(), hash_key="0123456789abcdef")
+        return pd.DataFrame({"sk": [cms_fold(h, width, depth).tobytes()]})
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for batch in ds.map_batches(fold, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for packed in batch["sk"]:
+            merged += np.frombuffer(packed, dtype=np.int64).reshape(depth, width)
+
+    qh = pd.util.hash_array(
+        np.asarray(tokens, dtype=object), hash_key="0123456789abcdef"
+    )
+    return pd.DataFrame(
+        {"token": list(tokens), "est_count": cms_query(merged, qh)}
+    )

@@ -2220,3 +2220,60 @@ def test_fold_unicode_contract():
     # combined
     c, f, s = fold_unicode("“x” —​y\x07")
     assert c == '"x" -y' and f == 4 and s == 2
+
+
+def test_cms_guarantees_and_merge():
+    """Count-Min: estimates are one-sided (>= true), exact when width
+    dwarfs the vocabulary, and block merges are associative (fold of
+    halves summed == fold of whole)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_ray.kernels.sketches import cms_fold, cms_query
+
+    rng = np.random.default_rng(7)
+    items = rng.integers(0, 500, size=20000).astype(np.uint64)
+    true = pd.Series(items).value_counts()
+
+    t = cms_fold(items, width=1 << 13, depth=4)
+    keys = true.index.to_numpy(np.uint64)
+    est = cms_query(t, keys)
+    assert (est >= true.to_numpy()).all()
+    assert est.sum() <= true.sum() * 1.05  # tight at this width
+
+    wide = cms_fold(items, width=1 << 16, depth=4)
+    assert (cms_query(wide, keys) == true.to_numpy()).all()
+
+    halves = cms_fold(items[:9000], 1 << 13, 4) + cms_fold(items[9000:], 1 << 13, 4)
+    assert (halves == t).all()
+
+
+def test_cms_token_counts_vs_exact():
+    """Pipeline estimates >= exact counts and equal at default width
+    on the tiny corpus."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import cms_token_counts
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "data spark data",
+                "window data",
+                "spark",
+                "",
+                "noise words here",
+                "data window window",
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        out = cms_token_counts(td).set_index("token")["est_count"]
+    assert out["data"] == 4 and out["spark"] == 2 and out["window"] == 3
