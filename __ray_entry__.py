@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_topk": similarity.knn_ivf,
         "knn_ivf_indexed_topk": similarity.knn_ivf_indexed_query,
         "pca_embeddings": similarity.pca_embeddings,
+        "label_centroids_embeddings": similarity.label_centroids_embeddings,
         # -- text analysis ----------------------------------------------
         "doc_token_stats": textops.doc_token_stats,
         "lang_count_documents": textops.lang_count,
@@ -261,6 +262,7 @@ _NEVER_DRIVER_RUN = [
     "connected_components_documents",
     "anchor_text_stats",
     "clean_unicode_documents",
+    "label_centroids_embeddings",
 ]
 
 _WINDOW_KEEPERS = [
@@ -291,7 +293,6 @@ _WINDOW_KEEPERS = [
     "q1_pricing_summary",
     "q5_region_nation_revenue",
     "events_last_purchase_asof",
-    "top_orders_per_segment",
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_trigram_nll_documents": textops.LM_TRIGRAM_NLL_SQL,
         "banned_phrase_documents": textops.BANNED_SQL,
         "clean_unicode_documents": textops.CLEAN_UNICODE_SQL,
+        "label_centroids_embeddings": similarity.LABEL_CENTROIDS_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,

@@ -548,3 +548,68 @@ def pca_reference(X: np.ndarray, k: int = PCA_TOP_K) -> pd.DataFrame:
     cells = np.concatenate([[n, bound], s, G.ravel()])
     stats = pd.DataFrame({"cell": np.arange(-2, d + d * d, dtype=np.int64), "v": cells})
     return _pca_finish(stats, k)
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (exact integer moments)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Class centroids over the embedding corpus: per (label, dim) the
+    exact integer micro-sum and count — the first-moment sibling of
+    ``pca_embeddings``'s second-moment partials, and the building
+    block for nearest-class-mean classifiers and per-class drift
+    monitoring. Emitting (sum_micro, n_vecs) instead of the divided
+    mean keeps the output exactly SQL-replayable without pinning a
+    floor-division sign convention; consumers divide.
+
+    Exactness: each float32 component is widened to float64 (exact)
+    and rounded ONCE to int64 micro-units — identical in DuckDB via
+    CAST(v AS DOUBLE); sums are then exact integers under any
+    partitioning. Scale shape: zero joins; per-batch np.add.at fold
+    over (label, dim) → one labels×dims-bounded ``grouped_sum``."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        micro = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        labels = b["label"].to_numpy(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        dims = micro.shape[1]
+        sums = np.zeros((len(uniq), dims), np.int64)
+        np.add.at(sums, codes, micro)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(uniq, dims),
+                "dim": np.tile(np.arange(dims, dtype=np.int64), len(uniq)),
+                "sum_micro": sums.reshape(-1),
+                "n_vecs": np.repeat(counts, dims),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096),
+        ["label", "dim"],
+        ["sum_micro", "n_vecs"],
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH x AS (
+    SELECT label,
+           unnest(embedding) AS v,
+           unnest(range(1, len(embedding) + 1)) AS dim
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM x GROUP BY 1, 2
+"""

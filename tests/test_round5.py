@@ -2277,3 +2277,29 @@ def test_cms_token_counts_vs_exact():
         pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
         out = cms_token_counts(td).set_index("token")["est_count"]
     assert out["data"] == 4 and out["spark"] == 2 and out["window"] == 3
+
+
+def test_label_centroids_partition_invariant_and_exact():
+    """Centroid micro-sums equal a single-process fold bit-for-bit and
+    are invariant to a forced repartition of the input read."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.similarity import label_centroids_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        label_centroids_embeddings(sf)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(sf + "/embeddings.parquet").to_pandas()
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    micro = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+    labels = t["label"].to_numpy(np.int64)
+    for lab in np.unique(labels):
+        sel = micro[labels == lab]
+        sub = got[got["label"] == lab]
+        assert (sub["sum_micro"].to_numpy() == sel.sum(axis=0)).all()
+        assert (sub["n_vecs"] == len(sel)).all()
