@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
         "clean_unicode_documents": textops.clean_unicode_documents,
+        "token_entropy_documents": textops.token_entropy_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).hits_documents,
@@ -263,6 +264,7 @@ _NEVER_DRIVER_RUN = [
     "anchor_text_stats",
     "clean_unicode_documents",
     "label_centroids_embeddings",
+    "token_entropy_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -292,7 +294,6 @@ _WINDOW_KEEPERS = [
     "sessionize_events",
     "q1_pricing_summary",
     "q5_region_nation_revenue",
-    "events_last_purchase_asof",
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "banned_phrase_documents": textops.BANNED_SQL,
         "clean_unicode_documents": textops.CLEAN_UNICODE_SQL,
         "label_centroids_embeddings": similarity.LABEL_CENTROIDS_SQL,
+        "token_entropy_documents": textops.TOKEN_ENTROPY_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,

@@ -2093,3 +2093,72 @@ def cms_token_counts(
     return pd.DataFrame(
         {"token": list(tokens), "est_count": cms_query(merged, qh)}
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy (unigram self-information)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc unigram entropy in integer micro-nats: ``(doc_id,
+    n_tokens, n_types, ent_total_micro)`` where ent_total_micro =
+    Σ_types floor(c·ln(n/c)·1e6 + 0.5) — the TOTAL self-information
+    (n × per-token entropy), kept unnormalized so the result is an
+    exact integer sum; consumers divide by n_tokens. Low-entropy docs
+    are the keyboard-mash / template / repeated-token pages every
+    quality funnel drops (the same family as Gopher's repetition
+    rules, but distribution-level).
+
+    Zero shuffle — one vectorized pass. Float note: one libm ln per
+    DISTINCT (c, n) pair with per-term rounding, the lm_bigram_nll
+    1-ulp budget; the expression tree (c·ln(n/c))·1e6 is written
+    identically in the SQL."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ent(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.zeros(len(b), np.int64)
+        n_typ = np.zeros(len(b), np.int64)
+        total = np.zeros(len(b), np.int64)
+        for i, t in enumerate(b["text"]):
+            ws = t.split()
+            if not ws:
+                continue
+            _, counts = np.unique(ws, return_counts=True)
+            c = counts.astype(np.float64)
+            n = float(len(ws))
+            terms = np.floor((c * np.log(n / c)) * 1_000_000 + 0.5).astype(np.int64)
+            n_tok[i], n_typ[i], total[i] = len(ws), len(counts), int(terms.sum())
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok,
+                "n_types": n_typ,
+                "ent_total_micro": total,
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pandas", batch_size=8192)
+
+
+TOKEN_ENTROPY_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, unnest(regexp_split_to_array({_TW}, '{_WS}')) AS token
+    FROM documents WHERE {_TW} <> ''
+),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM w GROUP BY doc_id),
+c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY doc_id, token),
+h AS (
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(floor((c.c * ln(CAST(n.n_tokens AS DOUBLE) / c.c)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS ent_total_micro
+    FROM c JOIN n ON n.doc_id = c.doc_id GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n.n_tokens, 0) AS n_tokens,
+       COALESCE(h.n_types, 0) AS n_types,
+       COALESCE(h.ent_total_micro, 0) AS ent_total_micro
+FROM documents d
+LEFT JOIN n ON n.doc_id = d.doc_id
+LEFT JOIN h ON h.doc_id = d.doc_id
+"""

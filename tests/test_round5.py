@@ -2303,3 +2303,38 @@ def test_label_centroids_partition_invariant_and_exact():
         sub = got[got["label"] == lab]
         assert (sub["sum_micro"].to_numpy() == sel.sum(axis=0)).all()
         assert (sub["n_vecs"] == len(sel)).all()
+
+
+def test_token_entropy_hand_checked():
+    """Entropy extremes: all-same tokens → 0; all-distinct → n·ln(n);
+    empty doc → zeros; a known mixed case matches the formula."""
+    import math
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import token_entropy_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a a a a", "w x y z", "", "a a b"],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        out = token_entropy_documents(td).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ent_total_micro"] == 0 and out.loc[0, "n_types"] == 1
+    assert out.loc[1, "ent_total_micro"] == 4 * math.floor(
+        math.log(4.0) * 1_000_000 + 0.5
+    ) or out.loc[1, "ent_total_micro"] == math.floor(4 * math.log(4.0) * 1_000_000 + 0.5)
+    # exact per-term formula for doc 1: 4 terms of floor(1·ln(4/1)·1e6+0.5)
+    assert out.loc[1, "ent_total_micro"] == 4 * math.floor(math.log(4.0) * 1e6 + 0.5)
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "ent_total_micro"] == 0
+    want3 = math.floor((2 * math.log(3 / 2)) * 1e6 + 0.5) + math.floor(
+        (1 * math.log(3 / 1)) * 1e6 + 0.5
+    )
+    assert out.loc[3, "ent_total_micro"] == want3
