@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banned_phrase_documents": textops.banned_phrase_documents,
         "clean_unicode_documents": textops.clean_unicode_documents,
         "token_entropy_documents": textops.token_entropy_documents,
+        "bigram_novelty_documents": textops.bigram_novelty_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).hits_documents,
@@ -265,6 +266,7 @@ _NEVER_DRIVER_RUN = [
     "clean_unicode_documents",
     "label_centroids_embeddings",
     "token_entropy_documents",
+    "bigram_novelty_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -291,7 +293,6 @@ _WINDOW_KEEPERS = [
     "gopher_quality_documents",
     "lang_id_documents",
     "doc_token_stats",
-    "sessionize_events",
     "q1_pricing_summary",
     "q5_region_nation_revenue",
 ]
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_unicode_documents": textops.CLEAN_UNICODE_SQL,
         "label_centroids_embeddings": similarity.LABEL_CENTROIDS_SQL,
         "token_entropy_documents": textops.TOKEN_ENTROPY_SQL,
+        "bigram_novelty_documents": textops.BIGRAM_NOVELTY_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).HITS_SQL,

@@ -2162,3 +2162,128 @@ FROM documents d
 LEFT JOIN n ON n.doc_id = d.doc_id
 LEFT JOIN h ON h.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram novelty vs a reference slice (memorization / distribution shift)
+# ---------------------------------------------------------------------------
+
+
+def bigram_novelty_documents(
+    sf_dir: str, vocab_k: int = LM_VOCAB_K, ref_lang: str = "en"
+) -> ray.data.Dataset:
+    """Per-document novelty against the ``ref_lang`` slice: the count
+    of MAPPED bigrams (top-``vocab_k`` vocab, OOV sentinel '' — the
+    shared LM-family alphabet) that never occur in the reference
+    slice's bigram table. ``(doc_id, n_bigrams, n_novel)``. High
+    novelty flags distribution shift / junk; zero novelty on in-slice
+    docs flags near-memorized text. Pure set membership — no floats
+    at all, so the oracle is exact by construction.
+
+    Scale shape: the vocab + reference-bigram passes are the
+    ``lm_bigram_nll`` shapes (exchanges bounded by the slice's
+    distinct words and by (K+1)² mapped pairs); the scoring pass is a
+    zero-shuffle scan against the broadcast pair set (``ray.put``
+    once, per-worker cache)."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ref = ds.map_batches(
+        lambda b: b.loc[b["lang"] == ref_lang, ["text"]], batch_format="pandas"
+    )
+    vocab = _lm_topk_vocab(ref, vocab_k)
+    vref = _ray.put(vocab)
+
+    def bigram_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vset = _cached_get(vref)
+        counts: dict[tuple[str, str], int] = {}
+        for t in b["text"]:
+            ws = t.split()
+            for a, c in zip(ws, ws[1:]):
+                key = (a if a in vset else "", c if c in vset else "")
+                counts[key] = counts.get(key, 0) + 1
+        return pd.DataFrame(
+            {
+                "w1": [k[0] for k in counts],
+                "w2": [k[1] for k in counts],
+                "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts)),
+            }
+        )
+
+    seen_tbl = grouped_sum(
+        ref.map_batches(bigram_counts, batch_format="pandas", batch_size=8192),
+        ["w1", "w2"],
+        ["n"],
+    ).to_pandas()  # ≤ (K+1)² rows by construction
+    seen = (
+        frozenset(zip(seen_tbl["w1"], seen_tbl["w2"])) if not seen_tbl.empty else frozenset()
+    )
+    mref = _ray.put((vocab, seen))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vset, seen_set = _cached_get(mref)
+        nbg = np.zeros(len(b), np.int64)
+        nov = np.zeros(len(b), np.int64)
+        for i, t in enumerate(b["text"]):
+            ws = t.split()
+            nbg[i] = max(len(ws) - 1, 0)
+            n = 0
+            for a, c in zip(ws, ws[1:]):
+                key = (a if a in vset else "", c if c in vset else "")
+                if key not in seen_set:
+                    n += 1
+            nov[i] = n
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_bigrams": nbg,
+                "n_novel": nov,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=8192)
+
+
+def bigram_novelty_sql(vocab_k: int = LM_VOCAB_K, ref_lang: str = "en") -> str:
+    """Exact SQL replica — the lm_bigram_nll CTE skeleton with the
+    scoring join reduced to an anti-membership count."""
+    return rf"""
+WITH tok AS (
+    SELECT doc_id, lang, regexp_split_to_array({_TW}, '{_WS}') AS ws
+    FROM documents WHERE {_TW} <> ''
+), rw AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+    FROM tok WHERE lang = '{ref_lang}'
+), vocab AS (
+    SELECT w FROM (SELECT w, COUNT(*) AS n FROM rw GROUP BY w)
+    ORDER BY n DESC, w LIMIT {int(vocab_k)}
+), seen AS (
+    SELECT DISTINCT
+           CASE WHEN a.w IN (SELECT w FROM vocab) THEN a.w ELSE '' END AS w1,
+           CASE WHEN b.w IN (SELECT w FROM vocab) THEN b.w ELSE '' END AS w2
+    FROM rw a JOIN rw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), aw AS (
+    SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+), abg AS (
+    SELECT a.doc_id,
+           CASE WHEN a.w IN (SELECT w FROM vocab) THEN a.w ELSE '' END AS w1,
+           CASE WHEN b.w IN (SELECT w FROM vocab) THEN b.w ELSE '' END AS w2
+    FROM aw a JOIN aw b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), agg AS (
+    SELECT abg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN seen.w1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM abg
+    LEFT JOIN seen ON abg.w1 = seen.w1 AND abg.w2 = seen.w2
+    GROUP BY abg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(agg.n_novel, 0) AS n_novel
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+BIGRAM_NOVELTY_SQL = bigram_novelty_sql()

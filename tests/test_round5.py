@@ -2338,3 +2338,41 @@ def test_token_entropy_hand_checked():
         (1 * math.log(3 / 1)) * 1e6 + 0.5
     )
     assert out.loc[3, "ent_total_micro"] == want3
+
+
+def test_bigram_novelty_planted():
+    """Reference-slice docs score zero novel bigrams (their bigrams ARE
+    the reference); an off-distribution doc whose mapped bigrams never
+    occur in the reference scores fully novel; OOV-collapsed bigrams
+    seen in the reference are NOT novel elsewhere."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import bigram_novelty_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "lang": ["en", "en", "xx", "xx"],
+            "text": [
+                "the cat sat on the mat",
+                "rareword1 the cat",   # OOV→'' bigrams seen in ref
+                "the cat sat",         # all bigrams in ref → 0 novel
+                "zz qq zz qq",         # all OOV pairs ('','') — seen in ref? ('','') occurs via rareword1? no: ('',the) and (rareword1... ) — ('','') unseen → novel
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        out = (
+            bigram_novelty_documents(td, vocab_k=6)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+    assert out.loc[2, "n_novel"] == 0 and out.loc[2, "n_bigrams"] == 2
+    assert out.loc[0, "n_novel"] == 0  # ref doc against itself
+    assert out.loc[3, "n_novel"] == out.loc[3, "n_bigrams"] == 3
