@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).textrank_keywords,
         "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).connected_components_documents,
         "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).anchor_text_stats,
+        "cocitation_pairs": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).cocitation_pairs,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -267,6 +268,7 @@ _NEVER_DRIVER_RUN = [
     "label_centroids_embeddings",
     "token_entropy_documents",
     "bigram_novelty_documents",
+    "cocitation_pairs",
 ]
 
 _WINDOW_KEEPERS = [
@@ -292,7 +294,6 @@ _WINDOW_KEEPERS = [
     "quality_documents",
     "gopher_quality_documents",
     "lang_id_documents",
-    "doc_token_stats",
     "q1_pricing_summary",
     "q5_region_nation_revenue",
 ]
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TEXTRANK_SQL,
         "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CONNECTED_COMPONENTS_SQL,
         "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ANCHOR_TEXT_SQL,
+        "cocitation_pairs": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).COCITATION_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

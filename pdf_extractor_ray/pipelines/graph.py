@@ -763,3 +763,85 @@ FROM r GROUP BY dst
 
 
 ANCHOR_TEXT_SQL = _anchor_sql()
+
+
+# ---------------------------------------------------------------------------
+# Co-citation pairs (Small 1973): pages frequently linked by the same
+# sources
+# ---------------------------------------------------------------------------
+
+COCITATION_TOP_K = 20
+
+
+def cocitation_pairs(sf_dir: str, top_k: int = COCITATION_TOP_K) -> ray.data.Dataset:
+    """Top-``top_k`` page pairs by co-citation count (number of common
+    in-linking sources) — the classic link-structure similarity that
+    needs no content. Output ``(dst_a, dst_b, n_common)`` with
+    dst_a < dst_b, ordered (n DESC, dst_a, dst_b).
+
+    Scale shape: pair emission is per-SOURCE (outdeg-bounded — C(d,2)
+    pairs per source, never a dst-keyed explosion, which is the
+    standard co-citation trap: a viral dst does NOT fan out because
+    pairs group by the SOURCE side); one (a, b)-keyed ``grouped_sum``;
+    top-k leaves k rows per batch."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+
+        def dst(i: int, dd: np.ndarray) -> np.ndarray:
+            return (dd - dd % 10) + ((dd + 3 * i) % 10)
+
+        outs_a, outs_b = [], []
+        for i, j in ((1, 2), (1, 3), (2, 3)):
+            m = d % 3 >= j - 1  # outdeg = 1 + d%3 must reach slot j
+            dd = d[m]
+            x, y = dst(i, dd), dst(j, dd)
+            outs_a.append(np.minimum(x, y))
+            outs_b.append(np.maximum(x, y))
+        a = np.concatenate(outs_a) if outs_a else np.empty(0, np.int64)
+        bb = np.concatenate(outs_b) if outs_b else np.empty(0, np.int64)
+        return pd.DataFrame({"dst_a": a, "dst_b": bb, "n_common": np.ones(len(a), np.int64)})
+
+    counts = grouped_sum(
+        ds.map_batches(pairs, batch_format="pandas", batch_size=8192),
+        ["dst_a", "dst_b"],
+        ["n_common"],
+    )
+
+    k = int(top_k)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) > k:
+            b = b.sort_values(
+                ["n_common", "dst_a", "dst_b"], ascending=[False, True, True], kind="mergesort"
+            ).head(k)
+        return b
+
+    return (
+        counts.map_batches(local_topk, batch_format="pandas")
+        .sort(["n_common", "dst_a", "dst_b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def _cocitation_sql(top_k: int = COCITATION_TOP_K) -> str:
+    return f"""
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+)
+SELECT a.dst AS dst_a, b.dst AS dst_b, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2
+ORDER BY n_common DESC, dst_a, dst_b
+LIMIT {int(top_k)}
+"""
+
+
+COCITATION_SQL = _cocitation_sql()

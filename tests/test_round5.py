@@ -2376,3 +2376,35 @@ def test_bigram_novelty_planted():
     assert out.loc[2, "n_novel"] == 0 and out.loc[2, "n_bigrams"] == 2
     assert out.loc[0, "n_novel"] == 0  # ref doc against itself
     assert out.loc[3, "n_novel"] == out.loc[3, "n_bigrams"] == 3
+
+
+def test_cocitation_pairs_match_bruteforce():
+    """Pair emission equals a brute-force per-source C(d,2) enumeration
+    over the derived edge list, including the tie order."""
+    import itertools
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.graph import cocitation_pairs, document_link_edges
+
+    docs = pd.DataFrame({"doc_id": list(range(37))})
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        edges = document_link_edges(td).to_pandas()
+        got = cocitation_pairs(td, top_k=15).to_pandas()
+
+    by_src: dict[int, list[int]] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        by_src.setdefault(int(s), []).append(int(d))
+    cnt = Counter()
+    for dsts in by_src.values():
+        for a, b in itertools.combinations(sorted(dsts), 2):
+            cnt[(a, b)] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got_t = [((a, b), n) for a, b, n in zip(got["dst_a"], got["dst_b"], got["n_common"])]
+    assert got_t == want
