@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "embedding_near_dups": dedup.embedding_near_dups_query,
         "setsim_join_documents": dedup.setsim_join_documents,
+        "winnow_pairs": dedup.winnow_pairs,
         # -- similarity search ------------------------------------------
         "knn_cosine_topk": similarity.knn_brute_force,
         "knn_ivf_topk": similarity.knn_ivf,
@@ -194,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # (tests/test_rowsonly_exact.py) and was driver-green in earlier rounds.
 _ROWS_ONLY_PRIORITY = [
     "cms_token_counts",
+    "winnow_pairs",
     # not in the round-3 driver file — run these first
     "fingerprint_documents",
     "extraction_metrics_by_bucket",

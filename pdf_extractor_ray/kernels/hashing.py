@@ -172,3 +172,42 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     for j in range(window):
         acc = acc * base + hs[j : j + acc.size]
     return int(acc.min())
+
+
+def positional_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Like ``shingle_hashes`` but IN POSITION ORDER and without the
+    dedup — the winnowing input (window selection needs the sequence,
+    not the set)."""
+    words = tokenize_words(text)
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    hs = word_hashes(words)
+    if len(words) < k:
+        acc = np.uint64(0)
+        for h in hs:
+            acc = acc * _SHINGLE_BASE + h
+        return np.array([acc], dtype=np.uint64)
+    n_out = len(words) - k + 1
+    acc = np.zeros(n_out, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _SHINGLE_BASE + hs[j : j + n_out]
+    return acc
+
+
+def winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003): over every window of ``w`` consecutive k-gram hashes keep
+    the minimum, ties broken RIGHTMOST (a pure function of the window
+    contents, so two documents sharing a token run of ≥ w+k-1 words
+    share at least one selected fingerprint — the winnowing
+    guarantee). Returns the deduplicated selected hash set."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n <= w:
+        i = n - 1 - int(np.argmin(h[::-1]))
+        return h[i : i + 1].copy()
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(np.arange(len(win)) + idx)
+    return np.unique(h[pos])

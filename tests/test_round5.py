@@ -2408,3 +2408,57 @@ def test_cocitation_pairs_match_bruteforce():
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     got_t = [((a, b), n) for a, b, n in zip(got["dst_a"], got["dst_b"], got["n_common"])]
     assert got_t == want
+
+
+def test_winnow_guarantee_and_pairs():
+    """Winnowing guarantee: two docs sharing a run of >= w+k-1 words
+    share >= 1 fingerprint and surface as a pair; disjoint docs don't;
+    the selection matches a brute-force per-window rightmost-min."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.kernels.hashing import (
+        positional_shingle_hashes,
+        winnow_select,
+    )
+    from pdf_extractor_ray.pipelines.dedup import winnow_pairs
+
+    # brute-force replica
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 1 << 62, size=200).astype(np.uint64)
+    w = 5
+    want = set()
+    for i in range(len(h) - w + 1):
+        win = h[i : i + w]
+        m = win.min()
+        j = i + max(np.where(win == m)[0])
+        want.add(int(h[j]))
+    assert set(winnow_select(h, w).tolist()) == want
+
+    shared = " ".join(f"common{i}" for i in range(12))  # >= w+k-1 = 7 words
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "pre amble words " + shared + " tail one",
+                "totally different opening " + shared,
+                "no overlap here at all just noise tokens",
+            ],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        out = winnow_pairs(td, min_shared=1).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+    # doc-level winnowing guarantee directly
+    a = winnow_select(positional_shingle_hashes(docs["text"][0], 4), 4)
+    b = winnow_select(positional_shingle_hashes(docs["text"][1], 4), 4)
+    assert len(np.intersect1d(a, b)) >= 1
