@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).connected_components_documents,
         "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).anchor_text_stats,
         "cocitation_pairs": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).cocitation_pairs,
+        "edit_distance_neighbors": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).edit_distance_neighbors,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -271,6 +272,7 @@ _NEVER_DRIVER_RUN = [
     "token_entropy_documents",
     "bigram_novelty_documents",
     "cocitation_pairs",
+    "edit_distance_neighbors",
 ]
 
 _WINDOW_KEEPERS = [
@@ -295,7 +297,6 @@ _WINDOW_KEEPERS = [
     "tfidf_top_terms",
     "quality_documents",
     "gopher_quality_documents",
-    "lang_id_documents",
     "q1_pricing_summary",
     "q5_region_nation_revenue",
 ]
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CONNECTED_COMPONENTS_SQL,
         "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ANCHOR_TEXT_SQL,
         "cocitation_pairs": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).COCITATION_SQL,
+        "edit_distance_neighbors": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).EDIT_NEIGHBORS_SQL,
         "pack_sequences_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).PACK_SQL,
         "concat_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CONCAT_CHUNKS_SQL,
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,

@@ -845,3 +845,104 @@ LIMIT {int(top_k)}
 
 
 COCITATION_SQL = _cocitation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance nearest neighbor among linked pages (template detection)
+# ---------------------------------------------------------------------------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost Levenshtein distance, matching DuckDB's
+    levenshtein() codepoint for codepoint. numpy row-DP: per source
+    char one vectorized min over substitution/deletion, then the
+    insertion constraint cur[j] ≤ cur[j-1]+1 applied as a running min
+    of (cur - j) (the slack-transform trick — cur[j] ≤ cur[i] + (j-i)
+    for i < j is exactly a running min after subtracting the index)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(len(bb) + 1, dtype=np.int64)
+    prev = idx.copy()
+    cur = np.empty(len(bb) + 1, dtype=np.int64)
+    for i, ch in enumerate(aa, 1):
+        cur[0] = i
+        np.minimum(prev[:-1] + (bb != ch), prev[1:] + 1, out=cur[1:])
+        cur -= idx
+        np.minimum.accumulate(cur, out=cur)
+        cur += idx
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_distance_neighbors(sf_dir: str) -> ray.data.Dataset:
+    """For every source page, its most text-similar LINKED neighbor by
+    exact Levenshtein distance: ``(src, nearest_dst, dist)``, ties by
+    smaller dst — the template/mirror detector for pages that link to
+    each other (same family as winnow_pairs but metric-exact and
+    edge-scoped, so the candidate set is the out-neighborhood, never a
+    similarity index).
+
+    Scale shape: two adaptive joins attach src and dst text to the
+    edge list (dangling dsts drop out — inner-join semantics shared
+    with the oracle); the per-edge DP is a vectorized numpy row scan
+    (O(|a|) vector ops of length |b|); the per-src argmin folds with
+    one keep-first-style exchange on src. Cost is per-EDGE text
+    comparison by design — the out-degree bounds the work per page."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    edges = document_link_edges(sf_dir)
+    j = joins.adaptive_inner_join(edges, docs, on="src", right_on="doc_id")
+    j = j.map_batches(
+        lambda b: b.rename(columns={"text": "src_text"}), batch_format="pandas"
+    )
+    j = joins.adaptive_inner_join(j, docs, on="dst", right_on="doc_id")
+
+    def dists(b: pd.DataFrame) -> pd.DataFrame:
+        d = np.empty(len(b), np.int64)
+        for i, (a, c) in enumerate(zip(b["src_text"], b["text"])):
+            d[i] = _levenshtein(a, c)
+        return pd.DataFrame(
+            {"src": b["src"].to_numpy(np.int64), "dst": b["dst"].to_numpy(np.int64), "dist": d}
+        )
+
+    scored = j.map_batches(dists, batch_format="pandas", batch_size=1024)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dist", "dst"], kind="mergesort")
+        top = g.groupby("src", sort=True).first().reset_index()
+        return pd.DataFrame(
+            {
+                "src": top["src"].to_numpy(np.int64),
+                "nearest_dst": top["dst"].to_numpy(np.int64),
+                "dist": top["dist"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_apply(scored, ["src"], per_bucket)
+
+
+EDIT_NEIGHBORS_SQL = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+d AS (
+  SELECT e.src, e.dst,
+         CAST(levenshtein(s.text, t.text) AS BIGINT) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY levenshtein(s.text, t.text), e.dst) AS rn
+  FROM e
+  JOIN documents s ON s.doc_id = e.src
+  JOIN documents t ON t.doc_id = e.dst
+)
+SELECT src, dst AS nearest_dst, dist FROM d WHERE rn = 1
+"""

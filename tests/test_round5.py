@@ -2462,3 +2462,28 @@ def test_winnow_guarantee_and_pairs():
     a = winnow_select(positional_shingle_hashes(docs["text"][0], 4), 4)
     b = winnow_select(positional_shingle_hashes(docs["text"][1], 4), 4)
     assert len(np.intersect1d(a, b)) >= 1
+
+
+def test_levenshtein_matches_reference_dp():
+    """Vectorized row-DP (slack-transform insertion scan) equals the
+    classical DP on knowns + random strings incl. unicode."""
+    import random
+
+    from pdf_extractor_ray.pipelines.graph import _levenshtein
+
+    def ref(a, b):
+        m = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)] for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1, m[i][j - 1] + 1, m[i - 1][j - 1] + (a[i - 1] != b[j - 1])
+                )
+        return m[len(a)][len(b)]
+
+    assert _levenshtein("kitten", "sitting") == 3
+    rng = random.Random(9)
+    alphabet = "abcé日"
+    for _ in range(100):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        assert _levenshtein(a, b) == ref(a, b), (a, b)
