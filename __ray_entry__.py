@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textops.tfidf_top_terms,
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_query,
         "cms_token_counts": textops.cms_token_counts,
+        "approx_distinct_tokens_per_lang": textops.approx_distinct_tokens_per_lang,
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # (tests/test_rowsonly_exact.py) and was driver-green in earlier rounds.
 _ROWS_ONLY_PRIORITY = [
     "cms_token_counts",
+    "approx_distinct_tokens_per_lang",
     "winnow_pairs",
     # not in the round-3 driver file — run these first
     "fingerprint_documents",

@@ -2287,3 +2287,52 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 
 
 BIGRAM_NOVELTY_SQL = bigram_novelty_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-group HLL: approximate distinct tokens per language
+# ---------------------------------------------------------------------------
+
+
+def approx_distinct_tokens_per_lang(sf_dir: str, p: int = 12) -> ray.data.Dataset:
+    """Approximate per-language token-vocabulary sizes: ``(lang,
+    approx_distinct)`` — the GROUP-KEYED mergeable-sketch shape that
+    per-domain/per-source cardinality monitoring needs at 100 TB,
+    where ``ops.distinct`` would shuffle the full (lang, token) set:
+    each block emits one fixed 2^p-byte HLL register row PER LANG
+    PRESENT (blocks × langs rows total, each 4 KiB at p=12); one
+    bucketed exchange on lang max-merges the registers and estimates.
+    Contrast with ``approx_distinct_counts`` (global sketch, driver
+    merge) — here the merge itself is distributed and group-keyed."""
+    from pdf_extractor_ray.kernels import sketches
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        langs, regs = [], []
+        for lang, grp in b.groupby("lang", sort=False):
+            toks = grp["text"].str.split(" ").explode()
+            toks = toks[toks.notna() & (toks != "")]
+            if toks.empty:
+                continue
+            h = pd.util.hash_array(toks.to_numpy(), hash_key="0123456789abcdef")
+            langs.append(lang)
+            regs.append(sketches.hll_registers(h, p=p).tobytes())
+        return pd.DataFrame({"lang": langs, "reg": regs})
+
+    rows = ds.map_batches(fold, batch_format="pandas", batch_size=8192)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_l, out_n = [], []
+        for lang, grp in g.groupby("lang", sort=True):
+            merged = np.zeros(1 << p, dtype=np.uint8)
+            for packed in grp["reg"]:
+                merged = sketches.hll_merge(merged, np.frombuffer(packed, dtype=np.uint8))
+            out_l.append(lang)
+            out_n.append(round(sketches.hll_estimate(merged)))
+        return pd.DataFrame(
+            {"lang": out_l, "approx_distinct": np.asarray(out_n, dtype=np.int64)}
+        )
+
+    return grouped_apply(rows, ["lang"], per_bucket)

