@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": textops.heavy_hitter_tokens_query,
         "cms_token_counts": textops.cms_token_counts,
         "approx_distinct_tokens_per_lang": textops.approx_distinct_tokens_per_lang,
+        "token_quantiles_per_lang": textops.token_quantiles_per_lang,
+        "compression_ratio_documents": textops.compression_ratio_documents,
         "redact_pii_documents": textops.redact_pii,
         "repetition_metrics": textops.repetition_metrics,
         "banned_phrase_documents": textops.banned_phrase_documents,
@@ -197,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # (tests/test_rowsonly_exact.py) and was driver-green in earlier rounds.
 _ROWS_ONLY_PRIORITY = [
     "cms_token_counts",
+    "token_quantiles_per_lang",
+    "compression_ratio_documents",
     "approx_distinct_tokens_per_lang",
     "winnow_pairs",
     # not in the round-3 driver file — run these first

@@ -2336,3 +2336,95 @@ def approx_distinct_tokens_per_lang(sf_dir: str, p: int = 12) -> ray.data.Datase
         )
 
     return grouped_apply(rows, ["lang"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (zlib)
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio_documents(sf_dir: str, level: int = 6) -> ray.data.Dataset:
+    """Per-doc zlib compression ratio in ppm: ``(doc_id, n_bytes,
+    ratio_ppm)`` with ratio = compressed/raw — the cheap whole-document
+    repetitiveness signal (template pages and keyboard mash compress
+    far below prose; used alongside the Gopher rules in public corpus
+    builds). Zero shuffle. Rows-only: the value is pinned to THIS
+    environment's zlib (deflate output is library-version-dependent) —
+    the tests pin ordering properties (repetitive < prose < random),
+    not bytes; not SQL-replayable by design."""
+    import zlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ratio(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.zeros(len(b), np.int64)
+        r = np.zeros(len(b), np.int64)
+        for i, t in enumerate(b["text"]):
+            raw = t.encode("utf-8")
+            n[i] = len(raw)
+            if raw:
+                r[i] = (len(zlib.compress(raw, level)) * 1_000_000) // len(raw)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "n_bytes": n, "ratio_ppm": r}
+        )
+
+    return ds.map_batches(ratio, batch_format="pandas", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Per-group KLL: token-count quantiles per language
+# ---------------------------------------------------------------------------
+
+
+def token_quantiles_per_lang(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.9)
+) -> ray.data.Dataset:
+    """Approximate per-language document-length (token-count)
+    quantiles: ``(lang, q_ppm, value)`` — the grouped KLL sibling of
+    ``approx_distinct_tokens_per_lang``: each block emits ONE
+    serialized KLL sketch row per lang present; one bucketed exchange
+    on lang merges sketches and reads the quantiles (where an exact
+    per-group quantile would sort every group's raw lengths)."""
+    import json
+
+    from pdf_extractor_ray.kernels.sketches import KLL
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        langs, blobs = [], []
+        for lang, grp in b.groupby("lang", sort=False):
+            lens = grp["text"].str.split(" ").map(
+                lambda ws: sum(1 for w in ws if w)
+            )
+            sk = KLL()
+            sk.update_many(lens.to_numpy(np.int64).astype(float))
+            langs.append(lang)
+            blobs.append(json.dumps([sk.to_lists(), sk.total_weight()]))
+        return pd.DataFrame({"lang": langs, "sk": blobs})
+
+    rows = ds.map_batches(fold, batch_format="pandas", batch_size=8192)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, grp in g.groupby("lang", sort=True):
+            merged = None
+            for blob in grp["sk"]:
+                levels, n = json.loads(blob)
+                sk = KLL.from_lists(levels, n)
+                merged = sk if merged is None else merged.merge(sk)
+            for q in qs:
+                out.append(
+                    {
+                        "lang": lang,
+                        "q_ppm": int(round(q * 1_000_000)),
+                        "value": int(merged.quantile(q)),
+                    }
+                )
+        df = pd.DataFrame(out, columns=["lang", "q_ppm", "value"])
+        df["q_ppm"] = df["q_ppm"].astype(np.int64)
+        df["value"] = df["value"].astype(np.int64)
+        return df
+
+    return grouped_apply(rows, ["lang"], per_bucket)

@@ -2507,3 +2507,52 @@ def test_approx_distinct_tokens_per_lang_accuracy():
     for lang, grp in t.groupby("lang"):
         exact = len({w for s in grp["text"] for w in s.split(" ") if w})
         assert abs(got[lang] - exact) <= max(2, 0.05 * exact), (lang, got[lang], exact)
+
+
+def test_compression_ratio_ordering():
+    """Repetitive text compresses below prose, prose below random
+    bytes-ish text; empty doc is 0/0."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import compression_ratio_documents
+
+    rng = np.random.default_rng(5)
+    rand_text = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, size=2000))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["spam " * 400, "the quick brown fox jumps over the lazy dog. " * 45, rand_text, ""],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(pa.Table.from_pandas(docs), os.path.join(td, "documents.parquet"))
+        out = compression_ratio_documents(td).to_pandas().set_index("doc_id")
+    assert out.loc[0, "ratio_ppm"] < out.loc[1, "ratio_ppm"] < out.loc[2, "ratio_ppm"]
+    assert out.loc[3, "n_bytes"] == 0 and out.loc[3, "ratio_ppm"] == 0
+
+
+def test_token_quantiles_per_lang_accuracy():
+    """Grouped-KLL per-lang medians within the sketch's 2% rank error
+    of exact nearest-rank values on the real corpus."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.textops import token_quantiles_per_lang
+
+    sf = "/root/testdata/sf0.001"
+    got = token_quantiles_per_lang(sf).to_pandas()
+    t = pq.read_table(sf + "/documents.parquet", columns=["text", "lang"]).to_pandas()
+    lens = t.assign(n=t["text"].map(lambda s: len([w for w in s.split(" ") if w])))
+    for lang, grp in lens.groupby("lang"):
+        arr = np.sort(grp["n"].to_numpy())
+        for q in (0.25, 0.5, 0.9):
+            est = got[(got["lang"] == lang) & (got["q_ppm"] == int(q * 1e6))]["value"].iloc[0]
+            lo = arr[max(0, int(np.floor((q - 0.03) * len(arr))) - 1)]
+            hi = arr[min(len(arr) - 1, int(np.ceil((q + 0.03) * len(arr))))]
+            assert lo <= est <= hi, (lang, q, est, lo, hi)
