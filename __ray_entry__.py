@@ -137,6 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).anchor_text_stats,
         "cocitation_pairs": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).cocitation_pairs,
         "edit_distance_neighbors": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).edit_distance_neighbors,
+        "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).crawl_depth_documents,
+        "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
+        "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
+        "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -155,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).chunk_documents,
         "split_train_test": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).split_train_test,
         "stratified_sample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).stratified_sample,
+        "shuffle_rank_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).shuffle_rank_documents,
+        "sliding_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sliding_chunks_documents,
         "sample_k_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_documents,
         "mixture_upsample_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).mixture_upsample_documents,
         "domain_quota_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).domain_quota_documents,
@@ -279,6 +285,13 @@ _NEVER_DRIVER_RUN = [
     "bigram_novelty_documents",
     "cocitation_pairs",
     "edit_distance_neighbors",
+    # final-session wave 2 (all oracle-checked, never driver-run)
+    "crawl_depth_documents",
+    "phrase_search_documents",
+    "positional_postings",
+    "url_path_stats_documents",
+    "shuffle_rank_documents",
+    "sliding_chunks_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -298,13 +311,12 @@ _WINDOW_KEEPERS = [
     "dedup_normalized_documents",
     "paragraph_dedup_documents",
     "domain_stats_documents",
-    "embedding_near_dups",
-    "knn_cosine_topk",
-    "tfidf_top_terms",
-    "quality_documents",
-    "gopher_quality_documents",
-    "q1_pricing_summary",
     "q5_region_nation_revenue",
+    # rotated to the oracle overflow this round to make room for the
+    # six wave-2 newcomers above (driver-green in r1-r4, still
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight):
+    # embedding_near_dups, knn_cosine_topk, tfidf_top_terms,
+    # quality_documents, gopher_quality_documents, q1_pricing_summary
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -408,4 +420,10 @@ def oracle_sql() -> dict[str, str]:
         "length_bucketed_batches": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LENGTH_BATCHES_SQL,
         "boilerplate_prefixes": textops.BOILERPLATE_PREFIX_SQL,
         "pmi_collocations": textops.PMI_SQL,
+        "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CRAWL_DEPTH_SQL,
+        "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).PHRASE_SEARCH_SQL,
+        "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).POSITIONAL_POSTINGS_SQL,
+        "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PATH_STATS_SQL,
+        "shuffle_rank_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHUFFLE_RANK_SQL,
+        "sliding_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SLIDING_CHUNKS_SQL,
     }

@@ -1443,3 +1443,174 @@ FROM r GROUP BY batch_id
 
 
 LENGTH_BATCHES_SQL = length_bucketed_batches_sql()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle (shard assignment)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 54321
+SHUFFLE_SHARD_DOCS = 64
+# dropping 2 hash bits keeps the composite key h30 * 2^32 + doc_id
+# inside int64 (max (2^30)·2^32 + 2^32 < 2^63)
+_SHUFFLE_H_DIV = 4
+
+
+def shuffle_rank_documents(
+    sf_dir: str,
+    *,
+    shard_docs: int = SHUFFLE_SHARD_DOCS,
+    seed: int = SHUFFLE_SEED,
+) -> ray.data.Dataset:
+    """Deterministic GLOBAL training-order shuffle: every doc gets a
+    ``shuffle_pos`` (0-based position in the seeded pseudo-random
+    permutation) and a ``shard`` (``pos // shard_docs``) — the layout
+    step every pretraining run needs between curation and the data
+    loader (a seeded permutation, reproducible on any cluster size,
+    NOT ``ds.random_shuffle()`` whose result depends on partitioning).
+
+    Order key = (h30, doc_id) with h30 the shared Knuth 32-bit doc
+    hash (:func:`_hash32`, the SAMPLE_K_SQL family) dropped to 30 bits
+    so the composite integer key fits int64; doc_id breaks the rare
+    collisions deterministically.
+
+    Scale shape: the global position is :func:`pdf_extractor_ray.ops.
+    prefix_sum` with value 1 over the composite key — the distributed
+    scan ranker (range-bucketed, bounded driver state, no global
+    sort). Hashed keys are UNIFORM over the key space, so the ranker's
+    range buckets are perfectly balanced here — the adversarial-skew
+    caveat that applies to length keys vanishes for shuffle keys."""
+    import os
+
+    from pdf_extractor_ray.ops import prefix_sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= _LEN_KEY_SCALE):
+            raise ValueError("doc_id outside the composite-key range [0, 2^32)")
+        h30 = (_hash32(ids.astype(np.uint64), seed) // _SHUFFLE_H_DIV).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "key": h30 * _LEN_KEY_SCALE + ids,
+                "one": np.ones(len(b), dtype=np.int64),
+            }
+        )
+
+    ranked = prefix_sum(
+        ds.map_batches(key, batch_format="pandas", batch_size=8192), "key", "one", out_col="pos"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b["pos"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "shuffle_pos": pos,
+                "shard": pos // shard_docs,
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
+def shuffle_rank_sql(shard_docs: int = SHUFFLE_SHARD_DOCS, seed: int = SHUFFLE_SEED) -> str:
+    # the double-mod replays numpy's uint64→low-32-bit mask for signed
+    # doc_id (same derivation as SAMPLE_K_SQL)
+    h = (
+        f"((((CAST(xor(doc_id, {seed}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296)"
+        f" + 4294967296) % 4294967296) // {_SHUFFLE_H_DIV}"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h30 FROM documents),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY h30, doc_id) - 1 AS pos FROM h)
+SELECT doc_id, CAST(pos AS BIGINT) AS shuffle_pos,
+       CAST(pos // {int(shard_docs)} AS BIGINT) AS shard
+FROM r
+"""
+
+
+SHUFFLE_RANK_SQL = shuffle_rank_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sliding token windows (overlapping context windows)
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW = 32
+SLIDE_STRIDE = 24
+
+
+def sliding_chunks_documents(
+    sf_dir: str,
+    *,
+    window: int = SLIDE_WINDOW,
+    stride: int = SLIDE_STRIDE,
+) -> ray.data.Dataset:
+    """OVERLAPPING token windows per document — the stride-chunking
+    layout for embedding/RAG indexing and long-doc pretraining where
+    :func:`chunk_documents`'s disjoint chunks would cut entities at
+    boundaries. One row per window: ``(doc_id, win_id, start_tok,
+    n_tokens, first_tok)`` with window starts at multiples of
+    ``stride`` while ``start < dl``; the last window may be short
+    (``n_tokens = min(window, dl - start)``). Empty docs emit nothing.
+
+    Zero shuffle: each batch tokenizes once into a flat token array
+    and emits all windows via repeat/offset arithmetic (no per-window
+    Python loop); ``first_tok`` pins window CONTENT to the oracle, not
+    just the arithmetic."""
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in b["text"]]
+        lens = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        n_wins = np.where(lens > 0, -(-lens // stride), 0)
+        did = np.repeat(np.arange(len(toks)), n_wins)
+        # win_id = 0..n_wins[d]-1 within each doc: global arange minus
+        # each doc's first slot
+        first_slot = np.concatenate([[0], np.cumsum(n_wins)[:-1]]) if len(toks) else np.empty(0, np.int64)
+        win_id = np.arange(int(n_wins.sum()), dtype=np.int64) - first_slot[did]
+        start = win_id * stride
+        n_tok = np.minimum(window, lens[did] - start)
+        flat = np.array([w for x in toks for w in x], dtype=object)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(toks) else np.empty(0, np.int64)
+        first_tok = flat[doc_start[did] + start] if len(did) else np.empty(0, object)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64)[did],
+                "win_id": win_id,
+                "start_tok": start.astype(np.int64),
+                "n_tokens": n_tok.astype(np.int64),
+                "first_tok": pd.Series(first_tok, dtype=object),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pandas", batch_size=4096)
+
+
+def sliding_chunks_sql(window: int = SLIDE_WINDOW, stride: int = SLIDE_STRIDE) -> str:
+    # unnest(range(..)) is the lateral-series idiom here — DuckDB's
+    # generate_series rejects per-row column bounds (see MIXTURE_SQL)
+    w, s = int(window), int(stride)
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {_TW} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({_TW}, '{_WS}') END AS arr
+    FROM documents
+), d AS (SELECT doc_id, arr, len(arr) AS dl FROM t),
+w AS (SELECT doc_id, arr, dl, unnest(range((dl + {s} - 1) // {s})) AS wi FROM d)
+SELECT doc_id,
+       CAST(wi AS BIGINT) AS win_id,
+       CAST(wi * {s} AS BIGINT) AS start_tok,
+       CAST(LEAST({w}, dl - wi * {s}) AS BIGINT) AS n_tokens,
+       arr[CAST(wi * {s} + 1 AS BIGINT)] AS first_tok
+FROM w
+"""
+
+
+SLIDING_CHUNKS_SQL = sliding_chunks_sql()

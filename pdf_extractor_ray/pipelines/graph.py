@@ -946,3 +946,164 @@ d AS (
 )
 SELECT src, dst AS nearest_dst, dist FROM d WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS crawl depth from a seed set (crawl-frontier distance)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_ROUNDS = 50
+
+
+def bfs_depth(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    max_rounds: int = BFS_MAX_ROUNDS,
+) -> ray.data.Dataset:
+    """Distributed breadth-first search over DIRECTED ``(src, dst)``
+    edges: ``(node, depth)`` with depth = minimum hop count from any
+    seed — the crawl-frontier distance every crawler tracks (seed
+    list → hop-limited expansion; depth is also the classic
+    crawl-prioritization feature). ``seeds`` is a Dataset with a
+    ``node`` column. Unreachable nodes are absent from the result.
+
+    Synchronous frontier expansion: because every edge has unit
+    weight and rounds are strict, a node's FIRST visit is its minimum
+    depth (the BFS invariant), so no per-node min-fold is needed —
+    each round is one hash join (out-edges of the frontier) and one
+    anti semi-join (drop already-visited dsts), both byte-gated
+    adaptive plans. Messages are frontier-sized, never graph-sized —
+    the whole-table alternative (label_propagation's shape) re-sends
+    every node's depth every round. Rounds = eccentricity of the seed
+    set (crawl graphs: ~tens); a graph deeper than ``max_rounds``
+    raises rather than silently truncating the reachable set. The
+    edge table is re-hashed each round — at 100 TB, pre-bucketing
+    edges by src hash once (hive-partitioned parquet, the
+    ``invindex.py`` shape) and reading only the frontier's buckets
+    converts that to a pruned read; documented trade, same results.
+
+    The depth table only ever APPENDS (visited nodes never improve),
+    so per-round state is one union + materialize — flat lineage.
+
+    Block-format note: per-round state is rebuilt as ARROW blocks with
+    zero-row blocks DROPPED (:func:`_compact_arrow`) — a Ray 2.49
+    pandas block loses its column schema at zero rows, ``map_batches``
+    passes empty blocks through WITHOUT running the fn (so they can't
+    be re-typed in-stream), and the native hash join raises
+    ArrowInvalid when a partition holds only schema-less blocks.
+    Sparse frontiers produce empty blocks constantly, so each round's
+    frontier/visited compaction is what makes iteration stable."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.joins import join_datasets, semi_join
+    from pdf_extractor_ray.ops import distinct
+
+    def _nodes(t: pa.Table) -> pa.ChunkedArray:
+        if "node" in t.schema.names:
+            return t.column("node").cast(pa.int64())
+        return pa.chunked_array([pa.array([], pa.int64())])
+
+    def with_depth(k: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = _nodes(t)
+            return pa.table({"node": n, "depth": pa.array([k] * len(n), pa.int64())})
+
+        return fn
+
+    def pin(t: pa.Table) -> pa.Table:
+        # schema-stabilizer: typed single-column table at ANY row count
+        return pa.table({"node": _nodes(t)})
+
+    def msg_nodes(t: pa.Table) -> pa.Table:
+        if "dst" in t.schema.names:
+            return pa.table({"node": t.column("dst").cast(pa.int64())})
+        return pa.table({"node": pa.array([], pa.int64())})
+
+    def compact(ds: ray.data.Dataset, empty: pa.Table) -> ray.data.Dataset:
+        """Materialize and re-assemble from the NON-EMPTY arrow block
+        refs (metadata-only driver pass: one (ref, num_rows) per block,
+        never row data). Non-empty blocks are always this function's
+        own arrow-stage outputs; empties (whatever schema-less format
+        they passed through in) are dropped."""
+        mat = ds.materialize()
+        refs = [
+            ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows != 0
+        ]
+        if not refs:
+            return ray.data.from_arrow(empty)
+        return ray.data.from_arrow_refs(refs)
+
+    empty_frontier = pa.table({"node": pa.array([], pa.int64())})
+    empty_visited = pa.table(
+        {"node": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())}
+    )
+
+    frontier = compact(
+        distinct(seeds.select_columns(["node"]), ["node"]).map_batches(
+            pin, batch_format="pyarrow"
+        ),
+        empty_frontier,
+    )
+    visited = compact(
+        frontier.map_batches(with_depth(0), batch_format="pyarrow"), empty_visited
+    )
+    depth = 0
+    while frontier.count() > 0:
+        depth += 1
+        if depth > max_rounds:
+            # a partial result would silently claim unreachable nodes
+            raise RuntimeError(
+                f"BFS frontier still non-empty after {max_rounds} rounds "
+                "(seed-set eccentricity exceeds max_rounds); raise max_rounds"
+            )
+        msgs = join_datasets(edges, frontier, on="src", right_on="node").map_batches(
+            msg_nodes, batch_format="pyarrow"
+        )
+        frontier = compact(
+            semi_join(distinct(msgs, ["node"]), visited, "node", keep=False).map_batches(
+                pin, batch_format="pyarrow"
+            ),
+            empty_frontier,
+        )
+        visited = compact(
+            visited.union(frontier.map_batches(with_depth(depth), batch_format="pyarrow")),
+            empty_visited,
+        )
+    return visited
+
+
+def crawl_depth_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: BFS depth over the document link graph from the
+    block-head seed set (``doc_id % 10 == 0``) — ``(node, depth)`` for
+    every reachable node. The oracle replays it as a recursive-CTE
+    shortest-path; its recursion cap (12) is strictly above the
+    maximum possible eccentricity inside a 10-id block, an oracle-side
+    bound only — the engine iterates to frontier exhaustion with no
+    depth parameter."""
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    seeds = docs.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["doc_id"].to_numpy(np.int64)[b["doc_id"].to_numpy(np.int64) % 10 == 0]}
+        ),
+        batch_format="pandas",
+    )
+    return bfs_depth(document_link_edges(sf_dir), seeds)
+
+
+CRAWL_DEPTH_SQL = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+reach AS (
+  SELECT doc_id AS node, 0 AS d FROM documents WHERE doc_id % 10 = 0
+  UNION
+  SELECT e.dst, reach.d + 1 FROM reach JOIN e ON e.src = reach.node WHERE reach.d < 12
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM reach GROUP BY node
+"""

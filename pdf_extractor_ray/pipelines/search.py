@@ -250,3 +250,133 @@ LIMIT {int(k)}
 
 
 BM25_SQL = bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# Token-level phrase search (overlapping occurrence counts)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("batch", "batch")
+
+
+def phrase_search_documents(sf_dir: str, phrase: tuple[str, ...] = PHRASE) -> ray.data.Dataset:
+    """Per-document count of token-level occurrences of ``phrase`` —
+    the exact-phrase probe behind phrase-level decontamination and
+    corpus search (``"new york times" appears k times``). Occurrences
+    are counted at EVERY start position (overlapping: 'batch batch
+    batch' contains 'batch batch' twice) — the positional-index
+    definition, not string replace()'s non-overlapping one. Output
+    ``(doc_id, n_matches)`` for every doc, zeros included.
+
+    Zero shuffle, batch-vectorized: each batch concatenates its tokens
+    into ONE flat array; the phrase match is m shifted elementwise
+    comparisons over that array (m = phrase length, no per-doc loop),
+    matches crossing document boundaries are masked out by requiring
+    the first and last token to share an owner, and per-doc counts
+    fall out of one bincount."""
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    m = len(phrase)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        toks = [t.split() for t in b["text"]]
+        lens = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        flat = np.array([w for x in toks for w in x], dtype=object)
+        owner = np.repeat(np.arange(len(toks)), lens)
+        n_starts = len(flat) - m + 1
+        if n_starts > 0:
+            match = np.ones(n_starts, dtype=bool)
+            for j, w in enumerate(phrase):
+                match &= flat[j : n_starts + j] == w
+            match &= owner[:n_starts] == owner[m - 1 :]
+            n = np.bincount(owner[:n_starts][match], minlength=len(toks)).astype(np.int64)
+        else:
+            n = np.zeros(len(toks), np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_matches": n})
+
+    return ds.map_batches(count, batch_format="pandas", batch_size=4096)
+
+
+def phrase_search_sql(phrase: tuple[str, ...] = PHRASE) -> str:
+    m = len(phrase)
+    conds = " AND ".join(
+        f"arr[CAST(pos + {j} AS BIGINT)] = '{w}'" for j, w in enumerate(phrase)
+    )
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {_TW} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({_TW}, '{_WS}') END AS arr
+    FROM documents
+),
+p AS (SELECT doc_id, arr, unnest(range(1, len(arr) - {m} + 2)) AS pos FROM t)
+SELECT t.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_matches
+FROM t LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n FROM p WHERE {conds} GROUP BY doc_id
+) c ON c.doc_id = t.doc_id
+"""
+
+
+PHRASE_SEARCH_SQL = phrase_search_sql()
+
+
+# ---------------------------------------------------------------------------
+# Positional postings (term → (doc, position) lists)
+# ---------------------------------------------------------------------------
+
+POSTING_TERMS = ("spark", "window", "dup")
+
+
+def positional_postings(sf_dir: str, terms: tuple[str, ...] = POSTING_TERMS) -> ray.data.Dataset:
+    """Positional posting list for a term set: ``(term, doc_id, pos)``
+    with 1-based token positions — the index layout phrase and
+    proximity queries intersect (this is what ``invindex.py``'s
+    doc-level postings lack). Zero shuffle: the batch-flat token
+    array + ``np.isin`` membership emits all postings in one
+    vectorized pass; positions are global offsets minus each doc's
+    start offset. At 100 TB the output is written hive-partitioned by
+    term bucket exactly like the persisted inverted index."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    term_list = list(terms)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        toks = [t.split() for t in b["text"]]
+        lens = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        flat = np.array([w for x in toks for w in x], dtype=object)
+        owner = np.repeat(np.arange(len(toks)), lens)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(toks) else np.empty(0, np.int64)
+        idx = np.nonzero(np.isin(flat, term_list))[0]
+        did = owner[idx]
+        return pd.DataFrame(
+            {
+                "term": pd.Series(flat[idx], dtype=object),
+                "doc_id": ids[did],
+                "pos": (idx - doc_start[did] + 1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pandas", batch_size=4096)
+
+
+def positional_postings_sql(terms: tuple[str, ...] = POSTING_TERMS) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {_TW} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({_TW}, '{_WS}') END AS arr
+    FROM documents
+),
+u AS (SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr) + 1)) AS pos FROM t)
+SELECT term, doc_id, CAST(pos AS BIGINT) AS pos
+FROM u WHERE term IN ({inlist})
+"""
+
+
+POSITIONAL_POSTINGS_SQL = positional_postings_sql()

@@ -365,3 +365,110 @@ SELECT site_domain, doc_id FROM ranked WHERE rk <= {DOMAIN_QUOTA}
 
 
 DOMAIN_QUOTA_SQL = _domain_quota_sql()
+
+
+# --------------------------------------------------------------------------
+# URL structure stats (path depth / query incidence per site)
+# --------------------------------------------------------------------------
+
+
+def derive_path_urls(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic decorated url per doc with a VARIED path shape:
+    depth = 1 + doc_id % 4 segments, host h{doc_id % 5}.example.org
+    (www. + uppercase noise on odd ids), default port on
+    doc_id % 6 == 1, trailing slash on odd ids, utm decoration on
+    doc_id % 3 == 0 (must strip to nothing), a CONTENT param ?q=1 on
+    doc_id % 7 == 0 (must survive), fragment on doc_id % 11 == 0.
+    Everything the path/query parser must see through is planted."""
+    urls = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        host = f"WWW.h{d % 5}.Example.ORG" if d % 2 else f"h{d % 5}.example.org"
+        port = ":443" if d % 6 == 1 else ""
+        path = "".join(f"/p{j}" for j in range(1 + d % 4)) + ("/" if d % 2 else "")
+        parts = []
+        if d % 7 == 0:
+            parts.append("q=1")
+        if d % 3 == 0:
+            parts.append("utm_source=feed")
+        query = "?" + "&".join(parts) if parts else ""
+        frag = "#top" if d % 11 == 0 else ""
+        urls.append(f"https://{host}{port}{path}{query}{frag}")
+    out = b.copy()
+    out["url"] = urls
+    return out
+
+
+def url_path_stats(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Per-site URL structure profile over CANONICAL urls:
+    ``(site_domain, n_docs, sum_depth, max_depth, n_query)`` with
+    depth = path segment count and n_query = docs whose canonical url
+    kept a (content) query string — the crawl-shape signal that feeds
+    frontier policies (deep archives vs flat landing pages) and
+    URL-pattern spam heuristics.
+
+    Zero-shuffle parse: depth and query incidence come from vectorized
+    pandas str kernels over the canonical string (no per-row urlsplit
+    beyond canonicalization itself); one bucketed ``grouped_agg``
+    exchange carrying four integers per site."""
+    canon = canonicalize_urls(ds, url_col=url_col)
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        cu = b["canonical_url"].astype(str)
+        after = cu.str.split("://", n=1).str[-1]
+        # strip the authority: everything before the first '/' or '?'
+        pathq = after.str.replace(r"^[^/?]*", "", regex=True)
+        path = pathq.str.split("?", n=1).str[0]
+        return pd.DataFrame(
+            {
+                "site_domain": b["site_domain"],
+                "depth": path.str.count("/").to_numpy(np.int64),
+                "has_query": pathq.str.contains("?", regex=False).to_numpy().astype(np.int64),
+            }
+        )
+
+    parsed = canon.map_batches(parse, batch_format="pandas")
+    return grouped_agg(
+        parsed,
+        ["site_domain"],
+        {
+            "n_docs": ("depth", "count"),
+            "sum_depth": ("depth", "sum"),
+            "max_depth": ("depth", "max"),
+            "n_query": ("has_query", "sum"),
+        },
+    )
+
+
+def url_path_stats_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → varied-path messy urls → canonicalize →
+    per-site structure stats. The oracle derives every expected value
+    from doc_id arithmetic, so the engine only matches if the
+    canonicalizer normalized every decoration AND the string parser
+    extracted depth/query from the canonical form correctly."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+    stats = url_path_stats(ds)
+
+    def exact_types(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_docs", "sum_depth", "max_depth", "n_query"):
+            b[c] = b[c].astype(np.int64)
+        return b
+
+    return stats.map_batches(exact_types, batch_format="pandas")
+
+
+URL_PATH_STATS_SQL = """
+SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS site_domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(1 + doc_id % 4) AS BIGINT) AS sum_depth,
+       CAST(MAX(1 + doc_id % 4) AS BIGINT) AS max_depth,
+       CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_query
+FROM documents
+GROUP BY 1
+"""

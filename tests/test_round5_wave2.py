@@ -1,0 +1,215 @@
+"""Final-session wave 2: BFS crawl depth, deterministic shuffle rank,
+phrase search, positional postings, sliding windows, URL path stats.
+Oracle parity for all six is covered by test_oracle_parity.py; these
+tests pin the ENGINE-level semantics the SQL can't see (frontier
+convergence/raise, permutation property, batch-boundary masking,
+naive-replica equality, parser edge cases)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from tests.conftest import SF_DIR
+
+
+def _edges(pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame({"src": [a for a, _ in pairs], "dst": [b for _, b in pairs]})
+    )
+
+
+def _seeds(nodes):
+    return ray.data.from_pandas(pd.DataFrame({"node": list(nodes)}))
+
+
+class TestBfsDepth:
+    def test_chain_cycle_unreachable(self):
+        from pdf_extractor_ray.pipelines.graph import bfs_depth
+
+        # 0→1→2→3, cycle 2→0, island 8→9 (unreachable from seed 0)
+        out = (
+            bfs_depth(_edges([(0, 1), (1, 2), (2, 3), (2, 0), (8, 9)]), _seeds([0]))
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out["node"], out["depth"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_multi_seed_min_depth(self):
+        from pdf_extractor_ray.pipelines.graph import bfs_depth
+
+        # node 2 reachable at depth 2 from seed 0 but depth 1 from seed 5
+        out = (
+            bfs_depth(_edges([(0, 1), (1, 2), (5, 2)]), _seeds([0, 5]))
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out["node"], out["depth"])) == {0: 0, 1: 1, 2: 1, 5: 0}
+
+    def test_directed_not_symmetric(self):
+        from pdf_extractor_ray.pipelines.graph import bfs_depth
+
+        # edge 1→0 does NOT make 1 reachable from seed 0
+        out = bfs_depth(_edges([(1, 0)]), _seeds([0])).to_pandas()
+        assert dict(zip(out["node"], out["depth"])) == {0: 0}
+
+    def test_max_rounds_raises(self):
+        from pdf_extractor_ray.pipelines.graph import bfs_depth
+
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            bfs_depth(_edges([(0, 1), (1, 2), (2, 3)]), _seeds([0]), max_rounds=2)
+
+    def test_seed_dedup_and_no_outedge_seed(self):
+        from pdf_extractor_ray.pipelines.graph import bfs_depth
+
+        out = bfs_depth(_edges([(0, 1)]), _seeds([7, 7, 0])).to_pandas()
+        assert dict(zip(out["node"], out["depth"])) == {0: 0, 7: 0, 1: 1}
+
+
+class TestShuffleRank:
+    def test_is_permutation_and_deterministic(self):
+        from pdf_extractor_ray.pipelines.corpus import shuffle_rank_documents
+
+        a = shuffle_rank_documents(SF_DIR).to_pandas().sort_values("doc_id")
+        b = shuffle_rank_documents(SF_DIR).to_pandas().sort_values("doc_id")
+        assert sorted(a["shuffle_pos"]) == list(range(len(a)))
+        pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+        assert (a["shard"] == a["shuffle_pos"] // 64).all()
+        # the permutation actually shuffles: positions != doc_id order
+        assert (a.sort_values("doc_id")["shuffle_pos"].diff().dropna() > 0).mean() < 0.9
+
+    def test_seed_changes_permutation(self):
+        from pdf_extractor_ray.pipelines.corpus import shuffle_rank_documents
+
+        a = shuffle_rank_documents(SF_DIR).to_pandas().sort_values("doc_id")
+        c = shuffle_rank_documents(SF_DIR, seed=999).to_pandas().sort_values("doc_id")
+        assert sorted(c["shuffle_pos"]) == list(range(len(c)))
+        assert not (a["shuffle_pos"].to_numpy() == c["shuffle_pos"].to_numpy()).all()
+
+
+def _naive_phrase_counts(texts, phrase):
+    m = len(phrase)
+    out = []
+    for t in texts:
+        w = t.split()
+        out.append(sum(1 for i in range(len(w) - m + 1) if tuple(w[i : i + m]) == phrase))
+    return out
+
+
+class TestPhraseSearch:
+    def test_matches_naive_replica(self):
+        from pdf_extractor_ray.pipelines.search import phrase_search_documents
+
+        df = phrase_search_documents(SF_DIR).to_pandas().sort_values("doc_id")
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas().sort_values("doc_id")
+        assert list(df["n_matches"]) == _naive_phrase_counts(docs["text"], ("batch", "batch"))
+        assert df["n_matches"].sum() > 0  # the fixture phrase occurs
+
+    def test_overlap_and_batch_boundary(self):
+        """'a a a' counts 'a a' TWICE (overlapping), and a phrase
+        spanning two adjacent docs in one batch must NOT count."""
+        from pdf_extractor_ray.pipelines.search import phrase_search_documents as _
+
+        # exercise the kernel directly through a tiny parquet dir
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": ["a a a", "x a", "a x", ""],
+                    "lang": ["en"] * 4,
+                    "source": ["s"] * 4,
+                    "n_chars": pa.array([5, 3, 3, 0], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+            from pdf_extractor_ray.pipelines.search import phrase_search_documents
+
+            out = (
+                phrase_search_documents(d, phrase=("a", "a"))
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            # doc1 ends with 'a', doc2 starts with 'a' — no cross count
+            assert list(out["n_matches"]) == [2, 0, 0, 0]
+
+    def test_empty_phrase_rejected(self):
+        from pdf_extractor_ray.pipelines.search import phrase_search_documents
+
+        with pytest.raises(ValueError):
+            phrase_search_documents(SF_DIR, phrase=())
+
+
+class TestPositionalPostings:
+    def test_matches_naive_replica(self):
+        from pdf_extractor_ray.pipelines.search import positional_postings, POSTING_TERMS
+
+        df = positional_postings(SF_DIR).to_pandas()
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+        expect = []
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            for pos, w in enumerate(t.split(), 1):
+                if w in POSTING_TERMS:
+                    expect.append((w, int(did), pos))
+        got = sorted(zip(df["term"], df["doc_id"], df["pos"]))
+        assert got == sorted(expect)
+        assert len(got) > 0
+
+
+class TestSlidingChunks:
+    def test_matches_naive_replica(self):
+        from pdf_extractor_ray.pipelines.corpus import (
+            SLIDE_STRIDE,
+            SLIDE_WINDOW,
+            sliding_chunks_documents,
+        )
+
+        df = sliding_chunks_documents(SF_DIR).to_pandas()
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+        expect = []
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            w = t.split()
+            for k, start in enumerate(range(0, len(w), SLIDE_STRIDE)):
+                expect.append(
+                    (int(did), k, start, min(SLIDE_WINDOW, len(w) - start), w[start])
+                )
+        got = sorted(
+            zip(df["doc_id"], df["win_id"], df["start_tok"], df["n_tokens"], df["first_tok"])
+        )
+        assert got == sorted(expect)
+        # overlap actually happens: stride < window
+        assert SLIDE_STRIDE < SLIDE_WINDOW
+
+
+class TestUrlPathStats:
+    def test_parser_edge_cases(self):
+        """Depth/query parse straight off canonical strings: no path,
+        query without path, port+www noise, deep path."""
+        from pdf_extractor_ray.pipelines.urlops import url_path_stats
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "url": [
+                        "https://h0.example.org",            # depth 0, no query
+                        "https://h0.example.org?q=1",        # depth 0, query
+                        "HTTPS://WWW.h0.Example.ORG:443/a/b/c/",  # depth 3
+                        "https://h1.example.org/x?utm_source=t",  # utm stripped → no query
+                    ]
+                }
+            )
+        )
+        out = url_path_stats(ds).to_pandas().sort_values("site_domain")
+        h0 = out[out["site_domain"] == "h0.example.org"].iloc[0]
+        assert (h0["n_docs"], h0["sum_depth"], h0["max_depth"], h0["n_query"]) == (3, 3, 3, 1)
+        h1 = out[out["site_domain"] == "h1.example.org"].iloc[0]
+        assert (h1["n_docs"], h1["sum_depth"], h1["max_depth"], h1["n_query"]) == (1, 1, 1, 0)
