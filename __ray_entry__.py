@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_unicode_documents": textops.clean_unicode_documents,
         "token_entropy_documents": textops.token_entropy_documents,
         "bigram_novelty_documents": textops.bigram_novelty_documents,
+        "ccnet_matrix_documents": textops.ccnet_matrix_documents,
+        "pii_stats_by_source": textops.pii_stats_by_source,
+        "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).degree_histogram_documents,
+        "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).reciprocal_links_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).pagerank_documents,
         "hits_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).hits_documents,
@@ -292,6 +296,11 @@ _NEVER_DRIVER_RUN = [
     "url_path_stats_documents",
     "shuffle_rank_documents",
     "sliding_chunks_documents",
+    # final-session wave 3
+    "ccnet_matrix_documents",
+    "pii_stats_by_source",
+    "degree_histogram_documents",
+    "reciprocal_links_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -305,18 +314,16 @@ _WINDOW_KEEPERS = [
     "extract_fields_documents",
     "llm_score_documents",
     "training_examples",
-    "corpus_pipeline",
-    "curation_funnel",
-    "dedup_exact_documents",
-    "dedup_normalized_documents",
     "paragraph_dedup_documents",
     "domain_stats_documents",
     "q5_region_nation_revenue",
     # rotated to the oracle overflow this round to make room for the
-    # six wave-2 newcomers above (driver-green in r1-r4, still
+    # ten wave-2/3 newcomers above (all driver-green in r1-r4, still
     # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight):
     # embedding_near_dups, knn_cosine_topk, tfidf_top_terms,
-    # quality_documents, gopher_quality_documents, q1_pricing_summary
+    # quality_documents, gopher_quality_documents, q1_pricing_summary,
+    # corpus_pipeline, curation_funnel, dedup_exact_documents,
+    # dedup_normalized_documents
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -421,6 +428,10 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_prefixes": textops.BOILERPLATE_PREFIX_SQL,
         "pmi_collocations": textops.PMI_SQL,
         "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CRAWL_DEPTH_SQL,
+        "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
+        "pii_stats_by_source": textops.PII_STATS_BY_SOURCE_SQL,
+        "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
+        "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).PHRASE_SEARCH_SQL,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).POSITIONAL_POSTINGS_SQL,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PATH_STATS_SQL,

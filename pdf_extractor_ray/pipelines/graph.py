@@ -1107,3 +1107,142 @@ reach AS (
 )
 SELECT node, CAST(MIN(d) AS BIGINT) AS depth FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + reciprocal-link detection over the link graph
+# ---------------------------------------------------------------------------
+
+
+def degree_histogram(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Degree distribution of an ``(src, dst)`` edge Dataset:
+    ``(direction, degree, n_nodes)`` for direction ∈ {'out', 'in'} —
+    the first chart every web-graph audit draws (in-degree tails
+    reveal link farms and super-hubs; out-degree tails reveal index
+    pages). Nodes with zero edges in a direction are absent from that
+    direction's rows, matching the edge-list-defined-graph convention.
+
+    Scale shape: per direction, one ``grouped_sum`` keyed by node
+    (8-byte keys, per-batch partials bound hot nodes) folds to
+    per-node degrees, then a second tiny ``grouped_sum`` keyed by
+    degree value builds the histogram — the second exchange's key
+    space is the number of DISTINCT degrees, not nodes."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    def hist(direction: str, col: str) -> ray.data.Dataset:
+        def keyed(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": b[col].to_numpy(np.int64), "c": np.ones(len(b), np.int64)}
+            )
+
+        deg = grouped_sum(edges.map_batches(keyed, batch_format="pandas"), ["node"], ["c"])
+
+        def to_deg(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"degree": b["c"].to_numpy(np.int64), "n_nodes": np.ones(len(b), np.int64)}
+            )
+
+        h = grouped_sum(deg.map_batches(to_deg, batch_format="pandas"), ["degree"], ["n_nodes"])
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b.insert(0, "direction", direction)
+            return b
+
+        return h.map_batches(tag, batch_format="pandas")
+
+    return hist("out", "src").union(hist("in", "dst"))
+
+
+def degree_histogram_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: degree distribution of the document link graph."""
+    return degree_histogram(document_link_edges(sf_dir))
+
+
+DEGREE_HISTOGRAM_SQL = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src),
+i AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY dst)
+SELECT 'out' AS direction, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM o GROUP BY degree
+UNION ALL
+SELECT 'in' AS direction, degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM i GROUP BY degree
+"""
+
+
+def reciprocal_links(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Unordered page pairs linked in BOTH directions — the mutual-link
+    signal link-spam and mirror detectors key on (a reciprocal edge is
+    far likelier navigation/mirroring than endorsement). Output
+    ``(src, dst)`` with src < dst. Robust to duplicate edges and
+    self-loops (deduped / dropped).
+
+    Scale shape: no self-join — each edge folds to its unordered pair
+    key plus a direction BIT; after a distinct on (pair, bit), one
+    ``grouped_sum`` keyed by the 16-byte pair sums the bits, and
+    bits == 3 means both directions were present. One exchange instead
+    of the classic edges⋈edgesᵀ hash join (half the shuffled bytes,
+    no join skew on hub nodes)."""
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    def pair_bits(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        z = np.maximum(s, d)
+        bit = np.where(s < d, 1, 2).astype(np.int64)
+        return pd.DataFrame({"a": a, "b": z, "bit": bit})
+
+    pairs = distinct(
+        edges.map_batches(pair_bits, batch_format="pandas"), ["a", "b", "bit"]
+    )
+    summed = grouped_sum(pairs, ["a", "b"], ["bit"])
+
+    def keep_mutual(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b["bit"] == 3]
+        return pd.DataFrame(
+            {"src": m["a"].to_numpy(np.int64), "dst": m["b"].to_numpy(np.int64)}
+        )
+
+    return summed.map_batches(keep_mutual, batch_format="pandas")
+
+
+def reciprocal_links_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: the base block-local edges never reciprocate (offsets
+    3/6/9 can't sum to 0 mod 10 within i, j ≤ 3), so the carrier
+    augments them with back-links from even sources — 'half the pages
+    link back' — and the engine must DISCOVER exactly those pairs from
+    the combined edge list via the generic pair-bit fold."""
+    base = document_link_edges(sf_dir)
+
+    def backlinks(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        m = s % 2 == 0
+        return pd.DataFrame({"src": d[m], "dst": s[m]})
+
+    return reciprocal_links(base.union(base.map_batches(backlinks, batch_format="pandas")))
+
+
+RECIPROCAL_LINKS_SQL = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM e0 WHERE src % 2 = 0
+  ) WHERE src <> dst
+)
+SELECT e.src, e.dst
+FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+WHERE e.src < e.dst
+"""

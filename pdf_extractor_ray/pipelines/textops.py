@@ -2428,3 +2428,131 @@ def token_quantiles_per_lang(
         return df
 
     return grouped_apply(rows, ["lang"], per_bucket)
+
+
+# ---------------------------------------------------------------------------
+# CCNet curation matrix: language × perplexity-tercile routing table
+# ---------------------------------------------------------------------------
+
+
+def ccnet_matrix_documents(
+    sf_dir: str, vocab_k: int = LM_VOCAB_K, ref_lang: str = "en"
+) -> ray.data.Dataset:
+    """The CCNet routing table (Wenzek et al. 2020 publish exactly
+    this breakdown): document and token counts per (predicted language
+    × LM-perplexity tercile) — the table a curation run reads to
+    decide which (lang, head/middle/tail) cells feed training and at
+    what mixture weight. Composes three audited operators:
+    :func:`lang_id_documents` (zero-shuffle stopword vote),
+    :func:`lm_nll_buckets` (integer micro-nat scoring + distributed
+    exact tercile cuts), and the token counts of
+    :func:`doc_token_stats`. Output ``(lang_pred, ppl_bucket, n_docs,
+    tokens_total)``.
+
+    Scale shape: two adaptive joins on 8-byte doc ids over
+    narrow projections (never text), then one ``grouped_agg`` exchange
+    whose key space is at most |langs| × 3 cells."""
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.ops import grouped_agg
+
+    buckets = lm_nll_buckets(sf_dir, vocab_k=vocab_k, ref_lang=ref_lang).select_columns(
+        ["doc_id", "ppl_bucket"]
+    )
+    langs = lang_id_documents(sf_dir).select_columns(["doc_id", "lang_pred"])
+    toks = doc_token_stats(sf_dir).select_columns(["doc_id", "n_tokens_ws"])
+    j = joins.adaptive_inner_join(buckets, langs, on="doc_id")
+    j = joins.adaptive_inner_join(j, toks, on="doc_id")
+    out = grouped_agg(
+        j,
+        ["lang_pred", "ppl_bucket"],
+        {"n_docs": ("n_tokens_ws", "count"), "tokens_total": ("n_tokens_ws", "sum")},
+    )
+
+    def exact_types(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_docs"] = b["n_docs"].astype(np.int64)
+        b["tokens_total"] = b["tokens_total"].astype(np.int64)
+        return b
+
+    return out.map_batches(exact_types, batch_format="pandas")
+
+
+def ccnet_matrix_sql(vocab_k: int = LM_VOCAB_K, ref_lang: str = "en") -> str:
+    return rf"""
+WITH b AS ({lm_nll_buckets_sql(vocab_k, ref_lang)}),
+l AS ({LANG_PRED_CORE_SQL}),
+t AS ({DOC_TOKEN_STATS_SQL})
+SELECT l.lang_pred, b.ppl_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens_ws) AS BIGINT) AS tokens_total
+FROM b JOIN l ON l.doc_id = b.doc_id JOIN t ON t.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+CCNET_MATRIX_SQL = ccnet_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# PII incidence report per source (corpus-hygiene dashboard)
+# ---------------------------------------------------------------------------
+
+
+def pii_stats_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Per-source PII incidence: ``(source, n_docs, docs_with_pii,
+    emails_total, phones_total)`` — the hygiene dashboard a corpus
+    owner reads to decide which feeds need redaction or exclusion.
+    Same match semantics as :func:`redact_pii` (phones counted AFTER
+    email redaction, so an email's digits can't double-count as a
+    phone). Zero-join: per-batch partials groupby source, one
+    ``grouped_sum`` exchange carrying four integers per source."""
+    import re
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    email_re = re.compile(PII_EMAIL_PAT)
+    phone_re = re.compile(PII_PHONE_PAT)
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        ne = np.empty(n, dtype=np.int64)
+        np_ = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(b["text"]):
+            t1, ne[i] = email_re.subn("[EMAIL]", t)
+            np_[i] = len(phone_re.findall(t1))
+        g = pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "n_docs": np.ones(n, dtype=np.int64),
+                "docs_with_pii": ((ne + np_) > 0).astype(np.int64),
+                "emails_total": ne,
+                "phones_total": np_,
+            }
+        )
+        return g.groupby("source", as_index=False, sort=False).sum()
+
+    return grouped_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+        ["source"],
+        ["n_docs", "docs_with_pii", "emails_total", "phones_total"],
+    )
+
+
+PII_STATS_BY_SOURCE_SQL = rf"""
+WITH e AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+           regexp_replace(text, '{PII_EMAIL_PAT}', '[EMAIL]', 'g') AS t1
+    FROM documents
+), p AS (
+    SELECT source, n_emails,
+           CAST(len(regexp_extract_all(t1, '{PII_PHONE_PAT}')) AS BIGINT) AS n_phones
+    FROM e
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS emails_total,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_total
+FROM p GROUP BY source
+"""

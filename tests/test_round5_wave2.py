@@ -213,3 +213,78 @@ class TestUrlPathStats:
         assert (h0["n_docs"], h0["sum_depth"], h0["max_depth"], h0["n_query"]) == (3, 3, 3, 1)
         h1 = out[out["site_domain"] == "h1.example.org"].iloc[0]
         assert (h1["n_docs"], h1["sum_depth"], h1["max_depth"], h1["n_query"]) == (1, 1, 1, 0)
+
+
+class TestDegreeHistogram:
+    def test_hand_graph(self):
+        from pdf_extractor_ray.pipelines.graph import degree_histogram
+
+        # out-degrees: 0→2, 1→1; in-degrees: 1←1, 2←2
+        out = (
+            degree_histogram(_edges([(0, 1), (0, 2), (1, 2)]))
+            .to_pandas()
+            .sort_values(["direction", "degree"])
+        )
+        got = {
+            (r.direction, int(r.degree)): int(r.n_nodes) for r in out.itertuples()
+        }
+        assert got == {("out", 1): 1, ("out", 2): 1, ("in", 1): 1, ("in", 2): 1}
+
+
+class TestReciprocalLinks:
+    def test_dups_selfloops_oneway(self):
+        from pdf_extractor_ray.pipelines.graph import reciprocal_links
+
+        # mutual 1↔2 (with a duplicate edge), one-way 3→4, self-loop 5→5
+        out = (
+            reciprocal_links(_edges([(1, 2), (2, 1), (1, 2), (3, 4), (5, 5)]))
+            .to_pandas()
+        )
+        assert list(zip(out["src"], out["dst"])) == [(1, 2)]
+
+
+class TestPiiStatsBySource:
+    def test_email_digits_not_double_counted(self):
+        """An address like a123-456-7890@x.co redacts as ONE email and
+        must not re-count as a phone (phones scan AFTER email
+        redaction) — the redact_pii semantics, per source."""
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines.textops import pii_stats_by_source
+
+        with tempfile.TemporaryDirectory() as d:
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": [
+                        "mail a123-456-7890@x.co now",
+                        "call 123-456-7890 or 987-654-3210",
+                        "clean text",
+                    ],
+                    "lang": ["en"] * 3,
+                    "source": ["feedA", "feedA", "feedB"],
+                    "n_chars": pa.array([27, 33, 10], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+            out = pii_stats_by_source(d).to_pandas().set_index("source")
+            a = out.loc["feedA"]
+            assert (a["n_docs"], a["docs_with_pii"], a["emails_total"], a["phones_total"]) == (2, 2, 1, 2)
+            b = out.loc["feedB"]
+            assert (b["n_docs"], b["docs_with_pii"], b["emails_total"], b["phones_total"]) == (1, 0, 0, 0)
+
+
+class TestCcnetMatrix:
+    def test_counts_cover_corpus(self):
+        from pdf_extractor_ray.pipelines.textops import ccnet_matrix_documents
+        import pyarrow.parquet as pq
+
+        out = ccnet_matrix_documents(SF_DIR).to_pandas()
+        n = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+        assert out["n_docs"].sum() == n  # every doc routed exactly once
+        assert set(out["ppl_bucket"]) <= {"head", "middle", "tail"}
+        assert (out["tokens_total"] > 0).all()
