@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": windows.events_sliding_window,
         "funnel_events": windows.funnel_events,
         "retention_cohorts": windows.retention_cohorts,
+        "event_type_transitions": windows.event_type_transitions,
+        "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_rules_filter_documents,
         "approx_distinct_counts": textops.approx_distinct_counts,
         "approx_token_quantiles": textops.approx_token_quantiles,
         "top_orders_per_segment": windows.top_orders_per_segment,
@@ -301,6 +303,9 @@ _NEVER_DRIVER_RUN = [
     "pii_stats_by_source",
     "degree_histogram_documents",
     "reciprocal_links_documents",
+    # final-session wave 4
+    "event_type_transitions",
+    "url_rules_filter_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -313,17 +318,16 @@ _WINDOW_KEEPERS = [
     "extract_flagship",
     "extract_fields_documents",
     "llm_score_documents",
-    "training_examples",
     "paragraph_dedup_documents",
-    "domain_stats_documents",
     "q5_region_nation_revenue",
     # rotated to the oracle overflow this round to make room for the
-    # ten wave-2/3 newcomers above (all driver-green in r1-r4, still
-    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight):
+    # twelve wave-2/3/4 newcomers above (all driver-green in r1-r4,
+    # still oracle-verified in CI at sf0.001 + the sf0.01 pre-flight):
     # embedding_near_dups, knn_cosine_topk, tfidf_top_terms,
     # quality_documents, gopher_quality_documents, q1_pricing_summary,
     # corpus_pipeline, curation_funnel, dedup_exact_documents,
-    # dedup_normalized_documents
+    # dedup_normalized_documents, training_examples,
+    # domain_stats_documents
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -429,6 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": textops.PMI_SQL,
         "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CRAWL_DEPTH_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
+        "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
+        "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,
         "pii_stats_by_source": textops.PII_STATS_BY_SOURCE_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

@@ -472,3 +472,100 @@ SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS site_domain,
 FROM documents
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# robots-style URL rule filter (domain + path-prefix disallow rules)
+# --------------------------------------------------------------------------
+
+# (domain, path_prefix) disallow rules; path_prefix "" blocks the whole
+# domain — the robots.txt Disallow shape a crawl-compliance pass applies
+URL_RULES = (
+    ("h4.example.org", ""),
+    ("h1.example.org", "/p0/p1/p2"),
+)
+
+
+def url_rules_filter(
+    ds: ray.data.Dataset,
+    rules: tuple[tuple[str, str], ...] = URL_RULES,
+    *,
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Drop rows whose canonical URL matches a (domain, path-prefix)
+    DISALLOW rule — the robots.txt/compliance filter every crawl
+    pipeline applies before extraction (takedown lists share the same
+    shape). A row is dropped when its site domain equals a rule's
+    domain AND its canonical path starts with the rule's prefix (empty
+    prefix = whole domain). Output keeps (doc_id, site_domain,
+    canonical_url) for the surviving rows.
+
+    Zero shuffle: the rule list is a tiny in-task constant (rule sets
+    ship via ``ray.put`` broadcast once they outgrow a closure — the
+    blocklist precedent in ``domain_quota``); matching is vectorized
+    pandas str ops grouped BY RULE DOMAIN (|rules| vector passes, not
+    |rows × rules|)."""
+    canon = canonicalize_urls(ds, url_col=url_col)
+    by_domain: dict[str, list[str]] = {}
+    for dom, pref in rules:
+        by_domain.setdefault(dom, []).append(pref)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        cu = b["canonical_url"].astype(str)
+        after = cu.str.split("://", n=1).str[-1]
+        path = after.str.replace(r"^[^/?]*", "", regex=True).str.split("?", n=1).str[0]
+        drop = np.zeros(len(b), dtype=bool)
+        for dom, prefs in by_domain.items():
+            m = (b["site_domain"] == dom).to_numpy()
+            if not m.any():
+                continue
+            hit = np.zeros(len(b), dtype=bool)
+            for pref in prefs:
+                hit |= path.str.startswith(pref).to_numpy() if pref else np.ones(len(b), bool)
+            drop |= m & hit
+        out = b[~drop]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "site_domain": out["site_domain"],
+                "canonical_url": out["canonical_url"],
+            }
+        )
+
+    return canon.map_batches(keep, batch_format="pandas")
+
+
+def url_rules_filter_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: varied-path messy urls → canonicalize → disallow rules
+    (all of h4, paths ≥3 segments deep on h1). The oracle replays the
+    rule outcomes from doc_id arithmetic, so the engine only matches if
+    canonicalization + domain/path extraction + prefix matching all
+    agree."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+    return url_rules_filter(ds)
+
+
+# canonical path is /p0[/p1[/p2[/p3]]] with depth = 1 + doc_id % 4, so
+# the '/p0/p1/p2' prefix rule fires exactly when depth >= 3
+URL_RULES_FILTER_SQL = """
+WITH kept AS (
+  SELECT doc_id,
+         doc_id % 5 AS dk,
+         1 + doc_id % 4 AS depth,
+         doc_id % 2 AS odd,
+         doc_id % 7 = 0 AS has_q
+  FROM documents
+  WHERE NOT (doc_id % 5 = 4)
+    AND NOT (doc_id % 5 = 1 AND 1 + doc_id % 4 >= 3)
+)
+SELECT doc_id,
+       'h' || CAST(dk AS VARCHAR) || '.example.org' AS site_domain,
+       'https://' || CASE WHEN odd = 1 THEN 'www.' ELSE '' END
+           || 'h' || CAST(dk AS VARCHAR) || '.example.org'
+           || CASE depth WHEN 1 THEN '/p0' WHEN 2 THEN '/p0/p1'
+                         WHEN 3 THEN '/p0/p1/p2' ELSE '/p0/p1/p2/p3' END
+           || CASE WHEN has_q THEN '?q=1' ELSE '' END AS canonical_url
+FROM kept
+"""

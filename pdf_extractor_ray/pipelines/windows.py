@@ -446,3 +446,57 @@ SELECT f.d0 AS cohort_day,
 FROM a JOIN f ON f.user_id = a.user_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition counts (behavioral Markov matrix)
+# ---------------------------------------------------------------------------
+
+
+def event_type_transitions(sf_dir: str) -> ray.data.Dataset:
+    """First-order transition counts between CONSECUTIVE events of the
+    same user: ``(from_type, to_type, n)`` — the Markov matrix behind
+    session-sequence mining and next-event models (and the event-log
+    analog of the token-bigram table). Ordering is (ts, event_id), the
+    sessionize tie-break.
+
+    Scale shape: one bucketed exchange on user_id (``grouped_apply`` —
+    each user's history lands whole in one bucket, the property the
+    shift trick needs); pairs collapse to per-bucket partial counts
+    BEFORE the second tiny exchange keyed (from_type, to_type), whose
+    key space is |event types|²."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same_user = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame(
+            {
+                "from_type": et[:-1][same_user],
+                "to_type": et[1:][same_user],
+                "n": np.ones(int(same_user.sum()), np.int64),
+            }
+        )
+        return pairs.groupby(["from_type", "to_type"], as_index=False, sort=False).sum()
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    return grouped_sum(partials, ["from_type", "to_type"], ["n"])
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH d AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -288,3 +288,52 @@ class TestCcnetMatrix:
         assert out["n_docs"].sum() == n  # every doc routed exactly once
         assert set(out["ppl_bucket"]) <= {"head", "middle", "tail"}
         assert (out["tokens_total"] > 0).all()
+
+
+class TestEventTransitions:
+    def test_matches_pandas_replica(self):
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines.windows import event_type_transitions
+
+        out = event_type_transitions(SF_DIR).to_pandas()
+        ev = (
+            pq.read_table(f"{SF_DIR}/events.parquet")
+            .to_pandas()
+            .sort_values(["user_id", "ts", "event_id"])
+        )
+        ev["prev"] = ev.groupby("user_id")["event_type"].shift(1)
+        exp = (
+            ev.dropna(subset=["prev"])
+            .groupby(["prev", "event_type"])
+            .size()
+            .reset_index(name="n")
+        )
+        got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+        want = {(r.prev, r.event_type): int(r.n) for r in exp.itertuples()}
+        assert got == want
+        assert sum(got.values()) > 0
+
+
+class TestUrlRulesFilter:
+    def test_rules_semantics(self):
+        """Whole-domain rule, path-prefix rule, and the keep path —
+        including a prefix rule that must NOT fire on a shallower
+        path of the same domain."""
+        from pdf_extractor_ray.pipelines.urlops import url_rules_filter
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+                    "url": [
+                        "https://h4.example.org/p0",           # whole-domain block
+                        "https://h1.example.org/p0/p1/p2/p3",  # prefix block
+                        "https://h1.example.org/p0/p1",        # shallower: kept
+                        "https://h0.example.org/p0/p1/p2",     # other domain: kept
+                    ],
+                }
+            )
+        )
+        out = url_rules_filter(ds).to_pandas().sort_values("doc_id")
+        assert list(out["doc_id"]) == [2, 3]
