@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_novelty_documents": textops.bigram_novelty_documents,
         "ccnet_matrix_documents": textops.ccnet_matrix_documents,
         "pii_stats_by_source": textops.pii_stats_by_source,
+        "length_outliers_documents": textops.length_outliers_documents,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).degree_histogram_documents,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).reciprocal_links_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
@@ -306,6 +307,7 @@ _NEVER_DRIVER_RUN = [
     # final-session wave 4
     "event_type_transitions",
     "url_rules_filter_documents",
+    "length_outliers_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -317,17 +319,16 @@ _WINDOW_KEEPERS = [
     # pre-flight at sf0.01.
     "extract_flagship",
     "extract_fields_documents",
-    "llm_score_documents",
     "paragraph_dedup_documents",
     "q5_region_nation_revenue",
     # rotated to the oracle overflow this round to make room for the
-    # twelve wave-2/3/4 newcomers above (all driver-green in r1-r4,
+    # thirteen wave-2/3/4 newcomers above (all driver-green in r1-r4,
     # still oracle-verified in CI at sf0.001 + the sf0.01 pre-flight):
     # embedding_near_dups, knn_cosine_topk, tfidf_top_terms,
     # quality_documents, gopher_quality_documents, q1_pricing_summary,
     # corpus_pipeline, curation_funnel, dedup_exact_documents,
     # dedup_normalized_documents, training_examples,
-    # domain_stats_documents
+    # domain_stats_documents, llm_score_documents
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -436,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,
         "pii_stats_by_source": textops.PII_STATS_BY_SOURCE_SQL,
+        "length_outliers_documents": textops.LENGTH_OUTLIERS_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).PHRASE_SEARCH_SQL,

@@ -2556,3 +2556,97 @@ SELECT source,
        CAST(SUM(n_phones) AS BIGINT) AS phones_total
 FROM p GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust length-outlier detection (median + MAD, exact integers)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3
+
+
+def length_outliers_documents(sf_dir: str, k_mad: int = MAD_K) -> ray.data.Dataset:
+    """Robust per-document length-outlier flags: ``(doc_id,
+    n_tokens_ws, dev, mad_ratio_milli, is_outlier)`` with outlier =
+    |n − median| > k·MAD — the median/median-absolute-deviation rule
+    that, unlike mean±k·σ, isn't dragged by the very outliers it
+    hunts (the standard truncation-artifact and concatenation-blob
+    detector in crawl curation). Both order statistics are LOWER
+    nearest-rank (rank ``(n+1)//2``), integer-exact. ``dev`` pins the
+    median and ``mad_ratio_milli = 1000·dev // max(MAD, 1)`` pins the
+    MAD in the oracle hash even on corpora where no document trips
+    the k·MAD flag (this synthetic one has no heavy length tail).
+
+    Scale shape: token counts come from one zero-shuffle pass; median
+    and MAD each come from :func:`pdf_extractor_ray.ops.
+    exact_kth_smallest` — the histogram-guided distributed quickselect
+    (driver collects bounded by its bin count, no global sort); the
+    flag pass is a zero-shuffle broadcast compare. Three column-pruned
+    passes total over a 2-integer projection."""
+    from pdf_extractor_ray.ops import exact_kth_smallest
+
+    toks = doc_token_stats(sf_dir).select_columns(["doc_id", "n_tokens_ws"]).materialize()
+    n = toks.count()
+    if n == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_tokens_ws": pd.Series([], dtype="int64"),
+                    "is_outlier": pd.Series([], dtype="int8"),
+                }
+            )
+        )
+    km = (n + 1) // 2
+    med = exact_kth_smallest(toks, "n_tokens_ws", [km])[0]
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["n_tokens_ws"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "n_tokens_ws": v, "dev": np.abs(v - med)}
+        )
+
+    devs = toks.map_batches(dev, batch_format="pandas").materialize()
+    mad = exact_kth_smallest(devs, "dev", [km])[0]
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["dev"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens_ws": b["n_tokens_ws"].to_numpy(np.int64),
+                "dev": d,
+                "mad_ratio_milli": (1000 * d) // max(mad, 1),
+                "is_outlier": (d > k_mad * mad).astype(np.int8),
+            }
+        )
+
+    return devs.map_batches(flag, batch_format="pandas")
+
+
+def length_outliers_sql(k_mad: int = MAD_K) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(CASE WHEN {_TW} = '' THEN 0
+                ELSE array_length(regexp_split_to_array({_TW}, '{_WS}')) END AS BIGINT) AS n_tokens_ws
+    FROM documents
+), r1 AS (
+    SELECT n_tokens_ws AS v, row_number() OVER (ORDER BY n_tokens_ws) AS r,
+           count(*) OVER () AS n
+    FROM t
+), med AS (SELECT max(CASE WHEN r = (n + 1) // 2 THEN v END) AS med FROM r1),
+d AS (SELECT t.doc_id, t.n_tokens_ws, abs(t.n_tokens_ws - med.med) AS dev FROM t, med),
+r2 AS (
+    SELECT dev AS v, row_number() OVER (ORDER BY dev) AS r, count(*) OVER () AS n
+    FROM d
+), mad AS (SELECT max(CASE WHEN r = (n + 1) // 2 THEN v END) AS mad FROM r2)
+SELECT d.doc_id, d.n_tokens_ws,
+       CAST(d.dev AS BIGINT) AS dev,
+       CAST((1000 * d.dev) // GREATEST(mad.mad, 1) AS BIGINT) AS mad_ratio_milli,
+       CAST(d.dev > {int(k_mad)} * mad.mad AS TINYINT) AS is_outlier
+FROM d, mad
+"""
+
+
+LENGTH_OUTLIERS_SQL = length_outliers_sql()

@@ -337,3 +337,34 @@ class TestUrlRulesFilter:
         )
         out = url_rules_filter(ds).to_pandas().sort_values("doc_id")
         assert list(out["doc_id"]) == [2, 3]
+
+
+class TestLengthOutliers:
+    def test_planted_outlier_flags(self):
+        """A corpus with one absurdly long doc must flag exactly it;
+        dev/mad_ratio pin the median and MAD values."""
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines.textops import length_outliers_documents
+
+        with tempfile.TemporaryDirectory() as d:
+            texts = ["w " * 10, "w " * 11, "w " * 12, "w " * 13, "w " * 500]
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array(range(5), pa.int64()),
+                    "text": [t.strip() for t in texts],
+                    "lang": ["en"] * 5,
+                    "source": ["s"] * 5,
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                }
+            )
+            pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+            out = length_outliers_documents(d).to_pandas().sort_values("doc_id")
+            # median = 12, MAD = 1: only the 500-token doc exceeds 3*MAD
+            assert list(out["is_outlier"]) == [0, 0, 0, 0, 1]
+            assert list(out["dev"]) == [2, 1, 0, 1, 488]
+            assert list(out["mad_ratio_milli"]) == [2000, 1000, 0, 1000, 488000]
