@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).connected_components_documents,
         "anchor_text_stats": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).anchor_text_stats,
         "cocitation_pairs": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).cocitation_pairs,
+        "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).triangle_counts_documents,
         "edit_distance_neighbors": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).edit_distance_neighbors,
         "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).crawl_depth_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
@@ -308,6 +309,7 @@ _NEVER_DRIVER_RUN = [
     "event_type_transitions",
     "url_rules_filter_documents",
     "length_outliers_documents",
+    "triangle_counts_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -320,15 +322,15 @@ _WINDOW_KEEPERS = [
     "extract_flagship",
     "extract_fields_documents",
     "paragraph_dedup_documents",
-    "q5_region_nation_revenue",
     # rotated to the oracle overflow this round to make room for the
-    # thirteen wave-2/3/4 newcomers above (all driver-green in r1-r4,
+    # fourteen wave-2/3/4 newcomers above (all driver-green in r1-r4,
     # still oracle-verified in CI at sf0.001 + the sf0.01 pre-flight):
     # embedding_near_dups, knn_cosine_topk, tfidf_top_terms,
     # quality_documents, gopher_quality_documents, q1_pricing_summary,
     # corpus_pipeline, curation_funnel, dedup_exact_documents,
     # dedup_normalized_documents, training_examples,
-    # domain_stats_documents, llm_score_documents
+    # domain_stats_documents, llm_score_documents,
+    # q5_region_nation_revenue
 ]
 
 _DRIVER_WINDOW = _NEVER_DRIVER_RUN + _WINDOW_KEEPERS  # must be exactly 50
@@ -439,6 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_stats_by_source": textops.PII_STATS_BY_SOURCE_SQL,
         "length_outliers_documents": textops.LENGTH_OUTLIERS_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
+        "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).PHRASE_SEARCH_SQL,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).POSITIONAL_POSTINGS_SQL,

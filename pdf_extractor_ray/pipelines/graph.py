@@ -1246,3 +1246,112 @@ SELECT e.src, e.dst
 FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
 WHERE e.src < e.dst
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (compact-forward wedge closure)
+# ---------------------------------------------------------------------------
+
+_TRI_KEY_SCALE = 1 << 31
+
+
+def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-node triangle participation over the UNDIRECTED graph of an
+    ``(src, dst)`` edge Dataset: ``(node, n_triangles)`` for every node
+    in at least one triangle — the clustering-coefficient numerator and
+    the classic link-farm/community signal (spam clusters are triangle-
+    dense; genuine endorsement graphs are triangle-sparse).
+
+    Compact-forward shape (Latapy 2008's distributed form): symmetrize
+    + dedup to oriented edges ``a < b`` (each triangle counted exactly
+    once as an ordered triple a<b<c), one hash join on the wedge
+    middle vertex builds candidate wedges, one semi-join against the
+    packed edge keys closes them, one exchange folds per-node counts.
+    Wedge volume is Σ_b d⁻(b)·d⁺(b) under id orientation — the
+    production upgrade is degree ordering (orient by (degree, id)),
+    which provably minimizes that sum on skewed graphs; same results,
+    one extra degree join, noted not needed at this graph's bounded
+    degree. Node ids must fit 31 bits for the packed (a, c) closure
+    key (checked; widen the pack for larger id spaces)."""
+    from pdf_extractor_ray.joins import join_datasets, semi_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) and (min(s.min(), d.min()) < 0 or max(s.max(), d.max()) >= _TRI_KEY_SCALE):
+            raise ValueError("node ids outside [0, 2^31) — widen the closure key pack")
+        return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"]).materialize()
+
+    second = und.map_batches(
+        lambda b: pd.DataFrame({"b": b["a"].to_numpy(np.int64), "c": b["b"].to_numpy(np.int64)}),
+        batch_format="pandas",
+    )
+    wedges = join_datasets(und, second, on="b")  # (a, b, c) with a < b < c
+
+    def pack_ac(b: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in b.columns:  # empty pass-through block
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("a", "b", "c", "ack")}
+            )
+        out = b.copy()
+        out["ack"] = out["a"].to_numpy(np.int64) * _TRI_KEY_SCALE + out["c"].to_numpy(np.int64)
+        return out
+
+    def pack_ab(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"ek": b["a"].to_numpy(np.int64) * _TRI_KEY_SCALE + b["b"].to_numpy(np.int64)}
+        )
+
+    closed = semi_join(
+        wedges.map_batches(pack_ac, batch_format="pandas"),
+        und.map_batches(pack_ab, batch_format="pandas"),
+        on="ack",
+        right_on="ek",
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in b.columns:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"), "n_triangles": pd.Series([], dtype="int64")}
+            )
+        nodes = np.concatenate(
+            [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64), b["c"].to_numpy(np.int64)]
+        )
+        return pd.DataFrame({"node": nodes, "n_triangles": np.ones(len(nodes), np.int64)})
+
+    return grouped_sum(
+        closed.map_batches(explode, batch_format="pandas"), ["node"], ["n_triangles"]
+    )
+
+
+def triangle_counts_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: triangle participation over the (symmetrized) document
+    link graph — 12 triangles per full 10-id block, so the closure has
+    real work at every scale factor."""
+    return triangle_counts(document_link_edges(sf_dir))
+
+
+TRIANGLE_COUNTS_SQL = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+u AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM u e1
+  JOIN u e2 ON e2.a = e1.b
+  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM n GROUP BY node
+"""

@@ -368,3 +368,31 @@ class TestLengthOutliers:
             assert list(out["is_outlier"]) == [0, 0, 0, 0, 1]
             assert list(out["dev"]) == [2, 1, 0, 1, 488]
             assert list(out["mad_ratio_milli"]) == [2000, 1000, 0, 1000, 488000]
+
+
+class TestTriangleCounts:
+    def test_hand_graph(self):
+        """Triangle 1-2-3 (via mixed edge orientations + a duplicate),
+        plus a non-triangle wedge 4-5-6: only the triangle's nodes
+        appear, once each."""
+        from pdf_extractor_ray.pipelines.graph import triangle_counts
+
+        out = (
+            triangle_counts(
+                _edges([(1, 2), (3, 2), (1, 3), (2, 1), (4, 5), (5, 6)])
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out["node"], out["n_triangles"])) == {1: 1, 2: 1, 3: 1}
+
+    def test_two_triangles_shared_edge(self):
+        from pdf_extractor_ray.pipelines.graph import triangle_counts
+
+        # triangles (1,2,3) and (2,3,4) share edge 2-3
+        out = (
+            triangle_counts(_edges([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]))
+            .to_pandas()
+            .sort_values("node")
+        )
+        assert dict(zip(out["node"], out["n_triangles"])) == {1: 1, 2: 2, 3: 2, 4: 1}
