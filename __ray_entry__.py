@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_matrix_documents": textops.ccnet_matrix_documents,
         "pii_stats_by_source": textops.pii_stats_by_source,
         "length_outliers_documents": textops.length_outliers_documents,
+        "top_tokens_by_source": textops.top_tokens_by_source,
+        "source_vocab_jaccard": textops.source_vocab_jaccard,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).degree_histogram_documents,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).reciprocal_links_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
@@ -310,6 +312,10 @@ _NEVER_DRIVER_RUN = [
     "url_rules_filter_documents",
     "length_outliers_documents",
     "triangle_counts_documents",
+    # Window is full at 47 + the 3 flagship sentinels below; oracle
+    # newcomers from here on park in the OVERFLOW (identical check in
+    # CI at sf0.001 + the sf0.01 pre-flight) rather than displace the
+    # north-star extraction carriers: top_tokens_by_source, ...
 ]
 
 _WINDOW_KEEPERS = [
@@ -440,6 +446,8 @@ def oracle_sql() -> dict[str, str]:
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,
         "pii_stats_by_source": textops.PII_STATS_BY_SOURCE_SQL,
         "length_outliers_documents": textops.LENGTH_OUTLIERS_SQL,
+        "top_tokens_by_source": textops.TOP_TOKENS_BY_SOURCE_SQL,
+        "source_vocab_jaccard": textops.SOURCE_VOCAB_JACCARD_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

@@ -2650,3 +2650,176 @@ FROM d, mad
 
 
 LENGTH_OUTLIERS_SQL = length_outliers_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-k vocabulary (domain-signature terms)
+# ---------------------------------------------------------------------------
+
+SOURCE_TOP_K = 5
+
+
+def top_tokens_by_source(sf_dir: str, k: int = SOURCE_TOP_K) -> ray.data.Dataset:
+    """The ``k`` most frequent whitespace tokens per source feed:
+    ``(source, word, n, rank)`` with ties broken word ASC — the
+    per-feed vocabulary signature used to spot feed drift, template
+    contamination, and language mix-ups per provider (the grouped form
+    of the corpus-global ``top_tokens``).
+
+    Scale shape: per-batch partials collapse each batch to its local
+    (source, word) counts before ONE bucketed ``grouped_sum`` keyed on
+    the pair (hot words are pre-combined per batch, so a viral token
+    contributes one row per batch, not one per occurrence); the
+    per-source top-k folds in a second exchange keyed source whose
+    input is the already count-collapsed pair table."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        for s, t in zip(b["source"], b["text"]):
+            w = t.split()
+            words.extend(w)
+            srcs.extend([s] * len(w))
+        g = pd.DataFrame({"source": srcs, "word": words})
+        g["n"] = 1
+        return g.groupby(["source", "word"], as_index=False, sort=False).sum()
+
+    counts = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=4096),
+        ["source", "word"],
+        ["n"],
+    )
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "n", "word"], ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("source", sort=False).head(k).copy()
+        top["rank"] = top.groupby("source").cumcount().astype(np.int64) + 1
+        top["n"] = top["n"].astype(np.int64)
+        return top[["source", "word", "n", "rank"]]
+
+    return grouped_apply(counts, ["source"], per_source)
+
+
+def top_tokens_by_source_sql(k: int = SOURCE_TOP_K) -> str:
+    return rf"""
+WITH w AS (
+    SELECT source, unnest(regexp_split_to_array({_TW}, '{_WS}')) AS word
+    FROM documents WHERE {_TW} <> ''
+), c AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY source, word
+), r AS (
+    SELECT source, word, n,
+           row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC) AS rank
+    FROM c
+)
+SELECT source, word, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {int(k)}
+"""
+
+
+TOP_TOKENS_BY_SOURCE_SQL = top_tokens_by_source_sql()
+
+
+# ---------------------------------------------------------------------------
+# Source-vocabulary Jaccard matrix (feed similarity audit)
+# ---------------------------------------------------------------------------
+
+
+def source_vocab_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """Pairwise vocabulary Jaccard between source feeds:
+    ``(source_a, source_b, inter, union_size, jaccard_milli)`` for
+    source_a < source_b — the feed-similarity audit that catches
+    mirrored providers and mislabeled feeds before mixture weighting
+    (two feeds sharing 95% of their vocabulary are one feed).
+    ``jaccard_milli = 1000·|A∩B| // |A∪B|`` in exact integers.
+
+    Scale shape: ONE distinct exchange builds the (source, word)
+    vocabulary; intersections come from a word-keyed ``grouped_apply``
+    that emits each word's source-pair combinations — C(s,2) rows per
+    word bounded by |sources|², NEVER the all-rows self-join on word
+    (whose hot-word skew is quadratic in document frequency); one tiny
+    pair-keyed ``grouped_sum`` folds them, and the |sources|-sized
+    size table broadcasts onto the pair rows."""
+    import itertools
+
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.ops import distinct, grouped_apply, grouped_sum
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def pairs_batch(b: pd.DataFrame) -> pd.DataFrame:
+        srcs, words = [], []
+        for s, t in zip(b["source"], b["text"]):
+            w = set(t.split())  # per-doc dedupe shrinks the exchange
+            words.extend(w)
+            srcs.extend([s] * len(w))
+        return pd.DataFrame({"source": srcs, "word": words})
+
+    vocab = distinct(
+        ds.map_batches(pairs_batch, batch_format="pandas", batch_size=4096),
+        ["source", "word"],
+    ).materialize()
+
+    sizes = grouped_sum(
+        vocab.map_batches(
+            lambda b: pd.DataFrame({"source": b["source"], "n": np.ones(len(b), np.int64)}),
+            batch_format="pandas",
+        ),
+        ["source"],
+        ["n"],
+    ).to_pandas()  # |sources| rows — bounded broadcast
+    size_of = dict(zip(sizes["source"], sizes["n"].astype(int)))
+
+    def word_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _w, grp in g.groupby("word", sort=False):
+            ss = sorted(grp["source"].unique())
+            for a, b2 in itertools.combinations(ss, 2):
+                out_a.append(a)
+                out_b.append(b2)
+        return pd.DataFrame(
+            {"source_a": out_a, "source_b": out_b, "inter": np.ones(len(out_a), np.int64)}
+        )
+
+    inter = grouped_sum(
+        grouped_apply(vocab, ["word"], word_pairs), ["source_a", "source_b"], ["inter"]
+    )
+
+    sref = ray.put(size_of)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        so = joins._cached_get(sref)
+        na = b["source_a"].map(so).to_numpy(np.int64)
+        nb = b["source_b"].map(so).to_numpy(np.int64)
+        i = b["inter"].to_numpy(np.int64)
+        u = na + nb - i
+        return pd.DataFrame(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "inter": i,
+                "union_size": u,
+                "jaccard_milli": (1000 * i) // u,
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pandas")
+
+
+SOURCE_VOCAB_JACCARD_SQL = rf"""
+WITH v AS (
+    SELECT DISTINCT source, unnest(regexp_split_to_array({_TW}, '{_WS}')) AS word
+    FROM documents WHERE {_TW} <> ''
+), sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+i AS (
+    SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.inter,
+       CAST(na.n + nb.n - i.inter AS BIGINT) AS union_size,
+       CAST((1000 * i.inter) // (na.n + nb.n - i.inter) AS BIGINT) AS jaccard_milli
+FROM i JOIN sz na ON na.source = i.source_a JOIN sz nb ON nb.source = i.source_b
+"""
