@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers_documents": textops.length_outliers_documents,
         "top_tokens_by_source": textops.top_tokens_by_source,
         "source_vocab_jaccard": textops.source_vocab_jaccard,
+        "bigram_vocab_by_lang": textops.bigram_vocab_by_lang,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).degree_histogram_documents,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).reciprocal_links_documents,
         "c4_clean_documents": webdocs.c4_clean_documents,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "length_outliers_documents": textops.LENGTH_OUTLIERS_SQL,
         "top_tokens_by_source": textops.TOP_TOKENS_BY_SOURCE_SQL,
         "source_vocab_jaccard": textops.SOURCE_VOCAB_JACCARD_SQL,
+        "bigram_vocab_by_lang": textops.BIGRAM_VOCAB_BY_LANG_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

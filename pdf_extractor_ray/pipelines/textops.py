@@ -2823,3 +2823,68 @@ SELECT i.source_a, i.source_b, i.inter,
        CAST((1000 * i.inter) // (na.n + nb.n - i.inter) AS BIGINT) AS jaccard_milli
 FROM i JOIN sz na ON na.source = i.source_a JOIN sz nb ON nb.source = i.source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct-bigram vocabulary per language
+# ---------------------------------------------------------------------------
+
+
+def bigram_vocab_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """EXACT distinct word-bigram counts per language: ``(lang,
+    n_distinct_bigrams)`` — the LM-vocabulary sizing number (how many
+    distinct transitions a per-language bigram table must hold) and
+    the exact twin of the HLL-approximate
+    :func:`approx_distinct_tokens_per_lang` (use this when the count
+    feeds an allocation, the sketch when it feeds a dashboard).
+
+    Scale shape: per-doc bigram sets dedupe inside the batch before
+    ONE distinct exchange keyed (lang, w1, w2) — a repeated
+    boilerplate bigram crosses the wire once per batch, not once per
+    occurrence; the per-lang count is a second |langs|-sized fold."""
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        langs, w1s, w2s = [], [], []
+        seen = set()
+        for lang, t in zip(b["lang"], b["text"]):
+            w = t.split()
+            for a, c in zip(w, w[1:]):
+                k = (lang, a, c)
+                if k not in seen:
+                    seen.add(k)
+                    langs.append(lang)
+                    w1s.append(a)
+                    w2s.append(c)
+        return pd.DataFrame({"lang": langs, "w1": w1s, "w2": w2s})
+
+    vocab = distinct(
+        ds.map_batches(pairs, batch_format="pandas", batch_size=4096), ["lang", "w1", "w2"]
+    )
+    return grouped_sum(
+        vocab.map_batches(
+            lambda b: pd.DataFrame(
+                {"lang": b["lang"], "n_distinct_bigrams": np.ones(len(b), np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["lang"],
+        ["n_distinct_bigrams"],
+    )
+
+
+BIGRAM_VOCAB_BY_LANG_SQL = rf"""
+WITH tok AS (
+    SELECT lang, regexp_split_to_array({_TW}, '{_WS}') AS ws
+    FROM documents WHERE {_TW} <> ''
+), bg AS (
+    SELECT DISTINCT lang,
+           unnest(ws[1:len(ws)-1]) AS w1,
+           unnest(ws[2:len(ws)]) AS w2
+    FROM tok WHERE len(ws) >= 2
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+FROM bg GROUP BY lang
+"""
