@@ -564,3 +564,36 @@ def prefix_sum(
         return g.drop(columns="__rb")
 
     return grouped_apply(bucketed, ["__rb"], fn=scan, num_buckets=num_buckets)
+
+
+def compact_nonempty_arrow(ds: ray.data.Dataset, empty: "object") -> ray.data.Dataset:
+    """Materialize ``ds`` and re-assemble it from its NON-EMPTY arrow
+    block refs, dropping zero-row blocks — the stabilizer iterative
+    operators need between rounds on Ray 2.49.
+
+    Why it exists: a pandas block LOSES its column schema at zero rows,
+    ``map_batches`` passes empty blocks through WITHOUT running the fn
+    (so they can't be re-typed in-stream), and the native hash join
+    raises ``ArrowInvalid`` when a partition holds only schema-less
+    blocks. Iterative ops with sparse per-round state (BFS frontiers,
+    shrinking label tables) produce such blocks constantly.
+
+    The driver pass is metadata-only — one ``(ref, num_rows)`` per
+    block, never row data — so cost is bounded by block count.
+    ``empty`` is a typed zero-row ``pyarrow.Table`` returned (as a
+    1-block dataset) when every block is empty, so downstream stages
+    always see the full schema. Non-empty blocks must already be arrow
+    (emit arrow from the stage feeding this; pandas blocks would need
+    ``from_pandas_refs`` instead)."""
+    import ray as _ray
+
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows != 0
+    ]
+    if not refs:
+        return _ray.data.from_arrow(empty)
+    return _ray.data.from_arrow_refs(refs)

@@ -1020,22 +1020,7 @@ def bfs_depth(
             return pa.table({"node": t.column("dst").cast(pa.int64())})
         return pa.table({"node": pa.array([], pa.int64())})
 
-    def compact(ds: ray.data.Dataset, empty: pa.Table) -> ray.data.Dataset:
-        """Materialize and re-assemble from the NON-EMPTY arrow block
-        refs (metadata-only driver pass: one (ref, num_rows) per block,
-        never row data). Non-empty blocks are always this function's
-        own arrow-stage outputs; empties (whatever schema-less format
-        they passed through in) are dropped."""
-        mat = ds.materialize()
-        refs = [
-            ref
-            for bundle in mat.iter_internal_ref_bundles()
-            for ref, meta in bundle.blocks
-            if meta.num_rows != 0
-        ]
-        if not refs:
-            return ray.data.from_arrow(empty)
-        return ray.data.from_arrow_refs(refs)
+    from pdf_extractor_ray.ops import compact_nonempty_arrow as compact
 
     empty_frontier = pa.table({"node": pa.array([], pa.int64())})
     empty_visited = pa.table(

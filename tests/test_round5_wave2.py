@@ -396,3 +396,44 @@ class TestTriangleCounts:
             .sort_values("node")
         )
         assert dict(zip(out["node"], out["n_triangles"])) == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+class TestCompactNonemptyArrow:
+    def test_drops_empty_blocks_and_types_empty_result(self):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.joins import semi_join
+        from pdf_extractor_ray.ops import compact_nonempty_arrow
+
+        empty = pa.table({"node": pa.array([], pa.int64())})
+        left = ray.data.from_pandas(pd.DataFrame({"node": pd.Series([1], dtype="int64")}))
+        right = ray.data.from_pandas(pd.DataFrame({"node": pd.Series([0, 7], dtype="int64")}))
+        # native anti-join emits empty partitions alongside the 1 row
+        anti = semi_join(left, right, "node", keep=False, broadcast_limit=0).map_batches(
+            lambda t: pa.table({"node": t.column("node").cast(pa.int64())})
+            if "node" in t.schema.names
+            else empty,
+            batch_format="pyarrow",
+        )
+        c = compact_nonempty_arrow(anti, empty)
+        rows = [
+            ray.get(ref).num_rows
+            for bundle in c.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks
+        ]
+        assert rows and all(r > 0 for r in rows)
+        assert c.to_pandas()["node"].tolist() == [1]
+
+        # all-dropped case: one typed empty ARROW block carrying the
+        # schema (Dataset.to_pandas would drop it again — the pandas
+        # zero-row quirk is exactly what the helper works around, so
+        # assert at the block level where downstream joins read it)
+        anti2 = semi_join(left, left, "node", keep=False, broadcast_limit=0)
+        c2 = compact_nonempty_arrow(anti2, empty)
+        blocks = [
+            ray.get(ref)
+            for bundle in c2.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks
+        ]
+        assert len(blocks) == 1 and blocks[0].num_rows == 0
+        assert blocks[0].schema.names == ["node"]
