@@ -1270,33 +1270,83 @@ def triangle_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
             raise ValueError("node ids outside [0, 2^31) — widen the closure key pack")
         return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
 
-    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"]).materialize()
+    # arrow-pin + drop empty blocks: distinct's empty buckets yield
+    # schema-less zero-row pandas blocks that the native wedge join
+    # rejects (see ops.compact_nonempty_arrow) — degenerate graphs
+    # (all self-loops, no edges after dedup) crash without this
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops import compact_nonempty_arrow
+
+    def to_arrow_ab(t: "pa.Table") -> "pa.Table":
+        if "a" in t.schema.names:
+            return pa.table(
+                {"a": t.column("a").cast(pa.int64()), "b": t.column("b").cast(pa.int64())}
+            )
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+
+    und = compact_nonempty_arrow(
+        distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"]).map_batches(
+            to_arrow_ab, batch_format="pyarrow"
+        ),
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}),
+    )
+
+    _result_empty = pa.table(
+        {"node": pa.array([], pa.int64()), "n_triangles": pa.array([], pa.int64())}
+    )
+    # compact materializes, so count() here is metadata-only; an edge
+    # set that dedups to nothing (all self-loops) has no triangles —
+    # and its empty blocks would SKIP the map fns below, reaching the
+    # joins with the wrong column set
+    if und.count() == 0:
+        return ray.data.from_arrow(_result_empty)
+
+    def _i64(t: "pa.Table", col: str) -> "pa.ChunkedArray":
+        return t.column(col).cast(pa.int64())
 
     second = und.map_batches(
-        lambda b: pd.DataFrame({"b": b["a"].to_numpy(np.int64), "c": b["b"].to_numpy(np.int64)}),
-        batch_format="pandas",
+        lambda t: pa.table({"b": _i64(t, "a"), "c": _i64(t, "b")}),
+        batch_format="pyarrow",
     )
-    wedges = join_datasets(und, second, on="b")  # (a, b, c) with a < b < c
 
-    def pack_ac(b: pd.DataFrame) -> pd.DataFrame:
-        if "a" not in b.columns:  # empty pass-through block
-            return pd.DataFrame(
-                {c: pd.Series([], dtype="int64") for c in ("a", "b", "c", "ack")}
-            )
-        out = b.copy()
-        out["ack"] = out["a"].to_numpy(np.int64) * _TRI_KEY_SCALE + out["c"].to_numpy(np.int64)
-        return out
+    # the wedge join and closure semi-join each emit empty partitions
+    # whose pass-through blocks carry the WRONG (or no) schema for the
+    # next keyed stage — compact at both boundaries (same metadata-only
+    # pass as the und pin above)
+    _wedge_empty = pa.table({c: pa.array([], pa.int64()) for c in ("a", "b", "c", "ack")})
 
-    def pack_ab(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"ek": b["a"].to_numpy(np.int64) * _TRI_KEY_SCALE + b["b"].to_numpy(np.int64)}
+    def pack_ac(t: "pa.Table") -> "pa.Table":
+        if "a" not in t.schema.names or "c" not in t.schema.names:
+            return _wedge_empty
+        a, bb, c = _i64(t, "a"), _i64(t, "b"), _i64(t, "c")
+        ack = pa.chunked_array(
+            [
+                pa.array(
+                    a.combine_chunks().to_numpy(zero_copy_only=False) * _TRI_KEY_SCALE
+                    + c.combine_chunks().to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                )
+            ]
         )
+        return pa.table({"a": a, "b": bb, "c": c, "ack": ack})
 
-    closed = semi_join(
-        wedges.map_batches(pack_ac, batch_format="pandas"),
-        und.map_batches(pack_ab, batch_format="pandas"),
-        on="ack",
-        right_on="ek",
+    wedges = compact_nonempty_arrow(
+        join_datasets(und, second, on="b").map_batches(pack_ac, batch_format="pyarrow"),
+        _wedge_empty,
+    )  # (a, b, c) with a < b < c, plus the packed closure key
+
+    if wedges.count() == 0:  # no wedges → no triangles
+        return ray.data.from_arrow(_result_empty)
+
+    def pack_ab(t: "pa.Table") -> "pa.Table":
+        a = _i64(t, "a").combine_chunks().to_numpy(zero_copy_only=False)
+        b2 = _i64(t, "b").combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"ek": pa.array(a * _TRI_KEY_SCALE + b2, pa.int64())})
+
+    closed = compact_nonempty_arrow(
+        semi_join(wedges, und.map_batches(pack_ab, batch_format="pyarrow"), on="ack", right_on="ek"),
+        _wedge_empty,
     )
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
