@@ -431,3 +431,32 @@ def html_extract(raw: bytes) -> tuple[str, list[dict]]:
         )
         block_ordinal += 1
     return "\n".join(pieces), spans
+
+
+_HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+def html_extract_headings(raw: bytes) -> list[tuple[int, str]]:
+    """Extract heading outline from HTML: ``[(level, text), ...]`` in
+    document order — the title/section capture every main-content
+    extractor ships alongside body text (headings seed titles,
+    anchors, and section-aware chunking). Same parse and the same
+    id/class hint model as :func:`html_extract`: a heading inside a
+    demoted container (``class~sidebar|promo|footer|…``) is boilerplate
+    chrome and is dropped; whitespace-collapsed, ligature-normalized,
+    empty headings dropped."""
+    html = raw.decode("utf-8", errors="replace")
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+    except Exception:
+        pass  # best effort, same contract as html_extract
+    out: list[tuple[int, str]] = []
+    for blk in parser.blocks():
+        level = _HEADING_TAGS.get(blk.tag)
+        if level is None or blk.hint < 0:
+            continue
+        text = collapse_ws(normalize_ligatures("".join(blk.parts)))
+        if text:
+            out.append((level, text))
+    return out

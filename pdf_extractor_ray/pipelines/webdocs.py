@@ -546,3 +546,87 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(n_chars + (doc_id % 3) AS BIGINT) AS snap_chars
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Heading extraction through the REAL HTML parser (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def derive_heading_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic HTML page per doc with a known heading outline:
+    ``<h1>`` = first whitespace token, ``<h2>`` = second (when present)
+    inside the boosted ``div#content``, plus a DEMOTED sidebar ``<h3>``
+    (BOILER) the extractor must drop — so the oracle can derive the
+    expected outline from the text column while the engine must
+    actually parse markup, apply hint demotion, and collapse
+    whitespace to match."""
+    htmls = []
+    for text in b["text"]:
+        toks = text.split()
+        main = []
+        if toks:
+            main.append(f"<h1>{html_escape(toks[0])}</h1>")
+        main.append(f"<p>{html_escape(text)}</p>")
+        if len(toks) >= 2:
+            main.append(f"<h2>{html_escape(toks[1])}</h2>")
+        htmls.append(
+            (
+                "<html><head><title>BOILER title</title></head><body>"
+                "<nav><a href='/x'>BOILER nav</a></nav>"
+                f"<div id=\"content\">{''.join(main)}</div>"
+                "<div class=\"sidebar\"><h3>BOILER promo heading</h3></div>"
+                "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_headings_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic heading-bearing pages →
+    :func:`kernels.html_extract.html_extract_headings` → ``(doc_id,
+    level, heading)``. Zero shuffle (per-batch parse, the flagship's
+    stage shape); the demoted BOILER ``<h3>`` proves the hint model is
+    live in the outline path, not just the body-text path."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_headings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_heading_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, levels, texts = [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            for level, heading in html_extract_headings(raw):
+                ids.append(int(doc_id))
+                levels.append(level)
+                texts.append(heading)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "level": pd.Series(levels, dtype="int64"),
+                "heading": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_headings_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS level, arr[1] AS heading FROM t WHERE len(arr) >= 1
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) AS level, arr[2] AS heading FROM t WHERE len(arr) >= 2
+"""
+
+
+EXTRACT_HEADINGS_SQL = _extract_headings_sql()

@@ -437,3 +437,26 @@ class TestCompactNonemptyArrow:
         ]
         assert len(blocks) == 1 and blocks[0].num_rows == 0
         assert blocks[0].schema.names == ["node"]
+
+
+class TestHtmlExtractHeadings:
+    def test_hints_nesting_malformed(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_headings
+
+        # demoted container drops its heading; boosted keeps 1-char;
+        # entity unescape + whitespace collapse; unclosed h2 flushes;
+        # malformed tail tolerated
+        raw = (
+            b"<html><body>"
+            b"<div id=content><h1>A &amp;  B</h1><h6>x</h6></div>"
+            b"<div class=footer><h2>BOILER nope</h2></div>"
+            b"<h2>tail heading"
+        )
+        assert html_extract_headings(raw) == [(1, "A & B"), (6, "x"), (2, "tail heading")]
+
+    def test_empty_and_nonheading(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_headings
+
+        assert html_extract_headings(b"") == []
+        assert html_extract_headings(b"<p>no headings</p>") == []
+        assert html_extract_headings(b"<h3>  </h3>") == []
