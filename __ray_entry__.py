@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_score_documents": webdocs.llm_score_documents,
         "extraction_metrics_by_bucket": webdocs.extraction_metrics_by_bucket,
         "extract_headings_documents": webdocs.extract_headings_documents,
+        "extract_links_documents": webdocs.extract_links_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_jaccard": textops.SOURCE_VOCAB_JACCARD_SQL,
         "bigram_vocab_by_lang": textops.BIGRAM_VOCAB_BY_LANG_SQL,
         "extract_headings_documents": webdocs.EXTRACT_HEADINGS_SQL,
+        "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

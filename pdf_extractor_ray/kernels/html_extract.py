@@ -460,3 +460,85 @@ def html_extract_headings(raw: bytes) -> list[tuple[int, str]]:
         if text:
             out.append((level, text))
     return out
+
+
+_HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def html_extract_links(raw: bytes) -> list[tuple[str, str]]:
+    """Extract MAIN-CONTENT outlinks: ``[(href, anchor_text), ...]`` in
+    document order, dropping links inside demoted containers
+    (``class~sidebar|promo|footer|…``) — the crawl-frontier harvest
+    step (nav/related/footer links are crawler chaff; content links
+    are the discovery signal). Anchor text is whitespace-collapsed;
+    links with an empty href are dropped; a nested ``<a>`` implicitly
+    closes the previous one (the HTML5 rule). Standalone single pass
+    over the same token stream as :func:`html_extract` — it shares the
+    hint model but not the block machinery, so the body-text golden
+    path is untouched."""
+    html = raw.decode("utf-8", errors="replace")
+    links: list[tuple[str, str]] = []
+    open_hints: list[tuple[str, int]] = []  # (tag, hint) for hinted containers
+    neg_depth = 0
+    href: str | None = None
+    anchor_parts: list[str] = []
+
+    def close_link() -> None:
+        nonlocal href
+        if href is not None and href != "":
+            text = collapse_ws(unescape("".join(anchor_parts)))
+            links.append((href, text))
+        href = None
+        anchor_parts.clear()
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            if href is not None:
+                anchor_parts.append(html[pos:])
+            break
+        if m.start() > pos and href is not None:
+            anchor_parts.append(html[pos : m.start()])
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if tag == "a":
+                close_link()
+            elif tag in HINTABLE_TAGS:
+                for i in range(len(open_hints) - 1, -1, -1):
+                    if open_hints[i][0] == tag:
+                        if open_hints[i][1] < 0:
+                            neg_depth -= 1
+                        del open_hints[i]
+                        break
+            continue
+        if tag in _RAWTEXT_CLOSE:  # skip script/style payloads
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag == "a":
+            if href is not None:
+                close_link()
+            if neg_depth == 0:
+                hm = _HREF_RE.search(m.group(2) or "")
+                href = (hm.group(1) or hm.group(2) or hm.group(3) or "") if hm else ""
+            continue
+        if tag in HINTABLE_TAGS:
+            hint = 0
+            a2, b2 = m.span(2)
+            if b2 > a2:
+                blob = html[a2:b2]
+                low = blob if blob.islower() else blob.lower()
+                if "id" in low or "class" in low:
+                    hint = _sniff_hint(blob)
+            open_hints.append((tag, hint))
+            if hint < 0:
+                neg_depth += 1
+    close_link()  # flush an unclosed trailing link
+    return links

@@ -630,3 +630,87 @@ SELECT doc_id, CAST(2 AS BIGINT) AS level, arr[2] AS heading FROM t WHERE len(ar
 
 
 EXTRACT_HEADINGS_SQL = _extract_headings_sql()
+
+
+# ---------------------------------------------------------------------------
+# Main-content outlink harvest through the real HTML parser
+# ---------------------------------------------------------------------------
+
+
+def derive_link_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with a known outlink set: two
+    content links (``/article/{2·doc_id}`` anchored by the first
+    token, ``/article/{2·doc_id+1}`` by the second when present)
+    inside the boosted main div, plus a DEMOTED sidebar link the
+    harvester must drop — the oracle derives the expected frontier
+    from doc_id/text arithmetic while the engine parses real markup."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        toks = text.split()
+        a0 = html_escape(toks[0]) if toks else "read"
+        main = [f'<a href="/article/{2 * d}">{a0}</a><p>{html_escape(text)}</p>']
+        if len(toks) >= 2:
+            main.append(f'<a href="/article/{2 * d + 1}">{html_escape(toks[1])}</a>')
+        htmls.append(
+            (
+                "<html><body>"
+                f"<div id=\"content\">{''.join(main)}</div>"
+                f'<div class="sidebar"><a href="/rel/{d}">BOILER related</a></div>'
+                "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_links_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic link-bearing pages →
+    :func:`kernels.html_extract.html_extract_links` → ``(doc_id, href,
+    anchor)``. The crawl-frontier harvest every crawler loop runs on
+    extracted pages; zero shuffle, and the demoted sidebar link proves
+    chaff links die in the outline path."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_links
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_link_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hrefs, anchors = [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            for href, anchor in html_extract_links(raw):
+                ids.append(int(doc_id))
+                hrefs.append(href)
+                anchors.append(anchor)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "href": pd.Series(hrefs, dtype="object"),
+                "anchor": pd.Series(anchors, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_links_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id, '/article/' || CAST(2 * doc_id AS VARCHAR) AS href,
+       CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'read' END AS anchor
+FROM t
+UNION ALL
+SELECT doc_id, '/article/' || CAST(2 * doc_id + 1 AS VARCHAR) AS href, arr[2] AS anchor
+FROM t WHERE len(arr) >= 2
+"""
+
+
+EXTRACT_LINKS_SQL = _extract_links_sql()

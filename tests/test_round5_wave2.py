@@ -460,3 +460,32 @@ class TestHtmlExtractHeadings:
         assert html_extract_headings(b"") == []
         assert html_extract_headings(b"<p>no headings</p>") == []
         assert html_extract_headings(b"<h3>  </h3>") == []
+
+
+class TestHtmlExtractLinks:
+    def test_hints_nesting_quirks(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_links
+
+        raw = (
+            b"<html><body>"
+            b'<div id=content><a href="/a/1">one  two</a>'
+            b"<a href='/a/2'>x<a href=/a/3>nested closes prev</a></div>"
+            b'<div class="footer inner"><a href="/no">chaff</a></div>'
+            b'<a href="">empty href</a>'
+            b'<script>var h="<a href=/fake>no</a>";</script>'
+            b'<a href="/tail">tail'
+        )
+        got = html_extract_links(raw)
+        assert got == [
+            ("/a/1", "one two"),
+            ("/a/2", "x"),
+            ("/a/3", "nested closes prev"),
+            ("/tail", "tail"),
+        ]
+
+    def test_demotion_closes(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_links
+
+        # demotion ends when its container closes
+        raw = b'<div class=sidebar><a href="/no">n</a></div><a href="/yes">y</a>'
+        assert html_extract_links(raw) == [("/yes", "y")]
