@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_metrics_by_bucket": webdocs.extraction_metrics_by_bucket,
         "extract_headings_documents": webdocs.extract_headings_documents,
         "extract_links_documents": webdocs.extract_links_documents,
+        "extract_meta_documents": webdocs.extract_meta_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_vocab_by_lang": textops.BIGRAM_VOCAB_BY_LANG_SQL,
         "extract_headings_documents": webdocs.EXTRACT_HEADINGS_SQL,
         "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
+        "extract_meta_documents": webdocs.EXTRACT_META_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

@@ -542,3 +542,81 @@ def html_extract_links(raw: bytes) -> list[tuple[str, str]]:
                 neg_depth += 1
     close_link()  # flush an unclosed trailing link
     return links
+
+
+def _attr_val(blob: str, name: str) -> str | None:
+    m = re.search(
+        rf"""{name}\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", blob, re.I
+    )
+    if not m:
+        return None
+    return m.group(1) or m.group(2) or m.group(3) or ""
+
+
+def html_extract_meta(raw: bytes) -> dict:
+    """Extract page metadata: ``{"title", "description", "canonical",
+    "lang"}`` (each ``str | None``) — the head fields a crawl pipeline
+    keys on before body extraction (canonical feeds URL dedup, lang
+    feeds routing priors, title/description feed snippets and quality
+    probes). First occurrence wins, matching browser behavior; title
+    and description are entity-unescaped and whitespace-collapsed.
+    Standalone pass over the shared token stream; never touches the
+    body-text golden path."""
+    html = raw.decode("utf-8", errors="replace")
+    title: str | None = None
+    description: str | None = None
+    canonical: str | None = None
+    lang: str | None = None
+    in_title = False
+    title_parts: list[str] = []
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            if in_title:
+                title_parts.append(html[pos:])
+            break
+        if m.start() > pos and in_title:
+            title_parts.append(html[pos : m.start()])
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if tag == "title" and in_title:
+                in_title = False
+                if title is None:
+                    t = collapse_ws(unescape("".join(title_parts)))
+                    title = t if t else None
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        blob = html[m.start(2) : m.end(2)]
+        if tag == "title":
+            in_title = title is None  # first <title> wins
+            title_parts = []
+        elif tag == "meta" and description is None:
+            nm = _attr_val(blob, "name")
+            if nm is not None and nm.lower() == "description":
+                content = _attr_val(blob, "content")
+                if content is not None:
+                    d = collapse_ws(unescape(content))
+                    description = d if d else None
+        elif tag == "link" and canonical is None:
+            rel = _attr_val(blob, "rel")
+            if rel is not None and rel.lower() == "canonical":
+                href = _attr_val(blob, "href")
+                canonical = href if href else None
+        elif tag == "html" and lang is None:
+            lv = _attr_val(blob, "lang")
+            lang = lv if lv else None
+    if in_title and title is None:
+        t = collapse_ws(unescape("".join(title_parts)))
+        title = t if t else None
+    return {"title": title, "description": description, "canonical": canonical, "lang": lang}

@@ -714,3 +714,86 @@ FROM t WHERE len(arr) >= 2
 
 
 EXTRACT_LINKS_SQL = _extract_links_sql()
+
+
+# ---------------------------------------------------------------------------
+# Page-metadata extraction through the real HTML parser
+# ---------------------------------------------------------------------------
+
+
+def derive_meta_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with planted head metadata: lang
+    attribute from the lang column, title = first token + ' - Example',
+    description = first three tokens, canonical = the doc's stable url
+    — plus decoys (a keywords meta, a second title) the extractor must
+    ignore under first-occurrence-wins."""
+    htmls = []
+    for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+        d = int(doc_id)
+        toks = text.split()
+        title = html_escape((toks[0] if toks else "untitled") + " - Example")
+        desc = html_escape(" ".join(toks[:3]) if toks else "no summary")
+        htmls.append(
+            (
+                f'<html lang="{lang}"><head>'
+                f"<title>{title}</title>"
+                f'<meta name="keywords" content="BOILER decoy">'
+                f'<meta name="description" content="{desc}">'
+                f'<link rel="stylesheet" href="/BOILER.css">'
+                f'<link rel="canonical" href="https://docs.example.com/{d}">'
+                f"<title>BOILER second title</title>"
+                f"</head><body><p>{html_escape(text)}</p></body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_meta_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic metadata-bearing pages →
+    :func:`kernels.html_extract.html_extract_meta` → ``(doc_id, title,
+    description, canonical, lang_attr)``. The decoy meta/link/title
+    entries prove attribute filtering and first-wins semantics against
+    the SQL-derived expectation."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    ).map_batches(derive_meta_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        metas = [html_extract_meta(raw) for raw in b["html"]]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "title": pd.Series([m["title"] for m in metas], dtype="object"),
+                "description": pd.Series([m["description"] for m in metas], dtype="object"),
+                "canonical": pd.Series([m["canonical"] for m in metas], dtype="object"),
+                "lang_attr": pd.Series([m["lang"] for m in metas], dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_meta_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'untitled' END) || ' - Example' AS title,
+       CASE WHEN len(arr) = 0 THEN 'no summary'
+            ELSE array_to_string(arr[1:LEAST(len(arr), 3)], ' ') END AS description,
+       'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS canonical,
+       lang AS lang_attr
+FROM t
+"""
+
+
+EXTRACT_META_SQL = _extract_meta_sql()

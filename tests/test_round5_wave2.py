@@ -489,3 +489,36 @@ class TestHtmlExtractLinks:
         # demotion ends when its container closes
         raw = b'<div class=sidebar><a href="/no">n</a></div><a href="/yes">y</a>'
         assert html_extract_links(raw) == [("/yes", "y")]
+
+
+class TestHtmlExtractMeta:
+    def test_first_wins_and_decoys(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+
+        raw = (
+            b'<html LANG="en-US"><head><title>A &amp;  B</title>'
+            b'<title>second ignored</title>'
+            b'<meta name="keywords" content="decoy">'
+            b"<meta name='Description' content='d  one'>"
+            b'<meta name="description" content="second ignored">'
+            b'<link rel="stylesheet" href="/x.css">'
+            b'<link REL=canonical href=/c/1>'
+            b"</head></html>"
+        )
+        got = html_extract_meta(raw)
+        assert got == {
+            "title": "A & B",
+            "description": "d one",
+            "canonical": "/c/1",
+            "lang": "en-US",
+        }
+
+    def test_missing_and_unclosed(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+
+        assert html_extract_meta(b"<p>x</p>") == {
+            "title": None, "description": None, "canonical": None, "lang": None,
+        }
+        assert html_extract_meta(b"<title>tail")["title"] == "tail"
+        # empty-content description stays None
+        assert html_extract_meta(b'<meta name=description content="">')["description"] is None
