@@ -275,10 +275,9 @@ _NEVER_DRIVER_RUN = [
     "ingest_snapshot_documents",
     "registrable_domain_stats",
     "lm_nll_documents",
-    "lm_nll_buckets_documents",
-    "lm_trigram_nll_documents",
+    # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
+    # (in-window) composes the identical bucketing end to end
     "pack_sequences_documents",
-    "concat_chunks_documents",
     "length_bucketed_batches",
     "boilerplate_prefixes",
     "c4_clean_documents",
@@ -316,10 +315,17 @@ _NEVER_DRIVER_RUN = [
     "url_rules_filter_documents",
     "length_outliers_documents",
     "triangle_counts_documents",
-    # Window is full at 47 + the 3 flagship sentinels below; oracle
-    # newcomers from here on park in the OVERFLOW (identical check in
-    # CI at sf0.001 + the sf0.01 pre-flight) rather than displace the
-    # north-star extraction carriers: top_tokens_by_source, ...
+    # final-session wave 5: the NEW extraction-kernel carriers take
+    # window slots (north-star family) from two same-family LM/packing
+    # variants (lm_trigram_nll_documents, concat_chunks_documents —
+    # their families stay driver-covered via lm_nll_documents /
+    # pack_sequences_documents); the remaining wave-5 oracle newcomers
+    # (top_tokens_by_source, source_vocab_jaccard, bigram_vocab_by_lang)
+    # park in the OVERFLOW — identical check in CI at sf0.001 + the
+    # sf0.01 pre-flight
+    "extract_headings_documents",
+    "extract_links_documents",
+    "extract_meta_documents",
 ]
 
 _WINDOW_KEEPERS = [
