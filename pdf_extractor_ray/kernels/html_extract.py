@@ -620,3 +620,47 @@ def html_extract_meta(raw: bytes) -> dict:
         t = collapse_ws(unescape("".join(title_parts)))
         title = t if t else None
     return {"title": title, "description": description, "canonical": canonical, "lang": lang}
+
+
+_LDJSON_TYPE_RE = re.compile(r"""type\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def html_extract_ldjson(raw: bytes) -> list[dict]:
+    """Extract JSON-LD structured-data blocks (``<script
+    type="application/ld+json">``): a list of parsed dicts in document
+    order — the schema.org channel modern pipelines read for article
+    type/headline/date before falling back to DOM heuristics. Payloads
+    parse through :func:`functions.jsonparse.parse_robust_json` (same
+    tolerance as the scorer path: trailing junk, fenced blobs);
+    unparseable blocks are skipped, non-ld script payloads are never
+    touched. Standalone pass; body-text golden path untouched."""
+    from pdf_extractor_ray.functions.jsonparse import parse_robust_json
+
+    html = raw.decode("utf-8", errors="replace")
+    out: list[dict] = []
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    close = _RAWTEXT_CLOSE["script"]
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None or html[m.start() + 1] == "/":
+            continue
+        tag = name.lower()
+        if tag not in _RAWTEXT_CLOSE:
+            continue
+        mm = close.search(html, pos) if tag == "script" else _RAWTEXT_CLOSE["style"].search(html, pos)
+        payload_end = mm.start() if mm else n
+        if tag == "script":
+            tm = _LDJSON_TYPE_RE.search(html[m.start(2) : m.end(2)])
+            stype = (tm.group(1) or tm.group(2) or tm.group(3) or "") if tm else ""
+            if stype.strip().lower() == "application/ld+json":
+                obj, _err = parse_robust_json(html[pos:payload_end])
+                if obj is not None:
+                    out.append(obj)
+        pos = payload_end
+    return out

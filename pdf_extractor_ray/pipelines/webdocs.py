@@ -797,3 +797,91 @@ FROM t
 
 
 EXTRACT_META_SQL = _extract_meta_sql()
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD structured-data harvest (schema.org channel)
+# ---------------------------------------------------------------------------
+
+
+def derive_ldjson_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with a planted schema.org Article
+    JSON-LD block (headline = first token, wordCount = token count)
+    plus decoys: a plain ``<script>`` carrying JSON-looking text and a
+    malformed ld+json block — the harvester must take exactly the one
+    valid typed block."""
+    import json
+
+    htmls = []
+    for text in b["text"]:
+        toks = text.split()
+        ld = json.dumps(
+            {
+                "@type": "Article",
+                "headline": toks[0] if toks else "untitled",
+                "wordCount": len(toks),
+            }
+        )
+        htmls.append(
+            (
+                "<html><head>"
+                '<script>var decoy = {"@type": "Fake"};</script>'
+                f'<script type="application/ld+json">{ld}</script>'
+                '<script type="application/ld+json">{broken</script>'
+                f"</head><body><p>{html_escape(text)}</p></body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_ldjson_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → pages with planted+decoy JSON-LD →
+    :func:`kernels.html_extract.html_extract_ldjson` → ``(doc_id,
+    ld_type, headline, word_count)``. Composes the HTML token scan with
+    the robust JSON parser (M12's tolerance path) under an exact SQL
+    expectation."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_ldjson
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_ldjson_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, types, heads, counts = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            for obj in html_extract_ldjson(raw):
+                ids.append(int(doc_id))
+                types.append(str(obj.get("@type", "")))
+                heads.append(str(obj.get("headline", "")))
+                counts.append(int(obj.get("wordCount", 0)))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "ld_type": pd.Series(types, dtype="object"),
+                "headline": pd.Series(heads, dtype="object"),
+                "word_count": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_ldjson_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id, 'Article' AS ld_type,
+       CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'untitled' END AS headline,
+       CAST(len(arr) AS BIGINT) AS word_count
+FROM t
+"""
+
+
+EXTRACT_LDJSON_SQL = _extract_ldjson_sql()

@@ -522,3 +522,27 @@ class TestHtmlExtractMeta:
         assert html_extract_meta(b"<title>tail")["title"] == "tail"
         # empty-content description stays None
         assert html_extract_meta(b'<meta name=description content="">')["description"] is None
+
+
+class TestHtmlExtractLdjson:
+    def test_typed_blocks_only_robust_parse(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_ldjson
+
+        raw = (
+            b"<html><head>"
+            b'<script>var decoy = {"@type": "Fake"};</script>'
+            b'<script type="application/ld+json">{"@type": "Article", "headline": "H"}</script>'
+            b"<script type='APPLICATION/LD+JSON'>junk before {\"@type\": \"Org\"} after</script>"
+            b'<script type="application/ld+json">{totally broken</script>'
+            b'<style>.x{content:"{}"}</style>'
+            b"</head></html>"
+        )
+        got = html_extract_ldjson(raw)
+        assert got == [{"@type": "Article", "headline": "H"}, {"@type": "Org"}]
+
+    def test_empty_and_unclosed_script(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_ldjson
+
+        assert html_extract_ldjson(b"<p>x</p>") == []
+        got = html_extract_ldjson(b'<script type="application/ld+json">{"@type": "T"}')
+        assert got == [{"@type": "T"}]
