@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": windows.retention_cohorts,
         "event_type_transitions": windows.event_type_transitions,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_rules_filter_documents,
+        "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).robots_filter_documents,
         "approx_distinct_counts": textops.approx_distinct_counts,
         "approx_token_quantiles": textops.approx_token_quantiles,
         "top_orders_per_segment": windows.top_orders_per_segment,
@@ -464,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
+        "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

@@ -228,3 +228,45 @@ def _public_suffix_labels(labels: list[str]) -> int:
         if i > 0 and cand in PSL_WILDCARD:
             best = max(best, n - i + 1)
     return best
+
+
+def parse_robots_disallows(txt: str, agent: str = "*") -> list[str]:
+    """Parse a robots.txt body into the Disallow path-prefixes that
+    apply to ``agent`` — the minimal, deterministic subset of the
+    Robots Exclusion Protocol (RFC 9309) a bulk crawler enforces:
+
+    - groups are runs of ``User-agent:`` lines followed by rules; a
+      group applies when any of its agents is ``*`` or equals
+      ``agent`` (case-insensitive);
+    - ``Disallow:`` with a non-empty value contributes its prefix;
+      an empty Disallow means "allow all" and contributes nothing;
+    - ``Allow:``/``Crawl-delay:``/``Sitemap:`` and ``#`` comments are
+      ignored (prefix-only enforcement — the conservative reading);
+    - duplicate prefixes dedupe, order preserved.
+    """
+    agent = agent.lower()
+    out: list[str] = []
+    seen: set[str] = set()
+    group_agents: list[str] = []
+    group_applies = False
+    in_agent_run = False
+    for raw_line in txt.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:  # a new group starts
+                group_agents = []
+            in_agent_run = True
+            group_agents.append(value.lower())
+            group_applies = "*" in group_agents or agent in group_agents
+        else:
+            in_agent_run = False
+            if field == "disallow" and group_applies and value:
+                if value not in seen:
+                    seen.add(value)
+                    out.append(value)
+    return out

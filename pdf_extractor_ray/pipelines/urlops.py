@@ -569,3 +569,60 @@ SELECT doc_id,
            || CASE WHEN has_q THEN '?q=1' ELSE '' END AS canonical_url
 FROM kept
 """
+
+
+# --------------------------------------------------------------------------
+# robots.txt → rules → filter (the full crawl-compliance loop)
+# --------------------------------------------------------------------------
+
+
+def derive_robots_bodies() -> dict[str, str]:
+    """Deterministic per-domain robots.txt bodies reproducing the
+    :data:`URL_RULES` outcomes through the PARSER: h4 disallows
+    everything, h1 disallows the 3-deep prefix — wrapped in the noise
+    a real robots file carries (comments, Allow lines, foreign-agent
+    groups, crawl-delay, empty Disallow)."""
+    return {
+        "h4.example.org": (
+            "# closed to bulk crawling\n"
+            "User-agent: SomeOtherBot\nDisallow: /other\n\n"
+            "User-agent: *\nCrawl-delay: 2\nDisallow: /\n"
+        ),
+        "h1.example.org": (
+            "User-agent: GoodBot\nUser-agent: *\n"
+            "Allow: /p0/p1/p2/ok  # ignored: prefix-only enforcement\n"
+            "Disallow: /p0/p1/p2\nDisallow:\n"
+        ),
+        "h0.example.org": "User-agent: *\nDisallow:\n",  # allow all
+        "h2.example.org": "# empty file\n",
+        "h3.example.org": "User-agent: NotUs\nDisallow: /\n",
+    }
+
+
+def robots_filter_documents(sf_dir: str) -> ray.data.Dataset:
+    """END-TO-END crawl compliance: parse each domain's robots.txt
+    body into Disallow prefixes (:func:`functions.urls.
+    parse_robots_disallows`), assemble the (domain, prefix) rule set,
+    and apply :func:`url_rules_filter` over the varied-path url
+    corpus. The planted bodies reproduce exactly :data:`URL_RULES`
+    (whole-domain '/' normalizes to the empty prefix), so the oracle
+    is the same arithmetic replay as ``url_rules_filter_documents`` —
+    the engine only matches if parser, canonicalizer, domain/path
+    extraction, AND prefix matching all agree."""
+    from pdf_extractor_ray.functions.urls import parse_robots_disallows
+
+    rules: list[tuple[str, str]] = []
+    for domain, body in derive_robots_bodies().items():
+        for prefix in parse_robots_disallows(body):
+            # 'Disallow: /' means the whole domain — the filter's
+            # empty-prefix convention
+            rules.append((domain, "" if prefix == "/" else prefix))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+    return url_rules_filter(ds, tuple(sorted(rules)))
+
+
+# identical expected output to URL_RULES_FILTER_SQL — the robots bodies
+# are constructed to parse to the same rule set
+ROBOTS_FILTER_SQL = URL_RULES_FILTER_SQL

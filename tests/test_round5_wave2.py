@@ -546,3 +546,31 @@ class TestHtmlExtractLdjson:
         assert html_extract_ldjson(b"<p>x</p>") == []
         got = html_extract_ldjson(b'<script type="application/ld+json">{"@type": "T"}')
         assert got == [{"@type": "T"}]
+
+
+class TestParseRobots:
+    def test_groups_agents_noise(self):
+        from pdf_extractor_ray.functions.urls import parse_robots_disallows
+
+        txt = (
+            "# header comment\n"
+            "User-agent: GoodBot\n"
+            "User-agent: *\n"
+            "Disallow: /private  # inline comment\n"
+            "Allow: /private/ok\n"
+            "Disallow:\n"          # empty = allow-all, contributes nothing
+            "Disallow: /tmp\n"
+            "Disallow: /tmp\n"     # dup dedupes
+            "\n"
+            "User-agent: OtherBot\n"
+            "Disallow: /other-only\n"
+        )
+        assert parse_robots_disallows(txt) == ["/private", "/tmp"]
+        assert parse_robots_disallows(txt, agent="OTHERBOT") == [
+            "/private", "/tmp", "/other-only",
+        ]
+        # a rule line ENDS the agent run: the next User-agent starts a
+        # NEW group, so /x does not leak into the * group
+        txt2 = "User-agent: *\nDisallow: /a\nUser-agent: Z\nDisallow: /x\n"
+        assert parse_robots_disallows(txt2) == ["/a"]
+        assert parse_robots_disallows("") == []
