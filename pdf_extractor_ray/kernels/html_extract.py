@@ -664,3 +664,59 @@ def html_extract_ldjson(raw: bytes) -> list[dict]:
                     out.append(obj)
         pos = payload_end
     return out
+
+
+_SITEMAP_FIELDS = frozenset({"loc", "lastmod", "changefreq", "priority"})
+
+
+def parse_sitemap(raw: bytes) -> list[dict]:
+    """Parse a sitemap.xml body: one dict per ``<url>`` entry with the
+    standard fields (``loc``, ``lastmod``, ``changefreq``,
+    ``priority``; missing → absent) — the crawl-discovery companion to
+    robots.txt (sitemaps.org protocol). Entries without a ``loc`` are
+    dropped (the protocol requires it); field text is
+    whitespace-trimmed and entity-unescaped; unknown tags are ignored,
+    so index files and extension namespaces pass through harmlessly.
+    Reuses the shared tag tokenizer — XML is a subset of what it
+    already lexes."""
+    xml = raw.decode("utf-8", errors="replace")
+    out: list[dict] = []
+    cur: dict | None = None
+    field: str | None = None
+    parts: list[str] = []
+    pos = 0
+    n = len(xml)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(xml, pos)
+        if m is None:
+            if field is not None:
+                parts.append(xml[pos:])
+            break
+        if m.start() > pos and field is not None:
+            parts.append(xml[pos : m.start()])
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        closing = xml[m.start() + 1] == "/"
+        if tag == "url":
+            if closing:
+                if cur is not None and "loc" in cur:
+                    out.append(cur)
+                cur = None
+            else:
+                cur = {}
+            field = None
+        elif tag in _SITEMAP_FIELDS and cur is not None:
+            if closing:
+                if field == tag:
+                    text = unescape("".join(parts)).strip()
+                    if text:
+                        cur[tag] = text
+                field = None
+            else:
+                field = tag
+                parts = []
+    return out

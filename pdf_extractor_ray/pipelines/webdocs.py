@@ -885,3 +885,80 @@ FROM t
 
 
 EXTRACT_LDJSON_SQL = _extract_ldjson_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (crawl-discovery channel)
+# ---------------------------------------------------------------------------
+
+
+def derive_sitemap_bodies(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic sitemap.xml body per doc: the doc's page plus an
+    archive variant (lastmod/priority from doc_id arithmetic), a
+    loc-less decoy entry the parser must drop, and an image-extension
+    block it must ignore."""
+    bodies = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        prio = f"<priority>0.{d % 9 + 1}</priority>" if d % 2 == 0 else ""
+        bodies.append(
+            (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                f"<url><loc>https://docs.example.com/{d}</loc>"
+                f"<lastmod>2026-0{d % 9 + 1}-01</lastmod>{prio}</url>\n"
+                f"<url><lastmod>2000-01-01</lastmod></url>\n"
+                f"<url><loc>https://docs.example.com/{d}/archive</loc>"
+                "<image:image><image:loc>BOILER.png</image:loc></image:image></url>\n"
+                "</urlset>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["sitemap"] = bodies
+    return out
+
+
+def parse_sitemaps_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic sitemap bodies →
+    :func:`kernels.html_extract.parse_sitemap` → ``(doc_id, loc,
+    lastmod, priority)`` (missing fields as empty strings for exact
+    null-free hashing). The loc-less decoy and the image-extension
+    block prove the protocol rules are live."""
+    from pdf_extractor_ray.kernels.html_extract import parse_sitemap
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_sitemap_bodies, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, locs, mods, prios = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["sitemap"]):
+            for e in parse_sitemap(raw):
+                ids.append(int(doc_id))
+                locs.append(e["loc"])
+                mods.append(e.get("lastmod", ""))
+                prios.append(e.get("priority", ""))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "loc": pd.Series(locs, dtype="object"),
+                "lastmod": pd.Series(mods, dtype="object"),
+                "priority": pd.Series(prios, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+PARSE_SITEMAPS_SQL = """
+SELECT doc_id,
+       'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+       CASE WHEN doc_id % 2 = 0 THEN '0.' || CAST(doc_id % 9 + 1 AS VARCHAR) ELSE '' END AS priority
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'https://docs.example.com/' || CAST(doc_id AS VARCHAR) || '/archive' AS loc,
+       '' AS lastmod, '' AS priority
+FROM documents
+"""

@@ -574,3 +574,30 @@ class TestParseRobots:
         txt2 = "User-agent: *\nDisallow: /a\nUser-agent: Z\nDisallow: /x\n"
         assert parse_robots_disallows(txt2) == ["/a"]
         assert parse_robots_disallows("") == []
+
+
+class TestParseSitemap:
+    def test_protocol_rules(self):
+        from pdf_extractor_ray.kernels.html_extract import parse_sitemap
+
+        raw = (
+            b'<?xml version="1.0"?>\n<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            b"<url><loc> https://ex.com/a?x=1&amp;y=2 </loc><lastmod>2026-01-02</lastmod>"
+            b"<changefreq>daily</changefreq><priority>0.8</priority></url>"
+            b"<url><lastmod>2000-01-01</lastmod></url>"  # loc-less: dropped
+            b"<url><loc>https://ex.com/b</loc>"
+            b"<image:image><image:loc>ignored.png</image:loc></image:image></url>"
+            b"</urlset>"
+        )
+        got = parse_sitemap(raw)
+        assert got == [
+            {
+                "loc": "https://ex.com/a?x=1&y=2",
+                "lastmod": "2026-01-02",
+                "changefreq": "daily",
+                "priority": "0.8",
+            },
+            {"loc": "https://ex.com/b"},
+        ]
+        assert parse_sitemap(b"") == []
+        assert parse_sitemap(b"<urlset><url><loc>x</loc>") == []  # unclosed url: dropped
