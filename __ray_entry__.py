@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta_documents": webdocs.extract_meta_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
+        "parse_feeds_documents": webdocs.parse_feeds_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
@@ -468,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,
+        "parse_feeds_documents": webdocs.PARSE_FEEDS_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

@@ -720,3 +720,72 @@ def parse_sitemap(raw: bytes) -> list[dict]:
                 field = tag
                 parts = []
     return out
+
+
+_FEED_TEXT_FIELDS = frozenset({"title", "link", "pubdate", "updated", "guid", "id"})
+
+
+def parse_feed(raw: bytes) -> list[dict]:
+    """Parse an RSS 2.0 or Atom feed into per-entry dicts with
+    normalized keys ``title`` / ``link`` / ``ts`` / ``id`` (missing →
+    absent) — the third crawl-discovery channel next to robots and
+    sitemaps (feeds surface NEW urls faster than sitemaps). Entries
+    are RSS ``<item>`` or Atom ``<entry>``; the Atom ``<link href=…>``
+    attribute form and the RSS text form both map to ``link``;
+    ``pubDate``/``updated`` map to ``ts``; ``guid``/``id`` map to
+    ``id``. Entries without a link are dropped. Channel-level fields
+    (the feed's own title/link) are ignored — only entry scope
+    counts."""
+    xml = raw.decode("utf-8", errors="replace")
+    out: list[dict] = []
+    cur: dict | None = None
+    field: str | None = None
+    parts: list[str] = []
+    pos = 0
+    n = len(xml)
+    search = _TOKEN_RE.search
+    _KEY = {"pubdate": "ts", "updated": "ts", "guid": "id", "id": "id",
+            "title": "title", "link": "link"}
+    while pos < n:
+        m = search(xml, pos)
+        if m is None:
+            if field is not None:
+                parts.append(xml[pos:])
+            break
+        if m.start() > pos and field is not None:
+            parts.append(xml[pos : m.start()])
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        closing = xml[m.start() + 1] == "/"
+        if tag in ("item", "entry"):
+            if closing:
+                if cur is not None and cur.get("link"):
+                    out.append(cur)
+                cur = None
+            else:
+                cur = {}
+            field = None
+        elif tag in _FEED_TEXT_FIELDS and cur is not None:
+            key = _KEY[tag]
+            if closing:
+                if field == tag:
+                    text = unescape("".join(parts)).strip()
+                    if text and key not in cur:  # first occurrence wins
+                        cur[key] = text
+                field = None
+            elif tag == "link":
+                href = _attr_val(xml[m.start(2) : m.end(2)], "href")
+                if href:  # Atom attribute form (self-closing)
+                    if "link" not in cur:
+                        cur["link"] = href
+                    field = None
+                else:  # RSS text form
+                    field = tag
+                    parts = []
+            else:
+                field = tag
+                parts = []
+    return out

@@ -962,3 +962,95 @@ SELECT doc_id,
        '' AS lastmod, '' AS priority
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feed parsing (fresh-url discovery channel)
+# ---------------------------------------------------------------------------
+
+
+def derive_feed_bodies(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic feed body per doc — RSS 2.0 for even ids, Atom
+    for odd ids (the parser must normalize BOTH syntaxes to one
+    schema): entry title = first token, link = the doc's stable url,
+    ts/id from doc_id arithmetic; plus channel-level title/link decoys
+    and a link-less entry that must drop."""
+    bodies = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        toks = text.split()
+        title = html_escape(toks[0] if toks else "untitled")
+        link = f"https://docs.example.com/{d}"
+        if d % 2 == 0:
+            body = (
+                "<rss><channel><title>BOILER channel</title><link>/BOILER</link>"
+                f"<item><title>{title}</title><link>{link}</link>"
+                f"<pubDate>2026-01-{d % 28 + 1:02d}</pubDate><guid>g{d}</guid></item>"
+                "<item><title>BOILER linkless</title></item>"
+                "</channel></rss>"
+            )
+        else:
+            body = (
+                '<feed xmlns="http://www.w3.org/2005/Atom"><title>BOILER feed</title>'
+                f'<entry><title>{title}</title><link href="{link}"/>'
+                f"<updated>2026-01-{d % 28 + 1:02d}</updated><id>g{d}</id></entry>"
+                "</feed>"
+            )
+        bodies.append(body.encode("utf-8"))
+    out = b.copy()
+    out["feed"] = bodies
+    return out
+
+
+def parse_feeds_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → RSS/Atom bodies (alternating by id) →
+    :func:`kernels.html_extract.parse_feed` → ``(doc_id, title, link,
+    ts, entry_id)``. One normalized output schema across both feed
+    dialects, proven against a dialect-blind SQL expectation."""
+    from pdf_extractor_ray.kernels.html_extract import parse_feed
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_feed_bodies, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, titles, links, tss, eids = [], [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["feed"]):
+            for e in parse_feed(raw):
+                ids.append(int(doc_id))
+                titles.append(e.get("title", ""))
+                links.append(e["link"])
+                tss.append(e.get("ts", ""))
+                eids.append(e.get("id", ""))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "title": pd.Series(titles, dtype="object"),
+                "link": pd.Series(links, dtype="object"),
+                "ts": pd.Series(tss, dtype="object"),
+                "entry_id": pd.Series(eids, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _parse_feeds_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'untitled' END AS title,
+       'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS link,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS ts,
+       'g' || CAST(doc_id AS VARCHAR) AS entry_id
+FROM t
+"""
+
+
+PARSE_FEEDS_SQL = _parse_feeds_sql()

@@ -601,3 +601,33 @@ class TestParseSitemap:
         ]
         assert parse_sitemap(b"") == []
         assert parse_sitemap(b"<urlset><url><loc>x</loc>") == []  # unclosed url: dropped
+
+
+class TestParseFeed:
+    def test_rss_and_atom_normalize(self):
+        from pdf_extractor_ray.kernels.html_extract import parse_feed
+
+        rss = (
+            b"<rss><channel><title>chan ignored</title><link>/chan</link>"
+            b"<item><title>A &amp; B</title><link> https://ex.com/1 </link>"
+            b"<pubDate>D1</pubDate><guid>g1</guid></item>"
+            b"<item><title>linkless dropped</title></item>"
+            b"</channel></rss>"
+        )
+        assert parse_feed(rss) == [
+            {"title": "A & B", "link": "https://ex.com/1", "ts": "D1", "id": "g1"}
+        ]
+        atom = (
+            b'<feed><title>chan</title><entry><title>T</title>'
+            b'<link href="https://ex.com/2"/><updated>D2</updated><id>a2</id></entry></feed>'
+        )
+        assert parse_feed(atom) == [
+            {"title": "T", "link": "https://ex.com/2", "ts": "D2", "id": "a2"}
+        ]
+        assert parse_feed(b"") == []
+        # unclosed entry dropped; first link wins over a second one
+        two = (
+            b"<feed><entry><link href='/a'/><link href='/b'/><title>t</title></entry>"
+            b"<entry><link href='/c'/>"
+        )
+        assert parse_feed(two) == [{"title": "t", "link": "/a"}]
