@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
+        "read_warc_documents": webdocs.read_warc_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
@@ -470,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,
         "parse_feeds_documents": webdocs.PARSE_FEEDS_SQL,
+        "read_warc_documents": webdocs.READ_WARC_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

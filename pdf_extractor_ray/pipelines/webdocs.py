@@ -1054,3 +1054,61 @@ FROM t
 
 
 PARSE_FEEDS_SQL = _parse_feeds_sql()
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion (Common-Crawl container format)
+# ---------------------------------------------------------------------------
+
+
+def derive_warc_slices(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic WARC slice per doc (one response record wrapped
+    behind a warcinfo header): body = ``<p>{text}</p>``, status 404
+    on every 7th id, plus the builder's HTTP header block the parser
+    must strip — built through :func:`sources.warc.build_warc`, so the
+    carrier exercises writer AND reader."""
+    from pdf_extractor_ray.sources.warc import build_warc
+
+    slices = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        slices.append(
+            build_warc(
+                [
+                    {
+                        "url": f"https://docs.example.com/{d}",
+                        "ts": f"2026-01-{d % 28 + 1:02d}T00:00:00Z",
+                        "http_status": 404 if d % 7 == 0 else 200,
+                        "body": f"<p>{text}</p>".encode("utf-8"),
+                    }
+                ]
+            )
+        )
+    out = b[["doc_id"]].copy()
+    out["warc"] = slices
+    return out
+
+
+def read_warc_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → WARC slices → :func:`sources.warc.
+    read_warc_batches` → ``(url, warc_ts, http_status, n_body_bytes,
+    body_prefix)``. The oracle derives every field from table
+    arithmetic, so record framing, Content-Length payload cuts,
+    case-insensitive headers, and HTTP header stripping all have to
+    agree for the hash to match."""
+    from pdf_extractor_ray.sources.warc import read_warc_batches
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_warc_slices, batch_format="pandas", batch_size=512)
+    return read_warc_batches(ds)
+
+
+READ_WARC_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z' AS warc_ts,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS BIGINT) AS http_status,
+       CAST(length(text) + 7 AS BIGINT) AS n_body_bytes,
+       substring('<p>' || text || '</p>', 1, 64) AS body_prefix
+FROM documents
+"""

@@ -1,0 +1,141 @@
+"""WARC (Web ARChive, ISO 28500) record reader — the container format
+Common-Crawl-style corpora arrive in, closing the source-format family
+(parquet, JSON, pages, WARC). Pure-bytes parser: no external libs, no
+network; the Ray-side surface is a ``map_batches`` over a binary
+``warc`` column (one WARC file slice per row), emitting one row per
+``response`` record with the HTTP payload body split from its headers.
+
+Scale shape: WARC files are independent units — the natural 100-TB
+layout is one Dataset row per (file, byte-range) slice produced by the
+crawl fetcher, so parsing is a zero-shuffle batch map and partition
+boundaries never split a record (the fetcher writes whole records per
+slice; a generic splitter would resync on the ``WARC/`` magic).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def parse_warc(raw: bytes) -> list[dict]:
+    """Parse WARC records from ``raw``: one dict per ``response``
+    record with keys ``url`` (WARC-Target-URI), ``ts`` (WARC-Date),
+    ``http_status`` (int, from the HTTP status line; 0 when the
+    payload is not HTTP) and ``body`` (bytes after the HTTP header
+    block; the whole payload when not HTTP). Non-response records
+    (warcinfo, request, metadata) are skipped; records with a
+    malformed or missing Content-Length stop the scan (a truncation
+    quarantine upstream, the flagship's contract). Header names are
+    case-insensitive per the spec."""
+    out: list[dict] = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # resync on the record magic (tolerates inter-record padding)
+        start = raw.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = raw.find(_SEP, start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[start:head_end].split(_CRLF)[1:]:
+            name, sep, value = line.partition(b":")
+            if sep:
+                headers[name.strip().lower().decode("latin-1")] = value.strip().decode(
+                    "latin-1", "replace"
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break  # malformed record: stop (caller quarantines the slice)
+        body_start = head_end + len(_SEP)
+        if body_start + length > n:
+            break  # truncated payload
+        payload = raw[body_start : body_start + length]
+        pos = body_start + length
+        if headers.get("warc-type", "").lower() == "response":
+            status = 0
+            body = payload
+            if payload.startswith(b"HTTP/"):
+                hdr_end = payload.find(_SEP)
+                if hdr_end >= 0:
+                    status_line = payload[: payload.find(_CRLF)]
+                    parts = status_line.split(b" ")
+                    if len(parts) >= 2 and parts[1].isdigit():
+                        status = int(parts[1])
+                    body = payload[hdr_end + len(_SEP) :]
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "ts": headers.get("warc-date", ""),
+                    "http_status": status,
+                    "body": body,
+                }
+            )
+    return out
+
+
+def build_warc(records: list[dict]) -> bytes:
+    """Serialize ``(url, ts, body, http_status)`` dicts into WARC
+    bytes (response records behind a warcinfo header) — the writer
+    side of the round-trip contract, and the synthesizer the tests and
+    the driver carrier share."""
+    chunks: list[bytes] = []
+    info = b"software: pdf_extractor_ray\r\n"
+    chunks.append(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(info)).encode()
+        + _SEP
+        + info
+    )
+    for r in records:
+        status = int(r.get("http_status", 200))
+        payload = (
+            b"HTTP/1.1 " + str(status).encode() + b" OK\r\nContent-Type: text/html" + _SEP
+            + r["body"]
+        )
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + r["url"].encode()
+            + b"\r\nWARC-Date: "
+            + r["ts"].encode()
+            + b"\r\nContent-Length: "
+            + str(len(payload)).encode()
+        )
+        chunks.append(head + _SEP + payload)
+    return _CRLF.join(chunks) + _CRLF
+
+
+def read_warc_batches(ds: ray.data.Dataset, warc_col: str = "warc") -> ray.data.Dataset:
+    """Zero-shuffle WARC decode stage: each input row carries one WARC
+    slice (binary); output rows are the parsed response records
+    ``(url, warc_ts, http_status, n_body_bytes, body_prefix)`` — the
+    shape the extraction pipeline's content sniff consumes."""
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        urls, tss, stats, sizes, prefixes = [], [], [], [], []
+        for raw in b[warc_col]:
+            for rec in parse_warc(bytes(raw)):
+                urls.append(rec["url"])
+                tss.append(rec["ts"])
+                stats.append(rec["http_status"])
+                sizes.append(len(rec["body"]))
+                prefixes.append(rec["body"][:64].decode("utf-8", "replace"))
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(tss, dtype="object"),
+                "http_status": pd.Series(stats, dtype="int64") if stats else pd.Series([], dtype="int64"),
+                "n_body_bytes": pd.Series(sizes, dtype="int64") if sizes else pd.Series([], dtype="int64"),
+                "body_prefix": pd.Series(prefixes, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pandas", batch_size=256)

@@ -631,3 +631,31 @@ class TestParseFeed:
             b"<entry><link href='/c'/>"
         )
         assert parse_feed(two) == [{"title": "t", "link": "/a"}]
+
+
+class TestWarcSource:
+    def test_roundtrip_types_truncation(self):
+        from pdf_extractor_ray.sources.warc import build_warc, parse_warc
+
+        recs = [
+            {"url": "https://e/1", "ts": "T1", "body": b"<html>a</html>", "http_status": 200},
+            {"url": "https://e/2", "ts": "T2", "body": b"\r\n\r\nbinary\x00", "http_status": 404},
+        ]
+        raw = build_warc(recs)
+        back = parse_warc(raw)
+        assert [(r["url"], r["ts"], r["http_status"], r["body"]) for r in back] == [
+            ("https://e/1", "T1", 200, b"<html>a</html>"),
+            ("https://e/2", "T2", 404, b"\r\n\r\nbinary\x00"),
+        ]
+        # warcinfo skipped; truncation stops cleanly at a record boundary
+        assert parse_warc(raw[: len(raw) - 5])[:1] == back[:1]
+        assert parse_warc(b"garbage no magic") == []
+        # non-HTTP payload passes through whole with status 0
+        raw2 = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+            b"WARC-Date: d\r\nContent-Length: 3\r\n\r\nxyz"
+        )
+        r = parse_warc(raw2)
+        assert r == [{"url": "u", "ts": "d", "http_status": 0, "body": b"xyz"}]
+        # malformed Content-Length stops the scan (quarantine upstream)
+        assert parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\nx") == []
