@@ -1081,7 +1081,10 @@ def derive_warc_slices(b: pd.DataFrame) -> pd.DataFrame:
                         "http_status": 404 if d % 7 == 0 else 200,
                         "body": f"<p>{text}</p>".encode("utf-8"),
                     }
-                ]
+                ],
+                # odd ids ship as .warc.gz members: the reader must
+                # auto-detect BOTH layouts for the one oracle to match
+                gzip_members=bool(d % 2),
             )
         )
     out = b[["doc_id"]].copy()

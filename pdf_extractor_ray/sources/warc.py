@@ -21,6 +21,31 @@ _CRLF = b"\r\n"
 _SEP = b"\r\n\r\n"
 
 
+def _gunzip_members(raw: bytes) -> bytes:
+    """Decompress concatenated gzip members (the WARC spec's .warc.gz
+    layout compresses each record as its own member so readers can
+    seek); stops at the first corrupt member — same truncation
+    contract as the record scan."""
+    import zlib
+
+    out: list[bytes] = []
+    pos = 0
+    n = len(raw)
+    while pos < n and raw[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(raw[pos:]))
+        except zlib.error:
+            break
+        if not d.eof:  # truncated member
+            break
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 def parse_warc(raw: bytes) -> list[dict]:
     """Parse WARC records from ``raw``: one dict per ``response``
     record with keys ``url`` (WARC-Target-URI), ``ts`` (WARC-Date),
@@ -30,7 +55,10 @@ def parse_warc(raw: bytes) -> list[dict]:
     (warcinfo, request, metadata) are skipped; records with a
     malformed or missing Content-Length stop the scan (a truncation
     quarantine upstream, the flagship's contract). Header names are
-    case-insensitive per the spec."""
+    case-insensitive per the spec. ``.warc.gz`` input (gzip magic) is
+    auto-detected and decompressed member by member."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gunzip_members(raw)
     out: list[dict] = []
     pos = 0
     n = len(raw)
@@ -80,7 +108,7 @@ def parse_warc(raw: bytes) -> list[dict]:
     return out
 
 
-def build_warc(records: list[dict]) -> bytes:
+def build_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
     """Serialize ``(url, ts, body, http_status)`` dicts into WARC
     bytes (response records behind a warcinfo header) — the writer
     side of the round-trip contract, and the synthesizer the tests and
@@ -108,6 +136,11 @@ def build_warc(records: list[dict]) -> bytes:
             + str(len(payload)).encode()
         )
         chunks.append(head + _SEP + payload)
+    if gzip_members:
+        import gzip as _gzip
+
+        # one gzip member per record, per the .warc.gz convention
+        return b"".join(_gzip.compress(c + _CRLF, mtime=0) for c in chunks)
     return _CRLF.join(chunks) + _CRLF
 
 

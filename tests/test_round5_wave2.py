@@ -659,3 +659,22 @@ class TestWarcSource:
         assert r == [{"url": "u", "ts": "d", "http_status": 0, "body": b"xyz"}]
         # malformed Content-Length stops the scan (quarantine upstream)
         assert parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\nx") == []
+
+
+class TestWarcGzip:
+    def test_gzip_members_roundtrip_and_truncation(self):
+        from pdf_extractor_ray.sources.warc import build_warc, parse_warc
+
+        recs = [
+            {"url": "https://e/1", "ts": "T1", "body": b"<html>a</html>", "http_status": 200},
+            {"url": "https://e/2", "ts": "T2", "body": b"bb", "http_status": 404},
+        ]
+        plain = build_warc(recs)
+        gz = build_warc(recs, gzip_members=True)
+        assert gz[:2] == b"\x1f\x8b"
+        assert parse_warc(gz) == parse_warc(plain)
+        # a truncated trailing member drops cleanly at a member boundary
+        # (find the second member's offset by magic scan past byte 0)
+        second = gz.find(b"\x1f\x8b", 2)
+        assert second > 0
+        assert parse_warc(gz[: second + 10]) == parse_warc(plain)[:1] or parse_warc(gz[: second + 10]) == []
