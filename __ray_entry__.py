@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
         "read_warc_documents": webdocs.read_warc_documents,
+        "warc_extract_documents": webdocs.warc_extract_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
@@ -287,7 +288,10 @@ _NEVER_DRIVER_RUN = [
     "boilerplate_prefixes",
     "c4_clean_documents",
     "pagerank_documents",
-    "snapshot_diff_documents",
+    # snapshot_diff_documents → overflow (latest_snapshot +
+    # ingest_snapshot keep the family in-window) for the north-rule
+    # WARC→extraction byte-identity composition:
+    "warc_extract_documents",
     "setsim_join_documents",
     "pmi_collocations",
     "hits_documents",
@@ -472,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,
         "parse_feeds_documents": webdocs.PARSE_FEEDS_SQL,
         "read_warc_documents": webdocs.READ_WARC_SQL,
+        "warc_extract_documents": webdocs.WARC_EXTRACT_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

@@ -1115,3 +1115,50 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        substring('<p>' || text || '</p>', 1, 64) AS body_prefix
 FROM documents
 """
+
+
+def warc_extract_documents(sf_dir: str) -> ray.data.Dataset:
+    """END-TO-END north-star composition over the north-star container:
+    WARC slices (mixed plain/.gz) → record parse + HTTP split →
+    main-content HTML extraction → ``(url, extracted_text)``. The
+    planted body is a single ``<p>`` of the document text, so the
+    oracle expects extraction to return the text column EXACTLY (the
+    byte-identity invariant, checked by value hash per url) for every
+    200 response; 404 responses are status-filtered out before
+    extraction — the fetch-status gate every crawl pipeline applies.
+
+    Zero shuffle end to end: derive → parse (sources/warc) → extract
+    (kernels/html_extract), all per-batch maps — the flagship's
+    streaming shape with WARC in front."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+    from pdf_extractor_ray.sources.warc import parse_warc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_warc_slices, batch_format="pandas", batch_size=512)
+
+    def parse_extract(b: pd.DataFrame) -> pd.DataFrame:
+        urls, texts = [], []
+        for raw in b["warc"]:
+            for rec in parse_warc(bytes(raw)):
+                if rec["http_status"] != 200:
+                    continue
+                text, _spans = html_extract(rec["body"])
+                urls.append(rec["url"])
+                texts.append(text)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "extracted_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(parse_extract, batch_format="pandas", batch_size=512)
+
+
+WARC_EXTRACT_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       text AS extracted_text
+FROM documents
+WHERE doc_id % 7 <> 0
+"""
