@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": windows.event_type_transitions,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_rules_filter_documents,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).robots_filter_documents,
+        "surt_keys_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).surt_keys_documents,
+        "parse_cdxj_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).parse_cdxj_documents,
         "approx_distinct_counts": textops.approx_distinct_counts,
         "approx_token_quantiles": textops.approx_token_quantiles,
         "top_orders_per_segment": windows.top_orders_per_segment,
@@ -477,6 +479,8 @@ def oracle_sql() -> dict[str, str]:
         "parse_feeds_documents": webdocs.PARSE_FEEDS_SQL,
         "read_warc_documents": webdocs.READ_WARC_SQL,
         "warc_extract_documents": webdocs.WARC_EXTRACT_SQL,
+        "surt_keys_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SURT_KEYS_SQL,
+        "parse_cdxj_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PARSE_CDXJ_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

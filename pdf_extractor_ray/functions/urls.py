@@ -270,3 +270,37 @@ def parse_robots_disallows(txt: str, agent: str = "*") -> list[str]:
                     seen.add(value)
                     out.append(value)
     return out
+
+
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) key — the form
+    web-archive indexes (Common Crawl CDX, OpenWayback) sort and
+    prefix-scan by: scheme dropped, host lowercased with labels
+    REVERSED and comma-joined, ``)`` then path+query from the
+    CANONICAL url (so decorations collapse before keying):
+
+        https://www.Sub.Example.COM/a/b?q=1 → com,example,sub)/a/b?q=1
+
+    A leading ``www.`` is dropped (the archive convention); an empty
+    host or a non-http(s) scheme returns '' (mailto:/data: inputs
+    would otherwise mis-key via the scheme-less host fallback). Prefix
+    property: every page under a registrable domain shares the key
+    prefix up to its reversed labels — the reason per-domain scans are
+    RANGE scans in a SURT-sorted index."""
+    canon = canonical_url(url)
+    scheme = canon.split("://", 1)[0].lower() if "://" in canon else ""
+    if scheme not in ("http", "https"):
+        return ""
+    host = site_domain(canon)
+    if not host:
+        return ""
+    after = canon.split("://", 1)[-1]
+    slash = len(after)
+    for i, ch in enumerate(after):
+        if ch in "/?":
+            slash = i
+            break
+    pathq = after[slash:]
+    if pathq.startswith("?"):
+        pathq = "/" + pathq
+    return ",".join(reversed(host.split("."))) + ")" + pathq

@@ -626,3 +626,120 @@ def robots_filter_documents(sf_dir: str) -> ray.data.Dataset:
 # identical expected output to URL_RULES_FILTER_SQL — the robots bodies
 # are constructed to parse to the same rule set
 ROBOTS_FILTER_SQL = URL_RULES_FILTER_SQL
+
+
+# --------------------------------------------------------------------------
+# SURT keys (web-archive index ordering)
+# --------------------------------------------------------------------------
+
+
+def surt_keys_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: varied-path messy urls → canonical → SURT keys —
+    ``(doc_id, surt)``. The archive-index key transform (reversed host
+    labels + path) the CDX family sorts by; the oracle replays it from
+    doc_id arithmetic, so host extraction, www/port/utm stripping,
+    label reversal and the ``)`` join must all agree. Zero shuffle; at
+    scale the corpus SORTED by this key is what makes per-domain scans
+    range scans — the prefix_sum ranker or write-partitioned-by-prefix
+    sink consume it directly."""
+    from pdf_extractor_ray.functions.urls import surt_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "surt": pd.Series([surt_key(u) for u in b["url"]], dtype="object"),
+            }
+        )
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+# canonical path = /p0[/p1[/p2[/p3]]], trailing slash stripped, utm
+# dropped, q=1 kept on doc_id % 7 = 0, www/port/case normalized away
+SURT_KEYS_SQL = """
+SELECT doc_id,
+       'org,example,h' || CAST(doc_id % 5 AS VARCHAR) || ')'
+       || CASE (1 + doc_id % 4) WHEN 1 THEN '/p0' WHEN 2 THEN '/p0/p1'
+               WHEN 3 THEN '/p0/p1/p2' ELSE '/p0/p1/p2/p3' END
+       || CASE WHEN doc_id % 7 = 0 THEN '?q=1' ELSE '' END AS surt
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# CDXJ index parsing (the web-archive URL index)
+# --------------------------------------------------------------------------
+
+
+def derive_cdxj_shards(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic CDXJ shard per doc: one valid line (surt from the
+    url family's arithmetic, timestamp and status from doc_id) plus a
+    truncated decoy line and a broken-JSON decoy the parser must
+    skip."""
+    import json
+
+    shards = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        surt = f"com,example,docs)/{d}"
+        ts = f"202601{d % 28 + 1:02d}000000"
+        blob = json.dumps(
+            {"url": f"https://docs.example.com/{d}", "status": str(404 if d % 7 == 0 else 200)}
+        )
+        shards.append(
+            f"{surt} {ts} {blob}\n"
+            f"{surt} {ts}\n"            # missing json: skipped
+            f"{surt} 2026 {blob}\n"     # bad timestamp: skipped
+            f"{surt} {ts} {{broken\n"   # bad json: skipped
+        )
+    out = b.copy()
+    out["cdxj"] = shards
+    return out
+
+
+def parse_cdxj_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → CDXJ shards (valid line + three malformed
+    decoys each) → :func:`sources.warc.parse_cdxj` → ``(doc_id, surt,
+    ts, url, status)``. Zero shuffle; the decoys pin the skip-not-crash
+    contract under the exact SQL expectation."""
+    from pdf_extractor_ray.sources.warc import parse_cdxj
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_cdxj_shards, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, surts, tss, urls, stats = [], [], [], [], []
+        for doc_id, shard in zip(b["doc_id"], b["cdxj"]):
+            for rec in parse_cdxj(shard):
+                ids.append(int(doc_id))
+                surts.append(rec["surt"])
+                tss.append(rec["ts"])
+                urls.append(rec.get("url", ""))
+                stats.append(rec.get("status", ""))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "surt": pd.Series(surts, dtype="object"),
+                "ts": pd.Series(tss, dtype="object"),
+                "url": pd.Series(urls, dtype="object"),
+                "status": pd.Series(stats, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+PARSE_CDXJ_SQL = """
+SELECT doc_id,
+       'com,example,docs)/' || CAST(doc_id AS VARCHAR) AS surt,
+       '202601' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '000000' AS ts,
+       'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS VARCHAR) AS status
+FROM documents
+"""

@@ -172,3 +172,36 @@ def read_warc_batches(ds: ray.data.Dataset, warc_col: str = "warc") -> ray.data.
         )
 
     return ds.map_batches(parse, batch_format="pandas", batch_size=256)
+
+
+def parse_cdxj(text: str) -> list[dict]:
+    """Parse CDXJ index lines (the Common-Crawl/pywb URL-index format:
+    ``<surt-key> <14-digit-timestamp> <json-blob>`` per line) into
+    dicts carrying ``surt``, ``ts`` and the JSON fields (``url``,
+    ``status``, ``digest``, …). Malformed lines — missing fields,
+    non-digit timestamp, unparseable JSON — are SKIPPED, not fatal
+    (index shards tail-truncate in practice; the quarantine-not-crash
+    contract). Field values stay strings, as the format ships them."""
+    import json
+
+    out: list[dict] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split(" ", 2)
+        if len(parts) != 3:
+            continue
+        surt, ts, blob = parts
+        if not (ts.isdigit() and len(ts) == 14):
+            continue
+        try:
+            fields = json.loads(blob)
+        except ValueError:
+            continue
+        if not isinstance(fields, dict):
+            continue
+        rec = {"surt": surt, "ts": ts}
+        rec.update({str(k): str(v) for k, v in fields.items()})
+        out.append(rec)
+    return out

@@ -678,3 +678,35 @@ class TestWarcGzip:
         second = gz.find(b"\x1f\x8b", 2)
         assert second > 0
         assert parse_warc(gz[: second + 10]) == parse_warc(plain)[:1] or parse_warc(gz[: second + 10]) == []
+
+
+class TestSurtAndCdxj:
+    def test_surt_transform(self):
+        from pdf_extractor_ray.functions.urls import surt_key
+
+        assert surt_key("https://www.Sub.Example.COM:443/a/b/?q=1&utm_source=x#f") == (
+            "com,example,sub)/a/b?q=1"
+        )
+        assert surt_key("https://h3.example.org") == "org,example,h3)"
+        assert surt_key("http://h0.example.org?q=1") == "org,example,h0)/?q=1"
+        assert surt_key("mailto:x@y") == ""
+        # prefix property: same registrable domain shares the prefix
+        a = surt_key("https://a.example.org/x")
+        b = surt_key("https://b.example.org/y")
+        assert a.startswith("org,example,") and b.startswith("org,example,")
+
+    def test_cdxj_skip_rules(self):
+        from pdf_extractor_ray.sources.warc import parse_cdxj
+
+        text = (
+            'com,e)/1 20260101000000 {"url": "u1", "status": "200"}\n'
+            "com,e)/2 20260101000000\n"            # missing json
+            'com,e)/3 2026 {"url": "u3"}\n'        # bad timestamp
+            "com,e)/4 20260101000000 {broken\n"    # bad json
+            'com,e)/5 20260101000000 ["not-a-dict"]\n'
+            "\n"
+            'com,e)/6 20260101000000 {"url": "u6"}\n'
+        )
+        got = parse_cdxj(text)
+        assert [r["surt"] for r in got] == ["com,e)/1", "com,e)/6"]
+        assert got[0]["status"] == "200" and got[1].get("status") is None
