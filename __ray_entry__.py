@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_feeds_documents": webdocs.parse_feeds_documents,
         "read_warc_documents": webdocs.read_warc_documents,
         "warc_extract_documents": webdocs.warc_extract_documents,
+        "feed_discovery_documents": webdocs.feed_discovery_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
         "training_examples": _training_examples,
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract_documents": webdocs.WARC_EXTRACT_SQL,
         "surt_keys_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SURT_KEYS_SQL,
         "parse_cdxj_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PARSE_CDXJ_SQL,
+        "feed_discovery_documents": webdocs.FEED_DISCOVERY_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

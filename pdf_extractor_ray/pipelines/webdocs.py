@@ -1162,3 +1162,59 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
 FROM documents
 WHERE doc_id % 7 <> 0
 """
+
+
+def feed_discovery_documents(sf_dir: str) -> ray.data.Dataset:
+    """Fresh-URL discovery loop: parse the feed bodies, canonicalize
+    the entry links, and anti-join against the already-crawled set —
+    the incremental-crawl step that turns feeds into frontier work.
+    The carrier's crawled set is the even-id pages (deterministic), so
+    the oracle expects exactly the odd-id feed links back:
+    ``(doc_id, new_url)``.
+
+    Scale shape: parse is zero-shuffle; the crawled set is keyed by
+    canonical url through the byte-gated adaptive anti-join
+    (broadcast at test scale, hash-partitioned exchange at corpus
+    scale — both plans row-identity-tested in the joins suite)."""
+    from pdf_extractor_ray.functions.urls import canonical_url
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.kernels.html_extract import parse_feed
+
+    feeds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_feed_bodies, batch_format="pandas", batch_size=1024)
+
+    def links(b: pd.DataFrame) -> pd.DataFrame:
+        ids, urls = [], []
+        for doc_id, raw in zip(b["doc_id"], b["feed"]):
+            for e in parse_feed(raw):
+                ids.append(int(doc_id))
+                urls.append(canonical_url(e["link"]))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "new_url": pd.Series(urls, dtype="object")}
+        )
+
+    candidates = feeds.map_batches(links, batch_format="pandas")
+
+    def crawled(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        even = ids[ids % 2 == 0]
+        return pd.DataFrame(
+            {
+                "crawled_url": pd.Series(
+                    [canonical_url(f"https://docs.example.com/{d}") for d in even],
+                    dtype="object",
+                )
+            }
+        )
+
+    crawled_set = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(crawled, batch_format="pandas")
+    return semi_join(candidates, crawled_set, on="new_url", right_on="crawled_url", keep=False)
+
+
+FEED_DISCOVERY_SQL = """
+SELECT doc_id, 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS new_url
+FROM documents WHERE doc_id % 2 = 1
+"""
