@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_matrix_documents": textops.ccnet_matrix_documents,
         "pii_stats_by_source": textops.pii_stats_by_source,
         "length_outliers_documents": textops.length_outliers_documents,
+        "curation_verdict_documents": textops.curation_verdict_documents,
         "top_tokens_by_source": textops.top_tokens_by_source,
         "source_vocab_jaccard": textops.source_vocab_jaccard,
         "bigram_vocab_by_lang": textops.bigram_vocab_by_lang,
@@ -483,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "surt_keys_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SURT_KEYS_SQL,
         "parse_cdxj_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PARSE_CDXJ_SQL,
         "feed_discovery_documents": webdocs.FEED_DISCOVERY_SQL,
+        "curation_verdict_documents": textops.CURATION_VERDICT_SQL,
         "degree_histogram_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DEGREE_HISTOGRAM_SQL,
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TRIANGLE_COUNTS_SQL,
         "reciprocal_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RECIPROCAL_LINKS_SQL,

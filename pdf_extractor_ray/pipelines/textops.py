@@ -2888,3 +2888,74 @@ WITH tok AS (
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
 FROM bg GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation verdict: one keep/drop decision per document, with reason
+# ---------------------------------------------------------------------------
+
+
+def curation_verdict_documents(
+    sf_dir: str, vocab_k: int = LM_VOCAB_K, ref_lang: str = "en"
+) -> ray.data.Dataset:
+    """THE end-user curation table: one ``(doc_id, keep,
+    reject_reason)`` row per document, folding the three audited gates
+    in fixed priority order — ``banned`` (C4 bad-words) beats
+    ``gopher`` (format rules) beats ``ppl_tail`` (worst LM tercile);
+    survivors get ``keep = 1, reason = ''``. This is the decision
+    record a production run writes next to the corpus so every
+    dropped document is explainable (the reject-reason ledger).
+
+    Scale shape: three zero-/constant-shuffle scoring passes (each
+    audited separately) joined on 8-byte doc ids by the adaptive
+    planner; the verdict fold is a vectorized compare. No new
+    exchange shapes — this operator is pure composition, which is the
+    point: the gates stay independently testable."""
+    from pdf_extractor_ray import joins
+
+    banned = banned_phrase_documents(sf_dir).select_columns(["doc_id", "banned"])
+    gopher = gopher_quality_rules(sf_dir).select_columns(["doc_id", "keep"]).map_batches(
+        lambda b: b.rename(columns={"keep": "gopher_keep"}), batch_format="pandas"
+    )
+    buckets = lm_nll_buckets(sf_dir, vocab_k=vocab_k, ref_lang=ref_lang).select_columns(
+        ["doc_id", "ppl_bucket"]
+    )
+    j = joins.adaptive_inner_join(banned, gopher, on="doc_id")
+    j = joins.adaptive_inner_join(j, buckets, on="doc_id")
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        is_banned = b["banned"].to_numpy() > 0
+        bad_gopher = b["gopher_keep"].to_numpy() == 0
+        tail = (b["ppl_bucket"] == "tail").to_numpy()
+        reason = np.where(
+            is_banned, "banned", np.where(bad_gopher, "gopher", np.where(tail, "ppl_tail", ""))
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "keep": (reason == "").astype(np.int8),
+                "reject_reason": pd.Series(reason, dtype="object"),
+            }
+        )
+
+    return j.map_batches(verdict, batch_format="pandas")
+
+
+def curation_verdict_sql(vocab_k: int = LM_VOCAB_K, ref_lang: str = "en") -> str:
+    return rf"""
+WITH b AS ({BANNED_SQL}),
+g AS ({GOPHER_RULES_SQL}),
+p AS ({lm_nll_buckets_sql(vocab_k, ref_lang)}),
+v AS (
+    SELECT b.doc_id,
+           CASE WHEN b.banned > 0 THEN 'banned'
+                WHEN g.keep = 0 THEN 'gopher'
+                WHEN p.ppl_bucket = 'tail' THEN 'ppl_tail'
+                ELSE '' END AS reject_reason
+    FROM b JOIN g ON g.doc_id = b.doc_id JOIN p ON p.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(reject_reason = '' AS TINYINT) AS keep, reject_reason FROM v
+"""
+
+
+CURATION_VERDICT_SQL = curation_verdict_sql()
