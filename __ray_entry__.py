@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_headings_documents": webdocs.extract_headings_documents,
         "extract_links_documents": webdocs.extract_links_documents,
         "extract_meta_documents": webdocs.extract_meta_documents,
+        "extract_tables_documents": webdocs.extract_tables_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
@@ -314,7 +315,10 @@ _NEVER_DRIVER_RUN = [
     # final-session wave 2 (all oracle-checked, never driver-run)
     "crawl_depth_documents",
     "phrase_search_documents",
-    "positional_postings",
+    # positional_postings → overflow (search family stays in-window via
+    # phrase_search + bm25) for the WebTables-style table-structure
+    # harvest — extraction is the north-star family:
+    "extract_tables_documents",
     "url_path_stats_documents",
     "shuffle_rank_documents",
     "sliding_chunks_documents",
@@ -475,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_headings_documents": webdocs.EXTRACT_HEADINGS_SQL,
         "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
+        "extract_tables_documents": webdocs.EXTRACT_TABLES_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,

@@ -789,3 +789,173 @@ def parse_feed(raw: bytes) -> list[dict]:
                 field = tag
                 parts = []
     return out
+
+
+# ---------------------------------------------------------------------------
+# Table-structure extraction (WebTables-style harvest)
+# ---------------------------------------------------------------------------
+
+_SPAN_ATTR_RE = {
+    "colspan": re.compile(r"""colspan\s*=\s*(?:"(\d+)"|'(\d+)'|(\d+))""", re.I),
+    "rowspan": re.compile(r"""rowspan\s*=\s*(?:"(\d+)"|'(\d+)'|(\d+))""", re.I),
+}
+
+
+def _span_of(blob: str, name: str) -> int:
+    m = _SPAN_ATTR_RE[name].search(blob)
+    if not m:
+        return 1
+    return max(1, int(m.group(1) or m.group(2) or m.group(3)))
+
+
+class _TableCtx:
+    __slots__ = ("emit", "idx", "row", "col", "row_open", "cell", "parts", "spans")
+
+    def __init__(self, emit: bool, idx: int) -> None:
+        self.emit = emit
+        self.idx = idx
+        self.row = -1  # current row index; -1 = before first <tr>
+        self.col = 0  # next free grid column in the current row
+        self.row_open = False
+        self.cell: tuple[int, int, int, int] | None = None  # (row, col, is_header, colspan)
+        self.parts: list[str] = []
+        # rowspan carryover: grid col -> rows it stays occupied BELOW
+        # the anchor row (decremented at each new <tr>)
+        self.spans: dict[int, int] = {}
+
+
+def html_extract_tables(raw: bytes) -> list[tuple[int, int, int, int, str]]:
+    """Extract DATA-TABLE structure from HTML: ``[(table_idx, row_idx,
+    col_idx, is_header, cell_text), ...]`` in document order — the
+    relational-web harvest (WebTables / WDC-style) that turns embedded
+    ``<table>`` markup into queryable rows, the table analog of the
+    body-text flagship (reference capability: structured field capture,
+    ``/root/reference/pdf_extractor/extraction.py`` — here re-expressed
+    for web tables).
+
+    Grid semantics: ``col_idx`` is the CSS table-layout grid column —
+    ``colspan`` advances the cursor by its span, ``rowspan`` keeps its
+    columns occupied in subsequent rows (the anchor cell is emitted
+    once at its anchor position; covered positions are skipped, not
+    duplicated). ``is_header`` is 1 for ``<th>`` cells. Implicit
+    closes follow HTML5 optional-end-tag rules: a new ``<td>/<th>``
+    closes the open cell, a new ``<tr>`` closes the open row.
+
+    Chrome tables — any ``<table>`` inside a demoted container
+    (``class~sidebar|promo|footer|…``, the same id/class hint model as
+    :func:`html_extract`) or itself carrying a demoting id/class — are
+    layout/navigation furniture and are dropped entirely; they do not
+    consume a ``table_idx``. A nested ``<table>`` inside a cell gets
+    its own ``table_idx`` (document order) and its text does NOT leak
+    into the outer cell. Cell text is unescaped, ligature-normalized
+    and whitespace-collapsed; empty cells are emitted (grid positions
+    matter), rows with no cells are not."""
+    html = raw.decode("utf-8", errors="replace")
+    out: list[tuple[int, int, int, int, str]] = []
+    stack: list[_TableCtx] = []
+    open_hints: list[tuple[str, int]] = []  # (tag, hint) for hinted containers
+    neg_depth = 0
+    next_idx = 0
+
+    def flush_cell(ctx: _TableCtx) -> None:
+        if ctx.cell is None:
+            return
+        row, col, is_header, cspan = ctx.cell
+        if ctx.emit:
+            text = collapse_ws(normalize_ligatures(unescape("".join(ctx.parts))))
+            out.append((ctx.idx, row, col, is_header, text))
+        ctx.cell = None
+        ctx.parts = []
+        ctx.col = col + cspan
+
+    def open_row(ctx: _TableCtx) -> None:
+        flush_cell(ctx)
+        ctx.row += 1
+        ctx.row_open = True
+        ctx.col = 0
+        # age rowspan carryover: each new row consumes one covered row
+        ctx.spans = {c: r - 1 for c, r in ctx.spans.items() if r > 1}
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            if stack and stack[-1].cell is not None:
+                stack[-1].parts.append(html[pos:])
+            break
+        if m.start() > pos and stack and stack[-1].cell is not None:
+            stack[-1].parts.append(html[pos : m.start()])
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if tag == "table":
+                if stack:
+                    ctx = stack.pop()
+                    flush_cell(ctx)
+            elif tag in ("td", "th") and stack:
+                flush_cell(stack[-1])
+            elif tag == "tr" and stack:
+                flush_cell(stack[-1])
+                stack[-1].row_open = False
+            elif tag in HINTABLE_TAGS:
+                for i in range(len(open_hints) - 1, -1, -1):
+                    if open_hints[i][0] == tag:
+                        if open_hints[i][1] < 0:
+                            neg_depth -= 1
+                        del open_hints[i]
+                        break
+            continue
+        if tag in _RAWTEXT_CLOSE:  # skip script/style payloads
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag == "table":
+            blob = html[m.start(2) : m.end(2)]
+            own_hint = _sniff_hint(blob) if ("id" in blob.lower() or "class" in blob.lower()) else 0
+            emit = neg_depth == 0 and own_hint >= 0
+            ctx = _TableCtx(emit, next_idx if emit else -1)
+            if emit:
+                next_idx += 1
+            stack.append(ctx)
+            continue
+        if not stack:
+            if tag in HINTABLE_TAGS:
+                hint = 0
+                a2, b2 = m.span(2)
+                if b2 > a2:
+                    blob = html[a2:b2]
+                    low = blob if blob.islower() else blob.lower()
+                    if "id" in low or "class" in low:
+                        hint = _sniff_hint(blob)
+                open_hints.append((tag, hint))
+                if hint < 0:
+                    neg_depth += 1
+            continue
+        ctx = stack[-1]
+        if tag == "tr":
+            open_row(ctx)
+        elif tag in ("td", "th"):
+            if not ctx.row_open:  # tolerate a cell before any <tr>
+                open_row(ctx)
+            else:
+                flush_cell(ctx)
+            # skip grid columns still covered by rowspans from above
+            col = ctx.col
+            while ctx.spans.get(col, 0) > 0:
+                col += 1
+            blob = html[m.start(2) : m.end(2)]
+            cspan = _span_of(blob, "colspan") if "colspan" in blob.lower() else 1
+            rspan = _span_of(blob, "rowspan") if "rowspan" in blob.lower() else 1
+            if rspan > 1:
+                for c in range(col, col + cspan):
+                    ctx.spans[c] = rspan
+            ctx.cell = (ctx.row, col, 1 if tag == "th" else 0, cspan)
+            ctx.parts = []
+    while stack:  # tolerate unclosed tables at EOF
+        flush_cell(stack.pop())
+    return out

@@ -800,6 +800,112 @@ EXTRACT_META_SQL = _extract_meta_sql()
 
 
 # ---------------------------------------------------------------------------
+# Table-structure harvest (WebTables-style) through the real parser
+# ---------------------------------------------------------------------------
+
+
+def derive_table_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with a known data table: a KEY/VALUE
+    header row plus up to two data rows built from token pairs
+    (``arr[1],arr[2]`` then ``arr[3],arr[4]``) inside the boosted main
+    div — plus a DEMOTED sidebar chrome table the extractor must drop
+    entirely, so the oracle derives the expected cells from token
+    arithmetic while the engine must parse real markup, apply the hint
+    model, and keep the grid straight."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        toks = text.split()
+        rows = ["<tr><th>KEY</th><th>VALUE</th></tr>"]
+        for i in (0, 2):
+            if len(toks) >= i + 2:
+                rows.append(
+                    f"<tr><td>{html_escape(toks[i])}</td>"
+                    f"<td>{html_escape(toks[i + 1])}</td></tr>"
+                )
+        htmls.append(
+            (
+                "<html><body>"
+                f"<div id=\"content\"><table>{''.join(rows)}</table></div>"
+                '<div class="sidebar"><table><tr><td>BOILER promo</td>'
+                "<td>BOILER ad</td></tr></table></div>"
+                "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_tables_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic table-bearing pages →
+    :func:`kernels.html_extract.html_extract_tables` → ``(doc_id,
+    table_idx, row_idx, col_idx, is_header, cell)``. The relational-web
+    harvest (WebTables-style) over extracted pages; zero shuffle
+    (per-batch parse, the flagship's stage shape), and the demoted
+    sidebar table proves chrome tables die before they consume a
+    ``table_idx``."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_tables
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_table_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, tidx, ridx, cidx, hdr, cells = [], [], [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            for t, r, c, h, cell in html_extract_tables(raw):
+                ids.append(int(doc_id))
+                tidx.append(t)
+                ridx.append(r)
+                cidx.append(c)
+                hdr.append(h)
+                cells.append(cell)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "table_idx": pd.Series(tidx, dtype="int64"),
+                "row_idx": pd.Series(ridx, dtype="int64"),
+                "col_idx": pd.Series(cidx, dtype="int64"),
+                "is_header": pd.Series(hdr, dtype="int64"),
+                "cell": pd.Series(cells, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_tables_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+),
+cells AS (
+    SELECT doc_id, 0 AS row_idx, 0 AS col_idx, 1 AS is_header, 'KEY' AS cell FROM t
+    UNION ALL
+    SELECT doc_id, 0, 1, 1, 'VALUE' FROM t
+    UNION ALL
+    SELECT doc_id, 1, 0, 0, arr[1] FROM t WHERE len(arr) >= 2
+    UNION ALL
+    SELECT doc_id, 1, 1, 0, arr[2] FROM t WHERE len(arr) >= 2
+    UNION ALL
+    SELECT doc_id, 2, 0, 0, arr[3] FROM t WHERE len(arr) >= 4
+    UNION ALL
+    SELECT doc_id, 2, 1, 0, arr[4] FROM t WHERE len(arr) >= 4
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS table_idx, CAST(row_idx AS BIGINT) AS row_idx,
+       CAST(col_idx AS BIGINT) AS col_idx, CAST(is_header AS BIGINT) AS is_header, cell
+FROM cells
+"""
+
+
+EXTRACT_TABLES_SQL = _extract_tables_sql()
+
+
+# ---------------------------------------------------------------------------
 # JSON-LD structured-data harvest (schema.org channel)
 # ---------------------------------------------------------------------------
 
