@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links_documents": webdocs.extract_links_documents,
         "extract_meta_documents": webdocs.extract_meta_documents,
         "extract_tables_documents": webdocs.extract_tables_documents,
+        "extract_charset_documents": webdocs.extract_charset_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
@@ -321,7 +322,11 @@ _NEVER_DRIVER_RUN = [
     "extract_tables_documents",
     "url_path_stats_documents",
     "shuffle_rank_documents",
-    "sliding_chunks_documents",
+    # sliding_chunks_documents → overflow (chunk/packing family stays
+    # in-window via pack_sequences + length_bucketed_batches) for the
+    # charset-sniffed decode carrier — extraction is the north-star
+    # family and non-UTF-8 rows are the real-crawl case:
+    "extract_charset_documents",
     # final-session wave 3
     "ccnet_matrix_documents",
     "pii_stats_by_source",
@@ -480,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
         "extract_tables_documents": webdocs.EXTRACT_TABLES_SQL,
+        "extract_charset_documents": webdocs.EXTRACT_CHARSET_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,

@@ -176,6 +176,17 @@ _RAWTEXT_CLOSE = {
 }
 
 
+def _decode_page(raw: bytes) -> str:
+    """Charset-sniffed decode shared by every HTML walker (BOM > meta
+    charset > strict utf-8 > windows-1252; kernels/sniff.py). For valid
+    UTF-8 input — the overwhelming majority of a modern crawl — this is
+    byte-for-byte the old ``decode("utf-8")`` path, so golden pins are
+    unchanged; non-UTF-8 pages now decode instead of mojibake."""
+    from pdf_extractor_ray.kernels.sniff import decode_html_bytes
+
+    return decode_html_bytes(raw)[0]
+
+
 class _Extractor:
     __slots__ = (
         "_skip_depth",
@@ -388,7 +399,7 @@ def html_extract(raw: bytes) -> tuple[str, list[dict]]:
 
     Surviving blocks are joined with ``\\n`` in document order.
     """
-    html = raw.decode("utf-8", errors="replace")
+    html = _decode_page(raw)
     parser = _Extractor()
     try:
         parser.feed(html)
@@ -445,7 +456,7 @@ def html_extract_headings(raw: bytes) -> list[tuple[int, str]]:
     demoted container (``class~sidebar|promo|footer|…``) is boilerplate
     chrome and is dropped; whitespace-collapsed, ligature-normalized,
     empty headings dropped."""
-    html = raw.decode("utf-8", errors="replace")
+    html = _decode_page(raw)
     parser = _Extractor()
     try:
         parser.feed(html)
@@ -476,7 +487,7 @@ def html_extract_links(raw: bytes) -> list[tuple[str, str]]:
     over the same token stream as :func:`html_extract` — it shares the
     hint model but not the block machinery, so the body-text golden
     path is untouched."""
-    html = raw.decode("utf-8", errors="replace")
+    html = _decode_page(raw)
     links: list[tuple[str, str]] = []
     open_hints: list[tuple[str, int]] = []  # (tag, hint) for hinted containers
     neg_depth = 0
@@ -562,7 +573,7 @@ def html_extract_meta(raw: bytes) -> dict:
     and description are entity-unescaped and whitespace-collapsed.
     Standalone pass over the shared token stream; never touches the
     body-text golden path."""
-    html = raw.decode("utf-8", errors="replace")
+    html = _decode_page(raw)
     title: str | None = None
     description: str | None = None
     canonical: str | None = None
@@ -636,7 +647,7 @@ def html_extract_ldjson(raw: bytes) -> list[dict]:
     touched. Standalone pass; body-text golden path untouched."""
     from pdf_extractor_ray.functions.jsonparse import parse_robust_json
 
-    html = raw.decode("utf-8", errors="replace")
+    html = _decode_page(raw)
     out: list[dict] = []
     pos = 0
     n = len(html)
@@ -850,7 +861,7 @@ def html_extract_tables(raw: bytes) -> list[tuple[int, int, int, int, str]]:
     into the outer cell. Cell text is unescaped, ligature-normalized
     and whitespace-collapsed; empty cells are emitted (grid positions
     matter), rows with no cells are not."""
-    html = raw.decode("utf-8", errors="replace")
+    html = _decode_page(raw)
     out: list[tuple[int, int, int, int, str]] = []
     stack: list[_TableCtx] = []
     open_hints: list[tuple[str, int]] = []  # (tag, hint) for hinted containers

@@ -20,6 +20,7 @@ KIND_EMPTY = "empty"
 KIND_BINARY = "binary"
 
 _HTML_MARKERS = (b"<html", b"<!doctype", b"<head", b"<body", b"<div", b"<p>", b"<HTML", b"<!DOCTYPE")
+_HTML_MARKERS_STR = tuple({m.decode().lower() for m in _HTML_MARKERS})
 
 
 def sniff(raw: bytes | None) -> str:
@@ -29,6 +30,18 @@ def sniff(raw: bytes | None) -> str:
     if raw[:5] == b"%PDF-":
         return KIND_PDF
     head = raw[:512]
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff") or raw[:3] == b"\xef\xbb\xbf":
+        # BOM'd payload: probe the DECODED head for html markers so a
+        # utf-16 page is extracted, not quarantined. A BOM followed by
+        # non-markup bytes (no marker in the decoded probe) falls
+        # through to the binary heuristics unchanged — the quarantine
+        # contract for BOM'd garbage is preserved.
+        codec = "utf-8-sig" if raw[:3] == b"\xef\xbb\xbf" else (
+            "utf-16-le" if raw[:2] == b"\xff\xfe" else "utf-16-be"
+        )
+        probe = head.decode(codec, errors="replace").lower()
+        if any(m in probe for m in _HTML_MARKERS_STR):
+            return KIND_HTML
     low = head.lower()
     if any(m.lower() in low for m in _HTML_MARKERS):
         return KIND_HTML
@@ -50,3 +63,102 @@ def size_bucket(n_bytes: int) -> int:
         if n_bytes < bound:
             return i
     return len(SIZE_BUCKET_BOUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Charset detection + decoding (WHATWG-style sniff)
+# ---------------------------------------------------------------------------
+
+# High-crawl-presence encoding labels → Python codec, per the WHATWG
+# encoding spec's alias table (the web-compat rules: latin-1/ascii mean
+# windows-1252; bare utf-16 means LE). Unknown labels fall through the
+# sniff chain rather than erroring.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "iso-8859-15": "iso-8859-15",
+    "iso-8859-2": "iso-8859-2",
+    "windows-1250": "windows-1250",
+    "windows-1251": "windows-1251",
+    "cp1251": "windows-1251",
+    "koi8-r": "koi8_r",
+    "shift_jis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "sjis": "shift_jis",
+    "euc-jp": "euc_jp",
+    "gbk": "gbk",
+    "gb2312": "gbk",  # WHATWG: gb2312 label decodes as GBK
+    "big5": "big5",
+    "euc-kr": "euc_kr",
+    "utf-16": "utf-16-le",  # BOM-less utf-16 label: web default is LE
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+import re as _re
+
+# charset= inside any <meta ...> tag in the first 1024 bytes: covers the
+# HTML5 form (<meta charset=...>) and the legacy http-equiv form
+# (<meta http-equiv="content-type" content="text/html; charset=...">).
+_META_CHARSET_RE = _re.compile(
+    r"""<meta[^>]{0,512}?charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)""", _re.I | _re.S
+)
+
+
+def detect_charset(raw: bytes) -> tuple[str, str]:
+    """Sniff a page's character encoding: ``(codec, source)`` where
+    source ∈ {'bom', 'meta', 'utf8-valid', 'fallback'}. WHATWG-style
+    precedence: a byte-order mark wins over everything (including a
+    lying <meta>), then a declared ``<meta charset>`` in the first
+    1 KiB (a utf-16 meta label is treated as utf-8 — content visibly
+    ASCII-compatible contradicts it, the spec's rule), then
+    whole-payload strict UTF-8 validation, then the web's residual
+    default windows-1252."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8", "bom"
+    if raw[:2] == b"\xff\xfe":
+        return "utf-16-le", "bom"
+    if raw[:2] == b"\xfe\xff":
+        return "utf-16-be", "bom"
+    head = raw[:1024].decode("latin-1", errors="replace")
+    m = _META_CHARSET_RE.search(head)
+    if m:
+        codec = _CHARSET_ALIASES.get(m.group(1).lower())
+        if codec in ("utf-16-le", "utf-16-be"):
+            codec = "utf-8"  # WHATWG: meta-declared utf-16 is a lie
+        if codec is not None:
+            return codec, "meta"
+    try:
+        raw.decode("utf-8")
+        return "utf-8", "utf8-valid"
+    except UnicodeDecodeError:
+        return "windows-1252", "fallback"
+
+
+def decode_html_bytes(raw: bytes) -> tuple[str, str, str]:
+    """Decode page bytes via :func:`detect_charset`: ``(text, codec,
+    source)``. The BOM is stripped; undecodable bytes are replaced
+    (windows-1252's five undefined bytes fall back to latin-1's C1
+    controls, the WHATWG mapping). Deterministic: output depends only
+    on the input bytes — the extracted-text byte-identity contract
+    survives the decode layer."""
+    codec, source = detect_charset(raw)
+    body = raw
+    if source == "bom":
+        body = raw[3:] if codec == "utf-8" else raw[2:]
+    if codec == "windows-1252":
+        try:
+            return body.decode("cp1252"), codec, source
+        except UnicodeDecodeError:
+            return body.decode("latin-1"), codec, source
+    return body.decode(codec, errors="replace"), codec, source

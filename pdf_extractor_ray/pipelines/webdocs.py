@@ -906,6 +906,102 @@ EXTRACT_TABLES_SQL = _extract_tables_sql()
 
 
 # ---------------------------------------------------------------------------
+# Charset-sniffed extraction (non-UTF-8 crawl rows) through the real parser
+# ---------------------------------------------------------------------------
+
+_CP1252_MARKER = "émigré café"  # round-trips cp1252 but NOT ascii/utf-8-as-bytes
+
+
+def derive_charset_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc in a rotating wire encoding
+    (``doc_id % 4``): plain UTF-8, UTF-8 with BOM, UTF-16-LE with BOM,
+    and windows-1252 declared via ``<meta charset="iso-8859-1">`` with
+    a non-ASCII marker appended (bytes that are INVALID UTF-8, so a
+    naive utf-8 decode would mojibake) — the oracle derives charset,
+    sniff source, and extracted text from doc_id arithmetic while the
+    engine must detect the encoding and decode before parsing."""
+    encs = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        mod = d % 4
+        if mod == 3:
+            body = f"{html_escape(text)} {_CP1252_MARKER}"
+            page = (
+                '<html><head><meta charset="iso-8859-1"></head><body>'
+                f'<div id="content"><p>{body}</p></div></body></html>'
+            )
+            encs.append(page.encode("cp1252"))
+            continue
+        page = (
+            "<html><body>"
+            f'<div id="content"><p>{html_escape(text)}</p></div>'
+            "</body></html>"
+        )
+        if mod == 0:
+            encs.append(page.encode("utf-8"))
+        elif mod == 1:
+            encs.append(b"\xef\xbb\xbf" + page.encode("utf-8"))
+        else:
+            encs.append(b"\xff\xfe" + page.encode("utf-16-le"))
+    out = b.copy()
+    out["html"] = encs
+    return out
+
+
+def extract_charset_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → pages in four wire encodings →
+    charset-sniffed decode (``kernels.sniff.detect_charset``) → the
+    real extractor → ``(doc_id, charset, charset_source,
+    extracted_text)``. Proves the decode layer end to end: the
+    windows-1252 rows carry invalid-UTF-8 bytes that only survive
+    byte-identically through a correct sniff + decode."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+    from pdf_extractor_ray.kernels.sniff import detect_charset
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_charset_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, charsets, sources, texts = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            codec, source = detect_charset(raw)
+            ids.append(int(doc_id))
+            charsets.append(codec)
+            sources.append(source)
+            texts.append(html_extract(raw)[0])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "charset": pd.Series(charsets, dtype="object"),
+                "charset_source": pd.Series(sources, dtype="object"),
+                "extracted_text": pd.Series(texts, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_charset_sql() -> str:
+    tw = trim_ws_sql("text")
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'windows-1252'
+            ELSE 'utf-8' END AS charset,
+       CASE doc_id % 4 WHEN 0 THEN 'utf8-valid' WHEN 3 THEN 'meta'
+            ELSE 'bom' END AS charset_source,
+       CASE WHEN doc_id % 4 = 3 THEN
+                 CASE WHEN {tw} = '' THEN '{_CP1252_MARKER}'
+                      ELSE {tw} || ' {_CP1252_MARKER}' END
+            ELSE {tw} END AS extracted_text
+FROM documents
+"""
+
+
+EXTRACT_CHARSET_SQL = _extract_charset_sql()
+
+
+# ---------------------------------------------------------------------------
 # JSON-LD structured-data harvest (schema.org channel)
 # ---------------------------------------------------------------------------
 

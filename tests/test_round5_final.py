@@ -129,3 +129,88 @@ class TestExtractTablesCarrier:
         assert list(got["cell"]) == [toks[0], toks[1]]
         # chrome (BOILER) cells never survive
         assert not df["cell"].str.startswith("BOILER").any()
+
+
+class TestCharsetDetect:
+    def test_bom_precedence_over_meta(self):
+        from pdf_extractor_ray.kernels.sniff import detect_charset
+
+        raw = b"\xef\xbb\xbf" + b'<meta charset="iso-8859-1">x'
+        assert detect_charset(raw) == ("utf-8", "bom")
+
+    def test_utf16_boms(self):
+        from pdf_extractor_ray.kernels.sniff import detect_charset
+
+        assert detect_charset(b"\xff\xfe" + "x".encode("utf-16-le")) == ("utf-16-le", "bom")
+        assert detect_charset(b"\xfe\xff" + "x".encode("utf-16-be")) == ("utf-16-be", "bom")
+
+    def test_meta_charset_forms_and_aliases(self):
+        from pdf_extractor_ray.kernels.sniff import detect_charset
+
+        assert detect_charset(b'<meta charset="ISO-8859-1">') == ("windows-1252", "meta")
+        assert detect_charset(
+            b'<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">'
+        ) == ("shift_jis", "meta")
+        # WHATWG: a meta-declared utf-16 label is treated as utf-8
+        assert detect_charset(b'<meta charset="utf-16">') == ("utf-8", "meta")
+        # unknown label falls through the chain
+        assert detect_charset(b'<meta charset="no-such-enc">ascii body') == (
+            "utf-8",
+            "utf8-valid",
+        )
+
+    def test_strict_utf8_then_cp1252_fallback(self):
+        from pdf_extractor_ray.kernels.sniff import detect_charset
+
+        assert detect_charset("café".encode("utf-8")) == ("utf-8", "utf8-valid")
+        assert detect_charset(b"caf\xe9") == ("windows-1252", "fallback")
+
+    def test_decode_strips_bom_and_maps_cp1252(self):
+        from pdf_extractor_ray.kernels.sniff import decode_html_bytes
+
+        text, codec, src = decode_html_bytes(b"\xff\xfe" + "hé".encode("utf-16-le"))
+        assert (text, codec, src) == ("hé", "utf-16-le", "bom")
+        # 0x93/0x94 are cp1252 curly quotes; 0x81 is undefined -> latin-1
+        assert decode_html_bytes(b"\x93q\x94")[0] == "“q”"
+        assert decode_html_bytes(b"a\x81b")[0] == "a\x81b"
+
+    def test_sniff_classifies_bom_utf16_html_but_keeps_garbage_binary(self):
+        from pdf_extractor_ray.kernels.sniff import KIND_BINARY, KIND_HTML, sniff
+
+        page = b"\xff\xfe" + "<html><body><p>hi</p></body></html>".encode("utf-16-le")
+        assert sniff(page) == KIND_HTML
+        garbage = bytes([0xFF, 0xFE, 0x00]) + bytes(range(128))
+        assert sniff(garbage) == KIND_BINARY
+
+    def test_html_extract_decodes_cp1252_and_utf16(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract
+
+        cp = '<div id="content"><p>résumé and café content here</p></div>'
+        text, _ = html_extract(cp.encode("cp1252"))
+        assert "résumé" in text and "café" in text
+        u16 = b"\xff\xfe" + cp.encode("utf-16-le")
+        text16, _ = html_extract(u16)
+        assert text16 == text
+
+
+class TestExtractCharsetCarrier:
+    def test_sf0001_all_four_encodings_recovered(self, ray_session):
+        from pdf_extractor_ray.pipelines.webdocs import extract_charset_documents
+
+        df = extract_charset_documents("/root/testdata/sf0.001").to_pandas()
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        assert len(df) == len(docs)
+        m = df.merge(docs, on="doc_id")
+        mod = m["doc_id"] % 4
+        assert (m.loc[mod == 2, "charset"] == "utf-16-le").all()
+        assert (m.loc[mod == 3, "charset"] == "windows-1252").all()
+        assert (m.loc[mod == 3, "charset_source"] == "meta").all()
+        # byte-identical text recovery for the plain rows
+        plain = m[(mod < 3) & (m["text"].str.strip() != "")]
+        assert (plain["extracted_text"] == plain["text"]).all()
+        # cp1252 rows carry the non-ascii marker, decoded correctly
+        assert m.loc[mod == 3, "extracted_text"].str.endswith("émigré café").all()
