@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta_documents": webdocs.extract_meta_documents,
         "extract_tables_documents": webdocs.extract_tables_documents,
         "extract_charset_documents": webdocs.extract_charset_documents,
+        "extract_pdfinfo_documents": webdocs.extract_pdfinfo_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
@@ -320,7 +321,11 @@ _NEVER_DRIVER_RUN = [
     # phrase_search + bm25) for the WebTables-style table-structure
     # harvest — extraction is the north-star family:
     "extract_tables_documents",
-    "url_path_stats_documents",
+    # url_path_stats_documents → overflow (URL family stays in-window
+    # via url_rules_filter) for the PDF /Info metadata harvest —
+    # direct reference-capability parity (pdf_service opens each doc's
+    # metadata before extraction):
+    "extract_pdfinfo_documents",
     "shuffle_rank_documents",
     # sliding_chunks_documents → overflow (chunk/packing family stays
     # in-window via pack_sequences + length_bucketed_batches) for the
@@ -486,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
         "extract_tables_documents": webdocs.EXTRACT_TABLES_SQL,
         "extract_charset_documents": webdocs.EXTRACT_CHARSET_SQL,
+        "extract_pdfinfo_documents": webdocs.EXTRACT_PDFINFO_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,

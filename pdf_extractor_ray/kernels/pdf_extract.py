@@ -76,8 +76,13 @@ DEFAULT_PAGE_HEIGHT = 792.0
 
 def _decode_pdf_string(payload: bytes) -> str:
     """Literal string body (without parens) → str, handling escapes."""
+    return _unescape_pdf_bytes(payload).decode("utf-8", errors="replace")
+
+
+def _unescape_pdf_bytes(payload: bytes) -> bytes:
+    """Literal string body (without parens) → escape-resolved bytes."""
     if b"\\" not in payload:  # fast path: no escapes
-        return payload.decode("utf-8", errors="replace")
+        return payload
     out = bytearray()
     i = 0
     n = len(payload)
@@ -104,7 +109,17 @@ def _decode_pdf_string(payload: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("utf-8", errors="replace")
+    return bytes(out)
+
+
+def _decode_text_string(payload: bytes) -> str:
+    """PDF *text string* semantics (spec §3.8.1, used by /Info values):
+    UTF-16BE when the escape-resolved bytes open with the FE FF BOM,
+    else the same UTF-8-ish decode the content path uses."""
+    b = _unescape_pdf_bytes(payload)
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("utf-8", errors="replace")
 
 
 def _decode_hex_string(body: bytes) -> str:
@@ -523,3 +538,99 @@ def find_value_position(spans: list[dict], value: str) -> tuple[int, list[float]
         x1 = x0 + len(needle) * char_w
         return s["page"], [x0, s["y0"], x1, s["y1"]]
     return None
+
+
+# ---------------------------------------------------------------------------
+# Document-information dictionary (/Info) extraction
+# ---------------------------------------------------------------------------
+
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+0\s+R")
+INFO_KEYS = (
+    "Title",
+    "Author",
+    "Subject",
+    "Keywords",
+    "Creator",
+    "Producer",
+    "CreationDate",
+    "ModDate",
+)
+_INFO_KEY_RES = {k: re.compile(rb"/" + k.encode() + rb"\s*([(<])") for k in INFO_KEYS}
+
+
+def _scan_literal(head: bytes, i: int) -> bytes | None:
+    """``head[i] == '('``: return the raw body between the OUTER parens
+    (escapes preserved for the decoder), honoring backslash escapes and
+    the spec's balanced unescaped nesting. None if unterminated."""
+    depth = 0
+    j = i
+    n = len(head)
+    while j < n:
+        c = head[j]
+        if c == 0x5C:  # backslash: skip escaped byte
+            j += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return head[i + 1 : j]
+        j += 1
+    return None
+
+
+def pdf_extract_info(raw: bytes) -> dict[str, str]:
+    """Parse the PDF document-information dictionary → ``{Title,
+    Author, Subject, Keywords, Creator, Producer, CreationDate,
+    ModDate}`` (present keys only) — the metadata capture the reference
+    reads via its PDF library (``pdf_service.py`` opens each document
+    before extraction); here parsed directly: the LAST trailer's
+    ``/Info N 0 R`` wins (incremental updates append trailers), the
+    object's dict head yields literal ``(…)`` or hex ``<…>`` values,
+    and values decode with text-string semantics (UTF-16BE BOM aware).
+
+    Raises ``ValueError`` for non-PDF input (caller quarantines);
+    returns ``{}`` for a PDF without an /Info dict.
+    """
+    if raw[:5] != b"%PDF-":
+        raise ValueError("not a PDF: missing %PDF- header")
+    t = raw.rfind(b"trailer")
+    m = None
+    for m in _INFO_REF_RE.finditer(raw, t if t != -1 else 0):
+        pass  # last match wins
+    if m is None and t > 0:
+        for m in _INFO_REF_RE.finditer(raw):  # xref-stream layout: no
+            pass  # 'trailer' keyword after the ref — fall back to file scan
+    if m is None:
+        return {}
+    num = int(m.group(1))
+    entry = _parse_objects(raw).get(num)
+    if entry is None:
+        return {}
+    head = entry[0]
+    out: dict[str, str] = {}
+    for key, key_re in _INFO_KEY_RES.items():
+        km = key_re.search(head)
+        if km is None:
+            continue
+        start = km.start(1)
+        if head[start] == 0x28:  # literal
+            body = _scan_literal(head, start)
+            if body is not None:
+                out[key] = _decode_text_string(body)
+        else:  # hex, with text-string (BOM-aware) decode semantics
+            end = head.find(b">", start + 1)
+            if end != -1:
+                digits = b"".join(head[start + 1 : end].split())
+                if len(digits) % 2:
+                    digits += b"0"
+                try:
+                    body = bytes.fromhex(digits.decode("ascii"))
+                except ValueError:
+                    continue
+                if body[:2] == b"\xfe\xff":
+                    out[key] = body[2:].decode("utf-16-be", errors="replace")
+                else:
+                    out[key] = body.decode("utf-8", errors="replace")
+    return out

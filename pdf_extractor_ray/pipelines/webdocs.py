@@ -1002,6 +1002,87 @@ EXTRACT_CHARSET_SQL = _extract_charset_sql()
 
 
 # ---------------------------------------------------------------------------
+# PDF document-information (/Info) harvest through the real PDF parser
+# ---------------------------------------------------------------------------
+
+
+def derive_pdfinfo_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic one-page PDF per doc with a planted /Info dict:
+    Title = first ≤3 tokens (or 'untitled'), Author = source, Subject =
+    lang — the oracle derives all three from the documents table while
+    the engine must walk the trailer, resolve the /Info reference, and
+    decode PDF string escapes."""
+    pdfs = []
+    for text, lang, source in zip(b["text"], b["lang"], b["source"]):
+        toks = text.split()
+        title = " ".join(toks[:3]) if toks else "untitled"
+        words = toks[:8] if toks else ["x"]
+        pdfs.append(
+            make_pdf(
+                [[(72.0, 720.0, 12.0, " ".join(words))]],
+                info={"Title": title, "Author": source, "Subject": lang},
+            )
+        )
+    out = b.copy()
+    out["html"] = pdfs
+    return out
+
+
+def extract_pdfinfo_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic /Info-bearing PDFs →
+    :func:`kernels.pdf_extract.pdf_extract_info` → ``(doc_id, title,
+    author, subject)``. The metadata capture the reference's PDF
+    library provides implicitly (``pdf_service.py`` opens each doc);
+    zero shuffle, per-batch parse."""
+    from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(derive_pdfinfo_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, titles, authors, subjects = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            info = pdf_extract_info(raw)
+            ids.append(int(doc_id))
+            titles.append(info.get("Title", ""))
+            authors.append(info.get("Author", ""))
+            subjects.append(info.get("Subject", ""))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "title": pd.Series(titles, dtype="object"),
+                "author": pd.Series(authors, dtype="object"),
+                "subject": pd.Series(subjects, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_pdfinfo_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(arr) = 0 THEN 'untitled'
+            ELSE array_to_string(arr[1:LEAST(len(arr), 3)], ' ') END AS title,
+       source AS author,
+       lang AS subject
+FROM t
+"""
+
+
+EXTRACT_PDFINFO_SQL = _extract_pdfinfo_sql()
+
+
+# ---------------------------------------------------------------------------
 # JSON-LD structured-data harvest (schema.org channel)
 # ---------------------------------------------------------------------------
 

@@ -117,10 +117,13 @@ def make_pdf(
     pages: list[list[tuple[float, float, float, str]]],
     compress: bool = False,
     page_height: float = 792.0,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Minimal multi-page PDF. Each page = list of text runs
     ``(x, y_pdf_bottom_up, font_size, text)`` emitted in the given
     (possibly shuffled) order; reading order is a function of coords.
+    ``info`` plants a document-information dictionary (/Title, /Author,
+    …) referenced from the trailer's ``/Info`` key.
     """
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
@@ -161,9 +164,18 @@ def make_pdf(
             head = f"<< /Length {len(data)} >>\nstream\n".encode()
         add_obj(cont_num, head + data + b"\nendstream\n")
     add_obj(99, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n")
+    info_ref = ""
+    if info:
+        ents = bytearray(b"<<")
+        for k, v in info.items():
+            esc = v.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            ents += f" /{k} (".encode() + esc.encode("utf-8") + b")"
+        ents += b" >>\n"
+        add_obj(98, bytes(ents))
+        info_ref = " /Info 98 0 R"
     # xref (not parsed by our kernel, but keeps the file honest-looking)
     xref_at = len(out)
-    out.extend(f"xref\n0 1\n0000000000 65535 f \ntrailer\n<< /Size {len(offsets)+1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode())
+    out.extend(f"xref\n0 1\n0000000000 65535 f \ntrailer\n<< /Size {len(offsets)+1} /Root 1 0 R{info_ref} >>\nstartxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
 
 

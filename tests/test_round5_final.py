@@ -214,3 +214,83 @@ class TestExtractCharsetCarrier:
         assert (plain["extracted_text"] == plain["text"]).all()
         # cp1252 rows carry the non-ascii marker, decoded correctly
         assert m.loc[mod == 3, "extracted_text"].str.endswith("émigré café").all()
+
+
+class TestPdfInfo:
+    def _pdf(self, **info):
+        from pdf_extractor_ray.sources.pages import make_pdf
+
+        return make_pdf([[(72.0, 720.0, 12.0, "hello world")]], info=info or None)
+
+    def test_info_roundtrip_with_escapes(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+        raw = self._pdf(Title="a (nested) \\ title", Author="me", Subject="en")
+        assert pdf_extract_info(raw) == {
+            "Title": "a (nested) \\ title",
+            "Author": "me",
+            "Subject": "en",
+        }
+
+    def test_no_info_dict_returns_empty(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+        assert pdf_extract_info(self._pdf()) == {}
+
+    def test_non_pdf_raises(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+        with pytest.raises(ValueError):
+            pdf_extract_info(b"<html></html>")
+
+    def test_utf16be_hex_value(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+        raw = self._pdf(Author="z")
+        hexs = (b"\xfe\xff" + "tïtle".encode("utf-16-be")).hex().encode()
+        raw = raw.replace(b"/Author (z)", b"/Author (z) /Title <" + hexs + b">")
+        assert pdf_extract_info(raw) == {"Title": "tïtle", "Author": "z"}
+
+    def test_utf16be_literal_value(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+        raw = self._pdf(Author="z")
+        # plant a UTF-16BE literal string (BOM + big-endian code units)
+        lit = b"\xfe\xff" + "hé".encode("utf-16-be")
+        esc = lit.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        raw = raw.replace(b"/Author (z)", b"/Author (z) /Title (" + esc + b")")
+        assert pdf_extract_info(raw)["Title"] == "hé"
+
+    def test_incremental_update_last_trailer_wins(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract_info
+
+        base = self._pdf(Title="old")
+        upd = base + (
+            b"\n97 0 obj<< /Title (new) >>\nendobj\n"
+            b"trailer\n<< /Size 9 /Root 1 0 R /Info 97 0 R >>\nstartxref\n0\n%%EOF\n"
+        )
+        assert pdf_extract_info(upd) == {"Title": "new"}
+
+    def test_extraction_text_unaffected_by_info(self):
+        from pdf_extractor_ray.kernels.pdf_extract import pdf_extract
+
+        with_info = self._pdf(Title="t", Author="a")
+        without = self._pdf()
+        assert pdf_extract(with_info)[0] == pdf_extract(without)[0] == "hello world"
+
+    def test_carrier_sf0001(self, ray_session):
+        from pdf_extractor_ray.pipelines.webdocs import extract_pdfinfo_documents
+
+        df = extract_pdfinfo_documents("/root/testdata/sf0.001").to_pandas()
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        ).to_pandas()
+        m = df.merge(docs, on="doc_id")
+        assert len(m) == len(docs)
+        assert (m["author"] == m["source"]).all() and (m["subject"] == m["lang"]).all()
+        nonempty = m[m["text"].str.strip() != ""]
+        exp = nonempty["text"].str.split().str[:3].str.join(" ")
+        assert (nonempty["title"] == exp).all()
