@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
+        # oracle-checked; runs in the overflow slot (hash-rank machinery
+        # already driver-covered via sample_k/domain_quota)
+        "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
         "fingerprint_documents": textops.fingerprint_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
@@ -508,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).PHRASE_SEARCH_SQL,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).POSITIONAL_POSTINGS_SQL,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PATH_STATS_SQL,
+        "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_SCHEDULE_SQL,
         "shuffle_rank_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHUFFLE_RANK_SQL,
         "sliding_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SLIDING_CHUNKS_SQL,
     }

@@ -743,3 +743,91 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS VARCHAR) AS status
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# Politeness scheduling: per-host crawl waves
+# --------------------------------------------------------------------------
+
+SCHEDULE_PER_WAVE = 2  # fetches allowed per host per wave
+
+
+def politeness_schedule(
+    ds: ray.data.Dataset,
+    *,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    per_wave: int = SCHEDULE_PER_WAVE,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Assign every URL a crawl WAVE honoring per-host politeness: at
+    most ``per_wave`` fetches of one host per wave, ordered by seeded
+    hash rank (not scan order) so the schedule is deterministic,
+    partition-invariant, and stable under frontier growth — the fetch
+    planner every polite crawler runs over its frontier.
+
+    Scale shape: ONE exchange keyed by host (wave = global rank within
+    host ÷ per_wave, so per-host rank is inherent to the semantics);
+    within a bucket the rank is a vectorized argsort per host. A viral
+    host's rows land on one bucket — at 10^12 urls cap frontier slices
+    per run (the schedule is hash-stable across runs, so slicing is
+    safe) rather than scheduling an unbounded host in one group."""
+    from pdf_extractor_ray.ops import grouped_apply
+    from pdf_extractor_ray.pipelines.corpus import SAMPLE_HASH_MULT
+
+    def add_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__h"] = (
+            (b[id_col].to_numpy(np.uint64) ^ np.uint64(seed)) * np.uint64(SAMPLE_HASH_MULT)
+        ) & np.uint64(0xFFFFFFFF)
+        return b
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__h", id_col], kind="mergesort")
+        ranks = g.groupby(host_col, sort=False).cumcount().to_numpy(np.int64)
+        g = g.drop(columns="__h")
+        g["wave"] = ranks // per_wave
+        return g
+
+    return grouped_apply(ds.map_batches(add_key, batch_format="pandas"), [host_col], assign)
+
+
+def derive_schedule_hosts(b: pd.DataFrame) -> pd.DataFrame:
+    out = b.copy()
+    out["host"] = [f"h{int(d) % 5}.example.com" for d in b["doc_id"]]
+    return out
+
+
+def crawl_schedule_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → 5 synthetic hosts → politeness waves at
+    ``SCHEDULE_PER_WAVE`` fetches/host/wave; the oracle replays the
+    hash rank with HUGEINT arithmetic and a window rank."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_schedule_hosts, batch_format="pandas")
+    out = politeness_schedule(ds, seed=corpus_seed())
+    return out.select_columns(["host", "doc_id", "wave"])
+
+
+def _crawl_schedule_sql() -> str:
+    from pdf_extractor_ray.pipelines.corpus import SAMPLE_HASH_MULT, SAMPLE_SEED
+
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+         (CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296 AS h
+  FROM documents
+)
+SELECT host, doc_id,
+       CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY h, doc_id) - 1)
+            // {SCHEDULE_PER_WAVE} AS BIGINT) AS wave
+FROM c
+"""
+
+
+CRAWL_SCHEDULE_SQL = _crawl_schedule_sql()

@@ -294,3 +294,36 @@ class TestPdfInfo:
         nonempty = m[m["text"].str.strip() != ""]
         exp = nonempty["text"].str.split().str[:3].str.join(" ")
         assert (nonempty["title"] == exp).all()
+
+
+class TestPolitenessSchedule:
+    def test_wave_invariants_sf0001(self, ray_session):
+        from pdf_extractor_ray.pipelines.urlops import (
+            SCHEDULE_PER_WAVE,
+            crawl_schedule_documents,
+        )
+
+        df = crawl_schedule_documents("/root/testdata/sf0.001").to_pandas()
+        # politeness: never more than per_wave fetches of a host per wave
+        per = df.groupby(["host", "wave"]).size()
+        assert (per <= SCHEDULE_PER_WAVE).all()
+        # waves are dense from 0 per host: every wave below the max is full
+        for host, g in df.groupby("host"):
+            waves = sorted(g["wave"])
+            n = len(g)
+            assert waves == [i // SCHEDULE_PER_WAVE for i in range(n)]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from pdf_extractor_ray.pipelines.urlops import politeness_schedule
+
+        rows = pd.DataFrame({"doc_id": range(40), "host": [f"h{i % 3}" for i in range(40)]})
+        a = politeness_schedule(ray.data.from_pandas(rows), seed=7).to_pandas()
+        b = politeness_schedule(
+            ray.data.from_pandas(rows).repartition(8), seed=7
+        ).to_pandas()
+        key = ["host", "doc_id", "wave"]
+        assert a[key].sort_values(key).reset_index(drop=True).equals(
+            b[key].sort_values(key).reset_index(drop=True)
+        )
