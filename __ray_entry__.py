@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
         "fingerprint_documents": textops.fingerprint_documents,
+        "split_sentences_documents": textops.split_sentences_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
         "extract_fields_documents": webdocs.extract_fields_documents,
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).POSITIONAL_POSTINGS_SQL,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PATH_STATS_SQL,
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_SCHEDULE_SQL,
+        "split_sentences_documents": textops.SPLIT_SENTENCES_SQL,
         "shuffle_rank_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHUFFLE_RANK_SQL,
         "sliding_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SLIDING_CHUNKS_SQL,
     }

@@ -102,3 +102,44 @@ def lang_id(text: str) -> str:
     if best == 0 or best / len(words) < 0.02:
         return "und"
     return best_lang
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (rule-based)
+# ---------------------------------------------------------------------------
+
+# terminator run followed by whitespace or end-of-text; common
+# abbreviation + initial guards keep "e.g. foo" / "J. Smith" unsplit
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])[.!?]*\s+")
+_ABBREV = frozenset(
+    {"mr", "mrs", "ms", "dr", "prof", "st", "vs", "etc", "e.g", "i.e", "no", "fig", "jr", "sr"}
+)
+
+
+def split_sentences(text: str) -> list[str]:
+    """Rule-based sentence segmentation: split after a ``.!?`` run that
+    is followed by whitespace, EXCEPT when the terminator ends a known
+    abbreviation or a single-letter initial ("Dr. Who", "J. Smith") —
+    the standard pre-neural splitter (cf. NLTK's punkt heuristics,
+    public domain rule set). Returned sentences are
+    whitespace-collapsed with trailing terminators stripped; empty
+    sentences are dropped. Deterministic pure function — safe in any
+    ``map_batches`` stage."""
+    out: list[str] = []
+    start = 0
+    for m in _SENT_SPLIT_RE.finditer(text):
+        candidate = text[start : m.start()]  # ends at the first terminator
+        # the token immediately before the terminator run
+        head = candidate.rstrip(".!?")
+        tok = head.rsplit(None, 1)[-1] if head.split() else ""
+        is_initial = len(tok) == 1 and tok.isalpha() and tok.isupper()
+        if candidate.endswith(".") and (tok.lower() in _ABBREV or is_initial):
+            continue  # abbreviation / capitalized initial: not a boundary
+        sent = " ".join(text[start : m.end()].split()).rstrip(".!?").strip()
+        if sent:
+            out.append(sent)
+        start = m.end()
+    tail = " ".join(text[start:].split()).rstrip(".!?").strip()
+    if tail:
+        out.append(tail)
+    return out

@@ -2959,3 +2959,91 @@ SELECT doc_id, CAST(reject_reason = '' AS TINYINT) AS keep, reject_reason FROM v
 
 
 CURATION_VERDICT_SQL = curation_verdict_sql()
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (rule-based splitter through a derive carrier)
+# ---------------------------------------------------------------------------
+
+SENT_EVERY = 5  # carrier plants a terminator after every 5th token
+
+
+def derive_sentence_text(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Deterministic punctuated text per doc: a period after every
+    ``SENT_EVERY``-th token (the corpus is unpunctuated by
+    construction), so the oracle knows every sentence boundary by
+    token arithmetic while the engine must run the real splitter."""
+    import pandas as pd
+
+    texts = []
+    for text in b["text"]:
+        toks = text.split()
+        texts.append(
+            ". ".join(
+                " ".join(toks[i : i + SENT_EVERY]) for i in range(0, len(toks), SENT_EVERY)
+            )
+            + ("." if toks else "")
+        )
+    out = b.copy()
+    out["text"] = texts
+    return out
+
+
+def split_sentences_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → punctuated text →
+    :func:`kernels.textstats.split_sentences` → ``(doc_id, sent_idx,
+    sentence, n_tokens)`` — the sentence-level explode that feeds
+    sentence dedup and boundary-aware chunking. Zero shuffle,
+    per-batch vectorized explode."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.kernels.textstats import split_sentences
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_sentence_text, batch_format="pandas", batch_size=1024)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, sents, ntoks = [], [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            for i, s in enumerate(split_sentences(text)):
+                ids.append(int(doc_id))
+                idxs.append(i)
+                sents.append(s)
+                ntoks.append(len(s.split()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sent_idx": pd.Series(idxs, dtype="int64"),
+                "sentence": pd.Series(sents, dtype="object"),
+                "n_tokens": pd.Series(ntoks, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas", batch_size=1024)
+
+
+def _split_sentences_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    k = SENT_EVERY
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id, CAST(u.k AS BIGINT) AS sent_idx,
+       array_to_string(arr[{k}*u.k+1 : LEAST({k}*u.k+{k}, len(arr))], ' ') AS sentence,
+       CAST(LEAST({k}*u.k+{k}, len(arr)) - {k}*u.k AS BIGINT) AS n_tokens
+FROM t, unnest(generate_series(0, CAST(ceil(len(arr)/{k}.0) AS INT) - 1)) AS u(k)
+WHERE len(arr) > 0
+"""
+
+
+SPLIT_SENTENCES_SQL = _split_sentences_sql()

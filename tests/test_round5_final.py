@@ -327,3 +327,59 @@ class TestPolitenessSchedule:
         assert a[key].sort_values(key).reset_index(drop=True).equals(
             b[key].sort_values(key).reset_index(drop=True)
         )
+
+
+class TestSplitSentences:
+    def test_basic_terminators(self):
+        from pdf_extractor_ray.kernels.textstats import split_sentences
+
+        assert split_sentences("First one. Second here! Third?  Fourth") == [
+            "First one",
+            "Second here",
+            "Third",
+            "Fourth",
+        ]
+
+    def test_abbreviations_and_initials_do_not_split(self):
+        from pdf_extractor_ray.kernels.textstats import split_sentences
+
+        assert split_sentences("Dr. Who met J. Smith. They left.") == [
+            "Dr. Who met J. Smith",
+            "They left",
+        ]
+        assert split_sentences("See e.g. the spec. Done.") == ["See e.g. the spec", "Done"]
+
+    def test_lowercase_single_letter_splits(self):
+        from pdf_extractor_ray.kernels.textstats import split_sentences
+
+        # lowercase 'a.' is a word, not an initial — must split
+        assert split_sentences("ends in a. next one") == ["ends in a", "next one"]
+
+    def test_multi_terminator_runs(self):
+        from pdf_extractor_ray.kernels.textstats import split_sentences
+
+        assert split_sentences("Multi!!! Bang?! End.") == ["Multi", "Bang", "End"]
+
+    def test_empty_and_unterminated(self):
+        from pdf_extractor_ray.kernels.textstats import split_sentences
+
+        assert split_sentences("") == []
+        assert split_sentences("no terminator here") == ["no terminator here"]
+
+    def test_carrier_matches_token_arithmetic(self, ray_session):
+        from pdf_extractor_ray.pipelines.textops import SENT_EVERY, split_sentences_documents
+
+        df = split_sentences_documents("/root/testdata/sf0.001").to_pandas()
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        row = docs[docs["text"].str.split().str.len() >= SENT_EVERY + 1].iloc[0]
+        toks = row["text"].split()
+        got = df[df["doc_id"] == row["doc_id"]].sort_values("sent_idx")
+        assert got.iloc[0]["sentence"] == " ".join(toks[:SENT_EVERY])
+        assert (got["n_tokens"] == got["sentence"].str.split().str.len()).all()
+        import math
+
+        assert len(got) == math.ceil(len(toks) / SENT_EVERY)
