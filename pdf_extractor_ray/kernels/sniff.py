@@ -146,19 +146,42 @@ def detect_charset(raw: bytes) -> tuple[str, str]:
 
 
 def decode_html_bytes(raw: bytes) -> tuple[str, str, str]:
-    """Decode page bytes via :func:`detect_charset`: ``(text, codec,
-    source)``. The BOM is stripped; undecodable bytes are replaced
-    (windows-1252's five undefined bytes fall back to latin-1's C1
-    controls, the WHATWG mapping). Deterministic: output depends only
-    on the input bytes — the extracted-text byte-identity contract
-    survives the decode layer."""
-    codec, source = detect_charset(raw)
-    body = raw
-    if source == "bom":
-        body = raw[3:] if codec == "utf-8" else raw[2:]
-    if codec == "windows-1252":
-        try:
-            return body.decode("cp1252"), codec, source
-        except UnicodeDecodeError:
-            return body.decode("latin-1"), codec, source
-    return body.decode(codec, errors="replace"), codec, source
+    """Decode page bytes with :func:`detect_charset` semantics:
+    ``(text, codec, source)``. Single-pass on the hot path — the
+    dominant utf8-valid case decodes exactly once (strict decode IS
+    the validation), so the flagship pays no double-decode tax. The
+    BOM is stripped; undecodable bytes are replaced (windows-1252's
+    five undefined bytes fall back to latin-1's C1 controls, the
+    WHATWG mapping). Deterministic: output depends only on the input
+    bytes — the extracted-text byte-identity contract survives the
+    decode layer."""
+    first = raw[:1]
+    if first in (b"\xef", b"\xff", b"\xfe"):  # cheap BOM pre-check
+        if raw[:3] == b"\xef\xbb\xbf":
+            return raw[3:].decode("utf-8", errors="replace"), "utf-8", "bom"
+        if raw[:2] == b"\xff\xfe":
+            return raw[2:].decode("utf-16-le", errors="replace"), "utf-16-le", "bom"
+        if raw[:2] == b"\xfe\xff":
+            return raw[2:].decode("utf-16-be", errors="replace"), "utf-16-be", "bom"
+    if b"harset" in raw[:1024].lower():  # cheap meta pre-check, any case
+        head = raw[:1024].decode("latin-1", errors="replace")
+        m = _META_CHARSET_RE.search(head)
+        if m:
+            codec = _CHARSET_ALIASES.get(m.group(1).lower())
+            if codec in ("utf-16-le", "utf-16-be"):
+                codec = "utf-8"  # WHATWG: meta-declared utf-16 is a lie
+            if codec == "windows-1252":
+                return _decode_cp1252(raw), codec, "meta"
+            if codec is not None:
+                return raw.decode(codec, errors="replace"), codec, "meta"
+    try:
+        return raw.decode("utf-8"), "utf-8", "utf8-valid"
+    except UnicodeDecodeError:
+        return _decode_cp1252(raw), "windows-1252", "fallback"
+
+
+def _decode_cp1252(raw: bytes) -> str:
+    try:
+        return raw.decode("cp1252")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
