@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "banned_phrase_documents": textops.banned_phrase_documents,
         "clean_unicode_documents": textops.clean_unicode_documents,
         "token_entropy_documents": textops.token_entropy_documents,
+        "vocab_growth_documents": textops.vocab_growth_documents,
         "bigram_novelty_documents": textops.bigram_novelty_documents,
         "ccnet_matrix_documents": textops.ccnet_matrix_documents,
         "pii_stats_by_source": textops.pii_stats_by_source,
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
         "fingerprint_documents": textops.fingerprint_documents,
         "split_sentences_documents": textops.split_sentences_documents,
+        "span_dedup_documents": textops.span_dedup_documents,
         # -- extraction flagship + fields + training --------------------
         "extract_flagship": webdocs.extract_documents_summary,
         "extract_fields_documents": webdocs.extract_fields_documents,
@@ -173,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_charset_documents": webdocs.extract_charset_documents,
         "extract_pdfinfo_documents": webdocs.extract_pdfinfo_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
+        "extract_dates_documents": webdocs.extract_dates_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
         "read_warc_documents": webdocs.read_warc_documents,
@@ -466,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_unicode_documents": textops.CLEAN_UNICODE_SQL,
         "label_centroids_embeddings": similarity.LABEL_CENTROIDS_SQL,
         "token_entropy_documents": textops.TOKEN_ENTROPY_SQL,
+        "vocab_growth_documents": textops.VOCAB_GROWTH_SQL,
         "bigram_novelty_documents": textops.BIGRAM_NOVELTY_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,
@@ -496,6 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables_documents": webdocs.EXTRACT_TABLES_SQL,
         "extract_charset_documents": webdocs.EXTRACT_CHARSET_SQL,
         "extract_pdfinfo_documents": webdocs.EXTRACT_PDFINFO_SQL,
+        "extract_dates_documents": webdocs.EXTRACT_DATES_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,
@@ -514,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PATH_STATS_SQL,
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_SCHEDULE_SQL,
         "split_sentences_documents": textops.SPLIT_SENTENCES_SQL,
+        "span_dedup_documents": textops.SPAN_DEDUP_SQL,
         "shuffle_rank_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHUFFLE_RANK_SQL,
         "sliding_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SLIDING_CHUNKS_SQL,
     }

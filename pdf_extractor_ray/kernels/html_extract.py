@@ -970,3 +970,101 @@ def html_extract_tables(raw: bytes) -> list[tuple[int, int, int, int, str]]:
     while stack:  # tolerate unclosed tables at EOF
         flush_cell(stack.pop())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Publication-date extraction (htmldate/trafilatura-style channel priority)
+# ---------------------------------------------------------------------------
+
+_ISO_DATE_RE = re.compile(r"\s*((?:19|20)\d{2})-(\d{2})-(\d{2})")
+_URL_DATE_RE = re.compile(r"/((?:19|20)\d{2})/(\d{2})/(\d{2})(?:/|$)")
+
+
+def _parse_iso_date(value: str) -> str | None:
+    """Leading ``YYYY-MM-DD`` prefix of an ISO-8601-ish value (datetime
+    suffixes tolerated), calendar-validated: returns the normalized
+    date string or None. Pure; no locale, no two-digit years."""
+    import datetime as _dt
+
+    m = _ISO_DATE_RE.match(value)
+    if not m:
+        return None
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    try:
+        _dt.date(y, mo, d)
+    except ValueError:
+        return None
+    return f"{y:04d}-{mo:02d}-{d:02d}"
+
+
+def html_extract_date(raw: bytes, url: str | None = None) -> tuple[str | None, str | None]:
+    """Publication-date harvest: ``(date 'YYYY-MM-DD' | None, source |
+    None)`` with source ∈ {'meta', 'time', 'jsonld', 'url'} — the
+    channel-priority rule the htmldate/trafilatura family popularized
+    (reference analog: none — its PDFs carry /Info dates; web pages
+    need this sniff). Priority is trust-ordered, not document-ordered:
+    a ``<meta property|name="article:published_time">`` beats the
+    first ``<time datetime>``, which beats a JSON-LD ``datePublished``,
+    which beats a ``/YYYY/MM/DD/`` url path segment. Within a channel
+    the FIRST well-formed, calendar-valid occurrence wins; malformed
+    values fall through to the next channel rather than erroring.
+    Single pass over the shared token stream (comments/CDATA skipped by
+    the tokenizer); script bodies are only JSON-parsed when typed
+    ``application/ld+json``. Deterministic pure function."""
+    from pdf_extractor_ray.functions.jsonparse import parse_robust_json
+
+    html = _decode_page(raw)
+    meta_date: str | None = None
+    time_date: str | None = None
+    ld_date: str | None = None
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n and meta_date is None:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None or html[m.start() + 1] == "/":
+            continue
+        tag = name.lower()
+        blob = html[m.start(2) : m.end(2)]
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            payload_end = mm.start() if mm else n
+            if tag == "script" and ld_date is None:
+                tm = _LDJSON_TYPE_RE.search(blob)
+                stype = (tm.group(1) or tm.group(2) or tm.group(3) or "") if tm else ""
+                if stype.strip().lower() == "application/ld+json":
+                    obj, _err = parse_robust_json(html[pos:payload_end])
+                    if isinstance(obj, dict):
+                        v = obj.get("datePublished")
+                        if isinstance(v, str):
+                            ld_date = _parse_iso_date(v)
+            pos = payload_end
+            continue
+        if tag == "meta":
+            key = _attr_val(blob, "property") or _attr_val(blob, "name")
+            if key is not None and key.lower() == "article:published_time":
+                content = _attr_val(blob, "content")
+                if content is not None:
+                    meta_date = _parse_iso_date(content)
+        elif tag == "time" and time_date is None:
+            dt = _attr_val(blob, "datetime")
+            if dt is not None:
+                time_date = _parse_iso_date(dt)
+    if meta_date is not None:
+        return meta_date, "meta"
+    if time_date is not None:
+        return time_date, "time"
+    if ld_date is not None:
+        return ld_date, "jsonld"
+    if url:
+        um = _URL_DATE_RE.search(url)
+        if um:
+            d = _parse_iso_date("-".join(um.groups()))
+            if d is not None:
+                return d, "url"
+    return None, None

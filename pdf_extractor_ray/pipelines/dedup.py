@@ -1774,3 +1774,285 @@ def winnow_pairs(
         return b[b["n_shared"] >= min_shared]
 
     return pair_counts.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we discard all
+# but one of any three-sentence span occurring more than once")
+# ---------------------------------------------------------------------------
+
+SPAN_POS_CAP = 1 << 20  # occurrence key = id * CAP + pos; pos bound
+
+
+def span_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmenter=None,
+    span: int = 3,
+    min_occurrences: int = 2,
+    num_buckets: int | None = None,
+    broadcast_limit: int | None = None,
+    hot_span_occurrences: int = 100_000,
+) -> ray.data.Dataset:
+    """C4's span-level dedup: hash every consecutive ``span``-sentence
+    window; for a window text occurring at >= ``min_occurrences``
+    locations corpus-wide, the single WINNER occurrence — the smallest
+    ``(id, position)`` — keeps its sentences, and every sentence
+    covered by any LOSER occurrence is deleted from its document.
+    Returns one row per input document: ``(id_col, n_sentences_kept,
+    text_kept)`` with survivors re-joined by newline in original
+    order. ``id_col`` must be UNIQUE int64 (the winner rule needs a
+    total order on occurrences; ids must stay below 2^43 so the
+    ``id * 2^20 + pos`` occurrence key fits int64 — both raise).
+
+    Scale shape (mirrors :func:`paragraph_dedup`, which audits the
+    same two-pass design at the paragraph granularity):
+
+    - Pass 1: each doc emits its span-hash occurrences ``(hash, key)``;
+      a bucketed ``grouped_agg`` reduces to per-hash ``(n_occ,
+      min_key)`` — 16-byte hashes + two int64s on the exchange, never
+      span text; per-batch partials bound a viral span to one row per
+      batch. The duplicated-span table (boilerplate-sized) is
+      materialized ONCE and reused by every plan branch below.
+    - Below the rows+bytes gate the ``{hash: winner}`` dict broadcasts
+      and the rebuild is one zero-shuffle ``map_batches``. Above it
+      (``broadcast_limit=0`` forces this; tests pin plan identity):
+      loser occurrences come from an ``adaptive_inner_join`` on the
+      hash, explode to deleted ``(id*CAP + pos)`` keys, and a
+      distributed anti ``semi_join`` drops those sentences before a
+      bucketed per-doc reassembly — the dup table never lands on the
+      driver.
+    - Hot-span bound: a viral span (licence boilerplate in ~every doc)
+      would route all its occurrence rows to one loser-join partition.
+      Spans with ``n_occ >= hot_span_occurrences`` are split into a
+      TINY ``{hash: winner}`` broadcast resolved inside both explodes
+      (losers pre-drop their sentences locally; the winner passes) —
+      exact, since the winner rule needs only the span's own
+      ``min_key``. If even the hot set exceeds the gate the split
+      degrades to a warning, never a wrong answer.
+    """
+    from pdf_extractor_ray import joins
+    from pdf_extractor_ray.ops import distinct, grouped_agg
+
+    if segmenter is None:
+        from pdf_extractor_ray.kernels.textstats import split_sentences as segmenter
+
+    if broadcast_limit is None:
+        broadcast_limit = joins.BROADCAST_KEY_LIMIT
+
+    narrow = ds.select_columns([id_col, text_col])
+
+    def occurrence_key(i: int, pos: int) -> int:
+        if pos >= SPAN_POS_CAP:
+            raise ValueError(f"span_dedup: position {pos} >= {SPAN_POS_CAP}")
+        if i >= (1 << 43):
+            raise ValueError(f"span_dedup: id {i} >= 2^43; occurrence key overflows")
+        return i * SPAN_POS_CAP + pos
+
+    def doc_spans(text: str):
+        sents = segmenter(text)
+        for i in range(len(sents) - span + 1):
+            yield i, hashing.content_hash("\n".join(sents[i : i + span]))
+
+    def emit_occurrences(b: pd.DataFrame) -> pd.DataFrame:
+        hs, keys = [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            d = int(i)
+            for pos, h in doc_spans(t):
+                hs.append(h)
+                keys.append(occurrence_key(d, pos))
+        return pd.DataFrame({"__sh": hs, "__key": np.array(keys, dtype=np.int64)})
+
+    counts = grouped_agg(
+        narrow.map_batches(emit_occurrences, batch_format="pandas"),
+        ["__sh"],
+        {"n_occ": ("__sh", "count"), "min_key": ("__key", "min")},
+        num_buckets=num_buckets,
+    )
+    dup_m = counts.map_batches(
+        lambda b: b.loc[b["n_occ"] >= min_occurrences, ["__sh", "n_occ", "min_key"]],
+        batch_format="pandas",
+    ).materialize()
+
+    def rebuild_with(dup: dict):
+        def rebuild(b: pd.DataFrame) -> pd.DataFrame:
+            n_kept, texts = [], []
+            for i, t in zip(b[id_col], b[text_col]):
+                d = int(i)
+                sents = segmenter(t)
+                deleted: set[int] = set()
+                for pos in range(len(sents) - span + 1):
+                    h = hashing.content_hash("\n".join(sents[pos : pos + span]))
+                    wk = dup.get(h)
+                    if wk is not None and occurrence_key(d, pos) != wk:
+                        deleted.update(range(pos, pos + span))
+                kept = [s for j, s in enumerate(sents) if j not in deleted]
+                n_kept.append(len(kept))
+                texts.append("\n".join(kept))
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_sentences_kept": np.array(n_kept, dtype=np.int64),
+                    "text_kept": texts,
+                }
+            )
+
+        return rebuild
+
+    if broadcast_limit and joins._fits_broadcast(dup_m, broadcast_limit):
+        dup_ref = ray.put({r["__sh"]: r["min_key"] for r in dup_m.take_all()})
+
+        def rebuild_bc(b: pd.DataFrame) -> pd.DataFrame:
+            return rebuild_with(joins._cached_get(dup_ref))(b)
+
+        return narrow.map_batches(rebuild_bc, batch_format="pandas")
+
+    # Exchange plan. Hot split first: viral spans resolve via a tiny
+    # broadcast winner dict inside both explodes.
+    hot_m = dup_m.map_batches(
+        lambda b: b.loc[b["n_occ"] >= hot_span_occurrences, ["__sh", "min_key"]],
+        batch_format="pandas",
+    ).materialize()
+    if joins._fits_broadcast(hot_m, broadcast_limit or joins.BROADCAST_KEY_LIMIT):
+        hot = {r["__sh"]: r["min_key"] for r in hot_m.take_all()}
+    else:
+        import warnings
+
+        warnings.warn(
+            f"span_dedup: hot-span set ({hot_m.count()} hashes in >= "
+            f"{hot_span_occurrences} locations) exceeds the broadcast gate; "
+            "the exchange runs without the skew bound — raise "
+            "hot_span_occurrences",
+            stacklevel=2,
+        )
+        hot = {}
+    hot_ref = ray.put(hot)
+
+    def emit_cold_occurrences(b: pd.DataFrame) -> pd.DataFrame:
+        h_dict = joins._cached_get(hot_ref)
+        hs, keys = [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            d = int(i)
+            for pos, h in doc_spans(t):
+                if h in h_dict:  # resolved locally in the sentence explode
+                    continue
+                hs.append(h)
+                keys.append(occurrence_key(d, pos))
+        return pd.DataFrame({"__sh": hs, "__key": np.array(keys, dtype=np.int64)})
+
+    losers = joins.adaptive_inner_join(
+        narrow.map_batches(emit_cold_occurrences, batch_format="pandas"),
+        dup_m.select_columns(["__sh", "min_key"]),
+        "__sh",
+        broadcast_limit=broadcast_limit,
+    ).map_batches(lambda b: b.loc[b["__key"] != b["min_key"], ["__key"]], batch_format="pandas")
+
+    def explode_deleted(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["__key"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"__dk": np.concatenate([k + i for i in range(span)]) if len(k) else
+             np.array([], dtype=np.int64)}
+        )
+
+    # The deleted-key set can be legitimately EMPTY (the hot split may
+    # resolve every duplicated span), and zero-row pandas blocks lose
+    # their schema on Ray 2.49 — the hash-join side of the anti
+    # semi_join then raises. Same fix as bfs_depth: re-type non-empty
+    # blocks to arrow and compact by block metadata, with a typed empty
+    # fallback. The materialize is bounded by duplicated-text volume
+    # (the exchange plan already materialized dup_m upstream).
+    import pyarrow as _pa
+
+    from pdf_extractor_ray.ops import compact_nonempty_arrow
+
+    def _dk_arrow(b: pd.DataFrame):
+        return _pa.table({"__dk": _pa.array(b["__dk"].to_numpy(dtype=np.int64), _pa.int64())})
+
+    del_keys = compact_nonempty_arrow(
+        distinct(
+            losers.map_batches(explode_deleted, batch_format="pandas"), ["__dk"],
+            num_buckets=num_buckets,
+        ).map_batches(_dk_arrow, batch_format="pandas"),
+        _pa.table({"__dk": _pa.array([], _pa.int64())}),
+    )
+
+    def explode_sentences(b: pd.DataFrame) -> pd.DataFrame:
+        h_dict = joins._cached_get(hot_ref)
+        ids, pos_l, sent_l, dks = [], [], [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            d = int(i)
+            sents = segmenter(t)
+            deleted: set[int] = set()
+            if h_dict:
+                for pos in range(len(sents) - span + 1):
+                    h = hashing.content_hash("\n".join(sents[pos : pos + span]))
+                    wk = h_dict.get(h)
+                    if wk is not None and occurrence_key(d, pos) != wk:
+                        deleted.update(range(pos, pos + span))
+            for j, s in enumerate(sents):
+                if j in deleted:
+                    continue
+                ids.append(d)
+                pos_l.append(j)
+                sent_l.append(s)
+                dks.append(occurrence_key(d, j))
+        return pd.DataFrame(
+            {
+                id_col: np.array(ids, dtype=np.int64),
+                "__pos": np.array(pos_l, dtype=np.int64),
+                "__sent": sent_l,
+                "__dk": np.array(dks, dtype=np.int64),
+            }
+        )
+
+    sent_rows = narrow.map_batches(explode_sentences, batch_format="pandas")
+    # del_keys is already materialized (compact above), so the count is
+    # block-metadata-free; an empty deleted set (hot split resolved
+    # every duplicated span) skips the anti-join — Ray 2.49's native
+    # hash join cannot take an all-empty right side even when typed.
+    if del_keys.count() == 0:
+        kept_rows = sent_rows
+    else:
+        kept_rows = joins.semi_join(
+            sent_rows,
+            del_keys,
+            "__dk",
+            keep=False,
+            broadcast_limit=broadcast_limit,
+        )
+
+    def anchor(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                "__pos": np.full(n, -1, dtype=np.int64),
+                "__sent": [""] * n,
+                "__dk": np.full(n, -1, dtype=np.int64),
+            }
+        )
+
+    both = kept_rows.union(ds.select_columns([id_col]).map_batches(anchor, batch_format="pandas"))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "__pos"], kind="stable")
+        anchors_per_id = g[g["__pos"] < 0].groupby(id_col, sort=False).size()
+        if (anchors_per_id > 1).any():
+            dup_id = anchors_per_id[anchors_per_id > 1].index[0]
+            raise ValueError(
+                f"span_dedup: id_col {id_col!r} is not unique (e.g. {dup_id!r}); "
+                "the exchange plan requires one row per id"
+            )
+        real = g[g["__pos"] >= 0]
+        agg = real.groupby(id_col, sort=False)["__sent"].agg(list)
+        out = g[[id_col]].drop_duplicates().copy()
+        sents = out[id_col].map(agg)
+        out["n_sentences_kept"] = sents.map(
+            lambda v: 0 if isinstance(v, float) else len(v)
+        ).astype(np.int64)
+        out["text_kept"] = sents.map(lambda v: "" if isinstance(v, float) else "\n".join(v))
+        return out
+
+    return grouped_apply(both, [id_col], reassemble, num_buckets=num_buckets)

@@ -3047,3 +3047,253 @@ WHERE len(arr) > 0
 
 
 SPLIT_SENTENCES_SQL = _split_sentences_sql()
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+VOCAB_CHECKPOINTS = 32
+
+
+def vocab_growth_documents(
+    sf_dir: str, num_checkpoints: int = VOCAB_CHECKPOINTS
+) -> ray.data.Dataset:
+    """Heaps-law vocabulary growth curve: distinct token-TRIGRAM types
+    accumulated as the corpus is read in ``doc_id`` order, sampled at
+    ``num_checkpoints`` equal-width doc-id checkpoints —
+    ``(docs_prefix, new_types, cum_types)``. The curve is the standard
+    corpus-health probe (sub-linear growth ≈ natural text; near-linear
+    growth flags boilerplate ids, hashes, or OCR noise inflating the
+    vocabulary). Trigram types, not unigrams: phrase-level vocabulary
+    keeps growing long after the word list saturates, which is the
+    regime the curve diagnoses (and the synthetic corpus's 31-word
+    unigram pool saturates in the first batch — a flat line proves
+    nothing).
+
+    Scale shape — the key trick is that "distinct types seen so far"
+    needs NO sequential scan: a type is new at exactly one place, the
+    checkpoint containing its FIRST occurrence. So: per-batch partial
+    min(doc_id) per trigram (a viral type collapses to one row per
+    batch) → ONE bucketed ``grouped_agg`` min keyed by type → bucket
+    first_doc into checkpoints (checkpoint-sized histogram via
+    ``grouped_sum``) → ``prefix_sum`` over the ≤ ``num_checkpoints``
+    rows for the cumulative curve. The exchange carries (type string,
+    int64), never document bodies; nothing corpus-sized lands
+    anywhere."""
+    from pdf_extractor_ray.ops import grouped_agg, grouped_sum, prefix_sum
+
+    narrow = _docs(sf_dir, ["doc_id", "text"])
+
+    from ray.data.aggregate import Max, Min
+
+    agg = narrow.select_columns(["doc_id"]).aggregate(Min("doc_id"), Max("doc_id"))
+    mn, mx = agg["min(doc_id)"], agg["max(doc_id)"]
+    if mn is None:
+        import pandas as _pd
+
+        return ray.data.from_pandas(
+            _pd.DataFrame(
+                {
+                    "docs_prefix": _pd.Series([], dtype="int64"),
+                    "new_types": _pd.Series([], dtype="int64"),
+                    "cum_types": _pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    mn, mx = int(mn), int(mx)
+    span = mx - mn + 1
+    width = -(-span // num_checkpoints)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        first: dict[str, int] = {}
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            toks = t.split()
+            for i in range(len(toks) - 2):
+                g = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                prev = first.get(g)
+                if prev is None or d < prev:
+                    first[g] = d
+        return pd.DataFrame(
+            {
+                "gram": list(first.keys()),
+                "first_doc": np.fromiter(first.values(), dtype=np.int64, count=len(first)),
+            }
+        )
+
+    firsts = grouped_agg(
+        narrow.map_batches(partial, batch_format="pandas", batch_size=4096),
+        ["gram"],
+        {"first_doc": ("first_doc", "min")},
+    )
+
+    def to_checkpoint(b: pd.DataFrame) -> pd.DataFrame:
+        ck = (b["first_doc"].to_numpy(dtype=np.int64) - mn) // width
+        return pd.DataFrame({"__ck": ck, "new_types": np.ones(len(b), dtype=np.int64)})
+
+    hist = grouped_sum(
+        firsts.map_batches(to_checkpoint, batch_format="pandas"), ["__ck"], ["new_types"]
+    )
+    curve = prefix_sum(hist, "__ck", "new_types", out_col="__before")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ck = b["__ck"].to_numpy(dtype=np.int64)
+        new = b["new_types"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "docs_prefix": np.minimum((ck + 1) * width, span),
+                "new_types": new,
+                "cum_types": b["__before"].to_numpy(dtype=np.int64) + new,
+            }
+        )
+
+    return curve.map_batches(finish, batch_format="pandas")
+
+
+def vocab_growth_sql(num_checkpoints: int = VOCAB_CHECKPOINTS) -> str:
+    return rf"""
+WITH b AS (
+    SELECT min(doc_id) AS mn, max(doc_id) AS mx,
+           (max(doc_id) - min(doc_id) + 1 + {int(num_checkpoints)} - 1)
+               // {int(num_checkpoints)} AS width,
+           max(doc_id) - min(doc_id) + 1 AS span
+    FROM documents
+),
+t AS (
+    SELECT doc_id, regexp_split_to_array({_TW}, '{_WS}') AS arr
+    FROM documents WHERE {_TW} <> ''
+),
+w AS (
+    SELECT doc_id, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS gram
+    FROM t, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM w GROUP BY gram),
+h AS (
+    SELECT (f.first_doc - b.mn) // b.width AS ck,
+           CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM f, b GROUP BY ck
+)
+SELECT CAST(LEAST((h.ck + 1) * b.width, b.span) AS BIGINT) AS docs_prefix,
+       h.new_types,
+       CAST(SUM(h.new_types) OVER (ORDER BY h.ck) AS BIGINT) AS cum_types
+FROM h, b
+"""
+
+
+VOCAB_GROWTH_SQL = vocab_growth_sql()
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence-span dedup carrier
+# ---------------------------------------------------------------------------
+
+
+def derive_span_corpus(b: pd.DataFrame) -> pd.DataFrame:
+    """Sentence-structured corpus with PLANTED duplicated spans: each
+    doc's base sentences (5-token groups, the ``derive_sentence_text``
+    arithmetic) are followed by a 2-sentence lang-keyed block and a
+    4-sentence source-keyed licence block. Docs sharing a source share
+    the licence block, so its two interior 3-windows duplicate
+    corpus-wide — the span winner (smallest (doc_id, pos)) keeps all
+    four licence sentences, every other doc of the source loses them
+    (overlapping-window deletion union). The 2-sentence lang block
+    never fills a 3-window on its own, so it survives UNLESS a doc
+    shares BOTH lang and source with another doc (then the bridging
+    window duplicates too) — the oracle derives whichever holds."""
+    texts = []
+    for text, lang, source in zip(b["text"], b["lang"], b["source"]):
+        toks = text.split()
+        sents = [" ".join(toks[i : i + SENT_EVERY]) for i in range(0, len(toks), SENT_EVERY)]
+        sents += [
+            f"lang marker one for {lang}",
+            f"lang marker two for {lang}",
+            f"licence sentence one for {source}",
+            f"licence sentence two for {source}",
+            f"licence sentence three for {source}",
+            f"licence sentence four for {source}",
+        ]
+        texts.append(". ".join(sents) + ".")
+    out = b.copy()
+    out["text"] = texts
+    return out
+
+
+def span_dedup_documents(
+    sf_dir: str, broadcast_limit: int | None = None
+) -> ray.data.Dataset:
+    """Carrier: documents → planted-span corpus (above) → C4
+    three-sentence-span dedup (``pipelines.dedup.span_dedup``) →
+    ``(doc_id, n_sentences_kept, text_kept)``. The real rule-based
+    sentence segmenter feeds the real span machinery; the SQL oracle
+    replays the sentence arithmetic and the winner/overlap semantics
+    end to end."""
+    from pdf_extractor_ray.pipelines.dedup import span_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
+        derive_span_corpus, batch_format="pandas", batch_size=1024
+    )
+    return span_dedup(
+        ds, text_col="text", id_col="doc_id", broadcast_limit=broadcast_limit
+    )
+
+
+def _span_dedup_sql() -> str:
+    k = SENT_EVERY
+    cap = 1 << 20
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang, source,
+           CASE WHEN {_TW} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({_TW}, '{_WS}') END AS arr
+    FROM documents
+),
+nb AS (SELECT doc_id, CAST(ceil(len(arr)/{k}.0) AS BIGINT) AS n_base FROM t),
+s AS (
+    SELECT t.doc_id, CAST(u.k AS BIGINT) AS pos,
+           array_to_string(arr[{k}*u.k+1 : LEAST({k}*u.k+{k}, len(arr))], ' ') AS sentence
+    FROM t, unnest(generate_series(0, CAST(ceil(len(arr)/{k}.0) AS INT) - 1)) AS u(k)
+    WHERE len(arr) > 0
+    UNION ALL
+    SELECT t.doc_id, nb.n_base + u.i,
+           CASE u.i
+                WHEN 0 THEN 'lang marker one for ' || t.lang
+                WHEN 1 THEN 'lang marker two for ' || t.lang
+                WHEN 2 THEN 'licence sentence one for ' || t.source
+                WHEN 3 THEN 'licence sentence two for ' || t.source
+                WHEN 4 THEN 'licence sentence three for ' || t.source
+                ELSE 'licence sentence four for ' || t.source END
+    FROM t JOIN nb USING (doc_id)
+    CROSS JOIN unnest([CAST(0 AS BIGINT), 1, 2, 3, 4, 5]) AS u(i)
+),
+sp AS (
+    SELECT a.doc_id, a.pos,
+           a.sentence || chr(10) || b.sentence || chr(10) || c.sentence AS sp_text
+    FROM s a
+    JOIN s b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN s c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+win AS (
+    SELECT sp_text, min(doc_id * {cap} + pos) AS wkey
+    FROM sp GROUP BY sp_text HAVING count(*) >= 2
+),
+del AS (
+    SELECT DISTINCT sp.doc_id, sp.pos + u.i AS dpos
+    FROM sp JOIN win ON sp.sp_text = win.sp_text
+    CROSS JOIN unnest([CAST(0 AS BIGINT), 1, 2]) AS u(i)
+    WHERE sp.doc_id * {cap} + sp.pos <> win.wkey
+),
+kept AS (
+    SELECT s.doc_id, s.pos, s.sentence FROM s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM del WHERE del.doc_id = s.doc_id AND del.dpos = s.pos
+    )
+)
+SELECT d.doc_id, CAST(COUNT(kd.sentence) AS BIGINT) AS n_sentences_kept,
+       COALESCE(string_agg(kd.sentence, chr(10) ORDER BY kd.pos), '') AS text_kept
+FROM documents d LEFT JOIN kept kd USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+SPAN_DEDUP_SQL = _span_dedup_sql()

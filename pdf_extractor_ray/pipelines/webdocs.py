@@ -1501,3 +1501,104 @@ FEED_DISCOVERY_SQL = """
 SELECT doc_id, 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS new_url
 FROM documents WHERE doc_id % 2 = 1
 """
+
+# ---------------------------------------------------------------------------
+# Publication-date harvest through the real HTML walker
+# ---------------------------------------------------------------------------
+
+
+def derive_dated_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page + url per doc with the planted publication
+    date rotating through the four channels by ``doc_id % 4`` (meta /
+    time / jsonld / url) and a LOWER-priority decoy date planted
+    alongside, so the oracle checks channel priority, malformed-value
+    fall-through (class 2 plants an unparseable meta, class 3 an
+    invalid-calendar time) and calendar validation — not just a happy
+    path. Planted date = 2015-01-01 + (doc_id*7) % 3000 days; decoy =
+    +500 in the same modulus (never equal)."""
+    import datetime as _dt
+
+    base = _dt.date(2015, 1, 1)
+    urls, htmls = [], []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        planted = (base + _dt.timedelta(days=(d * 7) % 3000)).isoformat()
+        decoy = (base + _dt.timedelta(days=(d * 7 + 500) % 3000)).isoformat()
+        cls = d % 4
+        date_path = planted if cls == 3 else decoy
+        urls.append(
+            f"https://news.example.com/{date_path.replace('-', '/')}/story-{d}.html"
+        )
+        head = ['<meta name="keywords" content="BOILER decoy">']
+        body = [f"<p>{html_escape(text)}</p>"]
+        if cls == 0:
+            head.append(
+                f'<meta property="article:published_time" content="{planted}T08:30:00Z">'
+            )
+            body.append(f'<time datetime="{decoy}">updated</time>')
+        elif cls == 1:
+            body.append(f'<time datetime="{planted}T12:00:00+02:00">posted</time>')
+            body.append(
+                '<script type="application/ld+json">'
+                f'{{"@type": "Article", "datePublished": "{decoy}"}}</script>'
+            )
+        elif cls == 2:
+            head.append('<meta property="article:published_time" content="not-a-date">')
+            body.append(
+                '<script type="application/ld+json">'
+                f'{{"@type": "Article", "datePublished": "{planted}"}}</script>'
+            )
+        else:
+            body.append('<time datetime="2020-13-45">invalid</time>')
+        htmls.append(
+            (
+                f"<html><head>{''.join(head)}</head>"
+                f"<body>{''.join(body)}</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["url"] = urls
+    out["html"] = htmls
+    return out
+
+
+def extract_dates_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → dated pages (four planted channels +
+    decoys) → :func:`kernels.html_extract.html_extract_date` →
+    ``(doc_id, published, date_source)`` — the publication-date sniff
+    a news/article corpus keys on for temporal splits and freshness
+    weighting (htmldate-style channel priority; reference analog: the
+    PDF /Info CreationDate, pdf_service.py — web pages need the HTML
+    channels). Zero shuffle, per-batch vectorized."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_date
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_dated_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, dates, sources = [], [], []
+        for doc_id, raw, url in zip(b["doc_id"], b["html"], b["url"]):
+            published, source = html_extract_date(raw, url)
+            ids.append(int(doc_id))
+            dates.append(published)
+            sources.append(source)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "published": pd.Series(dates, dtype="object"),
+                "date_source": pd.Series(sources, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+EXTRACT_DATES_SQL = """
+SELECT doc_id,
+       strftime(DATE '2015-01-01' + CAST((doc_id * 7) % 3000 AS INTEGER),
+                '%Y-%m-%d') AS published,
+       CASE doc_id % 4 WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+            WHEN 2 THEN 'jsonld' ELSE 'url' END AS date_source
+FROM documents
+"""
