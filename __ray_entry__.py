@@ -342,8 +342,13 @@ _NEVER_DRIVER_RUN = [
     # final-session wave 3
     "ccnet_matrix_documents",
     "pii_stats_by_source",
-    "degree_histogram_documents",
-    "reciprocal_links_documents",
+    # degree_histogram_documents / reciprocal_links_documents → overflow
+    # for the wave-6 newcomers below — the graph family keeps FOUR
+    # in-window carriers (pagerank, hits, connected_components,
+    # triangle_counts, cocitation), the densest family coverage in the
+    # window; both parked ops stay oracle-verified in CI + pre-flight:
+    "extract_dates_documents",
+    "span_dedup_documents",
     # final-session wave 4
     "event_type_transitions",
     "url_rules_filter_documents",
