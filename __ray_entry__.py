@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdfinfo_documents": webdocs.extract_pdfinfo_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "extract_dates_documents": webdocs.extract_dates_documents,
+        "render_markdown_documents": webdocs.render_markdown_documents,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
         "read_warc_documents": webdocs.read_warc_documents,
@@ -319,7 +320,10 @@ _NEVER_DRIVER_RUN = [
     "label_centroids_embeddings",
     "token_entropy_documents",
     "bigram_novelty_documents",
-    "cocitation_pairs",
+    # cocitation_pairs → overflow for the wave-6 markdown renderer
+    # (extraction is the north-star family; the graph family keeps
+    # pagerank/hits/connected_components/triangle_counts in-window):
+    "render_markdown_documents",
     "edit_distance_neighbors",
     # final-session wave 2 (all oracle-checked, never driver-run)
     "crawl_depth_documents",
@@ -506,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_charset_documents": webdocs.EXTRACT_CHARSET_SQL,
         "extract_pdfinfo_documents": webdocs.EXTRACT_PDFINFO_SQL,
         "extract_dates_documents": webdocs.EXTRACT_DATES_SQL,
+        "render_markdown_documents": webdocs.RENDER_MARKDOWN_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,

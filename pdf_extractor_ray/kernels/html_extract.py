@@ -1068,3 +1068,159 @@ def html_extract_date(raw: bytes, url: str | None = None) -> tuple[str | None, s
             if d is not None:
                 return d, "url"
     return None, None
+
+
+# ---------------------------------------------------------------------------
+# HTML → Markdown serialization (markdownify-style, full-fidelity walk)
+# ---------------------------------------------------------------------------
+
+_MD_HEADING = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_MD_BLOCK_BREAK = frozenset({"p", "div", "section", "article", "table", "tr"})
+_MD_SKIP = frozenset({"script", "style"})
+
+
+def html_to_markdown(raw: bytes) -> str:
+    """Serialize a page to Markdown — the render step training-data
+    pipelines use when downstream consumers want STRUCTURE kept (docs,
+    code posts, reference manuals) rather than the flat main-content
+    text the flagship extractor emits. Covers the portable core:
+    ATX headings (h1-h6), paragraphs, nested ul/ol with 2-space
+    indents and live ol counters, inline links ``[anchor](href)``,
+    ``**strong**``/``*emphasis*``, inline ``code`` and fenced ``pre``
+    blocks; script/style bodies and comments/CDATA are dropped.
+    Blocks join with one blank line; inline whitespace collapses.
+    Single pass over the shared token stream; unclosed tags tolerated
+    (EOF flushes). Deterministic pure function — the markdown analog
+    of ``html_extract``, NOT a replacement: it keeps boilerplate by
+    design (converters are lossless; filters come later in the
+    pipeline)."""
+    html = _decode_page(raw)
+    blocks: list[str] = []
+    cur: list[str] = []
+    heading = 0
+    list_stack: list[list] = []  # [marker, counter]
+    in_pre = False
+    pre_parts: list[str] = []
+    li_open = False
+
+    def flush(prefix: str = "") -> None:
+        nonlocal cur
+        text = collapse_ws(unescape("".join(cur)))
+        cur = []
+        if text or prefix.strip():
+            blocks.append(prefix + text if prefix else text)
+
+    def flush_li() -> None:
+        nonlocal li_open
+        if not li_open:
+            return
+        indent = "  " * (len(list_stack) - 1) if list_stack else ""
+        marker = "-"
+        if list_stack:
+            if list_stack[-1][0] == "ol":
+                list_stack[-1][1] += 1
+                marker = f"{list_stack[-1][1]}."
+            else:
+                marker = "-"
+        flush(f"{indent}{marker} ")
+        li_open = False
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            if in_pre:
+                pre_parts.append(html[pos:])
+            else:
+                cur.append(html[pos:])
+            break
+        if m.start() > pos:
+            if in_pre:
+                pre_parts.append(html[pos : m.start()])
+            else:
+                cur.append(html[pos : m.start()])
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        closing = html[m.start() + 1] == "/"
+        if tag in _MD_SKIP and not closing:
+            # stop at the close tag's '<' — the tokenizer consumes it
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag == "title":
+            if not closing:  # head metadata: not document content
+                mm = re.search(r"</title", html[pos:], re.I)
+                pos = pos + mm.start() if mm else n
+            continue
+        if tag == "pre":
+            if not closing:
+                flush()
+                in_pre = True
+                pre_parts = []
+            elif in_pre:
+                in_pre = False
+                body = unescape("".join(pre_parts)).strip("\n")
+                blocks.append(f"```\n{body}\n```")
+            continue
+        if in_pre:
+            if tag == "code":  # <pre><code> wrapper: transparent
+                continue
+            pre_parts.append(html[m.start() : m.end()])
+            continue
+        if tag in _MD_HEADING:
+            if not closing:
+                flush()
+                heading = _MD_HEADING[tag]
+            else:
+                flush("#" * heading + " " if heading else "")
+                heading = 0
+        elif tag in ("ul", "ol"):
+            if not closing:
+                flush_li() if li_open else flush()
+                list_stack.append([tag, 0])
+            else:
+                flush_li()
+                if list_stack:
+                    list_stack.pop()
+        elif tag == "li":
+            if not closing:
+                flush_li() if li_open else flush()
+                li_open = True
+            else:
+                flush_li()
+        elif tag == "a":
+            if not closing:
+                href = _attr_val(html[m.start(2) : m.end(2)], "href") or ""
+                cur.append("\x00[")  # sentinel guards the literal bracket
+                cur.append("\x01" + href + "\x01")
+            else:
+                cur.append("\x00]")
+        elif tag in ("strong", "b"):
+            cur.append("**")
+        elif tag in ("em", "i"):
+            cur.append("*")
+        elif tag == "code":
+            cur.append("`")
+        elif tag == "br":
+            cur.append(" ")
+        elif tag in _MD_BLOCK_BREAK:
+            if li_open and closing:
+                pass  # block close inside li: the li flush owns it
+            else:
+                flush_li() if li_open and not closing else flush()
+    flush_li()
+    flush()
+    out = "\n\n".join(blocks)
+    # resolve link sentinels: \x00[ text... \x00] with \x01href\x01 →
+    # [text](href); done post-hoc so nested inline markup composes
+    link_re = re.compile("\x00\\[\x01([^\x01]*)\x01\\s*(.*?)\\s*\x00\\]", re.S)
+    prev = None
+    while prev != out:
+        prev = out
+        out = link_re.sub(lambda mm: f"[{mm.group(2)}]({mm.group(1)})", out)
+    return out.replace("\x00", "").replace("\x01", "")

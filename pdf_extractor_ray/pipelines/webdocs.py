@@ -1602,3 +1602,91 @@ SELECT doc_id,
             WHEN 2 THEN 'jsonld' ELSE 'url' END AS date_source
 FROM documents
 """
+
+# ---------------------------------------------------------------------------
+# HTML → Markdown rendering through the real serializer
+# ---------------------------------------------------------------------------
+
+
+def derive_markdown_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic structured page per doc: an h1 (first token), a
+    paragraph carrying the doc text + an inline link, and a two-item
+    list with a bold second item — plus head decoys (title, script,
+    style) the serializer must drop. Every expected markdown byte is
+    derivable from the documents row, so the SQL oracle replays the
+    full render."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        toks = text.split()
+        t0 = html_escape(toks[0]) if toks else "untitled"
+        body = [f"<h1>{t0}</h1>"]
+        p = f"{html_escape(text)} " if toks else "see "
+        body.append(f'<p>{p}<a href="/doc/{d}">more</a></p>')
+        items = [f"<li>{t0}</li>"]
+        if len(toks) >= 2:
+            items.append(f"<li><strong>{html_escape(toks[1])}</strong></li>")
+        body.append(f"<ul>{''.join(items)}</ul>")
+        htmls.append(
+            (
+                "<html><head><title>BOILER title</title>"
+                "<script>var BOILER=1;</script><style>.BOILER{}</style>"
+                f"</head><body>{''.join(body)}</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def render_markdown_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → structured pages →
+    :func:`kernels.html_extract.html_to_markdown` → ``(doc_id,
+    markdown)`` — the structure-preserving render path (headings,
+    lists, inline links/emphasis as Markdown) used when downstream
+    training consumers want document structure, not flat text.
+    Zero shuffle, per-batch vectorized."""
+    from pdf_extractor_ray.kernels.html_extract import html_to_markdown
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_markdown_pages, batch_format="pandas", batch_size=1024)
+
+    def render(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "markdown": pd.Series(
+                    [html_to_markdown(raw) for raw in b["html"]], dtype="object"
+                ),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pandas", batch_size=1024)
+
+
+def _render_markdown_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr,
+           {tw} AS tw
+    FROM documents
+)
+SELECT doc_id,
+       '# ' || (CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'untitled' END)
+       || chr(10) || chr(10)
+       || (CASE WHEN tw = '' THEN 'see' ELSE tw END)
+       || ' [more](/doc/' || CAST(doc_id AS VARCHAR) || ')'
+       || chr(10) || chr(10)
+       || '- ' || (CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'untitled' END)
+       || (CASE WHEN len(arr) >= 2
+                THEN chr(10) || chr(10) || '- **' || arr[2] || '**'
+                ELSE '' END) AS markdown
+FROM t
+"""
+
+
+RENDER_MARKDOWN_SQL = _render_markdown_sql()

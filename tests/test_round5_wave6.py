@@ -238,3 +238,51 @@ class TestExtractDatesCarrier:
         assert set(df["date_source"]) == {"meta", "time", "jsonld", "url"}
         assert df["published"].notna().all()
         assert df["published"].str.match(r"^\d{4}-\d{2}-\d{2}$").all()
+
+
+class TestHtmlToMarkdown:
+    def _md(self, html: bytes) -> str:
+        from pdf_extractor_ray.kernels.html_extract import html_to_markdown
+
+        return html_to_markdown(html)
+
+    def test_headings_paragraphs_inline(self):
+        h = (
+            b"<h1>Main Title</h1>"
+            b'<p>Hello <strong>bold</strong> and <em>it</em> with <a href="/x">a link</a>.</p>'
+        )
+        assert self._md(h) == (
+            "# Main Title\n\nHello **bold** and *it* with [a link](/x)."
+        )
+
+    def test_head_decoys_dropped(self):
+        h = (
+            b"<html><head><title>BOILER</title><script>var BOILER=1;</script>"
+            b"<style>.BOILER{}</style></head><body><p>x</p></body></html>"
+        )
+        assert self._md(h) == "x"
+
+    def test_nested_lists_and_counters(self):
+        got = self._md(b"<ol><li>a<ul><li>x</li></ul></li><li>b</li></ol>")
+        assert got == "1. a\n\n  - x\n\n2. b"
+
+    def test_pre_block_preserves_layout(self):
+        got = self._md(b"<pre><code>line1\n  line2</code></pre><p>after</p>")
+        assert got == "```\nline1\n  line2\n```\n\nafter"
+
+    def test_inline_code_and_entities(self):
+        assert self._md(b"<h2>A &amp; B</h2><p>use <code>f()</code></p>") == (
+            "## A & B\n\nuse `f()`"
+        )
+
+    def test_literal_brackets_untouched(self):
+        got = self._md(b'<p>bare [brackets] stay</p><a href="/y">l</a>')
+        assert got == "bare [brackets] stay\n\n[l](/y)"
+
+    def test_unclosed_tags_flush_at_eof(self):
+        assert self._md(b"<p>unclosed <b>bold") == "unclosed **bold"
+        assert self._md(b"") == ""
+
+    def test_nested_link_markup_composes(self):
+        got = self._md(b'<p><a href="/z"><strong>hot</strong> item</a></p>')
+        assert got == "[**hot** item](/z)"
