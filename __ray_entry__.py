@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_unicode_documents": textops.clean_unicode_documents,
         "token_entropy_documents": textops.token_entropy_documents,
         "vocab_growth_documents": textops.vocab_growth_documents,
+        "ari_readability_documents": textops.ari_readability_documents,
         "bigram_novelty_documents": textops.bigram_novelty_documents,
         "ccnet_matrix_documents": textops.ccnet_matrix_documents,
         "pii_stats_by_source": textops.pii_stats_by_source,
@@ -479,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids_embeddings": similarity.LABEL_CENTROIDS_SQL,
         "token_entropy_documents": textops.TOKEN_ENTROPY_SQL,
         "vocab_growth_documents": textops.VOCAB_GROWTH_SQL,
+        "ari_readability_documents": textops.ARI_READABILITY_SQL,
         "bigram_novelty_documents": textops.BIGRAM_NOVELTY_SQL,
         "c4_clean_documents": webdocs.C4_CLEAN_SQL,
         "pagerank_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PAGERANK_SQL,

@@ -3297,3 +3297,87 @@ GROUP BY d.doc_id
 
 
 SPAN_DEDUP_SQL = _span_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Automated Readability Index, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def ari_readability_documents(sf_dir: str) -> ray.data.Dataset:
+    """Automated Readability Index per document (Senter & Smith 1967:
+    ``4.71*chars/words + 0.5*words/sentences - 21.43``) in exact
+    MILLI-units over a common denominator — the readability family is
+    a standard quality-filter feature (too-low = fragment soup,
+    too-high = tables/code mis-extracted as prose). ARI, not Flesch,
+    because it needs no syllable model: chars/words/sentences are all
+    integers both the engine and the SQL oracle can count exactly.
+    ``ari_milli = (4710*C*S + 500*W*W) // (W*S) - 21430`` — a single
+    division of a NON-NEGATIVE numerator, so Python's floor and
+    DuckDB's truncating ``//`` agree (pulling the constant out of the
+    division is exact: subtracting an integer multiple of the divisor
+    commutes with floor); no float anywhere. Sentences come from the
+    REAL rule-based segmenter over the punctuated carrier text (the
+    ``derive_sentence_text`` arithmetic), chars are the summed token
+    lengths. Empty docs emit NULL ari. Zero shuffle, one pass."""
+    from pdf_extractor_ray.kernels.textstats import split_sentences
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        derive_sentence_text, batch_format="pandas", batch_size=1024
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        ids, chars, words, sents, ari = [], [], [], [], []
+        for doc_id, t in zip(b["doc_id"], b["text"]):
+            toks = [w for s in split_sentences(t) for w in s.split()]
+            w = len(toks)
+            c = sum(len(tk) for tk in toks)
+            s = len(split_sentences(t))
+            ids.append(int(doc_id))
+            chars.append(c)
+            words.append(w)
+            sents.append(s)
+            if w and s:
+                # +21430*W*S offset keeps the numerator non-negative so
+                # floor (python //) and truncation (DuckDB //) agree
+                ari.append((4710 * c * s + 500 * w * w) // (w * s) - 21430)
+            else:
+                ari.append(None)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_chars": pd.Series(chars, dtype="int64"),
+                "n_words": pd.Series(words, dtype="int64"),
+                "n_sentences": pd.Series(sents, dtype="int64"),
+                "ari_milli": pd.Series(ari, dtype="Int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=1024)
+
+
+def _ari_readability_sql() -> str:
+    k = SENT_EVERY
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {_TW} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({_TW}, '{_WS}') END AS arr
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(array_to_string(arr, '')) AS BIGINT) AS c,
+           CAST(len(arr) AS BIGINT) AS w,
+           CAST(ceil(len(arr) / {k}.0) AS BIGINT) AS s
+    FROM t
+)
+SELECT doc_id, c AS n_chars, w AS n_words, s AS n_sentences,
+       CASE WHEN w > 0 AND s > 0
+            THEN (4710 * c * s + 500 * w * w) // (w * s) - 21430
+            ELSE NULL END AS ari_milli
+FROM m
+"""
+
+
+ARI_READABILITY_SQL = _ari_readability_sql()

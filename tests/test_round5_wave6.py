@@ -286,3 +286,26 @@ class TestHtmlToMarkdown:
     def test_nested_link_markup_composes(self):
         got = self._md(b'<p><a href="/z"><strong>hot</strong> item</a></p>')
         assert got == "[**hot** item](/z)"
+
+
+class TestAriReadability:
+    def test_hand_computed_and_nulls(self, ray_session):
+        import pandas as pd
+
+        from pdf_extractor_ray.pipelines.textops import ari_readability_documents
+
+        df = ari_readability_documents(SF_DIR).to_pandas()
+        docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+        merged = df.merge(docs, on="doc_id")
+        for _, r in merged.head(20).iterrows():
+            toks = r["text"].split()
+            w, c = len(toks), sum(len(t) for t in toks)
+            s = -(-w // 5) if w else 0
+            if w:
+                expect = (4710 * c * s + 500 * w * w) // (w * s) - 21430
+                assert r["ari_milli"] == expect
+                assert (r["n_words"], r["n_sentences"]) == (w, s)
+            else:
+                assert pd.isna(r["ari_milli"])
+        empties = merged[merged["n_words"] == 0]
+        assert empties["ari_milli"].isna().all()
