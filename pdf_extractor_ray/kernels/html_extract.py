@@ -1224,3 +1224,49 @@ def html_to_markdown(raw: bytes) -> str:
         prev = out
         out = link_re.sub(lambda mm: f"[{mm.group(2)}]({mm.group(1)})", out)
     return out.replace("\x00", "").replace("\x01", "")
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate harvest (multilingual page-variant linking)
+# ---------------------------------------------------------------------------
+
+
+def html_extract_alternates(raw: bytes) -> list[tuple[str, str]]:
+    """Extract ``<link rel="alternate" hreflang="X" href="Y">`` pairs
+    in document order: ``[(hreflang, href), ...]`` — the channel
+    multilingual corpus builders use to group a page with its
+    translations before per-language routing (each variant lists the
+    full cluster, so grouping is a plain key join, no graph pass).
+    rel matching is token-based (``rel="alternate amphtml"`` counts),
+    case-insensitive; entries missing hreflang or href are skipped
+    (x-default is kept — the caller decides). Standalone pass over the
+    shared token stream; body golden path untouched."""
+    html = _decode_page(raw)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None or html[m.start() + 1] == "/":
+            continue
+        tag = name.lower()
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag != "link":
+            continue
+        blob = html[m.start(2) : m.end(2)]
+        rel = _attr_val(blob, "rel")
+        if rel is None or "alternate" not in rel.lower().split():
+            continue
+        hreflang = _attr_val(blob, "hreflang")
+        href = _attr_val(blob, "href")
+        if hreflang and href:
+            out.append((hreflang, href))
+    return out

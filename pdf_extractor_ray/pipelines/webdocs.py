@@ -1690,3 +1690,94 @@ FROM t
 
 
 RENDER_MARKDOWN_SQL = _render_markdown_sql()
+
+# ---------------------------------------------------------------------------
+# hreflang alternate-cluster harvest through the real HTML walker
+# ---------------------------------------------------------------------------
+
+
+def extract_hreflang_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → pages planted with translation-cluster
+    ``<link rel=alternate hreflang>`` sets (clusters of 3 consecutive
+    doc_ids, each member listing the full cluster — the reciprocal
+    form search engines require) →
+    :func:`kernels.html_extract.html_extract_alternates` → ``(doc_id,
+    ord, hreflang, href)`` — the page-variant linking channel a
+    multilingual corpus builder uses to align translations before
+    per-language routing. Decoys (stylesheet link, RSS alternate
+    WITHOUT hreflang) prove rel/attr filtering; the trailing
+    x-default entry is kept by contract. Zero shuffle."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_alternates
+
+    from ray.data.aggregate import Max
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mx = int(base.select_columns(["doc_id"]).aggregate(Max("doc_id"))["max(doc_id)"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        htmls = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            g = (d // 3) * 3
+            links = ['<link rel="stylesheet" href="/BOILER.css">']
+            for m in range(g, min(g + 2, mx) + 1):
+                links.append(
+                    f'<link rel="alternate" hreflang="l{m % 5}" '
+                    f'href="https://docs.example.com/{m}">'
+                )
+            links.append('<link rel="alternate" type="application/rss+xml" href="/feed.xml">')
+            links.append(
+                f'<link rel="alternate" hreflang="x-default" href="https://docs.example.com/{g}">'
+            )
+            htmls.append(
+                (
+                    f"<html><head>{''.join(links)}</head>"
+                    f"<body><p>{html_escape(text)}</p></body></html>"
+                ).encode("utf-8")
+            )
+        out = b.copy()
+        out["html"] = htmls
+        return out
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ords, langs, hrefs = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            for i, (hl, href) in enumerate(html_extract_alternates(raw)):
+                ids.append(int(doc_id))
+                ords.append(i)
+                langs.append(hl)
+                hrefs.append(href)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "ord": pd.Series(ords, dtype="int64"),
+                "hreflang": pd.Series(langs, dtype="object"),
+                "href": pd.Series(hrefs, dtype="object"),
+            }
+        )
+
+    return base.map_batches(derive, batch_format="pandas", batch_size=1024).map_batches(
+        extract, batch_format="pandas", batch_size=1024
+    )
+
+
+EXTRACT_HREFLANG_SQL = """
+WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+members AS (
+    SELECT d.doc_id, u.i AS ord,
+           3 * (d.doc_id // 3) + u.i AS m
+    FROM documents d CROSS JOIN unnest([CAST(0 AS BIGINT), 1, 2]) AS u(i), b
+    WHERE 3 * (d.doc_id // 3) + u.i <= b.mx
+)
+SELECT doc_id, ord, 'l' || CAST(m % 5 AS VARCHAR) AS hreflang,
+       'https://docs.example.com/' || CAST(m AS VARCHAR) AS href
+FROM members
+UNION ALL
+SELECT d.doc_id,
+       LEAST(b.mx - 3 * (d.doc_id // 3) + 1, 3) AS ord,
+       'x-default' AS hreflang,
+       'https://docs.example.com/' || CAST(3 * (d.doc_id // 3) AS VARCHAR) AS href
+FROM documents d, b
+"""

@@ -309,3 +309,31 @@ class TestAriReadability:
                 assert pd.isna(r["ari_milli"])
         empties = merged[merged["n_words"] == 0]
         assert empties["ari_milli"].isna().all()
+
+
+class TestHreflangAlternates:
+    def test_rel_token_and_attr_filtering(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_alternates
+
+        h = (
+            b'<link rel="alternate" hreflang="en" href="/en/p">'
+            b'<link rel="alternate amphtml" hreflang="de" href="/de/p">'
+            b'<link rel="ALTERNATE" hreflang="fr" href="/fr/p">'
+            b'<link rel="stylesheet" href="/BOILER.css">'
+            b'<link rel="alternate" href="/feed.xml" type="application/rss+xml">'
+            b'<link rel="alternate" hreflang="x-default" href="/p">'
+            b'<link rel="alternate" hreflang="es">'
+        )
+        assert html_extract_alternates(h) == [
+            ("en", "/en/p"),
+            ("de", "/de/p"),
+            ("fr", "/fr/p"),
+            ("x-default", "/p"),
+        ]
+
+    def test_empty_and_script_guard(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_alternates
+
+        assert html_extract_alternates(b"<p>no links</p>") == []
+        h = b'<script>var s = \'<link rel="alternate" hreflang="xx" href="/no">\';</script>'
+        assert html_extract_alternates(h) == []
