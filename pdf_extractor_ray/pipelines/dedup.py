@@ -1909,8 +1909,15 @@ def span_dedup(
 
         return narrow.map_batches(rebuild_bc, batch_format="pandas")
 
-    # Exchange plan. Hot split first: viral spans resolve via a tiny
-    # broadcast winner dict inside both explodes.
+    # Exchange plan. No duplicated span at all (dup_m is materialized,
+    # so the count is metadata-free) → the rebuild is the identity;
+    # skipping the joins here also sidesteps Ray 2.49's native hash
+    # join rejecting an all-empty right side.
+    if dup_m.count() == 0:
+        return narrow.map_batches(rebuild_with({}), batch_format="pandas")
+
+    # Hot split next: viral spans resolve via a tiny broadcast winner
+    # dict inside both explodes.
     hot_m = dup_m.map_batches(
         lambda b: b.loc[b["n_occ"] >= hot_span_occurrences, ["__sh", "min_key"]],
         batch_format="pandas",
@@ -1942,12 +1949,21 @@ def span_dedup(
                 keys.append(occurrence_key(d, pos))
         return pd.DataFrame({"__sh": hs, "__key": np.array(keys, dtype=np.int64)})
 
-    losers = joins.adaptive_inner_join(
-        narrow.map_batches(emit_cold_occurrences, batch_format="pandas"),
-        dup_m.select_columns(["__sh", "min_key"]),
-        "__sh",
-        broadcast_limit=broadcast_limit,
-    ).map_batches(lambda b: b.loc[b["__key"] != b["min_key"], ["__key"]], batch_format="pandas")
+    if hot and hot_m.count() == dup_m.count():
+        # every duplicated span is hot → fully resolved inside the
+        # sentence explode; both joins would be no-ops (and the cold
+        # loser-join's sides could be all-empty, which the native hash
+        # join rejects)
+        losers = None
+    else:
+        losers = joins.adaptive_inner_join(
+            narrow.map_batches(emit_cold_occurrences, batch_format="pandas"),
+            dup_m.select_columns(["__sh", "min_key"]),
+            "__sh",
+            broadcast_limit=broadcast_limit,
+        ).map_batches(
+            lambda b: b.loc[b["__key"] != b["min_key"], ["__key"]], batch_format="pandas"
+        )
 
     def explode_deleted(b: pd.DataFrame) -> pd.DataFrame:
         k = b["__key"].to_numpy(dtype=np.int64)
@@ -1970,13 +1986,16 @@ def span_dedup(
     def _dk_arrow(b: pd.DataFrame):
         return _pa.table({"__dk": _pa.array(b["__dk"].to_numpy(dtype=np.int64), _pa.int64())})
 
-    del_keys = compact_nonempty_arrow(
-        distinct(
-            losers.map_batches(explode_deleted, batch_format="pandas"), ["__dk"],
-            num_buckets=num_buckets,
-        ).map_batches(_dk_arrow, batch_format="pandas"),
-        _pa.table({"__dk": _pa.array([], _pa.int64())}),
-    )
+    if losers is None:
+        del_keys = ray.data.from_arrow(_pa.table({"__dk": _pa.array([], _pa.int64())}))
+    else:
+        del_keys = compact_nonempty_arrow(
+            distinct(
+                losers.map_batches(explode_deleted, batch_format="pandas"), ["__dk"],
+                num_buckets=num_buckets,
+            ).map_batches(_dk_arrow, batch_format="pandas"),
+            _pa.table({"__dk": _pa.array([], _pa.int64())}),
+        )
 
     def explode_sentences(b: pd.DataFrame) -> pd.DataFrame:
         h_dict = joins._cached_get(hot_ref)

@@ -337,3 +337,90 @@ class TestHreflangAlternates:
         assert html_extract_alternates(b"<p>no links</p>") == []
         h = b'<script>var s = \'<link rel="alternate" hreflang="xx" href="/no">\';</script>'
         assert html_extract_alternates(h) == []
+
+
+def _span_dedup_brute(rows, span=3):
+    """Sequential replica of the C4 span rule: winner = smallest
+    (doc_id, pos) per duplicated span text; losers delete covered
+    sentences."""
+    from pdf_extractor_ray.kernels.textstats import split_sentences
+
+    sents = {d: split_sentences(t) for d, t in rows}
+    occ: dict = {}
+    for d in sorted(sents):
+        ss = sents[d]
+        for i in range(len(ss) - span + 1):
+            occ.setdefault("\n".join(ss[i : i + span]), []).append((d, i))
+    deleted = {d: set() for d in sents}
+    for _text, locs in occ.items():
+        if len(locs) < 2:
+            continue
+        winner = min(locs)
+        for d, i in locs:
+            if (d, i) != winner:
+                deleted[d].update(range(i, i + span))
+    out = {}
+    for d, ss in sents.items():
+        kept = [s for j, s in enumerate(ss) if j not in deleted[d]]
+        out[d] = (len(kept), "\n".join(kept))
+    return out
+
+
+class TestSpanDedupProperty:
+    from hypothesis import given, settings, strategies as st
+
+    # docs of 0-9 sentences over a 5-letter sentence alphabet: heavy
+    # cross-doc span collisions, overlaps, and within-doc repeats
+    corpus = st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=9),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(docs=corpus)
+    def test_matches_brute_force(self, docs):
+        rows = [(i, ". ".join(sents) + ("." if sents else "")) for i, sents in enumerate(docs)]
+        expect = _span_dedup_brute(rows)
+        assert _sd(rows) == expect
+
+    @settings(max_examples=3, deadline=None)
+    @given(docs=corpus)
+    def test_exchange_plan_matches_brute_force(self, docs):
+        rows = [(i, ". ".join(sents) + ("." if sents else "")) for i, sents in enumerate(docs)]
+        assert _sd(rows, broadcast_limit=0) == _span_dedup_brute(rows)
+
+
+class TestMarkdownProperty:
+    from hypothesis import given, settings, strategies as st
+
+    chunks = st.lists(
+        st.sampled_from(
+            [
+                "<p>alpha beta</p>",
+                "<h2>head</h2>",
+                "<ul><li>x</li><li>y</li></ul>",
+                '<a href="/l">link</a>',
+                "<strong>s</strong>",
+                "<pre>raw\n text</pre>",
+                "<script>var BOILER=1;</script>",
+                "<title>BOILER</title>",
+                "plain words",
+                "<div>block</div>",
+                "<!-- BOILER comment -->",
+            ]
+        ),
+        min_size=0,
+        max_size=10,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(parts=chunks)
+    def test_invariants(self, parts):
+        from pdf_extractor_ray.kernels.html_extract import html_to_markdown
+
+        md = html_to_markdown("".join(parts).encode("utf-8"))
+        assert "\x00" not in md and "\x01" not in md  # sentinels resolved
+        assert "BOILER" not in md  # script/style/title/comments dropped
+        assert md == html_to_markdown("".join(parts).encode("utf-8"))  # deterministic
+        assert not md.startswith("\n") and not md.endswith("\n")
