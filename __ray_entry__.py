@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dates_documents": webdocs.extract_dates_documents,
         "render_markdown_documents": webdocs.render_markdown_documents,
         "extract_hreflang_documents": webdocs.extract_hreflang_documents,
+        "hreflang_reciprocity": webdocs.hreflang_reciprocity,
         "parse_sitemaps_documents": webdocs.parse_sitemaps_documents,
         "parse_feeds_documents": webdocs.parse_feeds_documents,
         "read_warc_documents": webdocs.read_warc_documents,
@@ -515,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_dates_documents": webdocs.EXTRACT_DATES_SQL,
         "render_markdown_documents": webdocs.RENDER_MARKDOWN_SQL,
         "extract_hreflang_documents": webdocs.EXTRACT_HREFLANG_SQL,
+        "hreflang_reciprocity": webdocs.HREFLANG_RECIPROCITY_SQL,
         "extract_ldjson_documents": webdocs.EXTRACT_LDJSON_SQL,
         "robots_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_FILTER_SQL,
         "parse_sitemaps_documents": webdocs.PARSE_SITEMAPS_SQL,

@@ -1781,3 +1781,100 @@ SELECT d.doc_id,
        'https://docs.example.com/' || CAST(3 * (d.doc_id // 3) AS VARCHAR) AS href
 FROM documents d, b
 """
+
+
+def hreflang_reciprocity(sf_dir: str) -> ray.data.Dataset:
+    """Cross-page hreflang reciprocity audit: search engines only honor
+    alternate clusters whose members all list the SAME variant set, and
+    real sites break this constantly — so a multilingual corpus builder
+    audits reciprocity before trusting the clusters. Carrier pages
+    reuse the :func:`extract_hreflang_documents` cluster layout, except
+    docs with ``doc_id % 7 == 5`` OMIT the first member's link (unless
+    it is themselves) — the planted breakage. Per doc (zero shuffle):
+    parse alternates with the real kernel, key the cluster by the
+    x-default href, serialize the member hrefs in document order; ONE
+    bucketed exchange keyed on the cluster then compares member-set
+    strings: ``(cluster_key, n_docs, reciprocal)``. Per-batch rows are
+    one per doc, the exchange carries short strings — cluster size
+    bounds the group, not corpus size."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_alternates
+    from pdf_extractor_ray.ops import grouped_apply
+
+    from ray.data.aggregate import Max
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mx = int(base.select_columns(["doc_id"]).aggregate(Max("doc_id"))["max(doc_id)"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        htmls = []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            g = (d // 3) * 3
+            links = []
+            for m in range(g, min(g + 2, mx) + 1):
+                if d % 7 == 5 and m == g and d != g:
+                    continue  # planted reciprocity breakage
+                links.append(
+                    f'<link rel="alternate" hreflang="l{m % 5}" '
+                    f'href="https://docs.example.com/{m}">'
+                )
+            links.append(
+                f'<link rel="alternate" hreflang="x-default" href="https://docs.example.com/{g}">'
+            )
+            htmls.append(
+                (
+                    f"<html><head>{''.join(links)}</head>"
+                    f"<body><p>{html_escape(text)}</p></body></html>"
+                ).encode("utf-8")
+            )
+        out = b.copy()
+        out["html"] = htmls
+        return out
+
+    def member_sets(b: pd.DataFrame) -> pd.DataFrame:
+        keys, sets_ = [], []
+        for raw in b["html"]:
+            alts = html_extract_alternates(raw)
+            cluster = next(h for hl, h in alts if hl == "x-default")
+            keys.append(cluster)
+            sets_.append(",".join(h for hl, h in alts if hl != "x-default"))
+        return pd.DataFrame({"cluster_key": keys, "__mset": sets_})
+
+    per_doc = base.map_batches(derive, batch_format="pandas", batch_size=1024).map_batches(
+        member_sets, batch_format="pandas", batch_size=1024
+    )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("cluster_key", sort=False)["__mset"].agg(["size", "nunique"])
+        return pd.DataFrame(
+            {
+                "cluster_key": agg.index,
+                "n_docs": agg["size"].to_numpy(np.int64),
+                "reciprocal": (agg["nunique"] == 1).to_numpy(),
+            }
+        )
+
+    return grouped_apply(per_doc, ["cluster_key"], audit)
+
+
+HREFLANG_RECIPROCITY_SQL = """
+WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+msets AS (
+    SELECT d.doc_id,
+           'https://docs.example.com/' || CAST(3 * (d.doc_id // 3) AS VARCHAR)
+               AS cluster_key,
+           (SELECT string_agg('https://docs.example.com/' || CAST(m AS VARCHAR),
+                              ',' ORDER BY m)
+            FROM unnest([CAST(0 AS BIGINT), 1, 2]) AS u(i),
+                 LATERAL (SELECT 3 * (d.doc_id // 3) + u.i AS m) t
+            WHERE m <= b.mx
+              AND NOT (d.doc_id % 7 = 5 AND m = 3 * (d.doc_id // 3)
+                       AND d.doc_id <> m)) AS mset
+    FROM documents d, b
+)
+SELECT cluster_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       COUNT(DISTINCT mset) = 1 AS reciprocal
+FROM msets GROUP BY cluster_key
+"""
