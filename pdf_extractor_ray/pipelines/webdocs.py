@@ -1878,3 +1878,67 @@ SELECT cluster_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
        COUNT(DISTINCT mset) = 1 AS reciprocal
 FROM msets GROUP BY cluster_key
 """
+
+
+def read_wet_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → WET blobs (16 conversion records per blob,
+    alternate blobs gzip-membered — both wire forms of the Common
+    Crawl extracted-text distribution) → ``sources.warc.parse_wet`` →
+    ``(url, wet_ts, text, n_chars)``. Completes the source-format
+    family with the distribution most text pipelines actually consume;
+    parsing is a zero-shuffle batch map (WET files are independent
+    units, same 100-TB layout argument as the WARC reader)."""
+    from pdf_extractor_ray.sources.warc import build_wet, parse_wet
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_blobs(b: pd.DataFrame) -> pd.DataFrame:
+        import datetime as _dt
+
+        epoch = _dt.date(2024, 1, 1)
+        recs = [
+            {
+                "url": f"https://docs.example.com/{int(d)}",
+                "ts": (epoch + _dt.timedelta(days=int(d) % 365)).isoformat()
+                + "T12:00:00Z",
+                "text": t,
+            }
+            for d, t in zip(b["doc_id"], b["text"])
+        ]
+        blobs = [
+            build_wet(recs[i : i + 16], gzip_members=bool((i // 16) % 2))
+            for i in range(0, len(recs), 16)
+        ]
+        return pd.DataFrame({"wet": pd.Series(blobs, dtype="object")})
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        urls, tss, texts = [], [], []
+        for raw in b["wet"]:
+            for r in parse_wet(raw):
+                urls.append(r["url"])
+                tss.append(r["ts"])
+                texts.append(r["text"])
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "wet_ts": pd.Series(tss, dtype="object"),
+                "text": pd.Series(texts, dtype="object"),
+                "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+            }
+        )
+
+    return base.map_batches(to_blobs, batch_format="pandas", batch_size=1024).map_batches(
+        explode, batch_format="pandas", batch_size=64
+    )
+
+
+READ_WET_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INTEGER), '%Y-%m-%d')
+           || 'T12:00:00Z' AS wet_ts,
+       text,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+"""

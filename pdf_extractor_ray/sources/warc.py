@@ -46,20 +46,14 @@ def _gunzip_members(raw: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc(raw: bytes) -> list[dict]:
-    """Parse WARC records from ``raw``: one dict per ``response``
-    record with keys ``url`` (WARC-Target-URI), ``ts`` (WARC-Date),
-    ``http_status`` (int, from the HTTP status line; 0 when the
-    payload is not HTTP) and ``body`` (bytes after the HTTP header
-    block; the whole payload when not HTTP). Non-response records
-    (warcinfo, request, metadata) are skipped; records with a
-    malformed or missing Content-Length stop the scan (a truncation
-    quarantine upstream, the flagship's contract). Header names are
-    case-insensitive per the spec. ``.warc.gz`` input (gzip magic) is
-    auto-detected and decompressed member by member."""
+def _iter_records(raw: bytes):
+    """Shared WARC record framing: yield ``(headers, payload)`` per
+    record — Content-Length framing, magic resync between records,
+    case-insensitive header fold, stop-on-malformed/truncated (the
+    quarantine contract every consumer inherits). ``.warc.gz`` input
+    (gzip magic) is auto-detected and decompressed member by member."""
     if raw[:2] == b"\x1f\x8b":
         raw = _gunzip_members(raw)
-    out: list[dict] = []
     pos = 0
     n = len(raw)
     while pos < n:
@@ -84,8 +78,23 @@ def parse_warc(raw: bytes) -> list[dict]:
         body_start = head_end + len(_SEP)
         if body_start + length > n:
             break  # truncated payload
-        payload = raw[body_start : body_start + length]
+        yield headers, raw[body_start : body_start + length]
         pos = body_start + length
+
+
+def parse_warc(raw: bytes) -> list[dict]:
+    """Parse WARC records from ``raw``: one dict per ``response``
+    record with keys ``url`` (WARC-Target-URI), ``ts`` (WARC-Date),
+    ``http_status`` (int, from the HTTP status line; 0 when the
+    payload is not HTTP) and ``body`` (bytes after the HTTP header
+    block; the whole payload when not HTTP). Non-response records
+    (warcinfo, request, metadata) are skipped; records with a
+    malformed or missing Content-Length stop the scan (a truncation
+    quarantine upstream, the flagship's contract). Header names are
+    case-insensitive per the spec. ``.warc.gz`` input (gzip magic) is
+    auto-detected and decompressed member by member."""
+    out: list[dict] = []
+    for headers, payload in _iter_records(raw):
         if headers.get("warc-type", "").lower() == "response":
             status = 0
             body = payload
@@ -140,6 +149,57 @@ def build_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
         import gzip as _gzip
 
         # one gzip member per record, per the .warc.gz convention
+        return b"".join(_gzip.compress(c + _CRLF, mtime=0) for c in chunks)
+    return _CRLF.join(chunks) + _CRLF
+
+
+def parse_wet(raw: bytes) -> list[dict]:
+    """Parse WET (WARC Extracted Text) ``conversion`` records — the
+    Common Crawl distribution most text pipelines actually consume
+    (pre-extracted plain text, one conversion record per page). Same
+    framing/truncation contract as :func:`parse_warc` via the shared
+    record iterator; yields ``{url, ts, text}`` with the payload
+    decoded as UTF-8 (replace) per the WET convention. Non-conversion
+    records (warcinfo) are skipped; ``.wet.gz`` auto-detected."""
+    out: list[dict] = []
+    for headers, payload in _iter_records(raw):
+        if headers.get("warc-type", "").lower() == "conversion":
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "ts": headers.get("warc-date", ""),
+                    "text": payload.decode("utf-8", "replace"),
+                }
+            )
+    return out
+
+
+def build_wet(records: list[dict], *, gzip_members: bool = False) -> bytes:
+    """Serialize ``(url, ts, text)`` dicts into WET bytes (conversion
+    records behind a warcinfo header) — writer side of the WET
+    round-trip; the tests and the driver carrier share it."""
+    chunks: list[bytes] = []
+    info = b"software: pdf_extractor_ray\r\n"
+    chunks.append(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(info)).encode()
+        + _SEP
+        + info
+    )
+    for r in records:
+        payload = r["text"].encode("utf-8")
+        head = (
+            b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+            + r["url"].encode()
+            + b"\r\nWARC-Date: "
+            + r["ts"].encode()
+            + b"\r\nContent-Type: text/plain\r\nContent-Length: "
+            + str(len(payload)).encode()
+        )
+        chunks.append(head + _SEP + payload)
+    if gzip_members:
+        import gzip as _gzip
+
         return b"".join(_gzip.compress(c + _CRLF, mtime=0) for c in chunks)
     return _CRLF.join(chunks) + _CRLF
 

@@ -424,3 +424,42 @@ class TestMarkdownProperty:
         assert "BOILER" not in md  # script/style/title/comments dropped
         assert md == html_to_markdown("".join(parts).encode("utf-8"))  # deterministic
         assert not md.startswith("\n") and not md.endswith("\n")
+
+
+class TestWetFormat:
+    def test_round_trip_and_truncation(self):
+        from pdf_extractor_ray.sources.warc import build_wet, parse_wet
+
+        recs = [
+            {"url": "https://a/1", "ts": "2024-01-01T12:00:00Z", "text": "hello world"},
+            {"url": "https://a/2", "ts": "2024-01-02T12:00:00Z", "text": ""},
+            {"url": "https://a/3", "ts": "2024-01-03T12:00:00Z", "text": "héllo ünïcode"},
+        ]
+        for gz in (False, True):
+            assert parse_wet(build_wet(recs, gzip_members=gz)) == recs
+        raw = build_wet(recs)
+        for i in range(0, len(raw), 7):  # truncated prefix: prefix of records, no crash
+            got = parse_wet(raw[:i])
+            assert got == recs[: len(got)]
+
+    def test_response_records_skipped(self):
+        from pdf_extractor_ray.sources.warc import build_warc, parse_wet
+
+        warc = build_warc(
+            [{"url": "https://a/1", "ts": "2024-01-01T00:00:00Z", "body": b"<p>x</p>"}]
+        )
+        assert parse_wet(warc) == []
+
+    def test_warc_reader_unchanged_by_refactor(self):
+        from pdf_extractor_ray.sources.warc import build_warc, parse_warc
+
+        recs = [
+            {"url": "https://a/1", "ts": "2024-01-01T00:00:00Z", "body": b"<p>x</p>",
+             "http_status": 200},
+            {"url": "https://a/2", "ts": "2024-01-02T00:00:00Z", "body": b"", "http_status": 404},
+        ]
+        got = parse_warc(build_warc(recs, gzip_members=True))
+        assert [(r["url"], r["http_status"], r["body"]) for r in got] == [
+            ("https://a/1", 200, b"<p>x</p>"),
+            ("https://a/2", 404, b""),
+        ]
