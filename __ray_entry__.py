@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_feeds_documents": webdocs.parse_feeds_documents,
         "read_warc_documents": webdocs.read_warc_documents,
         "read_wet_documents": webdocs.read_wet_documents,
+        "read_wat_documents": webdocs.read_wat_documents,
         "warc_extract_documents": webdocs.warc_extract_documents,
         "feed_discovery_documents": webdocs.feed_discovery_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
@@ -524,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_feeds_documents": webdocs.PARSE_FEEDS_SQL,
         "read_warc_documents": webdocs.READ_WARC_SQL,
         "read_wet_documents": webdocs.READ_WET_SQL,
+        "read_wat_documents": webdocs.READ_WAT_SQL,
         "warc_extract_documents": webdocs.WARC_EXTRACT_SQL,
         "surt_keys_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SURT_KEYS_SQL,
         "parse_cdxj_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PARSE_CDXJ_SQL,

@@ -1942,3 +1942,79 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(len(text) AS BIGINT) AS n_chars
 FROM documents
 """
+
+
+def read_wat_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → WAT blobs (16 metadata records per blob,
+    alternate blobs gzip-membered) → ``sources.warc.parse_wat`` →
+    ``(url, wat_ts, title, n_links)`` — the Common Crawl metadata
+    distribution, completing the WARC/WET/WAT trio. Title = first
+    token (or None for empty docs), links = one per 40 tokens (so
+    n_links varies); all derivable from the documents row for the SQL
+    replay. Zero-shuffle batch map."""
+    from pdf_extractor_ray.sources.warc import build_wat, parse_wat
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_blobs(b: pd.DataFrame) -> pd.DataFrame:
+        import datetime as _dt
+
+        epoch = _dt.date(2024, 1, 1)
+        recs = []
+        for d, t in zip(b["doc_id"], b["text"]):
+            d = int(d)
+            toks = t.split()
+            recs.append(
+                {
+                    "url": f"https://docs.example.com/{d}",
+                    "ts": (epoch + _dt.timedelta(days=d % 365)).isoformat()
+                    + "T12:00:00Z",
+                    "title": toks[0] if toks else None,
+                    "links": [f"/out/{d}/{j}" for j in range(len(toks) // 40)],
+                }
+            )
+        blobs = [
+            build_wat(recs[i : i + 16], gzip_members=bool((i // 16) % 2))
+            for i in range(0, len(recs), 16)
+        ]
+        return pd.DataFrame({"wat": pd.Series(blobs, dtype="object")})
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        urls, tss, titles, nl = [], [], [], []
+        for raw in b["wat"]:
+            for r in parse_wat(raw):
+                urls.append(r["url"])
+                tss.append(r["ts"])
+                titles.append(r["title"])
+                nl.append(r["n_links"])
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "wat_ts": pd.Series(tss, dtype="object"),
+                "title": pd.Series(titles, dtype="object"),
+                "n_links": pd.Series(nl, dtype="int64"),
+            }
+        )
+
+    return base.map_batches(to_blobs, batch_format="pandas", batch_size=1024).map_batches(
+        explode, batch_format="pandas", batch_size=64
+    )
+
+
+READ_WAT_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {trim_ws_sql("text")} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({trim_ws_sql("text")}, '{WS_SPLIT_RE_SQL}')
+           END AS arr
+    FROM documents
+)
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INTEGER), '%Y-%m-%d')
+           || 'T12:00:00Z' AS wat_ts,
+       CASE WHEN len(arr) >= 1 THEN arr[1] ELSE NULL END AS title,
+       CAST(len(arr) // 40 AS BIGINT) AS n_links
+FROM t
+"""

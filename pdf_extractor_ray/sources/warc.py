@@ -204,6 +204,88 @@ def build_wet(records: list[dict], *, gzip_members: bool = False) -> bytes:
     return _CRLF.join(chunks) + _CRLF
 
 
+def parse_wat(raw: bytes) -> list[dict]:
+    """Parse WAT (Web Archive Transformation) ``metadata`` records —
+    the Common Crawl metadata distribution (one JSON envelope per
+    page: head metadata + outlinks, no body). Frame contract shared
+    with :func:`parse_warc`; the JSON payload parses through
+    ``functions.jsonparse.parse_robust_json`` (unparseable payloads
+    are skipped, not fatal). Yields ``{url, ts, title, n_links}``
+    with url/ts from the WARC headers and title/link-count dug out of
+    the envelope's ``HTML-Metadata`` (missing paths degrade to
+    None/0 — real WAT is sparse)."""
+    from pdf_extractor_ray.functions.jsonparse import parse_robust_json
+
+    out: list[dict] = []
+    for headers, payload in _iter_records(raw):
+        if headers.get("warc-type", "").lower() != "metadata":
+            continue
+        obj, _err = parse_robust_json(payload.decode("utf-8", "replace"))
+        if not isinstance(obj, dict):
+            continue
+        html_meta = (
+            obj.get("Envelope", {})
+            .get("Payload-Metadata", {})
+            .get("HTTP-Response-Metadata", {})
+            .get("HTML-Metadata", {})
+        )
+        title = html_meta.get("Head", {}).get("Title") if isinstance(html_meta, dict) else None
+        links = html_meta.get("Links") if isinstance(html_meta, dict) else None
+        out.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "ts": headers.get("warc-date", ""),
+                "title": title if isinstance(title, str) else None,
+                "n_links": len(links) if isinstance(links, list) else 0,
+            }
+        )
+    return out
+
+
+def build_wat(records: list[dict], *, gzip_members: bool = False) -> bytes:
+    """Serialize ``(url, ts, title, links)`` dicts into WAT bytes
+    (metadata records carrying the JSON envelope) — writer side of the
+    WAT round-trip; tests and the driver carrier share it."""
+    import json as _json
+
+    chunks: list[bytes] = []
+    info = b"software: pdf_extractor_ray\r\n"
+    chunks.append(
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(info)).encode()
+        + _SEP
+        + info
+    )
+    for r in records:
+        envelope = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": r.get("title")},
+                            "Links": [{"url": u} for u in r.get("links", [])],
+                        }
+                    }
+                }
+            }
+        }
+        payload = _json.dumps(envelope, sort_keys=True).encode("utf-8")
+        head = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "
+            + r["url"].encode()
+            + b"\r\nWARC-Date: "
+            + r["ts"].encode()
+            + b"\r\nContent-Type: application/json\r\nContent-Length: "
+            + str(len(payload)).encode()
+        )
+        chunks.append(head + _SEP + payload)
+    if gzip_members:
+        import gzip as _gzip
+
+        return b"".join(_gzip.compress(c + _CRLF, mtime=0) for c in chunks)
+    return _CRLF.join(chunks) + _CRLF
+
+
 def read_warc_batches(ds: ray.data.Dataset, warc_col: str = "warc") -> ray.data.Dataset:
     """Zero-shuffle WARC decode stage: each input row carries one WARC
     slice (binary); output rows are the parsed response records

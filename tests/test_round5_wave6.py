@@ -463,3 +463,40 @@ class TestWetFormat:
             ("https://a/1", 200, b"<p>x</p>"),
             ("https://a/2", 404, b""),
         ]
+
+
+class TestWatFormat:
+    def test_round_trip_both_wire_forms(self):
+        from pdf_extractor_ray.sources.warc import build_wat, parse_wat
+
+        recs = [
+            {"url": "https://a/1", "ts": "2024-01-01T12:00:00Z", "title": "T1",
+             "links": ["/a", "/b"]},
+            {"url": "https://a/2", "ts": "2024-01-02T12:00:00Z", "title": None, "links": []},
+        ]
+        expect = [
+            {"url": "https://a/1", "ts": "2024-01-01T12:00:00Z", "title": "T1", "n_links": 2},
+            {"url": "https://a/2", "ts": "2024-01-02T12:00:00Z", "title": None, "n_links": 0},
+        ]
+        for gz in (False, True):
+            assert parse_wat(build_wat(recs, gzip_members=gz)) == expect
+
+    def test_malformed_json_skipped_sparse_paths_degrade(self):
+        from pdf_extractor_ray.sources.warc import parse_wat
+
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://a/x\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 13\r\n\r\n{\"Envelope\":1"
+        )
+        assert parse_wat(rec) == []  # unparseable JSON: skipped, not fatal
+        sparse = b'{"Envelope": {}}'
+        rec2 = (
+            b"WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: https://a/y\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "
+            + str(len(sparse)).encode()
+            + b"\r\n\r\n"
+            + sparse
+        )
+        assert parse_wat(rec2) == [
+            {"url": "https://a/y", "ts": "2024-01-01T00:00:00Z", "title": None, "n_links": 0}
+        ]
