@@ -500,3 +500,43 @@ class TestWatFormat:
         assert parse_wat(rec2) == [
             {"url": "https://a/y", "ts": "2024-01-01T00:00:00Z", "title": None, "n_links": 0}
         ]
+
+
+class TestWave6PlanShapes:
+    def test_span_dedup_broadcast_rebuild_is_shuffle_free(self, ray_session):
+        """Below the gate, pass 2 (the rebuild over the corpus) must be
+        one zero-shuffle map — pass 1's hash count is the ONLY
+        exchange. Pins the gated-broadcast scale claim."""
+        from pdf_extractor_ray.pipelines.dedup import span_dedup
+
+        rows = [(i, "a. b. c. " + f"u{i}.") for i in range(50)]
+        out = span_dedup(_span_ds(rows))
+        out.take(5)
+        stats = out.stats()
+        # the tail of the plan (post pass-1 materialize) is the rebuild
+        tail = stats.split("Materialize")[-1] if "Materialize" in stats else stats
+        for marker in ("AllToAll", "Sort", "Join", "shuffle"):
+            assert marker not in tail, f"broadcast rebuild gained {marker}:\n{tail[:500]}"
+
+    def test_zero_shuffle_carriers(self, ray_session):
+        """Per-doc extraction carriers must stay exchange-free."""
+        from pdf_extractor_ray.pipelines.textops import ari_readability_documents
+        from pdf_extractor_ray.pipelines.webdocs import (
+            extract_dates_documents,
+            read_wat_documents,
+            read_wet_documents,
+            render_markdown_documents,
+        )
+
+        for fn in (
+            extract_dates_documents,
+            render_markdown_documents,
+            read_wet_documents,
+            read_wat_documents,
+            ari_readability_documents,
+        ):
+            ds = fn(SF_DIR)
+            ds.take(3)
+            stats = ds.stats()
+            for marker in ("AllToAll", "Sort", "Join", "shuffle"):
+                assert marker not in stats, f"{fn.__name__} gained {marker}"
