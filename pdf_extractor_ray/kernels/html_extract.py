@@ -633,6 +633,74 @@ def html_extract_meta(raw: bytes) -> dict:
     return {"title": title, "description": description, "canonical": canonical, "lang": lang}
 
 
+# Open Graph keys harvested by html_extract_opengraph. OG is RDFa: the
+# key lives in the ``property`` attribute (a ``name="og:title"`` meta is
+# NOT Open Graph and must be ignored — real pages contain exactly this
+# confusion), and the protocol's own examples use first-occurrence-wins
+# for singular properties.
+_OG_KEYS = frozenset({"og:title", "og:description", "og:image", "og:type", "og:url"})
+
+
+def html_extract_opengraph(raw: bytes) -> dict:
+    """Harvest Open Graph social-card metadata: ``{"og_title",
+    "og_description", "og_image", "og_type", "og_url"}`` (each
+    ``str | None``) from ``<meta property="og:*" content=…>`` tags —
+    the share-card channel (distinct from the ``name=``-keyed metas of
+    :func:`html_extract_meta`) that crawl pipelines mine for curated
+    titles/hero images and that snippet/quality probes prefer over the
+    ``<title>`` tag when present. First occurrence wins per key; title
+    and description are entity-unescaped and whitespace-collapsed;
+    image/url/type values are kept verbatim (they are URLs/enums, not
+    prose). Standalone pass over the shared token stream — never
+    touches the body-text golden path. Reference analog: the head-
+    metadata harvest pdf-extractor performs per document before field
+    extraction (services/pdf_service.py:16 opens metadata first)."""
+    html = _decode_page(raw)
+    vals: dict[str, str] = {}
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag != "meta":
+            continue
+        blob = html[m.start(2) : m.end(2)]
+        prop = _attr_val(blob, "property")
+        if prop is None:
+            continue
+        key = prop.lower()
+        if key not in _OG_KEYS or key in vals:
+            continue
+        content = _attr_val(blob, "content")
+        if content is None:
+            continue
+        if key in ("og:title", "og:description"):
+            content = collapse_ws(unescape(content))
+        if content:
+            vals[key] = content
+    return {
+        "og_title": vals.get("og:title"),
+        "og_description": vals.get("og:description"),
+        "og_image": vals.get("og:image"),
+        "og_type": vals.get("og:type"),
+        "og_url": vals.get("og:url"),
+    }
+
+
 _LDJSON_TYPE_RE = re.compile(r"""type\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
 

@@ -800,6 +800,93 @@ EXTRACT_META_SQL = _extract_meta_sql()
 
 
 # ---------------------------------------------------------------------------
+# Open Graph social-card harvest through the real parser
+# ---------------------------------------------------------------------------
+
+
+def derive_opengraph_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with planted Open Graph card data:
+    og:title = first token + ' | Social', og:description = first four
+    tokens, og:image/og:type/og:url from doc_id arithmetic (og:url
+    absent every 5th doc so NULLs genuinely occur) — plus decoys the
+    harvester must reject: a ``name="og:title"`` meta (wrong attribute
+    — OG is RDFa ``property=``), a duplicate og:title (first-wins),
+    and an unknown ``og:`` property."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        toks = text.split()
+        title = html_escape((toks[0] if toks else "untitled") + " | Social")
+        desc = html_escape(" ".join(toks[:4]) if toks else "no preview")
+        og_url = "" if d % 5 == 0 else f'<meta property="og:url" content="https://docs.example.com/{d}">'
+        htmls.append(
+            (
+                "<html><head>"
+                '<meta name="og:title" content="BOILER name-keyed decoy">'
+                f'<meta property="og:title" content="{title}">'
+                f'<meta property="og:description" content="{desc}">'
+                '<meta property="og:title" content="BOILER second card">'
+                f'<meta property="og:image" content="https://img.example.com/{d % 100}/{d}.jpg">'
+                '<meta property="og:unknown" content="BOILER unknown key">'
+                f'<meta property="og:type" content="{"article" if d % 3 == 0 else "website"}">'
+                f"{og_url}"
+                f"</head><body><p>{html_escape(text)}</p></body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_opengraph_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic OG-bearing pages →
+    :func:`kernels.html_extract.html_extract_opengraph` → ``(doc_id,
+    og_title, og_description, og_image, og_type, og_url)``. The decoys
+    prove attribute discrimination (``property=`` vs ``name=``),
+    first-occurrence-wins, and unknown-key filtering against the
+    SQL-derived expectation. Zero shuffle — the flagship's per-batch
+    parse shape."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_opengraph
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_opengraph_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        cards = [html_extract_opengraph(raw) for raw in b["html"]]
+        out = {"doc_id": b["doc_id"].to_numpy(np.int64)}
+        for col in ("og_title", "og_description", "og_image", "og_type", "og_url"):
+            out[col] = pd.Series([c[col] for c in cards], dtype="object")
+        return pd.DataFrame(out)
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_opengraph_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN len(arr) >= 1 THEN arr[1] ELSE 'untitled' END) || ' | Social' AS og_title,
+       CASE WHEN len(arr) = 0 THEN 'no preview'
+            ELSE array_to_string(arr[1:LEAST(len(arr), 4)], ' ') END AS og_description,
+       'https://img.example.com/' || CAST(doc_id % 100 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR) || '.jpg' AS og_image,
+       CASE WHEN doc_id % 3 = 0 THEN 'article' ELSE 'website' END AS og_type,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) END AS og_url
+FROM t
+"""
+
+
+EXTRACT_OPENGRAPH_SQL = _extract_opengraph_sql()
+
+
+# ---------------------------------------------------------------------------
 # Table-structure harvest (WebTables-style) through the real parser
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,48 @@
+"""Round-5 wave-8 operator tests (fourth session).
+
+Covers the Open Graph harvest and the other wave-8 kernels/carriers.
+Ray session comes from the shared session fixture in conftest.py.
+"""
+
+from __future__ import annotations
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestHtmlExtractOpengraph:
+    def test_property_vs_name_and_first_wins(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_opengraph
+
+        raw = (
+            b"<html><head>"
+            b'<meta name="og:title" content="decoy name-keyed">'
+            b'<meta property="og:title" content="A &amp;  B">'
+            b'<meta property="og:title" content="second ignored">'
+            b"<meta property='OG:Description' content='d  one'>"
+            b'<meta property="og:image" content="https://i.example.com/1.jpg">'
+            b'<meta property="og:unknown" content="ignored">'
+            b"<meta property=og:type content=article>"
+            b"</head></html>"
+        )
+        got = html_extract_opengraph(raw)
+        assert got == {
+            "og_title": "A & B",
+            "og_description": "d one",
+            "og_image": "https://i.example.com/1.jpg",
+            "og_type": "article",
+            "og_url": None,
+        }
+
+    def test_missing_and_empty(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_opengraph
+
+        assert html_extract_opengraph(b"<p>x</p>") == {
+            "og_title": None,
+            "og_description": None,
+            "og_image": None,
+            "og_type": None,
+            "og_url": None,
+        }
+        # empty content stays None; script payloads never parsed as tags
+        raw = b'<script>var x = \'<meta property="og:title" content="in-script">\';</script>' b'<meta property="og:title" content="">'
+        assert html_extract_opengraph(raw)["og_title"] is None
