@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links_documents": webdocs.extract_links_documents,
         "extract_meta_documents": webdocs.extract_meta_documents,
         "extract_opengraph_documents": webdocs.extract_opengraph_documents,
+        "extract_images_documents": webdocs.extract_images_documents,
         "extract_tables_documents": webdocs.extract_tables_documents,
         "extract_charset_documents": webdocs.extract_charset_documents,
         "extract_pdfinfo_documents": webdocs.extract_pdfinfo_documents,
@@ -514,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
         "extract_opengraph_documents": webdocs.EXTRACT_OPENGRAPH_SQL,
+        "extract_images_documents": webdocs.EXTRACT_IMAGES_SQL,
         "extract_tables_documents": webdocs.EXTRACT_TABLES_SQL,
         "extract_charset_documents": webdocs.EXTRACT_CHARSET_SQL,
         "extract_pdfinfo_documents": webdocs.EXTRACT_PDFINFO_SQL,

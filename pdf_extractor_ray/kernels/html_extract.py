@@ -555,6 +555,72 @@ def html_extract_links(raw: bytes) -> list[tuple[str, str]]:
     return links
 
 
+def html_extract_images(raw: bytes) -> list[tuple[str, str]]:
+    """Extract MAIN-CONTENT image/caption pairs: ``[(src, alt), ...]``
+    in document order — the image-caption mining step of a multimodal
+    training-data pipeline (alt text inside the content region is the
+    cheap, human-written caption signal; chrome images in nav/sidebar/
+    footer are logos and spacers). Shares the id/class hint model with
+    :func:`html_extract_links`: images inside demoted containers are
+    dropped, as are images with a missing/empty ``src`` or a
+    missing/empty ``alt`` (a caption-less image is useless as a pair).
+    Alt text is entity-unescaped and whitespace-collapsed. Standalone
+    pass over the shared token stream; never touches the body-text
+    golden path."""
+    html = _decode_page(raw)
+    pairs: list[tuple[str, str]] = []
+    open_hints: list[tuple[str, int]] = []
+    neg_depth = 0
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if tag in HINTABLE_TAGS:
+                for i in range(len(open_hints) - 1, -1, -1):
+                    if open_hints[i][0] == tag:
+                        if open_hints[i][1] < 0:
+                            neg_depth -= 1
+                        del open_hints[i]
+                        break
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag == "img":
+            if neg_depth == 0:
+                blob = html[m.start(2) : m.end(2)]
+                src = _attr_val(blob, "src")
+                alt = _attr_val(blob, "alt")
+                if src and alt is not None:
+                    alt_text = collapse_ws(unescape(alt))
+                    if alt_text:
+                        pairs.append((src, alt_text))
+            continue
+        if tag in HINTABLE_TAGS:
+            hint = 0
+            a2, b2 = m.span(2)
+            if b2 > a2:
+                blob = html[a2:b2]
+                low = blob if blob.islower() else blob.lower()
+                if "id" in low or "class" in low:
+                    hint = _sniff_hint(blob)
+            open_hints.append((tag, hint))
+            if hint < 0:
+                neg_depth += 1
+    return pairs
+
+
 def _attr_val(blob: str, name: str) -> str | None:
     m = re.search(
         rf"""{name}\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", blob, re.I

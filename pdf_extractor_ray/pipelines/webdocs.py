@@ -887,6 +887,97 @@ EXTRACT_OPENGRAPH_SQL = _extract_opengraph_sql()
 
 
 # ---------------------------------------------------------------------------
+# Image/alt-text (caption-pair) harvest through the real parser
+# ---------------------------------------------------------------------------
+
+
+def derive_image_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with a known caption-pair set: a hero
+    image ``/img/{3·doc_id}.png`` alt'd by the first two tokens inside
+    the boosted content div, a second image ``/img/{3·doc_id+1}.png``
+    alt'd by the third token when present — plus decoys the harvester
+    must drop: a DEMOTED sidebar logo, an alt-less figure, and an
+    empty-alt spacer."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        toks = text.split()
+        alt0 = html_escape(" ".join(toks[:2]) if toks else "figure")
+        main = [
+            f'<img src="/img/{3 * d}.png" alt="{alt0}">',
+            f"<p>{html_escape(text)}</p>",
+            f'<img src="/img/{3 * d + 2}.png" alt="">',  # empty alt: dropped
+            f'<img src="/img/{3 * d + 9}.png">',  # alt-less: dropped
+        ]
+        if len(toks) >= 3:
+            main.append(f'<img src="/img/{3 * d + 1}.png" alt="{html_escape(toks[2])}">')
+        htmls.append(
+            (
+                "<html><body>"
+                f"<div id=\"content\">{''.join(main)}</div>"
+                f'<div class="sidebar"><img src="/logo.png" alt="BOILER logo"></div>'
+                "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_images_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic image-bearing pages →
+    :func:`kernels.html_extract.html_extract_images` → ``(doc_id, src,
+    alt)``. Image-caption pair mining for a multimodal corpus; zero
+    shuffle, and the demoted sidebar logo + alt-less/empty-alt decoys
+    prove the hint model and the caption requirement are live against
+    the SQL-derived expectation."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_images
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_image_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        ids, srcs, alts = [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            for src, alt in html_extract_images(raw):
+                ids.append(int(doc_id))
+                srcs.append(src)
+                alts.append(alt)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "src": pd.Series(srcs, dtype="object"),
+                "alt": pd.Series(alts, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_images_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id, '/img/' || CAST(3 * doc_id AS VARCHAR) || '.png' AS src,
+       CASE WHEN len(arr) = 0 THEN 'figure'
+            ELSE array_to_string(arr[1:LEAST(len(arr), 2)], ' ') END AS alt
+FROM t
+UNION ALL
+SELECT doc_id, '/img/' || CAST(3 * doc_id + 1 AS VARCHAR) || '.png' AS src, arr[3] AS alt
+FROM t WHERE len(arr) >= 3
+"""
+
+
+EXTRACT_IMAGES_SQL = _extract_images_sql()
+
+
+# ---------------------------------------------------------------------------
 # Table-structure harvest (WebTables-style) through the real parser
 # ---------------------------------------------------------------------------
 

@@ -46,3 +46,37 @@ class TestHtmlExtractOpengraph:
         # empty content stays None; script payloads never parsed as tags
         raw = b'<script>var x = \'<meta property="og:title" content="in-script">\';</script>' b'<meta property="og:title" content="">'
         assert html_extract_opengraph(raw)["og_title"] is None
+
+
+class TestHtmlExtractImages:
+    def test_hint_model_and_caption_requirement(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_images
+
+        raw = (
+            b"<body>"
+            b'<div id="content">'
+            b'<img src="/a.png" alt="A &amp;  B">'
+            b'<img src="/no-alt.png">'
+            b'<img src="/empty.png" alt="">'
+            b'<img alt="no src">'
+            b"<IMG SRC=/bare.png ALT=bare>"
+            b"</div>"
+            b'<div class="sidebar"><img src="/logo.png" alt="logo"></div>'
+            b'<img src="/after.png" alt="after sidebar closed">'
+            b"</body>"
+        )
+        assert html_extract_images(raw) == [
+            ("/a.png", "A & B"),
+            ("/bare.png", "bare"),
+            ("/after.png", "after sidebar closed"),
+        ]
+
+    def test_nested_demotion(self):
+        from pdf_extractor_ray.kernels.html_extract import html_extract_images
+
+        # demotion inherited by descendants, ends at container close
+        raw = (
+            b'<div class="footer"><div><img src="/x.png" alt="x"></div></div>'
+            b'<img src="/y.png" alt="y">'
+        )
+        assert html_extract_images(raw) == [("/y.png", "y")]
