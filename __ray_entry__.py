@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta_documents": webdocs.extract_meta_documents,
         "extract_opengraph_documents": webdocs.extract_opengraph_documents,
         "extract_images_documents": webdocs.extract_images_documents,
+        "lang_mismatch_documents": webdocs.lang_mismatch_documents,
+        "host_graph_documents": webdocs.host_graph_documents,
         "extract_tables_documents": webdocs.extract_tables_documents,
         "extract_charset_documents": webdocs.extract_charset_documents,
         "extract_pdfinfo_documents": webdocs.extract_pdfinfo_documents,
@@ -516,6 +518,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
         "extract_opengraph_documents": webdocs.EXTRACT_OPENGRAPH_SQL,
         "extract_images_documents": webdocs.EXTRACT_IMAGES_SQL,
+        "lang_mismatch_documents": webdocs.LANG_MISMATCH_SQL,
+        "host_graph_documents": webdocs.HOST_GRAPH_SQL,
         "extract_tables_documents": webdocs.EXTRACT_TABLES_SQL,
         "extract_charset_documents": webdocs.EXTRACT_CHARSET_SQL,
         "extract_pdfinfo_documents": webdocs.EXTRACT_PDFINFO_SQL,

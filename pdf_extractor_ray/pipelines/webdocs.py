@@ -978,6 +978,156 @@ EXTRACT_IMAGES_SQL = _extract_images_sql()
 
 
 # ---------------------------------------------------------------------------
+# Declared-vs-detected language audit (two real kernels composed)
+# ---------------------------------------------------------------------------
+
+
+def derive_langattr_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc whose ``<html lang>`` declaration is
+    the labeled lang column — except every 7th doc, which declares a
+    deterministically WRONG ``xx`` (mislabeled pages are a real crawl
+    phenomenon and the thing this audit exists to catch)."""
+    htmls = []
+    for doc_id, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+        declared = "xx" if int(doc_id) % 7 == 0 else lang
+        htmls.append(
+            (f'<html lang="{declared}"><body><p>{html_escape(text)}</p></body></html>').encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def lang_mismatch_documents(sf_dir: str) -> ray.data.Dataset:
+    """Audit: parse the ``lang`` declaration out of real markup
+    (:func:`kernels.html_extract.html_extract_meta`) AND detect the
+    language from the body text (:func:`kernels.textstats.lang_id`),
+    then flag agreement — the routing sanity check a crawl pipeline
+    runs before trusting declared metadata (CCNet routes on detected,
+    not declared, for exactly this reason). Two real kernels composed
+    per batch, zero shuffle; the oracle replays both (the planted
+    ``xx`` declarations plus the stopword-vote replica)."""
+    from pdf_extractor_ray.kernels import textstats
+    from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    ).map_batches(derive_langattr_pages, batch_format="pandas", batch_size=1024)
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        declared = [html_extract_meta(raw)["lang"] for raw in b["html"]]
+        detected = [textstats.lang_id(t) for t in b["text"]]
+        out = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "declared_lang": pd.Series(declared, dtype="object"),
+                "detected_lang": pd.Series(detected, dtype="object"),
+            }
+        )
+        out["declared_match"] = (out["declared_lang"] == out["detected_lang"]).astype(np.int8)
+        return out
+
+    return ds.map_batches(audit, batch_format="pandas", batch_size=1024)
+
+
+def _lang_mismatch_sql() -> str:
+    from pdf_extractor_ray.pipelines.textops import LANG_PRED_CORE_SQL
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS declared_lang,
+       lang_pred AS detected_lang,
+       CAST((CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END) = lang_pred AS TINYINT)
+           AS declared_match
+FROM ({LANG_PRED_CORE_SQL})
+"""
+
+
+LANG_MISMATCH_SQL = _lang_mismatch_sql()
+
+
+# ---------------------------------------------------------------------------
+# Host-level link-graph rollup (extraction → domain edge weights)
+# ---------------------------------------------------------------------------
+
+
+def derive_hostlink_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with absolute cross-host outlinks:
+    every doc links to ``h{(7·d) mod 13}.example.com``, odd docs add a
+    second edge to ``h{(3·d+1) mod 13}.example.com`` — plus a DEMOTED
+    sidebar link that must NOT become an edge (chrome links would
+    drown the host graph in template noise)."""
+    htmls = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        main = [f'<a href="https://h{(d * 7) % 13}.example.com/p/{2 * d}">next</a>']
+        if d % 2 == 1:
+            main.append(f'<a href="https://h{(d * 3 + 1) % 13}.example.com/p/{2 * d + 1}">more</a>')
+        htmls.append(
+            (
+                "<html><body>"
+                f"<div id=\"content\">{''.join(main)}</div>"
+                '<div class="sidebar"><a href="https://h0.example.com/promo">BOILER</a></div>'
+                "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b.copy()
+    out["html"] = htmls
+    return out
+
+
+def host_graph_documents(sf_dir: str) -> ray.data.Dataset:
+    """Host-level link graph: real link harvest
+    (:func:`kernels.html_extract.html_extract_links`) → host keys via
+    :func:`functions.urls.site_domain` → ``(src_host, dst_host,
+    n_links)`` edge weights. The domain-graph rollup that feeds
+    host-level PageRank/spam scoring at crawl scale. Scale shape:
+    edges are pre-aggregated per batch (pandas groupby partial) so the
+    exchange carries at most |hosts|² counter rows per block, not one
+    row per link; the final ``groupby`` sums partials."""
+    from ray.data.aggregate import Sum
+
+    from pdf_extractor_ray.functions.urls import site_domain
+    from pdf_extractor_ray.kernels.html_extract import html_extract_links
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_hostlink_pages, batch_format="pandas", batch_size=1024)
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        srcs, dsts = [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            src = f"h{int(doc_id) % 13}.example.com"
+            for href, _anchor in html_extract_links(raw):
+                srcs.append(src)
+                dsts.append(site_domain(href))
+        e = pd.DataFrame({"src_host": srcs, "dst_host": dsts})
+        part = e.groupby(["src_host", "dst_host"], as_index=False).size()
+        return part.rename(columns={"size": "n_links"})
+
+    return (
+        ds.map_batches(edges, batch_format="pandas", batch_size=1024)
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+HOST_GRAPH_SQL = """
+WITH e AS (
+    SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS src_host,
+           'h' || CAST((doc_id * 7) % 13 AS VARCHAR) || '.example.com' AS dst_host
+    FROM documents
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com',
+           'h' || CAST((doc_id * 3 + 1) % 13 AS VARCHAR) || '.example.com'
+    FROM documents WHERE doc_id % 2 = 1
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM e GROUP BY src_host, dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
 # Table-structure harvest (WebTables-style) through the real parser
 # ---------------------------------------------------------------------------
 

@@ -80,3 +80,37 @@ class TestHtmlExtractImages:
             b'<img src="/y.png" alt="y">'
         )
         assert html_extract_images(raw) == [("/y.png", "y")]
+
+
+class TestWave8Carriers:
+    def test_lang_mismatch_planted_and_shuffle_free(self):
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines.webdocs import lang_mismatch_documents
+
+        ds = lang_mismatch_documents(SF_DIR)
+        df = ds.to_pandas()
+        n_docs = pq.read_metadata(SF_DIR + "/documents.parquet").num_rows
+        assert len(df) == n_docs
+        # every 7th doc declares 'xx' — guaranteed mismatch (detector
+        # never emits 'xx')
+        planted = df[df["doc_id"] % 7 == 0]
+        assert (planted["declared_lang"] == "xx").all()
+        assert (planted["declared_match"] == 0).all()
+        stats = lang_mismatch_documents(SF_DIR).materialize().stats()
+        for marker in ("AllToAll", "Sort", "Join"):
+            assert marker not in stats
+
+    def test_host_graph_edge_conservation(self):
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines.webdocs import host_graph_documents
+
+        df = host_graph_documents(SF_DIR).to_pandas()
+        t = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id"])
+        ids = t.column("doc_id").to_pylist()
+        # one edge per doc + one extra per odd doc; the sidebar decoy
+        # (→ h0.example.com from every doc) must NOT appear as edges
+        expect_edges = len(ids) + sum(1 for d in ids if d % 2 == 1)
+        assert int(df["n_links"].sum()) == expect_edges
+        assert set(df["src_host"].str.extract(r"^h(\d+)\.", expand=False).astype(int)) <= set(range(13))
