@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "read_wet_documents": webdocs.read_wet_documents,
         "read_wat_documents": webdocs.read_wat_documents,
         "warc_extract_documents": webdocs.warc_extract_documents,
+        "warc_fetch_stats": webdocs.warc_fetch_stats,
         "feed_discovery_documents": webdocs.feed_discovery_documents,
         "media_features": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_features_demo,
         "media_transforms": _media_transforms,
@@ -198,6 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).dsir_importance_weights,
         "dsir_resample": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).dsir_resample,
         "substring_dedup_documents": dedup.substring_dedup_documents,
+        # rows-only (64-byte-window rolling hash — not SQL-expressible
+        # without a per-byte recursive CTE); pinned by a reset-semantics
+        # scalar replica + resync/bounds property tests in
+        # tests/test_round5_wave8.py
+        "cdc_chunks_documents": dedup.cdc_chunks_documents,
+        "cdc_dedup_stats": dedup.cdc_dedup_stats,
         "corpus_pipeline": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_pipeline,
         "curation_funnel": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).curation_funnel,
         "chunk_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).chunk_documents,
@@ -276,6 +283,11 @@ _ROWS_ONLY_PRIORITY = [
     "dsir_importance_weights",
     "dsir_resample",
     "substring_dedup_documents",
+    # wave-8 CDC chunking (rows-only: 64-byte-window rolling hash is
+    # not SQL-expressible); pinned vs brute-force replicas in
+    # tests/test_round5_wave8.py
+    "cdc_chunks_documents",
+    "cdc_dedup_stats",
 ]
 
 
@@ -316,6 +328,10 @@ _NEVER_DRIVER_RUN = [
     # ingest_snapshot keep the family in-window) for the north-rule
     # WARC→extraction byte-identity composition:
     "warc_extract_documents",
+    # warc_fetch_stats (wave 8) → overflow: the WARC family already
+    # holds an in-window slot via warc_extract_documents, and the
+    # extraction sentinels stay; identical oracle check in CI at
+    # sf0.001 + the sf0.01 pre-flight (PASS, 6 rows).
     "setsim_join_documents",
     "pmi_collocations",
     "hits_documents",
@@ -535,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "read_wet_documents": webdocs.READ_WET_SQL,
         "read_wat_documents": webdocs.READ_WAT_SQL,
         "warc_extract_documents": webdocs.WARC_EXTRACT_SQL,
+        "warc_fetch_stats": webdocs.WARC_FETCH_STATS_SQL,
         "surt_keys_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SURT_KEYS_SQL,
         "parse_cdxj_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PARSE_CDXJ_SQL,
         "feed_discovery_documents": webdocs.FEED_DISCOVERY_SQL,

@@ -2075,3 +2075,112 @@ def span_dedup(
         return out
 
     return grouped_apply(both, [id_col], reassemble, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (gear-hash CDC) + chunk-level dedup stats
+# ---------------------------------------------------------------------------
+
+# Deterministic shared licence tail appended by the CDC carrier: every
+# derived doc ends with the same ~2 KB block, so cross-document
+# duplicated chunks GENUINELY occur and the dedup-ratio op has real
+# signal — the boilerplate-tail situation (licence footers, cookie
+# banners) CDC chunking exists to catch at storage scale.
+_CDC_TAIL = (
+    "\nSPDX-License-Identifier: Example-1.0 - Permission is hereby "
+    "granted, free of charge, to any person obtaining a copy of this "
+    "corpus, to deal in the corpus without restriction, subject to "
+    "the following conditions apply. " * 12
+)
+
+
+def cdc_chunks_documents(
+    sf_dir: str, *, avg_bits: int = 8, min_len: int = 64, max_len: int = 1024
+) -> ray.data.Dataset:
+    """Content-defined chunks per document: ``(doc_id, chunk_idx,
+    start, length, chunk_hash)`` over ``text + shared licence tail``
+    (see ``_CDC_TAIL``). Rows-only (a 64-byte-window rolling hash is
+    not SQL-expressible without a per-byte recursive CTE); pinned by a
+    reset-semantics scalar replica and resync/bounds property tests.
+
+    Scale shape: chunking is a vectorized per-batch map (64 shifted
+    numpy adds, no per-byte Python loop), zero shuffle; the chunk
+    table is the input to hash-keyed dedup exchanges
+    (:func:`cdc_dedup_stats`)."""
+    from pdf_extractor_ray.kernels import cdc
+
+    ds = _read_docs(sf_dir, ("doc_id", "text"))
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, starts, lens, hashes = [], [], [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            data = (text + _CDC_TAIL).encode("utf-8")
+            for i, (s, ln, h) in enumerate(
+                cdc.cdc_chunks(data, avg_bits=avg_bits, min_len=min_len, max_len=max_len)
+            ):
+                ids.append(int(doc_id))
+                idxs.append(i)
+                starts.append(s)
+                lens.append(ln)
+                hashes.append(h)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int64"),
+                "start": pd.Series(starts, dtype="int64"),
+                "length": pd.Series(lens, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas", batch_size=1024)
+
+
+def cdc_dedup_stats(
+    sf_dir: str, *, avg_bits: int = 8, min_len: int = 64, max_len: int = 1024
+) -> ray.data.Dataset:
+    """Chunk-level dedup ratio: how many bytes of the corpus are
+    duplicated at CDC-chunk granularity — the storage-dedup headline
+    number (and a cheap cross-document boilerplate detector: shared
+    licence/footer regions re-align to identical chunk hashes even at
+    different offsets). One row: ``(n_chunks, n_distinct_chunks,
+    total_bytes, distinct_bytes, dup_byte_per_milli)``.
+
+    Scale shape: per-batch partials (chunk_hash counts) → ONE exchange
+    keyed on the 8-byte chunk hash → a global aggregate over the
+    per-hash table; integer milli-units, no float drift."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    chunks = cdc_chunks_documents(sf_dir, avg_bits=avg_bits, min_len=min_len, max_len=max_len)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("chunk_hash", as_index=False).agg(
+            n=("chunk_hash", "size"), bytes_sum=("length", "sum"), length=("length", "max")
+        )
+        return g
+
+    per_hash = (
+        chunks.map_batches(partial, batch_format="pandas", batch_size=4096)
+        .groupby("chunk_hash")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("bytes_sum", alias_name="bytes_sum"),
+            Max("length", alias_name="length"),
+        )
+    )
+    agg = per_hash.aggregate(
+        Count(alias_name="n_distinct_chunks"),
+        Sum("n", alias_name="n_chunks"),
+        Sum("bytes_sum", alias_name="total_bytes"),
+        Sum("length", alias_name="distinct_bytes"),
+    )
+    total = int(agg["total_bytes"])
+    distinct = int(agg["distinct_bytes"])
+    row = {
+        "n_chunks": int(agg["n_chunks"]),
+        "n_distinct_chunks": int(agg["n_distinct_chunks"]),
+        "total_bytes": total,
+        "distinct_bytes": distinct,
+        "dup_byte_per_milli": ((total - distinct) * 1000) // total if total else 0,
+    }
+    return ray.data.from_items([row])

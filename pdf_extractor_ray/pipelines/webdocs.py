@@ -1703,6 +1703,86 @@ def derive_warc_slices(b: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def derive_fetchstat_slices(b: pd.DataFrame) -> pd.DataFrame:
+    """WARC slice per doc with BOTH planted status and media type:
+    status 404 every 7th id, 301 every 11th (else 200); Content-Type
+    ``application/pdf`` every 5th id else ``text/html; charset=utf-8``
+    — the parser must strip the parameter and lowercase the type.
+    Odd ids ship as .warc.gz members."""
+    from pdf_extractor_ray.sources.warc import build_warc
+
+    slices = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        status = 404 if d % 7 == 0 else (301 if d % 11 == 0 else 200)
+        ctype = "application/pdf" if d % 5 == 0 else "text/html; CHARSET=utf-8"
+        slices.append(
+            build_warc(
+                [
+                    {
+                        "url": f"https://docs.example.com/{d}",
+                        "ts": f"2026-01-{d % 28 + 1:02d}T00:00:00Z",
+                        "http_status": status,
+                        "content_type": ctype,
+                        "body": f"<p>{text}</p>".encode("utf-8"),
+                    }
+                ],
+                gzip_members=bool(d % 2),
+            )
+        )
+    out = b[["doc_id"]].copy()
+    out["warc"] = slices
+    return out
+
+
+def warc_fetch_stats(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-health dashboard: WARC record parse → ``(http_status,
+    mime, n_responses)`` — the fetch-outcome × media-type matrix a
+    crawl operator reads before anything else (is the crawl drowning
+    in redirects? what fraction is PDF?). Counts are pre-aggregated
+    per batch so the exchange carries a handful of counter rows per
+    block; the final groupby sums partials. The oracle derives both
+    dimensions from doc_id arithmetic, so status-line parsing, header
+    case-insensitivity, and MIME parameter stripping all have to
+    agree."""
+    from ray.data.aggregate import Sum
+
+    from pdf_extractor_ray.sources.warc import parse_warc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_fetchstat_slices, batch_format="pandas", batch_size=512)
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        statuses, mimes = [], []
+        for raw in b["warc"]:
+            for rec in parse_warc(bytes(raw)):
+                statuses.append(rec["http_status"])
+                mimes.append(rec["mime"])
+        part = pd.DataFrame(
+            {"http_status": pd.Series(statuses, dtype="int64"), "mime": pd.Series(mimes, dtype="object")}
+        ).groupby(["http_status", "mime"], as_index=False).size()
+        return part.rename(columns={"size": "n_responses"})
+
+    return (
+        ds.map_batches(stats, batch_format="pandas", batch_size=512)
+        .groupby(["http_status", "mime"])
+        .aggregate(Sum("n_responses", alias_name="n_responses"))
+    )
+
+
+WARC_FETCH_STATS_SQL = """
+WITH r AS (
+    SELECT CASE WHEN doc_id % 7 = 0 THEN 404
+                WHEN doc_id % 11 = 0 THEN 301 ELSE 200 END AS http_status,
+           CASE WHEN doc_id % 5 = 0 THEN 'application/pdf' ELSE 'text/html' END AS mime
+    FROM documents
+)
+SELECT CAST(http_status AS BIGINT) AS http_status, mime, COUNT(*) AS n_responses
+FROM r GROUP BY http_status, mime
+"""
+
+
 def read_warc_documents(sf_dir: str) -> ray.data.Dataset:
     """Carrier: documents → WARC slices → :func:`sources.warc.
     read_warc_batches` → ``(url, warc_ts, http_status, n_body_bytes,

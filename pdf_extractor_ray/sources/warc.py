@@ -97,6 +97,7 @@ def parse_warc(raw: bytes) -> list[dict]:
     for headers, payload in _iter_records(raw):
         if headers.get("warc-type", "").lower() == "response":
             status = 0
+            mime = ""
             body = payload
             if payload.startswith(b"HTTP/"):
                 hdr_end = payload.find(_SEP)
@@ -105,12 +106,22 @@ def parse_warc(raw: bytes) -> list[dict]:
                     parts = status_line.split(b" ")
                     if len(parts) >= 2 and parts[1].isdigit():
                         status = int(parts[1])
+                    # media type from the HTTP Content-Type header:
+                    # case-insensitive name, parameters (charset=…)
+                    # stripped at ';', value lowercased — the MIME key
+                    # a fetch-stats dashboard groups on
+                    for line in payload[:hdr_end].split(_CRLF)[1:]:
+                        name, sep, val = line.partition(b":")
+                        if sep and name.strip().lower() == b"content-type":
+                            mime = val.split(b";")[0].strip().lower().decode("latin-1")
+                            break
                     body = payload[hdr_end + len(_SEP) :]
             out.append(
                 {
                     "url": headers.get("warc-target-uri", ""),
                     "ts": headers.get("warc-date", ""),
                     "http_status": status,
+                    "mime": mime,
                     "body": body,
                 }
             )
@@ -132,8 +143,9 @@ def build_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
     )
     for r in records:
         status = int(r.get("http_status", 200))
+        ctype = r.get("content_type", "text/html")
         payload = (
-            b"HTTP/1.1 " + str(status).encode() + b" OK\r\nContent-Type: text/html" + _SEP
+            b"HTTP/1.1 " + str(status).encode() + b" OK\r\nContent-Type: " + ctype.encode() + _SEP
             + r["body"]
         )
         head = (

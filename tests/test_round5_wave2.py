@@ -656,7 +656,9 @@ class TestWarcSource:
             b"WARC-Date: d\r\nContent-Length: 3\r\n\r\nxyz"
         )
         r = parse_warc(raw2)
-        assert r == [{"url": "u", "ts": "d", "http_status": 0, "body": b"xyz"}]
+        # non-HTTP payload: status 0, no media type (mime added with
+        # the fetch-stats dashboard; '' preserves the quarantine shape)
+        assert r == [{"url": "u", "ts": "d", "http_status": 0, "mime": "", "body": b"xyz"}]
         # malformed Content-Length stops the scan (quarantine upstream)
         assert parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: NaN\r\n\r\nx") == []
 

@@ -82,6 +82,143 @@ class TestHtmlExtractImages:
         assert html_extract_images(raw) == [("/y.png", "y")]
 
 
+class TestWarcMime:
+    def test_content_type_parse(self):
+        from pdf_extractor_ray.sources.warc import build_warc, parse_warc
+
+        raw = build_warc(
+            [
+                {"url": "u1", "ts": "t", "body": b"x", "content_type": "Application/PDF"},
+                {"url": "u2", "ts": "t", "body": b"y", "content_type": "text/html; charset=UTF-8"},
+                {"url": "u3", "ts": "t", "body": b"z"},
+            ]
+        )
+        recs = parse_warc(raw)
+        assert [r["mime"] for r in recs] == ["application/pdf", "text/html", "text/html"]
+        # bodies untouched by header parsing
+        assert [r["body"] for r in recs] == [b"x", b"y", b"z"]
+
+
+def _ref_cdc_boundaries(data: bytes, avg_bits: int, min_len: int, max_len: int) -> list[int]:
+    """Independent scalar replica with CLASSIC reset-per-chunk
+    semantics: h = (h<<1) + GEAR[b] restarted at every chunk start.
+    With min_len >= 64 this must equal the kernel's windowed no-reset
+    formulation exactly (the equivalence the kernel docstring claims)."""
+    from pdf_extractor_ray.kernels.cdc import GEAR
+
+    n = len(data)
+    mask = (1 << avg_bits) - 1
+    ends = []
+    start = 0
+    while start < n:
+        h = 0
+        end = min(start + max_len, n)
+        cut = end
+        for i in range(start, end):
+            h = ((h << 1) + int(GEAR[data[i]])) & 0xFFFFFFFFFFFFFFFF
+            if i + 1 - start >= min_len and (h & mask) == 0:
+                cut = i + 1
+                break
+        ends.append(cut)
+        start = cut
+    return ends
+
+
+class TestCdcKernel:
+    PARAMS = dict(avg_bits=6, min_len=64, max_len=512)
+
+    def test_matches_reset_semantics_replica(self):
+        import random
+
+        from pdf_extractor_ray.kernels.cdc import cdc_boundaries
+
+        rng = random.Random(7)
+        for trial in range(20):
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 4000)))
+            got = cdc_boundaries(data, **self.PARAMS)
+            assert got == _ref_cdc_boundaries(data, 6, 64, 512), f"trial {trial}"
+
+    def test_bounds_and_coverage(self):
+        import random
+
+        from pdf_extractor_ray.kernels.cdc import cdc_boundaries
+
+        rng = random.Random(11)
+        data = bytes(rng.randrange(256) for _ in range(10_000))
+        ends = cdc_boundaries(data, **self.PARAMS)
+        assert ends[-1] == len(data)
+        prev = 0
+        for e in ends[:-1]:  # all but the final (may be short) chunk
+            assert 64 <= e - prev <= 512
+            prev = e
+        # constant-byte region (never hits the mask … or always does):
+        # max_len force-cuts keep chunks bounded either way
+        ends2 = cdc_boundaries(b"\x00" * 5000, **self.PARAMS)
+        prev = 0
+        for e in ends2:
+            assert e - prev <= 512
+            prev = e
+
+    def test_resync_property(self):
+        """Prepending bytes only perturbs chunking locally: chunk
+        hashes of the shared suffix re-align — THE property that makes
+        CDC find duplicated regions at different offsets."""
+        import random
+
+        from pdf_extractor_ray.kernels.cdc import cdc_chunks
+
+        rng = random.Random(23)
+        shared = bytes(rng.randrange(256) for _ in range(6000))
+        prefix = bytes(rng.randrange(256) for _ in range(777))
+        a = {h for (_s, _l, h) in cdc_chunks(shared, **self.PARAMS)}
+        b = {h for (_s, _l, h) in cdc_chunks(prefix + shared, **self.PARAMS)}
+        # the tail of `shared` must chunk identically in both
+        common = a & b
+        assert len(common) >= len(a) // 2
+
+    def test_param_validation(self):
+        import pytest
+
+        from pdf_extractor_ray.kernels.cdc import cdc_boundaries
+
+        with pytest.raises(ValueError):
+            cdc_boundaries(b"x" * 100, min_len=32)
+        with pytest.raises(ValueError):
+            cdc_boundaries(b"x" * 100, min_len=256, max_len=128)
+        assert cdc_boundaries(b"") == []
+
+
+class TestCdcPipeline:
+    def test_chunks_cover_and_stats_consistent(self):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from pdf_extractor_ray.pipelines.dedup import _CDC_TAIL, cdc_chunks_documents, cdc_dedup_stats
+
+        chunks = cdc_chunks_documents(SF_DIR).to_pandas()
+        docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        # coverage: per-doc chunk lengths sum to the derived byte length
+        got = chunks.groupby("doc_id")["length"].sum()
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            assert got[doc_id] == len((text + _CDC_TAIL).encode("utf-8"))
+        # chunk hash of the first doc's first chunk recomputes
+        r0 = chunks.sort_values(["doc_id", "chunk_idx"]).iloc[0]
+        data0 = (docs.set_index("doc_id")["text"][r0["doc_id"]] + _CDC_TAIL).encode("utf-8")
+        seg = data0[r0["start"] : r0["start"] + r0["length"]]
+        assert hashlib.blake2b(seg, digest_size=8).hexdigest() == r0["chunk_hash"]
+
+        stats = cdc_dedup_stats(SF_DIR).to_pandas().iloc[0]
+        # brute-force replica of the stats over the chunk table
+        per_hash = chunks.groupby("chunk_hash").agg(n=("length", "size"), bytes_sum=("length", "sum"), length=("length", "max"))
+        assert stats["n_chunks"] == len(chunks)
+        assert stats["n_distinct_chunks"] == len(per_hash)
+        assert stats["total_bytes"] == int(per_hash["bytes_sum"].sum())
+        assert stats["distinct_bytes"] == int(per_hash["length"].sum())
+        # the shared licence tail guarantees real cross-doc duplication
+        assert stats["dup_byte_per_milli"] > 100
+
+
 class TestWave8Carriers:
     def test_lang_mismatch_planted_and_shuffle_free(self):
         import pyarrow.parquet as pq
