@@ -155,6 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).triangle_counts_documents,
         "edit_distance_neighbors": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).edit_distance_neighbors,
         "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).crawl_depth_documents,
+        "resolve_redirects_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).resolve_redirects_documents,
+        "soft404_documents": webdocs.soft404_documents,
+        "mirror_hosts_documents": dedup.mirror_hosts_documents,
+        "dup_cluster_sizes_documents": dedup.dup_cluster_sizes_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -332,6 +336,11 @@ _NEVER_DRIVER_RUN = [
     # holds an in-window slot via warc_extract_documents, and the
     # extraction sentinels stay; identical oracle check in CI at
     # sf0.001 + the sf0.01 pre-flight (PASS, 6 rows).
+    # wave-9 newcomers (resolve_redirects, soft404, mirror_hosts,
+    # dup_cluster_sizes) → overflow for the same reason: their families
+    # (graph iteration, WARC+extraction audit, exact-dedup audit) all
+    # hold in-window slots, and the sentinels stay; each is
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     "setsim_join_documents",
     "pmi_collocations",
     "hits_documents",
@@ -521,6 +530,10 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_prefixes": textops.BOILERPLATE_PREFIX_SQL,
         "pmi_collocations": textops.PMI_SQL,
         "crawl_depth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CRAWL_DEPTH_SQL,
+        "resolve_redirects_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RESOLVE_REDIRECTS_SQL,
+        "soft404_documents": webdocs.SOFT404_SQL,
+        "mirror_hosts_documents": dedup.MIRROR_HOSTS_SQL,
+        "dup_cluster_sizes_documents": dedup.DUP_CLUSTER_SIZES_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -2184,3 +2184,161 @@ def cdc_dedup_stats(
         "dup_byte_per_milli": ((total - distinct) * 1000) // total if total else 0,
     }
     return ray.data.from_items([row])
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection + dup-cluster size histogram (content-identity audit)
+# ---------------------------------------------------------------------------
+
+# Universal boilerplate doc planted on EVERY host of the derived mirror
+# corpus: a content hash shared by all hosts is boilerplate, not
+# mirroring, and must be dropped by the max_hosts cap (C(n_hosts, 2)
+# pair fan-out is exactly the viral-key failure the cap exists for).
+_MIRROR_TOS_TEXT = "BOILER terms of service all rights reserved contact webmaster"
+_MIRROR_N_HOSTS = 7
+
+
+def derive_mirror_corpus(b: pd.DataFrame) -> pd.DataFrame:
+    """(host, text) rows: each doc lives on host ``h{doc_id % 7}``;
+    every 3rd doc is MIRRORED verbatim onto ``h{(doc_id + 2) % 7}``;
+    plus one shared terms-of-service doc per host (first batch only —
+    keyed off doc_id 0 so the derive stays stateless/deterministic
+    under any batching)."""
+    hosts, texts = [], []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        hosts.append(f"h{d % _MIRROR_N_HOSTS}.example.com")
+        texts.append(text)
+        if d % 3 == 0:
+            hosts.append(f"h{(d + 2) % _MIRROR_N_HOSTS}.example.com")
+            texts.append(text)
+        if d == 0:
+            for k in range(_MIRROR_N_HOSTS):
+                hosts.append(f"h{k}.example.com")
+                texts.append(_MIRROR_TOS_TEXT)
+    return pd.DataFrame(
+        {"host": pd.Series(hosts, dtype="object"), "text": pd.Series(texts, dtype="object")}
+    )
+
+
+def _mirror_corpus(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir, ("doc_id", "text")).map_batches(
+        derive_mirror_corpus, batch_format="pandas", batch_size=1024
+    )
+
+
+def mirror_hosts(
+    corpus: ray.data.Dataset, *, min_shared: int = 1, max_hosts: int = 5
+) -> ray.data.Dataset:
+    """Host pairs serving identical content: ``(host_a, host_b,
+    n_shared)`` with ``host_a < host_b`` — the mirror/spam-farm signal
+    a crawl dedup pass keys on (Common Crawl's host-level dedup does
+    exactly this before fetch scheduling). A content hash present on
+    more than ``max_hosts`` hosts is boilerplate (cookie banners,
+    licence pages), not mirroring, and is dropped BEFORE the pair
+    fan-out — that cap is what bounds the C(n,2) emission per hash.
+
+    Scale shape: 16-byte content hash per row (bodies never shuffle) →
+    distinct (hash, host) → per-hash group emits C(h≤max_hosts, 2)
+    pairs → grouped count keyed by the pair. Two exchanges, both on
+    small keys."""
+    from pdf_extractor_ray.ops import distinct, grouped_apply, grouped_sum
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"__h": b["text"].map(hashing.content_hash), "host": b["host"]}
+        )
+
+    hh = distinct(corpus.map_batches(add_hash, batch_format="pandas"), ["__h", "host"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # g is one BUCKET (many hashes) — group per hash inside
+        a_out, b_out = [], []
+        for _h, sub in g.groupby("__h", sort=False):
+            hosts = sorted(sub["host"])
+            if len(hosts) < 2 or len(hosts) > max_hosts:
+                continue  # singleton, or boilerplate shared too widely
+            for i in range(len(hosts)):
+                for j in range(i + 1, len(hosts)):
+                    a_out.append(hosts[i])
+                    b_out.append(hosts[j])
+        return pd.DataFrame({"host_a": pd.Series(a_out, dtype="object"),
+                             "host_b": pd.Series(b_out, dtype="object"),
+                             "n_shared": pd.Series([1] * len(a_out), dtype="int64")})
+
+    emitted = grouped_apply(hh, ["__h"], pairs)
+    out = grouped_sum(emitted, ["host_a", "host_b"], ["n_shared"])
+    if min_shared > 1:
+        out = out.map_batches(
+            lambda b: b[b["n_shared"] >= min_shared], batch_format="pandas"
+        )
+    return out
+
+
+def mirror_hosts_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: mirror detection over the derived multi-host
+    corpus. The planted all-host ToS doc would emit C(7,2)=21 bogus
+    pairs if the boilerplate cap were dead — the oracle counts only
+    the genuine mirrored docs, so the cap is correctness-checked."""
+    return mirror_hosts(_mirror_corpus(sf_dir))
+
+
+MIRROR_HOSTS_SQL = """
+WITH m AS (
+  SELECT LEAST('h' || CAST(doc_id % 7 AS VARCHAR), 'h' || CAST((doc_id + 2) % 7 AS VARCHAR))
+             || '.example.com' AS host_a,
+         GREATEST('h' || CAST(doc_id % 7 AS VARCHAR), 'h' || CAST((doc_id + 2) % 7 AS VARCHAR))
+             || '.example.com' AS host_b
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT host_a, host_b, COUNT(*) AS n_shared FROM m GROUP BY host_a, host_b
+"""
+
+
+def dup_cluster_sizes(corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """Exact-dup cluster-size histogram: ``(cluster_size, n_clusters)``
+    — the first chart a dedup audit draws (how much of the corpus is
+    singletons vs mirrored pairs vs viral boilerplate; the size-k tail
+    decides whether exact dedup alone is worth running). Clusters are
+    exact text identity via the 128-bit content hash.
+
+    Scale shape: hash per row → per-batch partial counts → grouped_sum
+    keyed by hash (per-hash cluster size) → grouped_sum keyed by SIZE
+    (key space = number of distinct sizes). Bodies never shuffle; the
+    second exchange is trivially small."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b["text"].map(hashing.content_hash).value_counts()
+        return pd.DataFrame({"__h": g.index, "n": g.to_numpy(np.int64)})
+
+    per_hash = grouped_sum(
+        corpus.map_batches(partial, batch_format="pandas"), ["__h"], ["n"]
+    )
+
+    def to_hist(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cluster_size": b["n"].to_numpy(np.int64),
+             "n_clusters": np.ones(len(b), np.int64)}
+        )
+
+    return grouped_sum(
+        per_hash.map_batches(to_hist, batch_format="pandas"), ["cluster_size"], ["n_clusters"]
+    )
+
+
+def dup_cluster_sizes_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: cluster-size histogram over the mirror corpus
+    (singletons + planted pairs + one 7-host boilerplate cluster)."""
+    return dup_cluster_sizes(_mirror_corpus(sf_dir))
+
+
+DUP_CLUSTER_SIZES_SQL = f"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT '{_MIRROR_TOS_TEXT}' FROM generate_series(1, {_MIRROR_N_HOSTS})
+),
+c AS (SELECT COUNT(*) AS sz FROM corpus GROUP BY text)
+SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters FROM c GROUP BY sz
+"""

@@ -1390,3 +1390,148 @@ tri AS (
 n AS (SELECT unnest([a, b, c]) AS node FROM tri)
 SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM n GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution (pointer jumping / path doubling)
+# ---------------------------------------------------------------------------
+
+
+def resolve_pointers(
+    ptr: ray.data.Dataset, *, max_rounds: int = 30
+) -> ray.data.Dataset:
+    """Resolve every pointer chain in a ``(node, nxt, hops)`` table to
+    its terminal: returns one row per node with ``nxt`` = the chain's
+    final node and ``hops`` = total chain length. Terminals are rows
+    with ``node == nxt`` (``hops`` must be 0 there); every ``nxt``
+    value must appear as some row's ``node`` (total pointer function).
+
+    The crawl use case is redirect resolution: a 301/302 map
+    ``url → location`` becomes a pointer table, and the final landing
+    URL per source is what canonical-URL assignment and link-graph
+    rewriting key on (Common Crawl resolves redirects the same way
+    before building its host graph). The reference has no analog.
+
+    Scale shape: path doubling — each round substitutes every row's
+    target with that target's CURRENT target (``ptr ⋈ ptr`` on
+    ``nxt = node``, one hash exchange keyed on 8-byte node ids), so a
+    chain of length L resolves in ⌈log2 L⌉ rounds, not L. The round
+    count is data-driven (stop when no row advanced) with
+    ``max_rounds`` as a cycle guard: 30 rounds resolve chains up to
+    ~1e9 hops, and a genuine redirect CYCLE (a→b→a) would otherwise
+    never terminate — raising beats silently emitting a mid-cycle
+    node. Per-round state is rebuilt as typed Arrow blocks with
+    zero-row blocks dropped (the Ray 2.49 schema-loss guard, same as
+    :func:`bfs_depth`)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.ops import compact_nonempty_arrow as compact
+
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.int64()),
+            "nxt": pa.array([], pa.int64()),
+            "hops": pa.array([], pa.int64()),
+        }
+    )
+
+    def pin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "nxt": t.column("nxt").cast(pa.int64()),
+                "hops": t.column("hops").cast(pa.int64()),
+            }
+        )
+
+    def as_target(t: pa.Table) -> pa.Table:
+        # the join's build side: where each TARGET node currently
+        # points, renamed so the joined row carries both halves
+        return pa.table(
+            {
+                "t_node": t.column("node").cast(pa.int64()),
+                "t_nxt": t.column("nxt").cast(pa.int64()),
+                "t_hops": t.column("hops").cast(pa.int64()),
+            }
+        )
+
+    def advance(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "nxt": t.column("t_nxt").cast(pa.int64()),
+                "hops": pc.add(
+                    t.column("hops").cast(pa.int64()), t.column("t_hops").cast(pa.int64())
+                ),
+            }
+        )
+
+    ptr = compact(ptr.map_batches(pin, batch_format="pyarrow"), empty)
+    for _ in range(max_rounds):
+        targets = compact(ptr.map_batches(as_target, batch_format="pyarrow"), empty)
+        joined = joins.join_datasets(ptr, targets, on="nxt", right_on="t_node").materialize()
+
+        def moved_partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.sum(pc.cast(pc.greater(t.column("t_hops"), 0), pa.int64())).as_py()
+            return pa.table({"moved": pa.array([int(m or 0)], pa.int64())})
+
+        # fixpoint: nobody's target moved this round (all t_hops == 0);
+        # vectorized per-batch partials, one scalar per block
+        moved = joined.map_batches(moved_partial, batch_format="pyarrow").sum("moved")
+        ptr = compact(joined.map_batches(advance, batch_format="pyarrow"), empty)
+        if not moved:
+            return ptr
+    raise RuntimeError(
+        f"pointer chains unresolved after {max_rounds} doubling rounds "
+        "(cycle in the pointer table, or raise max_rounds)"
+    )
+
+
+def resolve_redirects_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: resolve the planted redirect map over documents
+    — ids with ``doc_id % 4 != 0 and doc_id % 9 != 0`` redirect to
+    ``doc_id - 1`` (runs of consecutive such ids form multi-hop
+    chains, length ≤ 3) — to ``(doc_id, final_id, n_hops)`` for every
+    doc. The oracle replays the chain as a recursive CTE; the engine
+    path-doubles with no chain-length parameter."""
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_ptr(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        redir = (d % 4 != 0) & (d % 9 != 0)
+        return pd.DataFrame(
+            {
+                "node": d,
+                "nxt": np.where(redir, d - 1, d),
+                "hops": redir.astype(np.int64),
+            }
+        )
+
+    out = resolve_pointers(docs.map_batches(to_ptr, batch_format="pandas", batch_size=8192))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].to_numpy(np.int64),
+                "final_id": b["nxt"].to_numpy(np.int64),
+                "n_hops": b["hops"].to_numpy(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+RESOLVE_REDIRECTS_SQL = """
+WITH RECURSIVE r AS (
+  SELECT doc_id AS node, doc_id AS cur, 0 AS hops FROM documents
+  UNION ALL
+  SELECT node, cur - 1, hops + 1 FROM r
+  WHERE cur % 4 != 0 AND cur % 9 != 0
+)
+SELECT node AS doc_id, CAST(cur AS BIGINT) AS final_id, CAST(hops AS BIGINT) AS n_hops
+FROM r WHERE cur % 4 = 0 OR cur % 9 = 0
+"""

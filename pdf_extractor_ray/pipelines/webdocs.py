@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 from html import escape as html_escape
 
 import numpy as np
@@ -2425,4 +2426,101 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CASE WHEN len(arr) >= 1 THEN arr[1] ELSE NULL END AS title,
        CAST(len(arr) // 40 AS BIGINT) AS n_links
 FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection (status-200 pages whose MAIN CONTENT says "not found")
+# ---------------------------------------------------------------------------
+
+# Not-found phrase set, matched against the lowercased EXTRACTED main
+# content (so boilerplate-stripped nav/footer mentions don't trigger).
+# The standard crawl-curation heuristic (soft 404s poison both dedup —
+# thousands of near-identical error pages — and training data).
+_SOFT404_RE = re.compile(
+    r"page not found|could not be found|no longer available|does not exist"
+)
+
+
+def derive_soft404_slices(b: pd.DataFrame) -> pd.DataFrame:
+    """WARC slice per doc with planted fetch outcomes: every 7th id is
+    a HARD 404 (status 404 — dropped by the status gate, NOT soft);
+    every 6th (and not 7th) id is a SOFT 404 — status 200 with a
+    not-found body in ``<article>``; all others are normal pages that
+    ALSO carry a not-found phrase inside ``<nav>`` (link-only, so the
+    extractor's boilerplate strip must remove it — a decoy proving the
+    classifier reads extracted text, not raw HTML)."""
+    from pdf_extractor_ray.sources.warc import build_warc
+
+    slices = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        status = 404 if d % 7 == 0 else 200
+        if d % 6 == 0 and d % 7 != 0:
+            body = (
+                "<html><head><title>Oops</title></head><body><article>"
+                "<h1>Page not found</h1><p>The page you requested could not be "
+                "found. It may have moved or is no longer available.</p>"
+                "</article></body></html>"
+            )
+        else:
+            body = (
+                "<html><body>"
+                "<nav class='menu'><a href='/404'>error page not found archive</a></nav>"
+                f"<article><p>{html_escape(text)}</p></article></body></html>"
+            )
+        slices.append(
+            build_warc(
+                [
+                    {
+                        "url": f"https://docs.example.com/{d}",
+                        "ts": f"2026-02-{d % 28 + 1:02d}T00:00:00Z",
+                        "http_status": status,
+                        "body": body.encode("utf-8"),
+                    }
+                ],
+                gzip_members=bool(d % 3 == 0),
+            )
+        )
+    out = b[["doc_id"]].copy()
+    out["warc"] = slices
+    return out
+
+
+def soft404_documents(sf_dir: str) -> ray.data.Dataset:
+    """Soft-404 audit: WARC parse → status-200 gate → REAL main-content
+    extraction (:func:`kernels.html_extract.html_extract`) → phrase
+    classify → ``(url, soft404)`` for every fetched-OK page. The nav
+    decoy on every normal page means a classifier reading raw HTML (or
+    an extractor that fails to strip link-only blocks) flags ~everything
+    — the oracle catches both. Zero shuffle; the regex is compiled once
+    at module level and the per-batch loop is over documents (each doing
+    real parse work), not a vectorizable kernel."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract
+    from pdf_extractor_ray.sources.warc import parse_warc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_soft404_slices, batch_format="pandas", batch_size=512)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        urls, flags = [], []
+        for raw in b["warc"]:
+            for rec in parse_warc(bytes(raw)):
+                if rec["http_status"] != 200:
+                    continue  # hard failures are not soft 404s
+                text, _spans = html_extract(rec["body"])
+                urls.append(rec["url"])
+                flags.append(int(bool(_SOFT404_RE.search(text.lower()))))
+        return pd.DataFrame(
+            {"url": pd.Series(urls, dtype="object"), "soft404": pd.Series(flags, dtype="int64")}
+        )
+
+    return ds.map_batches(classify, batch_format="pandas", batch_size=512)
+
+
+SOFT404_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS soft404
+FROM documents WHERE doc_id % 7 != 0
 """
