@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft404_documents": webdocs.soft404_documents,
         "mirror_hosts_documents": dedup.mirror_hosts_documents,
         "dup_cluster_sizes_documents": dedup.dup_cluster_sizes_documents,
+        "pagination_series_documents": webdocs.pagination_series_documents,
+        "robots_meta_documents": webdocs.robots_meta_documents,
+        "recrawl_priority_documents": webdocs.recrawl_priority_documents,
+        "host_dup_ratio_documents": dedup.host_dup_ratio_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -341,6 +345,9 @@ _NEVER_DRIVER_RUN = [
     # (graph iteration, WARC+extraction audit, exact-dedup audit) all
     # hold in-window slots, and the sentinels stay; each is
     # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
+    # wave-10 newcomers (pagination_series, robots_meta,
+    # recrawl_priority, host_dup_ratio) → overflow likewise (head-
+    # harvest, snapshot, and dedup-audit families already in-window).
     "setsim_join_documents",
     "pmi_collocations",
     "hits_documents",
@@ -534,6 +541,10 @@ def oracle_sql() -> dict[str, str]:
         "soft404_documents": webdocs.SOFT404_SQL,
         "mirror_hosts_documents": dedup.MIRROR_HOSTS_SQL,
         "dup_cluster_sizes_documents": dedup.DUP_CLUSTER_SIZES_SQL,
+        "pagination_series_documents": webdocs.PAGINATION_SERIES_SQL,
+        "robots_meta_documents": webdocs.ROBOTS_META_SQL,
+        "recrawl_priority_documents": webdocs.RECRAWL_PRIORITY_SQL,
+        "host_dup_ratio_documents": dedup.HOST_DUP_RATIO_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -1404,3 +1404,102 @@ def html_extract_alternates(raw: bytes) -> list[tuple[str, str]]:
         if hreflang and href:
             out.append((hreflang, href))
     return out
+
+
+def html_extract_relnav(raw: bytes) -> dict:
+    """Harvest pagination hints: ``{"next", "prev"}`` hrefs (each
+    ``str | None``) from head ``<link rel=…>`` elements — the channel
+    Google/crawlers used for multi-page-article reassembly, and what a
+    series-reconstruction pass keys on before joining paginated pages
+    back into one logical document. HTML ``rel`` is a space-separated
+    TOKEN LIST (``rel="prev nofollow"`` still counts), matched
+    case-insensitively; first occurrence wins per direction; anchor
+    (``<a rel=…>``) and any non-``link`` tags are ignored — body
+    anchors say "a page like this exists", head links declare THIS
+    page's place in the series. Standalone pass over the shared token
+    stream; never touches the body-text golden path. Reference analog:
+    none (single-document scope)."""
+    html = _decode_page(raw)
+    nxt: str | None = None
+    prev: str | None = None
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag != "link":
+            continue
+        blob = html[m.start(2) : m.end(2)]
+        rel = _attr_val(blob, "rel")
+        if rel is None:
+            continue
+        tokens = set(rel.lower().split())
+        href = _attr_val(blob, "href")
+        if not href:
+            continue
+        if "next" in tokens and nxt is None:
+            nxt = href
+        if "prev" in tokens and prev is None:
+            prev = href
+        if nxt is not None and prev is not None:
+            break
+    return {"next": nxt, "prev": prev}
+
+
+def html_extract_robots_meta(raw: bytes) -> dict:
+    """Harvest indexing directives: ``{"noindex", "nofollow"}`` (bools)
+    from ``<meta name="robots" content=…>`` — the per-page opt-out
+    every polite index/crawl pipeline must honor before a page enters
+    the corpus (REP meta tag, documented by Google/Bing; ``none`` is
+    the spec'd shorthand for ``noindex, nofollow``). Name match is
+    case-insensitive; the content value is a comma-separated token
+    list, tokens trimmed and lowercased; FIRST robots meta wins
+    (matching the first-wins convention of the other head harvests);
+    unknown tokens (``all``, ``noarchive``…) are ignored rather than
+    failed. Reference analog: none."""
+    html = _decode_page(raw)
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag != "meta":
+            continue
+        blob = html[m.start(2) : m.end(2)]
+        nm = _attr_val(blob, "name")
+        if nm is None or nm.lower() != "robots":
+            continue
+        content = _attr_val(blob, "content")
+        tokens = {t.strip().lower() for t in (content or "").split(",")}
+        noindex = "noindex" in tokens or "none" in tokens
+        nofollow = "nofollow" in tokens or "none" in tokens
+        return {"noindex": noindex, "nofollow": nofollow}
+    return {"noindex": False, "nofollow": False}

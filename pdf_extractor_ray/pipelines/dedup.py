@@ -2342,3 +2342,89 @@ WITH corpus AS (
 c AS (SELECT COUNT(*) AS sz FROM corpus GROUP BY text)
 SELECT CAST(sz AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters FROM c GROUP BY sz
 """
+
+
+def host_dup_ratio(corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-host mirrored-content ratio: ``(host, n_docs, n_mirrored,
+    mirrored_per_milli)`` where a doc is *mirrored* if its exact
+    content appears on ≥ 2 distinct hosts — the host-level spam/mirror
+    score domain curation ranks on (a host serving mostly other
+    hosts' content is a scraper farm). Integer milli-units, no float
+    drift.
+
+    Scale shape: 16-byte content hash per row → distinct (hash, host)
+    → grouped count = hosts-per-hash (per-batch partials bound viral
+    boilerplate to one row per batch) → adaptive join hash-table back
+    onto the (hash, host) rows (byte-gated broadcast vs exchange) →
+    per-host grouped sum. No C(n,2) emission anywhere, so no cap is
+    needed — a hash on a million hosts contributes one joined row per
+    (hash, host), not a million-squared pair fan-out."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__h": b["text"].map(hashing.content_hash), "host": b["host"]})
+
+    hashed = corpus.map_batches(add_hash, batch_format="pandas")
+    hh = distinct(hashed, ["__h", "host"])
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__h": b["__h"], "n_hosts": np.ones(len(b), np.int64)})
+
+    hosts_per_hash = grouped_sum(hh.map_batches(ones, batch_format="pandas"), ["__h"], ["n_hosts"])
+
+    joined = adaptive_inner_join(hashed, hosts_per_hash, on="__h")
+
+    def per_host_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": b["host"],
+                "n_docs": np.ones(len(b), np.int64),
+                "n_mirrored": (b["n_hosts"].to_numpy(np.int64) >= 2).astype(np.int64),
+            }
+        )
+
+    per_host = grouped_sum(
+        joined.map_batches(per_host_partial, batch_format="pandas"), ["host"], ["n_docs", "n_mirrored"]
+    )
+
+    def ratio(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["mirrored_per_milli"] = (
+            b["n_mirrored"].to_numpy(np.int64) * 1000 // b["n_docs"].to_numpy(np.int64)
+        )
+        return b
+
+    return per_host.map_batches(ratio, batch_format="pandas")
+
+
+def host_dup_ratio_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: mirrored-content ratio per host over the derived
+    mirror corpus (every 3rd doc mirrored cross-host, one all-host ToS
+    doc — which COUNTS as mirrored here, unlike :func:`mirror_hosts`
+    where it is capped out of the pair fan-out: a ratio sums one row
+    per doc, so boilerplate is signal, not a fan-out hazard)."""
+    return host_dup_ratio(_mirror_corpus(sf_dir))
+
+
+HOST_DUP_RATIO_SQL = f"""
+WITH corpus AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host, text FROM documents
+  UNION ALL
+  SELECT 'h' || CAST((doc_id + 2) % 7 AS VARCHAR) || '.example.com', text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'h' || CAST(gs - 1 AS VARCHAR) || '.example.com', '{_MIRROR_TOS_TEXT}'
+  FROM generate_series(1, {_MIRROR_N_HOSTS}) AS t(gs)
+),
+nh AS (
+  SELECT text, COUNT(DISTINCT host) AS n_hosts FROM corpus GROUP BY text
+),
+d AS (
+  SELECT c.host, CASE WHEN nh.n_hosts >= 2 THEN 1 ELSE 0 END AS mirrored
+  FROM corpus c JOIN nh ON nh.text = c.text
+)
+SELECT host, COUNT(*) AS n_docs, CAST(SUM(mirrored) AS BIGINT) AS n_mirrored,
+       CAST(SUM(mirrored) * 1000 // COUNT(*) AS BIGINT) AS mirrored_per_milli
+FROM d GROUP BY host
+"""

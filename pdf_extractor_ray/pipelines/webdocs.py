@@ -2524,3 +2524,246 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS soft404
 FROM documents WHERE doc_id % 7 != 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Pagination-series reassembly (rel=prev chain resolution)
+# ---------------------------------------------------------------------------
+
+
+def derive_paginated_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """HTML page per doc: docs form 5-page series (ids sharing
+    ``doc_id // 5``); every non-first page declares ``<link
+    rel="prev">`` to the previous id (plus a ``rel=next`` hint where
+    one exists). Decoys on EVERY page: a body ``<a rel="prev">``
+    pointing the WRONG way and a ``rel="search"`` head link — only
+    head ``<link>`` elements may count."""
+    pages = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        head = ['<link rel="search" href="/opensearch.xml">']
+        if d % 5 != 0:
+            head.append(f'<link rel="PREV" href="https://docs.example.com/{d - 1}">')
+        if d % 5 != 4:
+            head.append(f'<link rel=next href="https://docs.example.com/{d + 1}">')
+        html = (
+            f"<html><head>{''.join(head)}</head><body>"
+            f'<a rel="prev" href="https://docs.example.com/{d + 3}">wrong decoy</a>'
+            f"<article><p>{html_escape(text)}</p></article></body></html>"
+        )
+        pages.append(html.encode("utf-8"))
+    out = b[["doc_id"]].copy()
+    out["page"] = pages
+    return out
+
+
+def pagination_series_documents(sf_dir: str) -> ray.data.Dataset:
+    """Reassemble paginated series: REAL ``rel=prev`` harvest
+    (:func:`kernels.html_extract.html_extract_relnav`) per page →
+    pointer table → :func:`graph.resolve_pointers` path doubling →
+    ``(doc_id, series_head, page_index)`` — the join key a multi-page
+    article needs before its parts concatenate into one training
+    document (page_index orders them, series_head groups them). The
+    oracle's closed form (head = id - id%5) only matches if the parser
+    took the head ``<link>`` and ignored both decoys on every page.
+
+    Scale shape: parse is a zero-shuffle batch map; resolution is
+    ⌈log2 chain⌉ hash exchanges on 8-byte keys (chains here ≤ 4 →
+    2 rounds; real-web series are similarly shallow)."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_relnav
+    from pdf_extractor_ray.pipelines.graph import resolve_pointers
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_paginated_pages, batch_format="pandas", batch_size=1024)
+
+    def to_ptr(b: pd.DataFrame) -> pd.DataFrame:
+        nodes, nxts, hops = [], [], []
+        for doc_id, page in zip(b["doc_id"], b["page"]):
+            d = int(doc_id)
+            prev = html_extract_relnav(bytes(page))["prev"]
+            # resolve the href back to a doc id by its URL tail — the
+            # same url→id convention every derived carrier uses
+            tgt = int(prev.rstrip("/").rsplit("/", 1)[1]) if prev else d
+            nodes.append(d)
+            nxts.append(tgt)
+            hops.append(int(tgt != d))
+        return pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="int64"),
+                "nxt": pd.Series(nxts, dtype="int64"),
+                "hops": pd.Series(hops, dtype="int64"),
+            }
+        )
+
+    out = resolve_pointers(ds.map_batches(to_ptr, batch_format="pandas"))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["node"].astype("int64"),
+                "series_head": b["nxt"].astype("int64"),
+                "page_index": b["hops"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+PAGINATION_SERIES_SQL = """
+SELECT doc_id,
+       CAST(doc_id - doc_id % 5 AS BIGINT) AS series_head,
+       CAST(doc_id % 5 AS BIGINT) AS page_index
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robots-meta directive audit (noindex / nofollow)
+# ---------------------------------------------------------------------------
+
+
+def derive_robots_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """HTML page per doc with a planted robots meta: ``none`` for
+    %11 ids, else noindex (%4) and/or nofollow (%5) joined with a
+    comma, an ``all`` decoy for %9 ids, no robots meta otherwise.
+    Pages that HAVE a robots meta and an even id also carry a SECOND
+    conflicting robots meta that first-wins must ignore."""
+    pages = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        if d % 11 == 0:
+            content = "none"
+        else:
+            toks = []
+            if d % 4 == 0:
+                toks.append("NOINDEX")  # case-insensitivity is live
+            if d % 5 == 0:
+                toks.append("nofollow")
+            content = " , ".join(toks) if toks else ("all" if d % 9 == 0 else None)
+        metas = []
+        if content is not None:
+            metas.append(f'<meta name="ROBOTS" content="{content}">')
+            if d % 2 == 0:
+                metas.append('<meta name="robots" content="noindex,nofollow">')
+        html = (
+            f"<html><head>{''.join(metas)}<meta name=\"generator\" content=\"decoy\"></head>"
+            f"<body><p>{html_escape(text)}</p></body></html>"
+        )
+        pages.append(html.encode("utf-8"))
+    out = b[["doc_id"]].copy()
+    out["page"] = pages
+    return out
+
+
+def robots_meta_documents(sf_dir: str) -> ray.data.Dataset:
+    """Indexing-directive audit: REAL robots-meta harvest per page →
+    ``(doc_id, noindex, nofollow)`` int flags for every doc — the gate
+    a polite corpus builder applies before a page may enter the
+    training set (drop noindex docs; drop nofollow docs' outlinks from
+    the link graph). Zero shuffle. The second-meta decoy on even ids
+    means a last-wins (or any-wins) parser fails the oracle."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_robots_meta
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_robots_pages, batch_format="pandas", batch_size=1024)
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        ids, noidx, nofol = [], [], []
+        for doc_id, page in zip(b["doc_id"], b["page"]):
+            r = html_extract_robots_meta(bytes(page))
+            ids.append(int(doc_id))
+            noidx.append(int(r["noindex"]))
+            nofol.append(int(r["nofollow"]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "noindex": pd.Series(noidx, dtype="int64"),
+                "nofollow": pd.Series(nofol, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(audit, batch_format="pandas", batch_size=1024)
+
+
+ROBOTS_META_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS noindex,
+       CAST(CASE WHEN doc_id % 11 = 0 OR doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS nofollow
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recrawl-priority tiers from snapshot change rates
+# ---------------------------------------------------------------------------
+
+
+def derive_change_snapshots(b: pd.DataFrame) -> pd.DataFrame:
+    """Snapshot rows per url: ``1 + doc_id % 3`` fetches; EVEN ids
+    change on every fetch (content length c+i), ODD ids never change —
+    so distinct-content counting (not fetch counting) is what the
+    oracle checks."""
+    urls, ts, chars = [], [], []
+    for doc_id, n_chars in zip(b["doc_id"], b["n_chars"]):
+        d, c = int(doc_id), int(n_chars)
+        for i in range(1 + d % 3):
+            urls.append(f"https://docs.example.com/{d}")
+            ts.append(1_600_000_000 + d * 7 + i * 86_400)
+            chars.append(c + (i if d % 2 == 0 else 0))
+    return pd.DataFrame(
+        {
+            "url": pd.Series(urls, dtype="object"),
+            "snap_ts": pd.Series(ts, dtype="int64"),
+            "snap_chars": pd.Series(chars, dtype="int64"),
+        }
+    )
+
+
+def recrawl_priority_documents(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-freshness scheduling: per url, how often did content
+    actually CHANGE across snapshots → ``(url, n_snaps, n_changes,
+    tier)`` with tier hot (≥2 changes) / warm (1) / cold (0) — the
+    priority signal an incremental crawler feeds its fetch queue
+    (change-rate-proportional recrawl, the classic freshness policy).
+
+    Scale shape: ONE bucketed exchange keyed by url; per-group work is
+    a length + nunique over that url's snapshots (bounded by snapshot
+    count per url, never corpus-sized)."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    snaps = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).map_batches(derive_change_snapshots, batch_format="pandas", batch_size=2048)
+
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("url", sort=False)["snap_chars"].agg(["size", "nunique"])
+        n_changes = (agg["nunique"] - 1).to_numpy(np.int64)
+        tier = np.where(n_changes >= 2, "hot", np.where(n_changes == 1, "warm", "cold"))
+        return pd.DataFrame(
+            {
+                "url": agg.index.to_numpy(object),
+                "n_snaps": agg["size"].to_numpy(np.int64),
+                "n_changes": n_changes,
+                "tier": pd.Series(tier, dtype="object"),
+            }
+        )
+
+    return grouped_apply(snaps, ["url"], per_url)
+
+
+RECRAWL_PRIORITY_SQL = """
+WITH s AS (
+  SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+         n_chars + CASE WHEN doc_id % 2 = 0 THEN gs - 1 ELSE 0 END AS snap_chars
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+a AS (
+  SELECT url, COUNT(*) AS n_snaps, COUNT(DISTINCT snap_chars) - 1 AS n_changes
+  FROM s GROUP BY url
+)
+SELECT url, CAST(n_snaps AS BIGINT) AS n_snaps, CAST(n_changes AS BIGINT) AS n_changes,
+       CASE WHEN n_changes >= 2 THEN 'hot' WHEN n_changes = 1 THEN 'warm' ELSE 'cold' END AS tier
+FROM a
+"""
