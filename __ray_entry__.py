@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_meta_documents": webdocs.robots_meta_documents,
         "recrawl_priority_documents": webdocs.recrawl_priority_documents,
         "host_dup_ratio_documents": dedup.host_dup_ratio_documents,
+        "series_concat_documents": webdocs.series_concat_documents,
+        "meta_refresh_documents": webdocs.meta_refresh_documents,
+        "outlink_diversity_documents": webdocs.outlink_diversity_documents,
+        "canonical_dedup_documents": webdocs.canonical_dedup_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -348,6 +352,8 @@ _NEVER_DRIVER_RUN = [
     # wave-10 newcomers (pagination_series, robots_meta,
     # recrawl_priority, host_dup_ratio) → overflow likewise (head-
     # harvest, snapshot, and dedup-audit families already in-window).
+    # wave-11 newcomers (series_concat, meta_refresh,
+    # outlink_diversity, canonical_dedup) → overflow likewise.
     "setsim_join_documents",
     "pmi_collocations",
     "hits_documents",
@@ -545,6 +551,10 @@ def oracle_sql() -> dict[str, str]:
         "robots_meta_documents": webdocs.ROBOTS_META_SQL,
         "recrawl_priority_documents": webdocs.RECRAWL_PRIORITY_SQL,
         "host_dup_ratio_documents": dedup.HOST_DUP_RATIO_SQL,
+        "series_concat_documents": webdocs.SERIES_CONCAT_SQL,
+        "meta_refresh_documents": webdocs.META_REFRESH_SQL,
+        "outlink_diversity_documents": webdocs.OUTLINK_DIVERSITY_SQL,
+        "canonical_dedup_documents": webdocs.CANONICAL_DEDUP_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -1503,3 +1503,54 @@ def html_extract_robots_meta(raw: bytes) -> dict:
         nofollow = "nofollow" in tokens or "none" in tokens
         return {"noindex": noindex, "nofollow": nofollow}
     return {"noindex": False, "nofollow": False}
+
+
+_REFRESH_CONTENT_RE = re.compile(
+    r"""^\s*(\d+)\s*(?:;\s*url\s*=\s*(?:'([^']*)'|"([^"]*)"|(\S+))\s*)?$""", re.I
+)
+
+
+def html_extract_meta_refresh(raw: bytes) -> tuple[int | None, str | None]:
+    """Harvest the meta-refresh redirect channel: ``(secs, url)`` from
+    ``<meta http-equiv="refresh" content="N; url=…">`` — the OTHER
+    redirect mechanism (besides HTTP 3xx) a crawler must follow, and a
+    classic cloaking/doorway-page signal when ``secs == 0`` on a page
+    with content. ``http-equiv`` match is case-insensitive; the url
+    clause is optional (a bare ``content="30"`` is a self-reload:
+    ``(30, None)``), its value may be quoted either way, and ``URL=``
+    is case-insensitive per the WHATWG parsing rules. First refresh
+    meta wins; a malformed content value yields ``(None, None)`` (the
+    page has no usable refresh). Reference analog: none."""
+    html = _decode_page(raw)
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag != "meta":
+            continue
+        blob = html[m.start(2) : m.end(2)]
+        he = _attr_val(blob, "http-equiv")
+        if he is None or he.strip().lower() != "refresh":
+            continue
+        content = _attr_val(blob, "content")
+        cm = _REFRESH_CONTENT_RE.match(content or "")
+        if cm is None:
+            return (None, None)
+        url = cm.group(2) or cm.group(3) or cm.group(4)
+        return (int(cm.group(1)), url if url else None)
+    return (None, None)

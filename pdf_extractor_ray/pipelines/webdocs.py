@@ -2767,3 +2767,269 @@ SELECT url, CAST(n_snaps AS BIGINT) AS n_snaps, CAST(n_changes AS BIGINT) AS n_c
        CASE WHEN n_changes >= 2 THEN 'hot' WHEN n_changes = 1 THEN 'warm' ELSE 'cold' END AS tier
 FROM a
 """
+
+
+# ---------------------------------------------------------------------------
+# Paginated-series concatenation (the training-doc reassembly step)
+# ---------------------------------------------------------------------------
+
+
+def series_concat_documents(sf_dir: str) -> ray.data.Dataset:
+    """Reassemble each paginated series into ONE logical document:
+    compose :func:`pagination_series_documents` (real rel=prev harvest
+    + path-doubling resolution) with the texts — ``(series_head,
+    n_pages, series_text)`` where ``series_text`` joins member pages
+    with a newline in ``page_index`` order. This is the step that
+    turns a 5-part article back into a single training document — the
+    reason the series was resolved in the first place.
+
+    Scale shape: one adaptive join on doc_id attaches texts to the
+    resolved membership, then ONE bucketed exchange keyed by
+    series_head; per-group work is a sort over that series' pages
+    (bounded by series length, never corpus-sized)."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_apply
+
+    series = pagination_series_documents(sf_dir)
+    texts = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    joined = adaptive_inner_join(series, texts, on="doc_id")
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        heads, counts, bodies = [], [], []
+        for head, sub in g.groupby("series_head", sort=False):
+            sub = sub.sort_values("page_index")
+            heads.append(int(head))
+            counts.append(len(sub))
+            bodies.append("\n".join(sub["text"]))
+        return pd.DataFrame(
+            {
+                "series_head": pd.Series(heads, dtype="int64"),
+                "n_pages": pd.Series(counts, dtype="int64"),
+                "series_text": pd.Series(bodies, dtype="object"),
+            }
+        )
+
+    return grouped_apply(joined, ["series_head"], concat)
+
+
+SERIES_CONCAT_SQL = """
+SELECT CAST(doc_id - doc_id % 5 AS BIGINT) AS series_head,
+       COUNT(*) AS n_pages,
+       string_agg(text, chr(10) ORDER BY doc_id) AS series_text
+FROM documents GROUP BY doc_id - doc_id % 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Meta-refresh redirect harvest (the non-HTTP redirect channel)
+# ---------------------------------------------------------------------------
+
+
+def derive_refresh_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc: every 5th-mod-2 id (``d % 5 == 2``) carries a
+    zero-second meta refresh to a deterministic target; ``d % 5 == 4``
+    carries a bare self-reload (``content="30"`` — no URL, must NOT
+    emit a redirect row); ``d % 7 == 1`` carries a MALFORMED refresh
+    (``content="soon"``) that must parse to nothing. Every page also
+    carries an ``http-equiv=content-type`` decoy meta."""
+    pages = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        metas = ['<meta http-equiv="Content-Type" content="text/html; charset=utf-8">']
+        if d % 5 == 2:
+            metas.append(
+                f'<meta HTTP-EQUIV="refresh" CONTENT="0; URL=https://docs.example.com/{(d * 3) % 500}">'
+            )
+        elif d % 5 == 4:
+            metas.append('<meta http-equiv="refresh" content="30">')
+        elif d % 7 == 1:
+            metas.append('<meta http-equiv="refresh" content="soon; url=/broken">')
+        html = (
+            f"<html><head>{''.join(metas)}</head>"
+            f"<body><p>{html_escape(text)}</p></body></html>"
+        )
+        pages.append(html.encode("utf-8"))
+    out = b[["doc_id"]].copy()
+    out["page"] = pages
+    return out
+
+
+def meta_refresh_documents(sf_dir: str) -> ray.data.Dataset:
+    """Meta-refresh redirect harvest: REAL parse per page →
+    ``(doc_id, refresh_secs, refresh_url)`` for pages carrying a
+    usable URL-bearing refresh — the rows a crawler feeds into the
+    same redirect-resolution pass as HTTP 3xx (and a zero-second
+    refresh is the classic doorway-page cloaking signal a spam
+    classifier keys on). Zero shuffle; bare self-reloads and
+    malformed content values are proven dropped by the oracle."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_meta_refresh
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_refresh_pages, batch_format="pandas", batch_size=1024)
+
+    def harvest(b: pd.DataFrame) -> pd.DataFrame:
+        ids, secs, urls = [], [], []
+        for doc_id, page in zip(b["doc_id"], b["page"]):
+            s, u = html_extract_meta_refresh(bytes(page))
+            if s is None or u is None:
+                continue
+            ids.append(int(doc_id))
+            secs.append(s)
+            urls.append(u)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "refresh_secs": pd.Series(secs, dtype="int64"),
+                "refresh_url": pd.Series(urls, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(harvest, batch_format="pandas", batch_size=1024)
+
+
+META_REFRESH_SQL = """
+SELECT doc_id, CAST(0 AS BIGINT) AS refresh_secs,
+       'https://docs.example.com/' || CAST((doc_id * 3) % 500 AS VARCHAR) AS refresh_url
+FROM documents WHERE doc_id % 5 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Outlink host diversity (link-farm / index-page signal)
+# ---------------------------------------------------------------------------
+
+
+def outlink_diversity_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc outlink diversity over the host-link pages: ``(doc_id,
+    n_links, n_hosts, n_external)`` from the REAL link harvest +
+    :func:`functions.urls.site_domain` — a doc whose links all point
+    at one foreign host is a feeder page; a doc with many distinct
+    external hosts is an index/directory; link-spam scoring keys on
+    exactly this triple. Zero shuffle (per-doc aggregation happens
+    inside the batch); the demoted sidebar link must not count."""
+    from pdf_extractor_ray.functions.urls import site_domain
+    from pdf_extractor_ray.kernels.html_extract import html_extract_links
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_hostlink_pages, batch_format="pandas", batch_size=1024)
+
+    def diversity(b: pd.DataFrame) -> pd.DataFrame:
+        ids, n_links, n_hosts, n_ext = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            d = int(doc_id)
+            own = f"h{d % 13}.example.com"
+            hosts = [site_domain(href) for href, _ in html_extract_links(raw)]
+            ids.append(d)
+            n_links.append(len(hosts))
+            n_hosts.append(len(set(hosts)))
+            n_ext.append(sum(1 for h in hosts if h != own))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_links": pd.Series(n_links, dtype="int64"),
+                "n_hosts": pd.Series(n_hosts, dtype="int64"),
+                "n_external": pd.Series(n_ext, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(diversity, batch_format="pandas", batch_size=1024)
+
+
+OUTLINK_DIVERSITY_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_links,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                 WHEN doc_id % 13 = 10 THEN 1 ELSE 2 END AS BIGINT) AS n_hosts,
+       CAST((CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END)
+          + (CASE WHEN doc_id % 2 = 1 AND doc_id % 13 != 6 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_external
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Canonical-declaration dedup (the rel=canonical dedup channel)
+# ---------------------------------------------------------------------------
+
+
+def derive_canonical_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc where groups of four ids (sharing ``d - d % 4``)
+    DECLARE the group head as canonical — the print/AMP/tracking-param
+    variant situation rel=canonical exists for; ``d % 9 == 0`` pages
+    omit the canonical link entirely (self-representative). A styles
+    ``<link>`` decoy precedes the canonical on every page."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        links = ['<link rel="stylesheet" href="/BOILER.css">']
+        if d % 9 != 0:
+            links.append(
+                f'<link rel="canonical" href="https://docs.example.com/{d - d % 4}">'
+            )
+        htmls.append(
+            (
+                f"<html><head>{''.join(links)}<title>p{d}</title></head>"
+                f"<body><p>{html_escape(text)}</p></body></html>"
+            ).encode("utf-8")
+        )
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    return out
+
+
+def canonical_dedup_documents(sf_dir: str) -> ray.data.Dataset:
+    """rel=canonical dedup: REAL head harvest
+    (:func:`kernels.html_extract.html_extract_meta`) → canonical key
+    (declared canonical, else the page's own URL) → first-writer-wins
+    — the dedup channel that collapses print/AMP/utm variants BEFORE
+    any content hashing runs (it needs only the head, not the body,
+    so it is the cheapest dedup pass a crawl pipeline has). Output:
+    surviving ``(doc_id, canonical_key)``.
+
+    Scale shape: harvest is a zero-shuffle batch map; the dedup is one
+    ``keep_first`` exchange keyed by the canonical string (per-batch
+    partial idxmin bounds a viral canonical to one row per batch)."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+    from pdf_extractor_ray.ops import keep_first
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_canonical_pages, batch_format="pandas", batch_size=1024)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids, keys = [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            d = int(doc_id)
+            canon = html_extract_meta(bytes(raw))["canonical"]
+            ids.append(d)
+            keys.append(canon if canon else f"https://docs.example.com/{d}")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "canonical_key": pd.Series(keys, dtype="object"),
+            }
+        )
+
+    return keep_first(
+        ds.map_batches(keyed, batch_format="pandas", batch_size=1024),
+        ["canonical_key"],
+        "doc_id",
+    )
+
+
+CANONICAL_DEDUP_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN 'https://docs.example.com/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://docs.example.com/' || CAST(doc_id - doc_id % 4 AS VARCHAR)
+         END AS canonical_key
+  FROM documents
+)
+SELECT doc_id, canonical_key FROM k
+QUALIFY row_number() OVER (PARTITION BY canonical_key ORDER BY doc_id) = 1
+"""
