@@ -167,6 +167,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_refresh_documents": webdocs.meta_refresh_documents,
         "outlink_diversity_documents": webdocs.outlink_diversity_documents,
         "canonical_dedup_documents": webdocs.canonical_dedup_documents,
+        # wave-12: mislabeled-fetch audit, duplicate-title clusters,
+        # per-host language entropy, robots sitemap discovery
+        "mime_mismatch_documents": webdocs.mime_mismatch_documents,
+        "title_dup_documents": webdocs.title_dup_documents,
+        "host_lang_entropy": textops.host_lang_entropy,
+        "sitemap_discovery_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).sitemap_discovery_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -555,6 +561,10 @@ def oracle_sql() -> dict[str, str]:
         "meta_refresh_documents": webdocs.META_REFRESH_SQL,
         "outlink_diversity_documents": webdocs.OUTLINK_DIVERSITY_SQL,
         "canonical_dedup_documents": webdocs.CANONICAL_DEDUP_SQL,
+        "mime_mismatch_documents": webdocs.MIME_MISMATCH_SQL,
+        "title_dup_documents": webdocs.TITLE_DUP_SQL,
+        "host_lang_entropy": textops.HOST_LANG_ENTROPY_SQL,
+        "sitemap_discovery_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SITEMAP_DISCOVERY_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

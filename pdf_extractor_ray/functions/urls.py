@@ -272,6 +272,36 @@ def parse_robots_disallows(txt: str, agent: str = "*") -> list[str]:
     return out
 
 
+def parse_robots_sitemaps(txt: str) -> list[str]:
+    """Harvest ``Sitemap:`` declarations from a robots.txt body — the
+    crawl-discovery channel robots.txt carries alongside its exclusion
+    rules. Per RFC 9309 §2.3 / sitemaps.org, the Sitemap field is
+    GROUP-INDEPENDENT: it applies regardless of any surrounding
+    ``User-agent`` group, so this scan ignores group structure
+    entirely (unlike :func:`parse_robots_disallows`).
+
+    - field name matched case-insensitively (``Sitemap:`` /
+      ``SITEMAP:`` / ``SiteMap:``);
+    - ``#`` comments stripped first, so a sitemap URL inside a comment
+      is NOT harvested;
+    - empty values ignored; duplicates dedupe, first occurrence order
+      preserved (the order a discovery queue would enqueue them).
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw_line in txt.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap":
+            value = value.strip()
+            if value and value not in seen:
+                seen.add(value)
+                out.append(value)
+    return out
+
+
 def surt_key(url: str) -> str:
     """SURT (Sort-friendly URI Reordering Transform) key — the form
     web-archive indexes (Common Crawl CDX, OpenWayback) sort and

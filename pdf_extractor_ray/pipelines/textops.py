@@ -3381,3 +3381,84 @@ FROM m
 
 
 ARI_READABILITY_SQL = _ari_readability_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-host language entropy (multilingual-host / spam-farm signal)
+# ---------------------------------------------------------------------------
+
+
+def host_lang_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Language-mix entropy per host in integer micro-nats:
+    ``(host, n_docs, n_langs, ent_total_micro)`` where
+    ent_total_micro = Σ_langs floor(c·ln(n/c)·1e6 + 0.5), the TOTAL
+    (unnormalized) Shannon self-information of the host's language
+    distribution — an exact integer sum (the :func:`token_entropy_documents`
+    rounding discipline). Zero entropy = single-language host; high
+    entropy on one host is the machine-translation / scraper-farm
+    signal crawl curation keys on (CCNet buckets per language — a host
+    that spans many is worth a second look). Host derives from doc_id
+    arithmetic (the carrier convention); lang is the corpus column.
+
+    Scale shape: stage 1 is one (host, lang) bucketed count exchange
+    (per-batch partials bound viral hosts); stage 2 folds per host
+    over at most |langs| rows — bounded by the language vocabulary,
+    never by the host's document count.
+
+    Float note: one libm ln per (c, n) pair with per-term rounding —
+    the 1-ulp budget shared with token_entropy; the SQL writes the
+    identical expression tree (c·ln(n/c))·1e6 + 0.5."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": pd.Series(
+                    [f"h{int(d) % 13}.example.org" for d in b["doc_id"]], dtype="object"
+                ),
+                "lang": b["lang"].astype(object),
+                "c": pd.Series(np.ones(len(b), np.int64)),
+            }
+        )
+
+    counts = grouped_sum(ds.map_batches(keyed, batch_format="pandas"), ["host", "lang"], ["c"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hosts, nd, nl, ent = [], [], [], []
+        for host, sub in g.groupby("host", sort=False):
+            c = sub["c"].to_numpy(np.float64)
+            n = float(c.sum())
+            terms = np.floor((c * np.log(n / c)) * 1_000_000 + 0.5).astype(np.int64)
+            hosts.append(host)
+            nd.append(int(n))
+            nl.append(len(sub))
+            ent.append(int(terms.sum()))
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hosts, dtype="object"),
+                "n_docs": pd.Series(nd, dtype="int64"),
+                "n_langs": pd.Series(nl, dtype="int64"),
+                "ent_total_micro": pd.Series(ent, dtype="int64"),
+            }
+        )
+
+    return grouped_apply(counts, ["host"], fold)
+
+
+HOST_LANG_ENTROPY_SQL = """
+WITH c AS (
+  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host,
+         lang, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM documents GROUP BY 1, 2
+), n AS (
+  SELECT host, SUM(c) AS n, COUNT(*) AS n_langs FROM c GROUP BY host
+)
+SELECT c.host,
+       CAST(ANY_VALUE(n.n) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(n.n_langs) AS BIGINT) AS n_langs,
+       CAST(SUM(CAST(floor((c.c * ln(n.n / c.c)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS ent_total_micro
+FROM c JOIN n USING (host) GROUP BY c.host
+"""

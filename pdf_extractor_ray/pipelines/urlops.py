@@ -831,3 +831,102 @@ FROM c
 
 
 CRAWL_SCHEDULE_SQL = _crawl_schedule_sql()
+
+
+# --------------------------------------------------------------------------
+# Sitemap discovery from robots.txt (the crawl-discovery channel)
+# --------------------------------------------------------------------------
+
+
+def derive_discovery_robots(hid: int) -> str:
+    """Deterministic robots.txt body for host ``hid``: hosts with
+    ``hid % 3 == 0`` declare TWO sitemaps (one of them inside a
+    foreign-agent group — must still be harvested: the field is
+    group-independent), ``hid % 3 == 1`` declare one with a mixed-case
+    field name, ``hid % 3 == 2`` declare none. Every body carries the
+    decoys a harvester must ignore: a sitemap URL in a comment, an
+    empty Sitemap field, a duplicate declaration, and ordinary
+    Disallow noise."""
+    base = f"https://h{hid}.example.org"
+    lines = [
+        "# sitemap: https://decoy.example.org/in-comment.xml",
+        "User-agent: *",
+        "Disallow: /private",
+        "Sitemap:",  # empty value: ignored
+    ]
+    if hid % 3 == 0:
+        lines += [
+            f"Sitemap: {base}/sitemap.xml",
+            "",
+            "User-agent: SomeOtherBot",
+            "Disallow: /",
+            f"Sitemap: {base}/sitemap-news.xml",  # group-independent
+            f"Sitemap: {base}/sitemap.xml",  # duplicate: deduped
+        ]
+    elif hid % 3 == 1:
+        lines += [f"SiteMap: {base}/sitemap.xml"]
+    return "\n".join(lines) + "\n"
+
+
+def sitemap_discovery_documents(sf_dir: str) -> ray.data.Dataset:
+    """Sitemap discovery: corpus → per-host robots.txt body → REAL
+    parse (:func:`functions.urls.parse_robots_sitemaps`) →
+    ``(host, sitemap_url, sm_rank)`` — the URL-discovery channel a
+    crawler walks before it fetches a single page (sitemaps.org
+    protocol; the same bodies also carry Disallow noise so the two
+    robots channels are proven independent).
+
+    Scale shape: the host list comes from ONE bounded ``distinct``
+    exchange over the derived host ids (13 hosts here; millions at
+    crawl scale — still corpus-fraction-sized, never corpus-sized),
+    then body synthesis + parse run as a zero-shuffle batch map over
+    the HOST dataset, so per-host parse work is distributed rather
+    than driver-looped."""
+    from pdf_extractor_ray.functions.urls import parse_robots_sitemaps
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def to_hid(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hid": (b["doc_id"].to_numpy(np.int64) % 13)})
+
+    hosts = distinct(ds.map_batches(to_hid, batch_format="pandas"), ["hid"])
+
+    def harvest(b: pd.DataFrame) -> pd.DataFrame:
+        hs, urls, ranks = [], [], []
+        for hid in b["hid"]:
+            hid = int(hid)
+            for rank, sm in enumerate(parse_robots_sitemaps(derive_discovery_robots(hid)), 1):
+                hs.append(f"h{hid}.example.org")
+                urls.append(sm)
+                ranks.append(rank)
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hs, dtype="object"),
+                "sitemap_url": pd.Series(urls, dtype="object"),
+                "sm_rank": pd.Series(ranks, dtype="int64"),
+            }
+        )
+
+    return hosts.map_batches(harvest, batch_format="pandas")
+
+
+# ranks replay first-occurrence order: hid%3==0 → sitemap.xml then
+# sitemap-news.xml (the duplicate re-declaration never re-ranks),
+# hid%3==1 → sitemap.xml only, hid%3==2 → no rows
+SITEMAP_DISCOVERY_SQL = """
+WITH h AS (SELECT DISTINCT doc_id % 13 AS hid FROM documents),
+s AS (
+  SELECT hid, 1 AS sm_rank,
+         'https://h' || CAST(hid AS VARCHAR) || '.example.org/sitemap.xml' AS sitemap_url
+  FROM h WHERE hid % 3 IN (0, 1)
+  UNION ALL
+  SELECT hid, 2,
+         'https://h' || CAST(hid AS VARCHAR) || '.example.org/sitemap-news.xml'
+  FROM h WHERE hid % 3 = 0
+)
+SELECT 'h' || CAST(hid AS VARCHAR) || '.example.org' AS host,
+       sitemap_url, CAST(sm_rank AS BIGINT) AS sm_rank
+FROM s
+"""

@@ -3033,3 +3033,219 @@ WITH k AS (
 SELECT doc_id, canonical_key FROM k
 QUALIFY row_number() OVER (PARTITION BY canonical_key ORDER BY doc_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-sniffed MIME audit (mislabeled fetch detection)
+# ---------------------------------------------------------------------------
+
+# sniff() kind → the canonical media type a fetch dashboard groups on
+_SNIFF_TO_MIME = {
+    "pdf": "application/pdf",
+    "html": "text/html",
+    "text": "text/plain",
+    "binary": "application/octet-stream",
+    "empty": "",
+}
+
+
+def derive_mislabel_warcs(b: pd.DataFrame) -> pd.DataFrame:
+    """WARC slice per doc with planted Content-Type lies: ids with
+    ``d % 5 == 1`` serve a real PDF body under ``text/html``; ids
+    with ``d % 5 == 3`` serve HTML under ``application/pdf``; ids
+    with ``d % 11 == 0`` (and neither above) serve NUL-bearing binary
+    under ``text/plain``. Everything else is truthful HTML. Header
+    values carry ``; charset=`` parameters and mixed case so the
+    header normalization path is exercised too."""
+    from pdf_extractor_ray.sources.warc import build_warc
+
+    slices = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        if d % 5 == 1:
+            body = make_pdf([[(72.0, 700.0, 12.0, f"doc {d}")]])
+            ctype = "Text/HTML; charset=utf-8"
+        elif d % 5 == 3:
+            body = f"<html><body><p>{html_escape(text)}</p></body></html>".encode()
+            ctype = "application/PDF"
+        elif d % 11 == 0:
+            body = b"\x00\x01\x02BIN" + bytes([d % 251])
+            ctype = "text/plain; charset=us-ascii"
+        else:
+            body = f"<html><body><p>{html_escape(text)}</p></body></html>".encode()
+            ctype = "text/html; charset=utf-8"
+        slices.append(
+            build_warc(
+                [
+                    {
+                        "url": f"https://docs.example.com/{d}",
+                        "ts": f"2026-03-{d % 28 + 1:02d}T00:00:00Z",
+                        "http_status": 200,
+                        "body": body,
+                        "content_type": ctype,
+                    }
+                ],
+                gzip_members=bool(d % 4 == 0),
+            )
+        )
+    out = b[["doc_id"]].copy()
+    out["warc"] = slices
+    return out
+
+
+def mime_mismatch_documents(sf_dir: str) -> ray.data.Dataset:
+    """Declared-vs-sniffed MIME audit: WARC parse → Content-Type
+    header (normalized by the reader: params stripped, lowercased) vs
+    magic-byte sniff of the BODY (:func:`kernels.sniff.sniff`) →
+    ``(url, declared, sniffed, mismatch)``. Mislabeled fetches are a
+    top crawl-quality signal — a PDF served as text/html crashes an
+    HTML-only extractor, and binary served as text poisons text
+    dedup; this is the gate that routes each row to the RIGHT parser
+    regardless of what the server claimed (the flagship's sniff
+    dispatch, audited). Zero shuffle."""
+    from pdf_extractor_ray.kernels.sniff import sniff
+    from pdf_extractor_ray.sources.warc import parse_warc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_mislabel_warcs, batch_format="pandas", batch_size=1024)
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        urls, decl, sn, mm = [], [], [], []
+        for raw in b["warc"]:
+            for r in parse_warc(raw):
+                kind = _SNIFF_TO_MIME[sniff(r["body"])]
+                urls.append(r["url"])
+                decl.append(r["mime"])
+                sn.append(kind)
+                mm.append(int(kind != r["mime"]))
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "declared": pd.Series(decl, dtype="object"),
+                "sniffed": pd.Series(sn, dtype="object"),
+                "mismatch": pd.Series(mm, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(audit, batch_format="pandas", batch_size=256)
+
+
+MIME_MISMATCH_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN 'text/html'
+              WHEN doc_id % 5 = 3 THEN 'application/pdf'
+              WHEN doc_id % 11 = 0 THEN 'text/plain'
+              ELSE 'text/html' END AS declared,
+         CASE WHEN doc_id % 5 = 1 THEN 'application/pdf'
+              WHEN doc_id % 5 = 3 THEN 'text/html'
+              WHEN doc_id % 11 = 0 THEN 'application/octet-stream'
+              ELSE 'text/html' END AS sniffed
+  FROM documents
+)
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       declared, sniffed,
+       CAST(CASE WHEN declared <> sniffed THEN 1 ELSE 0 END AS BIGINT) AS mismatch
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-title clusters (the cheapest near-dup / template signal)
+# ---------------------------------------------------------------------------
+
+
+def derive_title_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc hosted on ``h{d%13}.example.org``: ids with
+    ``d % 3 != 2`` carry ``<title>Topic {d%97}</title>`` (plus a
+    SECOND decoy title and an ``<h1>`` with a different topic — a
+    harvester that takes last-title-wins or falls back to h1 breaks
+    the oracle); ids with ``d % 3 == 2`` have a title-less head and
+    must not join any cluster."""
+    htmls, urls = [], []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        title = (
+            f"<title>Topic {d % 97}</title><title>DECOY {d}</title>"
+            if d % 3 != 2
+            else ""
+        )
+        htmls.append(
+            (
+                f"<html><head>{title}</head><body><h1>Heading {d}</h1>"
+                f"<p>{html_escape(text)}</p></body></html>"
+            ).encode("utf-8")
+        )
+        urls.append(f"https://h{d % 13}.example.org/{d}")
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    out["url"] = urls
+    return out
+
+
+def title_dup_documents(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate-title clustering: REAL head harvest
+    (:func:`kernels.html_extract.html_extract_meta`, first-title-wins)
+    + host from the url (:func:`functions.urls.site_domain`) →
+    ``(title, n_docs, n_hosts)`` for titles shared by ≥ 2 documents.
+    Shared titles across MANY hosts are the classic syndication /
+    scraper-network signal; within one host they are template pages —
+    either way the cheapest duplicate-cluster seed a crawl has (title
+    only, no body hashing).
+
+    Scale shape: two bucketed exchanges, both on bounded keys —
+    (title, host) partial counts first (a viral title contributes one
+    row per batch), then a title-keyed fold whose group size is the
+    DISTINCT-host count for that title, never its document count."""
+    from pdf_extractor_ray.functions.urls import site_domain
+    from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+    from pdf_extractor_ray.ops import grouped_agg, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_title_pages, batch_format="pandas", batch_size=1024)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        titles, hosts = [], []
+        for raw, url in zip(b["html"], b["url"]):
+            title = html_extract_meta(bytes(raw))["title"]
+            if not title:
+                continue
+            titles.append(title)
+            hosts.append(site_domain(url))
+        return pd.DataFrame(
+            {
+                "title": pd.Series(titles, dtype="object"),
+                "host": pd.Series(hosts, dtype="object"),
+                "n": pd.Series(np.ones(len(titles), np.int64)),
+            }
+        )
+
+    per_pair = grouped_sum(
+        ds.map_batches(keyed, batch_format="pandas", batch_size=1024),
+        ["title", "host"],
+        ["n"],
+    )
+    per_title = grouped_agg(
+        per_pair,
+        ["title"],
+        {"n_docs": ("n", "sum"), "n_hosts": ("host", "count")},
+    )
+
+    def keep_dups(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["n_docs"] >= 2]
+
+    return per_title.map_batches(keep_dups, batch_format="pandas")
+
+
+TITLE_DUP_SQL = """
+WITH t AS (
+  SELECT 'Topic ' || CAST(doc_id % 97 AS VARCHAR) AS title,
+         'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host
+  FROM documents WHERE doc_id % 3 <> 2
+)
+SELECT title, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM t GROUP BY title HAVING COUNT(*) >= 2
+"""
