@@ -173,6 +173,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "title_dup_documents": webdocs.title_dup_documents,
         "host_lang_entropy": textops.host_lang_entropy,
         "sitemap_discovery_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).sitemap_discovery_documents,
+        # wave-13: k-core peel, one-hop quality smoothing, host churn
+        # rollup, df-ratio stopword discovery
+        "kcore_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).kcore_documents,
+        "quality_smooth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).quality_smooth_documents,
+        "host_churn_documents": webdocs.host_churn_documents,
+        "stopword_discovery_documents": textops.stopword_discovery_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -565,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
         "title_dup_documents": webdocs.TITLE_DUP_SQL,
         "host_lang_entropy": textops.HOST_LANG_ENTROPY_SQL,
         "sitemap_discovery_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).SITEMAP_DISCOVERY_SQL,
+        "kcore_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).KCORE_SQL,
+        "quality_smooth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).QUALITY_SMOOTH_SQL,
+        "host_churn_documents": webdocs.HOST_CHURN_SQL,
+        "stopword_discovery_documents": textops.STOPWORD_DISCOVERY_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

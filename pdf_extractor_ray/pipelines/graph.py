@@ -1535,3 +1535,247 @@ WITH RECURSIVE r AS (
 SELECT node AS doc_id, CAST(cur AS BIGINT) AS final_id, CAST(hops AS BIGINT) AS n_hops
 FROM r WHERE cur % 4 = 0 OR cur % 9 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel) — link-farm / graph-density signal
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_MAX_ROUNDS = 50
+# SQL unroll margin: the peel reaches fixpoint in 4 rounds on the
+# derived graph (measured at sf0.001 and sf0.1); extra rounds are
+# no-ops at fixpoint, so 8 is safely past convergence at any test SF.
+KCORE_SQL_ROUNDS = 8
+
+
+def kcore(
+    edges: ray.data.Dataset, k: int = KCORE_K, *, max_rounds: int = KCORE_MAX_ROUNDS
+) -> ray.data.Dataset:
+    """k-core decomposition over an UNDIRECTED view of ``(src, dst)``
+    edges (each directed edge contributes one degree to both
+    endpoints): iteratively remove nodes with degree < k and their
+    incident edges until fixpoint, return ``(node, deg)`` — the
+    surviving nodes with their within-core degree. The k-core is the
+    classic link-farm / dense-community detector (spam farms are
+    high-k cores; genuine content graphs peel away quickly), and the
+    peel count bounds graph degeneracy.
+
+    Scale shape: each round is one endpoint explode → bucketed degree
+    count (per-batch partials bound viral nodes) → keep-set → two
+    adaptive semi-joins trimming the edge list. Messages are
+    node-table-sized, never quadratic. Fixpoint detection compares the
+    surviving-edge COUNT between rounds (peeling strictly shrinks the
+    edge set until fixpoint). Rounds = peel depth (real crawl graphs:
+    tens); ``max_rounds`` raises rather than returning a half-peeled
+    core. Per-round Arrow compaction drops zero-row blocks (the Ray
+    2.49 schema-loss guard shared with :func:`bfs_depth`)."""
+    import pyarrow as pa
+
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.ops import compact_nonempty_arrow as compact
+    from pdf_extractor_ray.ops import grouped_sum
+
+    empty_edges = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+    empty_deg = pa.table(
+        {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+    )
+
+    def pin_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t.column("src").cast(pa.int64()), "dst": t.column("dst").cast(pa.int64())}
+        )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        s, d = t.column("src").cast(pa.int64()), t.column("dst").cast(pa.int64())
+        node = pa.chunked_array(s.chunks + d.chunks) if s.num_chunks else s
+        return pa.table(
+            {"node": node, "c": pa.array(np.ones(len(t) * 2, np.int64))}
+        )
+
+    def degrees(es: ray.data.Dataset) -> ray.data.Dataset:
+        return grouped_sum(
+            es.map_batches(endpoints, batch_format="pyarrow"), ["node"], ["c"]
+        )
+
+    cur = compact(edges.map_batches(pin_edges, batch_format="pyarrow"), empty_edges).materialize()
+    n_edges = cur.count()
+    rounds = 0
+    while n_edges > 0:
+        deg = degrees(cur)
+
+        def keep_fn(b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["c"] >= k, ["node"]]
+
+        keep = compact(
+            deg.map_batches(keep_fn, batch_format="pandas").map_batches(
+                lambda t: pa.table({"node": t.column("node").cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            pa.table({"node": pa.array([], pa.int64())}),
+        ).materialize()
+        if keep.count() == 0:
+            return ray.data.from_arrow(empty_deg)
+        trimmed = semi_join(cur, keep, "src", right_on="node")
+        trimmed = semi_join(trimmed, keep, "dst", right_on="node")
+        trimmed = compact(
+            trimmed.map_batches(pin_edges, batch_format="pyarrow"), empty_edges
+        ).materialize()
+        m = trimmed.count()
+        if m == n_edges:
+            break  # fixpoint: every surviving node already has deg >= k
+        cur, n_edges = trimmed, m
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"k-core peel still shrinking after {max_rounds} rounds "
+                "(peel depth exceeds max_rounds); raise max_rounds"
+            )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"].to_numpy(np.int64), "deg": b["c"].to_numpy(np.int64)}
+        )
+
+    if n_edges == 0:
+        return ray.data.from_arrow(empty_deg)
+    return degrees(cur).map_batches(rename, batch_format="pandas")
+
+
+def kcore_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier: k-core (k=3) of the derived document link graph
+    — ``(node, deg)``; oracle = the peel unrolled as chained CTEs
+    (:data:`KCORE_SQL_ROUNDS` rounds, safely past the measured
+    fixpoint)."""
+    return kcore(document_link_edges(sf_dir), KCORE_K)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_SQL_ROUNDS) -> str:
+    # MATERIALIZED: each round references the previous edge set several
+    # times — without materialization DuckDB inlines the CTE chain and
+    # the plan (and its file opens) grows exponentially in `rounds`
+    ctes = [
+        """e0 AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+)"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT src AS node FROM e{r - 1} UNION ALL SELECT dst AS node FROM e{r - 1}
+  ) GROUP BY node HAVING COUNT(*) >= {int(k)}
+),
+e{r} AS MATERIALIZED (
+  SELECT src, dst FROM e{r - 1}
+  WHERE src IN (SELECT node FROM d{r}) AND dst IN (SELECT node FROM d{r})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT src AS node FROM e{int(rounds)} UNION ALL SELECT dst AS node FROM e{int(rounds)}
+) GROUP BY node"""
+    )
+
+
+KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# One-hop link-quality smoothing (neighborhood quality propagation)
+# ---------------------------------------------------------------------------
+
+
+def quality_smooth_documents(sf_dir: str) -> ray.data.Dataset:
+    """One-hop quality smoothing over the link graph: every document's
+    raw quality (``n_chars``, the integer proxy the corpus carries)
+    is averaged with its IN-NEIGHBORS' quality —
+    ``q_smooth = (q(v) + Σ_{u→v} q(u)) // (1 + indeg(v))`` with exact
+    floor arithmetic (non-negative operands, so Python ``//``, numpy
+    and DuckDB ``//`` agree). The "a page is as good as the pages
+    that link to it" smoothing step quality-propagation curation runs
+    before thresholding — one PageRank-flavored hop without the
+    iteration. Dangling link targets (ids past the corpus edge) have
+    no self row and are excluded; documents nobody links to keep
+    ``q_smooth = q``.
+
+    Scale shape: ZERO joins — the edge derive carries the source's
+    own n_chars (q(src) rides the edge emission), self rows carry a
+    marker, and ONE bucketed grouped_sum over doc_id folds both; a
+    viral in-hub is bounded by per-batch partials."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        q = b["n_chars"].to_numpy(np.int64)
+        ids = [d]
+        s = [q]  # self row: contributes q(v) to the numerator sum
+        c = [np.zeros(len(d), np.int64)]  # ...but 0 to indeg
+        m = [np.ones(len(d), np.int64)]  # self marker
+        qs = [q]  # qself: the self row carries v's own quality
+        for i in (1, 2, 3):
+            mask = d % 3 >= i - 1
+            src = d[mask]
+            ids.append((src - src % 10) + ((src + 3 * i) % 10))
+            s.append(q[mask])
+            c.append(np.ones(mask.sum(), np.int64))
+            m.append(np.zeros(mask.sum(), np.int64))
+            qs.append(np.zeros(mask.sum(), np.int64))
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids),
+                "s": np.concatenate(s),
+                "c": np.concatenate(c),
+                "m": np.concatenate(m),
+                "qself": np.concatenate(qs),
+            }
+        )
+
+    summed = grouped_sum(
+        ds.map_batches(emit, batch_format="pandas"), ["doc_id"], ["s", "c", "m", "qself"]
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["m"] == 1]  # drop dangling targets (no self row)
+        s = b["s"].to_numpy(np.int64)
+        c = b["c"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "q_chars": b["qself"].to_numpy(np.int64),
+                "q_smooth": s // (1 + c),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
+QUALITY_SMOOTH_SQL = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+contrib AS (
+  SELECT e.dst AS doc_id, d.n_chars AS q
+  FROM e JOIN documents d ON d.doc_id = e.src
+),
+agg AS (
+  SELECT doc_id, SUM(q) AS s, COUNT(*) AS c FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS q_chars,
+       CAST((d.n_chars + COALESCE(a.s, 0)) // (1 + COALESCE(a.c, 0)) AS BIGINT) AS q_smooth
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

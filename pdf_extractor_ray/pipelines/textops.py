@@ -3462,3 +3462,71 @@ SELECT c.host,
            AS ent_total_micro
 FROM c JOIN n USING (host) GROUP BY c.host
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-driven stopword discovery (df-ratio thresholding)
+# ---------------------------------------------------------------------------
+
+STOPWORD_DF_MILLI = 300  # df ratio ≥ 30% of documents → stopword candidate
+
+
+def stopword_discovery_documents(sf_dir: str) -> ray.data.Dataset:
+    """Data-driven stopword discovery: tokens whose DOCUMENT frequency
+    ratio meets :data:`STOPWORD_DF_MILLI` —
+    ``(token, df, df_milli)`` with ``df_milli = 1000·df // N`` (exact
+    integer, N = corpus document count). The language-agnostic way an
+    index or tf-idf weighting derives its stop list from the corpus
+    itself instead of a shipped lexicon (Luhn's classic upper-cutoff).
+
+    Scale shape: per-batch per-doc token-set dedup (a doc repeating
+    'the' 10 000 times contributes one (doc,token) pair) → ONE bucketed
+    token-keyed df sum with per-batch partials → threshold filter with
+    N broadcast as a closure scalar (one driver-side count of a
+    metadata-only read — never row data)."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # metadata count — no row materialization
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in b["text"]:
+            toks.extend(set(t.split()))
+        return pd.DataFrame(
+            {
+                "token": pd.Series(toks, dtype="object"),
+                "df": pd.Series(np.ones(len(toks), np.int64)),
+            }
+        )
+
+    summed = grouped_sum(ds.map_batches(pairs, batch_format="pandas"), ["token"], ["df"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        df = b["df"].to_numpy(np.int64)
+        milli = (1000 * df) // n_docs
+        out = pd.DataFrame(
+            {"token": b["token"].astype(object), "df": df, "df_milli": milli}
+        )
+        return out[out["df_milli"] >= STOPWORD_DF_MILLI]
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
+def _stopword_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array({trim_ws_sql("text")}, '{WS_SPLIT_RE_SQL}')) AS t(token)
+  WHERE {trim_ws_sql("text")} <> ''
+),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST((1000 * COUNT(*)) // ANY_VALUE(n.n) AS BIGINT) AS df_milli
+FROM p, n GROUP BY token
+HAVING (1000 * COUNT(*)) // ANY_VALUE(n.n) >= {STOPWORD_DF_MILLI}
+"""
+
+
+STOPWORD_DISCOVERY_SQL = _stopword_sql()

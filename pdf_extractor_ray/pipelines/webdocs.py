@@ -3249,3 +3249,61 @@ SELECT title, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
 FROM t GROUP BY title HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Host-level churn rollup (recrawl budgeting input)
+# ---------------------------------------------------------------------------
+
+
+def host_churn_documents(sf_dir: str) -> ray.data.Dataset:
+    """Host-level churn: roll the per-url :func:`snapshot_diff_documents`
+    verdicts up to hosts — ``(host, n_urls, n_changed, churn_milli)``
+    with ``churn_milli = 1000·n_changed // n_urls`` (exact integer).
+    Per-host churn is what a recrawl scheduler budgets by (hot hosts
+    get crawl budget, static hosts get long revisit intervals) — the
+    host-granularity twin of the per-url recrawl tiers. Host derives
+    from the url's doc id (13-host carrier arithmetic).
+
+    Scale shape: composes the snapshot-diff pass (per-batch top-2
+    partials, one url exchange) with ONE host-keyed grouped_sum —
+    per-batch partials bound any mega-host to one row per batch."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    diff = snapshot_diff_documents(sf_dir)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["url"].str.rsplit("/", n=1).str[1].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "host": ("h" + (ids % 13).astype(str) + ".example.org").astype(object),
+                "n_urls": np.ones(len(b), np.int64),
+                "n_changed": (b["status"] == "changed").to_numpy().astype(np.int64),
+            }
+        )
+
+    summed = grouped_sum(
+        diff.map_batches(keyed, batch_format="pandas"), ["host"], ["n_urls", "n_changed"]
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["churn_milli"] = (1000 * b["n_changed"].to_numpy(np.int64)) // b[
+            "n_urls"
+        ].to_numpy(np.int64)
+        return b
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
+HOST_CHURN_SQL = """
+WITH v AS (
+  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host,
+         CASE WHEN doc_id % 3 <> 0 AND doc_id % 2 = 1 THEN 1 ELSE 0 END AS changed
+  FROM documents
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(changed) AS BIGINT) AS n_changed,
+       CAST((1000 * SUM(changed)) // COUNT(*) AS BIGINT) AS churn_milli
+FROM v GROUP BY host
+"""
