@@ -179,6 +179,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_smooth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).quality_smooth_documents,
         "host_churn_documents": webdocs.host_churn_documents,
         "stopword_discovery_documents": textops.stopword_discovery_documents,
+        # wave-14: DOM shape audit, CSV source, token-budget sharding,
+        # query-param incidence
+        "dom_stats_documents": webdocs.dom_stats_documents,
+        "read_csv_documents": webdocs.read_csv_documents,
+        "shard_assignment_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).shard_assignment_documents,
+        "url_param_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_param_stats,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -575,6 +581,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_smooth_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).QUALITY_SMOOTH_SQL,
         "host_churn_documents": webdocs.HOST_CHURN_SQL,
         "stopword_discovery_documents": textops.STOPWORD_DISCOVERY_SQL,
+        "dom_stats_documents": webdocs.DOM_STATS_SQL,
+        "read_csv_documents": webdocs.READ_CSV_SQL,
+        "shard_assignment_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHARD_ASSIGNMENT_SQL,
+        "url_param_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PARAM_STATS_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

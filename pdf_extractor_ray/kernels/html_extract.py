@@ -1554,3 +1554,62 @@ def html_extract_meta_refresh(raw: bytes) -> tuple[int | None, str | None]:
         url = cm.group(2) or cm.group(3) or cm.group(4)
         return (int(cm.group(1)), url if url else None)
     return (None, None)
+
+
+def html_dom_stats(raw: bytes) -> dict:
+    """Structural DOM statistics via the shared tokenizer —
+    ``{"n_nodes", "max_depth", "n_p", "n_a"}``:
+
+    - ``n_nodes``: every element start tag (void and self-closed
+      included);
+    - ``max_depth``: maximum height of the open-element stack (void
+      and self-closed elements never push — they cannot contain
+      children);
+    - ``n_p`` / ``n_a``: paragraph / anchor element counts;
+    - ``<script>``/``<style>`` raw content is skipped exactly like the
+      extractor's walker — markup-looking text inside never counts;
+    - stray close tags pop to the nearest matching open (or are
+      ignored when nothing matches) — the tolerant recovery a crawl
+      parser needs.
+
+    Depth is the "deeply nested DOM" skew signal the north-star calls
+    out: pathological pages (deep div pyramids, runaway template
+    nesting) are routed to size buckets / quarantine by this number
+    before they stall a worker."""
+    html = _decode_page(raw)
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    stack: list[str] = []
+    n_nodes = 0
+    max_depth = 0
+    n_p = 0
+    n_a = 0
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue  # comment / doctype / PI / cdata
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if tag in stack:
+                while stack and stack.pop() != tag:
+                    pass
+            continue
+        n_nodes += 1
+        if tag == "p":
+            n_p += 1
+        elif tag == "a":
+            n_a += 1
+        if tag in VOID_TAGS or html[pos - 2 : pos] == "/>":
+            continue
+        stack.append(tag)
+        if len(stack) > max_depth:
+            max_depth = len(stack)
+        if tag in _RAWTEXT_CLOSE:
+            cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = cm.start() if cm else n
+    return {"n_nodes": n_nodes, "max_depth": max_depth, "n_p": n_p, "n_a": n_a}

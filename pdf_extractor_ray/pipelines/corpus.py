@@ -1614,3 +1614,82 @@ FROM w
 
 
 SLIDING_CHUNKS_SQL = sliding_chunks_sql()
+
+
+# ---------------------------------------------------------------------------
+# Token-budget shard assignment (deterministic output sharding)
+# ---------------------------------------------------------------------------
+
+SHARD_TOKEN_BUDGET = 2_000  # tokens per output shard (test-scale value)
+
+
+def shard_assignment_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic token-budget sharding: documents in doc_id order
+    are cut into output shards of ≈ :data:`SHARD_TOKEN_BUDGET` tokens —
+    ``(doc_id, n_tokens, shard_id)`` with
+    ``shard_id = exclusive_prefix_tokens // budget`` (a document
+    spanning a boundary belongs to the shard its FIRST token lands in;
+    no doc is split). This is the layout step that makes training
+    shards size-balanced and the write resumable per shard — the same
+    assignment every run, so a failed writer skips finished shards.
+
+    Scale shape: one vectorized token count + the :func:`ops.prefix_sum`
+    scan (range buckets on doc_id, bucket totals cumsummed on the
+    driver — num_buckets-bounded, never corpus-sized)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops import prefix_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": pd.Series(
+                    [len(t.split()) for t in b["text"]], dtype="int64"
+                ),
+            }
+        )
+
+    counted = ds.map_batches(count, batch_format="pandas")
+    scanned = prefix_sum(counted, "doc_id", "n_tokens", "cum_excl")
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": b["n_tokens"].to_numpy(np.int64),
+                "shard_id": b["cum_excl"].to_numpy(np.int64) // SHARD_TOKEN_BUDGET,
+            }
+        )
+
+    return scanned.map_batches(assign, batch_format="pandas")
+
+
+def _shard_assignment_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN {tw} = '' THEN 0
+              ELSE len(regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            // {SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+SHARD_ASSIGNMENT_SQL = _shard_assignment_sql()

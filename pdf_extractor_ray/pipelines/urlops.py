@@ -930,3 +930,84 @@ SELECT 'h' || CAST(hid AS VARCHAR) || '.example.org' AS host,
        sitemap_url, CAST(sm_rank AS BIGINT) AS sm_rank
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# Query-parameter incidence (tracking-param discovery input)
+# --------------------------------------------------------------------------
+
+
+def derive_param_urls(b: pd.DataFrame) -> pd.DataFrame:
+    """RAW (pre-canonicalization) urls with arithmetic-pinned query
+    params: every doc carries ``page={d%50}``; even ids add
+    ``utm_source=feed``; ``d % 3 == 0`` adds ``ref=sidebar``;
+    ``d % 7 == 0`` adds a per-doc ``sessionid`` (high-cardinality —
+    the param a cleaner must learn to strip). A bare flag param
+    (``flag`` with no ``=``) rides every 11th id."""
+    urls = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        parts = [f"page={d % 50}"]
+        if d % 2 == 0:
+            parts.append("utm_source=feed")
+        if d % 3 == 0:
+            parts.append("ref=sidebar")
+        if d % 7 == 0:
+            parts.append(f"sessionid={d}")
+        if d % 11 == 0:
+            parts.append("flag")
+        urls.append(f"https://h{d % 5}.example.com/a?" + "&".join(parts))
+    out = b[["doc_id"]].copy()
+    out["url"] = urls
+    return out
+
+
+def url_param_stats(sf_dir: str) -> ray.data.Dataset:
+    """Query-parameter incidence per host: parse param NAMES off the
+    raw query strings → ``(host, param, n)``. The discovery pass that
+    tells a crawl which params are tracking decoration (near-100%
+    incidence, value cardinality ≈ url count — utm_*/sessionid) vs
+    content-selecting (page=) — the data a canonicalizer's strip list
+    should come from rather than a shipped constant (the round-4
+    ADVICE point, made measurable). Bare flags count as params;
+    everything after the first '=' is value and is ignored here.
+
+    Scale shape: vectorized pandas str split/explode per batch →
+    ONE (host, param) bucketed count exchange with per-batch
+    partials."""
+    from pdf_extractor_ray.functions.urls import site_domain
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_param_urls, batch_format="pandas")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        hosts = b["url"].map(site_domain)
+        qs = b["url"].str.partition("?")[2]
+        pairs = qs.str.split("&")
+        f = pd.DataFrame({"host": hosts, "param": pairs}).explode("param")
+        f = f[f["param"].astype(bool)]
+        f["param"] = f["param"].str.partition("=")[0]
+        f["n"] = np.int64(1)
+        return f.reset_index(drop=True)
+
+    return grouped_sum(
+        ds.map_batches(explode, batch_format="pandas"), ["host", "param"], ["n"]
+    )
+
+
+URL_PARAM_STATS_SQL = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host, doc_id AS d
+  FROM documents
+),
+p AS (
+  SELECT host, 'page' AS param FROM u
+  UNION ALL SELECT host, 'utm_source' FROM u WHERE d % 2 = 0
+  UNION ALL SELECT host, 'ref' FROM u WHERE d % 3 = 0
+  UNION ALL SELECT host, 'sessionid' FROM u WHERE d % 7 = 0
+  UNION ALL SELECT host, 'flag' FROM u WHERE d % 11 = 0
+)
+SELECT host, param, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY host, param
+"""

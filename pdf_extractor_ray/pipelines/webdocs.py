@@ -3307,3 +3307,138 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST((1000 * SUM(changed)) // COUNT(*) AS BIGINT) AS churn_milli
 FROM v GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# DOM shape statistics (the deeply-nested-DOM skew signal)
+# ---------------------------------------------------------------------------
+
+
+def derive_nested_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc with arithmetic-pinned structure: ``2 + d % 7``
+    nested divs, ``1 + d % 4`` paragraphs (the first carrying a void
+    ``<br>``), ``d % 3`` anchors — plus the decoys a DOM walker must
+    survive: a ``<script>`` whose body contains markup-looking text
+    (must not tokenize), and a stray ``</span>`` close tag (must not
+    crash or underflow the stack)."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        k = 2 + d % 7
+        p_cnt = 1 + d % 4
+        a_cnt = d % 3
+        seg = html_escape(text[:40]) or "x"
+        ps = f"<p>{seg}<br></p>" + f"<p>{seg}</p>" * (p_cnt - 1)
+        anchors = "".join(f'<a href="/l/{d}/{j}">l{j}</a>' for j in range(a_cnt))
+        htmls.append(
+            (
+                "<html><body>"
+                + "<div>" * k
+                + ps
+                + anchors
+                + "</div>" * k
+                + '<script>var h = "<div><div><div>";</script>'
+                + "</span>"
+                + "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    return out
+
+
+def dom_stats_documents(sf_dir: str) -> ray.data.Dataset:
+    """DOM shape audit: REAL tokenizer walk
+    (:func:`kernels.html_extract.html_dom_stats`) →
+    ``(doc_id, n_nodes, max_depth, n_p, n_a)``. Max nesting depth is
+    the "deeply nested DOMs" skew signal the north-star names — the
+    router that sends pathological pages to their own size bucket /
+    per-batch timeout quarantine before they stall a worker; node and
+    link counts are the markup-density features boilerplate
+    classifiers consume. Zero shuffle."""
+    from pdf_extractor_ray.kernels.html_extract import html_dom_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_nested_pages, batch_format="pandas", batch_size=1024)
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        rows = [html_dom_stats(bytes(h)) for h in b["html"]]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_nodes": pd.Series([r["n_nodes"] for r in rows], dtype="int64"),
+                "max_depth": pd.Series([r["max_depth"] for r in rows], dtype="int64"),
+                "n_p": pd.Series([r["n_p"] for r in rows], dtype="int64"),
+                "n_a": pd.Series([r["n_a"] for r in rows], dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas", batch_size=1024)
+
+
+# html+body+script = 3 non-content nodes, +1 br, + divs + p's + a's;
+# depth = html,body + divs + p level
+DOM_STATS_SQL = """
+SELECT doc_id,
+       CAST(7 + doc_id % 7 + doc_id % 4 + doc_id % 3 AS BIGINT) AS n_nodes,
+       CAST(5 + doc_id % 7 AS BIGINT) AS max_depth,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_p,
+       CAST(doc_id % 3 AS BIGINT) AS n_a
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# CSV source (the delimited-text ingestion family)
+# ---------------------------------------------------------------------------
+
+
+def read_csv_documents(sf_dir: str) -> ray.data.Dataset:
+    """CSV ingestion: the documents table serialized to sharded CSV
+    (pyarrow csv writer — RFC-4180 quoting) and read back through
+    ``ray.data.read_csv`` with EXPLICIT column types →
+    ``(doc_id, lang, text)``. Type inference is the classic CSV
+    data-loss trap (a text column of digit strings silently becomes
+    int64; an all-empty shard becomes null); pinning
+    ``ConvertOptions.column_types`` is the contract this carrier
+    proves — the oracle hash-compares the round-tripped values against
+    the parquet originals, so any quoting, escaping, or inference
+    drift fails.
+
+    Scale shape: the write is a bounded fixture-synthesis step (per-
+    shard, streaming at real scale via the partitioned sink); the read
+    is Ray Data's native parallel CSV source — one task per shard,
+    schema applied at parse time, no driver materialization."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    shard_dir = os.path.join(
+        "/tmp", f"pdfx_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(shard_dir, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    )
+    n_shards = 4
+    step = -(-t.num_rows // n_shards)
+    for i in range(n_shards):
+        pacsv.write_csv(t.slice(i * step, step), os.path.join(shard_dir, f"part-{i}.csv"))
+
+    return ray.data.read_csv(
+        shard_dir,
+        convert_options=pacsv.ConvertOptions(
+            column_types={
+                "doc_id": pa.int64(),
+                "lang": pa.string(),
+                "text": pa.string(),
+            }
+        ),
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+    )
+
+
+READ_CSV_SQL = """
+SELECT doc_id, lang, text FROM documents
+"""
