@@ -185,6 +185,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "read_csv_documents": webdocs.read_csv_documents,
         "shard_assignment_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).shard_assignment_documents,
         "url_param_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_param_stats,
+        # wave-15: WARC revisit resolution, crawl-delay ETA, per-host
+        # median length, corpus-mix report
+        "warc_revisit_documents": webdocs.warc_revisit_documents,
+        "crawl_eta_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_eta_documents,
+        "host_length_median": textops.host_length_median,
+        "corpus_mix_report": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_mix_report,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -585,6 +591,10 @@ def oracle_sql() -> dict[str, str]:
         "read_csv_documents": webdocs.READ_CSV_SQL,
         "shard_assignment_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHARD_ASSIGNMENT_SQL,
         "url_param_stats": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_PARAM_STATS_SQL,
+        "warc_revisit_documents": webdocs.WARC_REVISIT_SQL,
+        "crawl_eta_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_ETA_SQL,
+        "host_length_median": textops.HOST_LENGTH_MEDIAN_SQL,
+        "corpus_mix_report": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_MIX_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

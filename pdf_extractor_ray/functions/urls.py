@@ -272,6 +272,42 @@ def parse_robots_disallows(txt: str, agent: str = "*") -> list[str]:
     return out
 
 
+def parse_robots_crawl_delay(txt: str, agent: str = "*") -> int | None:
+    """Extract the ``Crawl-delay`` (whole seconds) that applies to
+    ``agent`` from a robots.txt body — the de-facto politeness field
+    (not in RFC 9309 but honored by most bulk crawlers). Group scoping
+    follows :func:`parse_robots_disallows`: a delay applies when its
+    group names ``*`` or ``agent``; the FIRST applicable value wins;
+    non-integer values (``Crawl-delay: soon``) are ignored —
+    conservative parsing, a malformed directive must not stall a
+    crawler. Returns None when no applicable delay exists."""
+    agent = agent.lower()
+    group_agents: list[str] = []
+    group_applies = False
+    in_agent_run = False
+    for raw_line in txt.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                group_agents = []
+            in_agent_run = True
+            group_agents.append(value.lower())
+            group_applies = "*" in group_agents or agent in group_agents
+        else:
+            in_agent_run = False
+            if field == "crawl-delay" and group_applies:
+                try:
+                    return int(value)
+                except ValueError:
+                    continue
+    return None
+
+
 def parse_robots_sitemaps(txt: str) -> list[str]:
     """Harvest ``Sitemap:`` declarations from a robots.txt body — the
     crawl-discovery channel robots.txt carries alongside its exclusion

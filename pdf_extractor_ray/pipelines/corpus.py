@@ -1693,3 +1693,78 @@ FROM t
 
 
 SHARD_ASSIGNMENT_SQL = _shard_assignment_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-mix report (the data card's composition table)
+# ---------------------------------------------------------------------------
+
+
+def corpus_mix_report(sf_dir: str) -> "ray.data.Dataset":
+    """Corpus composition by source: ``(source, n_docs, n_tokens,
+    token_share_milli)`` with ``token_share_milli = 1000·tokens //
+    total_tokens`` (exact integer). The table every data card / mixture
+    design starts from (The Pile's composition table, GPT-3's dataset
+    weights) — and the input :func:`mixture_upsample_documents`'s
+    epoch weights are tuned against.
+
+    Scale shape: per-batch (source, docs, tokens) partials → ONE
+    source-keyed grouped_sum (sources-bounded result); the total for
+    the share divides out of that same tiny table on the driver —
+    never a second corpus pass."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"].astype(object),
+                "n_docs": np.ones(len(b), np.int64),
+                "n_tokens": pd.Series(
+                    [len(t.split()) for t in b["text"]], dtype="int64"
+                ),
+            }
+        )
+
+    summed = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), ["source"], ["n_docs", "n_tokens"]
+    ).materialize()
+    total = sum(r["n_tokens"] for r in summed.take_all())  # sources-bounded
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["token_share_milli"] = (1000 * b["n_tokens"].to_numpy(np.int64)) // total
+        return b
+
+    return summed.map_batches(share, batch_format="pandas")
+
+
+def _corpus_mix_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    return f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN {tw} = '' THEN 0
+              ELSE len(regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}')) END AS n
+  FROM documents
+),
+tot AS (SELECT SUM(n) AS total FROM t)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST((1000 * SUM(n)) // ANY_VALUE(tot.total) AS BIGINT) AS token_share_milli
+FROM t, tot GROUP BY source
+"""
+
+
+CORPUS_MIX_SQL = _corpus_mix_sql()

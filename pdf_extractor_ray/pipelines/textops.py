@@ -3530,3 +3530,54 @@ HAVING (1000 * COUNT(*)) // ANY_VALUE(n.n) >= {STOPWORD_DF_MILLI}
 
 
 STOPWORD_DISCOVERY_SQL = _stopword_sql()
+
+
+# ---------------------------------------------------------------------------
+# Per-host median document length (host quality profiling)
+# ---------------------------------------------------------------------------
+
+
+def host_length_median(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-host MEDIAN document length (nearest-rank:
+    sorted ascending, element at ``ceil(n/2) - 1``) —
+    ``(host, p50_chars)``. Host-level length medians separate article
+    sites from link farms / tag-page mills (whose per-page text
+    collapses) — robust where the host MEAN is dragged by one mega
+    page. Host derives from doc_id arithmetic (carrier convention).
+
+    Scale shape: the decomposed order-statistic
+    (:func:`ops.grouped_quantile_counts`) — the first exchange carries
+    DISTINCT (host, n_chars) counts (bounded by the length domain,
+    never the doc count), the second computes the rank from cumulative
+    counts; no host's raw rows are ever co-located."""
+    from pdf_extractor_ray.ops import grouped_quantile_counts
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": pd.Series(
+                    [f"h{int(d) % 13}.example.org" for d in b["doc_id"]], dtype="object"
+                ),
+                "n_chars": b["n_chars"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_quantile_counts(
+        ds.map_batches(keyed, batch_format="pandas"), ["host"], "n_chars", 0.5,
+        out_col="p50_chars",
+    )
+
+
+HOST_LENGTH_MEDIAN_SQL = """
+WITH s AS (
+  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host,
+         CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY doc_id % 13 ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id % 13) AS n
+  FROM documents
+)
+SELECT host, v AS p50_chars FROM s
+WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+"""

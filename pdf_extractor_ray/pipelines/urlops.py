@@ -1011,3 +1011,89 @@ p AS (
 )
 SELECT host, param, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY host, param
 """
+
+
+# --------------------------------------------------------------------------
+# Crawl-delay-aware fetch ETA (politeness schedule × robots delay)
+# --------------------------------------------------------------------------
+
+
+def derive_delay_robots(hid: int) -> str:
+    """Deterministic robots.txt for schedule host ``hid`` (mod 4):
+    0 → ``Crawl-delay: 5`` in the ``*`` group; 1 → a delay that lives
+    ONLY in a foreign-agent group (must NOT apply); 2 → no delay
+    directive; 3 → a malformed delay (``soon`` — ignored). All carry
+    Disallow noise."""
+    lines = ["User-agent: *", "Disallow: /private"]
+    if hid % 4 == 0:
+        lines.append("Crawl-delay: 5")
+    elif hid % 4 == 3:
+        lines.append("Crawl-delay: soon")
+    lines += ["", "User-agent: SomeOtherBot", "Crawl-delay: 9", "Disallow: /"]
+    return "\n".join(lines) + "\n"
+
+
+def crawl_eta_documents(sf_dir: str) -> ray.data.Dataset:
+    """Politeness ETA: compose the wave schedule
+    (:func:`politeness_schedule`) with each host's robots
+    ``Crawl-delay`` (:func:`functions.urls.parse_robots_crawl_delay`,
+    default 1 s when absent/malformed/foreign-scoped) —
+    ``(host, doc_id, wave, eta_sec)`` with ``eta_sec = wave · delay``:
+    the earliest second a polite fetcher may issue each request. The
+    two robots channels (exclusion, pacing) and the scheduler now
+    compose end to end.
+
+    Scale shape: the schedule's one host-keyed exchange, then a
+    zero-shuffle map applying the per-host delay; the delay map is
+    host-count-bounded and built from the PARSER (5 hosts here), shipped
+    once via the closure."""
+    from pdf_extractor_ray.functions.urls import parse_robots_crawl_delay
+
+    delays = {
+        f"h{hid}.example.com": parse_robots_crawl_delay(derive_delay_robots(hid)) or 1
+        for hid in range(5)
+    }
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_schedule_hosts, batch_format="pandas")
+    out = politeness_schedule(ds, seed=corpus_seed())
+
+    def eta(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["wave"].to_numpy(np.int64)
+        d = b["host"].map(delays).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "host": b["host"].astype(object),
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "wave": w,
+                "eta_sec": w * d,
+            }
+        )
+
+    return out.map_batches(eta, batch_format="pandas")
+
+
+def _crawl_eta_sql() -> str:
+    from pdf_extractor_ray.pipelines.corpus import SAMPLE_HASH_MULT, SAMPLE_SEED
+
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+         doc_id % 5 AS hid,
+         (CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT}) % 4294967296 AS h
+  FROM documents
+),
+w AS (
+  SELECT host, doc_id, hid,
+         CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY h, doc_id) - 1)
+              // {SCHEDULE_PER_WAVE} AS BIGINT) AS wave
+  FROM c
+)
+SELECT host, doc_id, wave,
+       CAST(wave * (CASE WHEN hid % 4 = 0 THEN 5 ELSE 1 END) AS BIGINT) AS eta_sec
+FROM w
+"""
+
+
+CRAWL_ETA_SQL = _crawl_eta_sql()

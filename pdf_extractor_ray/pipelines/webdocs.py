@@ -3442,3 +3442,87 @@ def read_csv_documents(sf_dir: str) -> ray.data.Dataset:
 READ_CSV_SQL = """
 SELECT doc_id, lang, text FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit resolution (the archive's write-side dedup channel)
+# ---------------------------------------------------------------------------
+
+
+def derive_revisit_warcs(b: pd.DataFrame) -> pd.DataFrame:
+    """WARC slice per doc: ids with ``d % 4 == 1`` are REVISIT records
+    pointing at the previous id's capture (the identical-payload-digest
+    profile — no body re-stored); everything else is a normal response.
+    Every slice also carries a warcinfo record the readers must skip;
+    every third slice is gzip-membered."""
+    from pdf_extractor_ray.sources.warc import build_warc
+
+    slices = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        if d % 4 == 1:
+            rec = {
+                "url": f"https://docs.example.com/{d}",
+                "ts": f"2026-04-{d % 28 + 1:02d}T00:00:00Z",
+                "revisit_of": f"https://docs.example.com/{d - 1}",
+            }
+        else:
+            rec = {
+                "url": f"https://docs.example.com/{d}",
+                "ts": f"2026-04-{d % 28 + 1:02d}T00:00:00Z",
+                "body": f"<html><body><p>{html_escape(text)}</p></body></html>".encode(),
+            }
+        slices.append(build_warc([rec], gzip_members=bool(d % 3 == 0)))
+    out = b[["doc_id"]].copy()
+    out["warc"] = slices
+    return out
+
+
+def warc_revisit_documents(sf_dir: str) -> ray.data.Dataset:
+    """Revisit resolution: parse BOTH channels of each WARC slice —
+    ``response`` records (:func:`sources.warc.parse_warc`) and
+    ``revisit`` records (:func:`sources.warc.parse_warc_revisits`) —
+    and emit one row per capture: ``(url, resolved_url, is_revisit)``
+    where a revisit resolves to the capture it refers to. This is how
+    a reader reconstructs the full page set from an archive that
+    stored duplicate fetches as pointers (the reason a year of crawls
+    doesn't store a static site 12 times). Zero shuffle; the warcinfo
+    decoy and the revisit records are proven invisible to the
+    response-only reader by the oracle's exact row split."""
+    from pdf_extractor_ray.sources.warc import parse_warc, parse_warc_revisits
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_revisit_warcs, batch_format="pandas", batch_size=1024)
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        urls, res, isr = [], [], []
+        for raw in b["warc"]:
+            raw = bytes(raw)
+            for r in parse_warc(raw):
+                urls.append(r["url"])
+                res.append(r["url"])
+                isr.append(0)
+            for r in parse_warc_revisits(raw):
+                urls.append(r["url"])
+                res.append(r["refers_to"])
+                isr.append(1)
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "resolved_url": pd.Series(res, dtype="object"),
+                "is_revisit": pd.Series(isr, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(resolve, batch_format="pandas", batch_size=256)
+
+
+WARC_REVISIT_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       'https://docs.example.com/' ||
+           CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS VARCHAR)
+           AS resolved_url,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_revisit
+FROM documents
+"""

@@ -142,6 +142,23 @@ def build_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
         + info
     )
     for r in records:
+        if r.get("revisit_of"):
+            # WARC revisit record (identical-payload-digest profile):
+            # no HTTP payload is re-stored — the record POINTS at the
+            # prior capture via WARC-Refers-To-Target-URI. Readers that
+            # only consume `response` records (parse_warc) skip these
+            # by design; parse_warc_revisits resolves them.
+            head = (
+                b"WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "
+                + r["url"].encode()
+                + b"\r\nWARC-Refers-To-Target-URI: "
+                + r["revisit_of"].encode()
+                + b"\r\nWARC-Date: "
+                + r["ts"].encode()
+                + b"\r\nContent-Length: 0"
+            )
+            chunks.append(head + _SEP)
+            continue
         status = int(r.get("http_status", 200))
         ctype = r.get("content_type", "text/html")
         payload = (
@@ -358,4 +375,29 @@ def parse_cdxj(text: str) -> list[dict]:
         rec = {"surt": surt, "ts": ts}
         rec.update({str(k): str(v) for k, v in fields.items()})
         out.append(rec)
+    return out
+
+
+def parse_warc_revisits(raw: bytes) -> list[dict]:
+    """Parse WARC ``revisit`` records — the dedup channel a crawler
+    writes when a refetched page's payload digest matches a prior
+    capture (storing a pointer instead of the body; the reason a
+    year's crawls don't store a static site 12 times). Yields
+    ``{url, ts, refers_to}``; same framing/truncation contract as
+    :func:`parse_warc` via the shared record iterator. Records with a
+    missing Refers-To header are skipped (unresolvable pointer), not
+    crashed on."""
+    out: list[dict] = []
+    for headers, payload in _iter_records(raw):
+        if headers.get("warc-type", "").lower() == "revisit":
+            refers = headers.get("warc-refers-to-target-uri", "")
+            if not refers:
+                continue
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "ts": headers.get("warc-date", ""),
+                    "refers_to": refers,
+                }
+            )
     return out
