@@ -191,6 +191,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_eta_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_eta_documents,
         "host_length_median": textops.host_length_median,
         "corpus_mix_report": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).corpus_mix_report,
+        # wave-16: index segment merge, passage extraction, RFC-9309
+        # Allow longest-match, int8 quantization (rows-only)
+        "merged_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).merged_index_postings,
+        "extract_passages_documents": webdocs.extract_passages_documents,
+        "robots_allow_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).robots_allow_filter_documents,
+        "quantize_embeddings": similarity.quantize_embeddings,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -595,6 +601,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_eta_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_ETA_SQL,
         "host_length_median": textops.HOST_LENGTH_MEDIAN_SQL,
         "corpus_mix_report": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).CORPUS_MIX_SQL,
+        "merged_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).MERGED_INVINDEX_SQL,
+        "extract_passages_documents": webdocs.EXTRACT_PASSAGES_SQL,
+        "robots_allow_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_ALLOW_FILTER_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -272,6 +272,58 @@ def parse_robots_disallows(txt: str, agent: str = "*") -> list[str]:
     return out
 
 
+def parse_robots_rules(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse robots.txt into ordered ``(is_allow, prefix)`` rules for
+    ``agent`` — the FULL RFC 9309 rule set (Allow and Disallow), for
+    consumers that implement longest-match precedence
+    (:func:`robots_path_allowed`) instead of
+    :func:`parse_robots_disallows`' conservative prefix-only reading.
+    Group scoping matches the other robots parsers; empty values are
+    kept out (an empty Disallow means allow-all and contributes no
+    rule); duplicates preserved (harmless under longest-match)."""
+    agent = agent.lower()
+    out: list[tuple[bool, str]] = []
+    group_agents: list[str] = []
+    group_applies = False
+    in_agent_run = False
+    for raw_line in txt.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agent_run:
+                group_agents = []
+            in_agent_run = True
+            group_agents.append(value.lower())
+            group_applies = "*" in group_agents or agent in group_agents
+        else:
+            in_agent_run = False
+            if field in ("allow", "disallow") and group_applies and value:
+                out.append((field == "allow", value))
+    return out
+
+
+def robots_path_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """RFC 9309 §2.2.2 precedence: the MOST SPECIFIC (longest) matching
+    rule decides; equal-length allow and disallow ties resolve to
+    ALLOW; no matching rule means allowed. Prefix matching only (no
+    ``*``/``$`` wildcards — the subset a bulk crawler enforces;
+    documented limitation)."""
+    best_len = -1
+    best_allow = True
+    for is_allow, prefix in rules:
+        if path.startswith(prefix) and len(prefix) >= best_len:
+            if len(prefix) > best_len:
+                best_len = len(prefix)
+                best_allow = is_allow
+            elif is_allow:  # tie: allow wins
+                best_allow = True
+    return best_allow
+
+
 def parse_robots_crawl_delay(txt: str, agent: str = "*") -> int | None:
     """Extract the ``Crawl-delay`` (whole seconds) that applies to
     ``agent`` from a robots.txt body — the de-facto politeness field

@@ -148,3 +148,98 @@ FROM w
 WHERE token IN ('data', 'spark', 'window')
 GROUP BY token, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Segment merge (index maintenance: N partial indexes → one)
+# ---------------------------------------------------------------------------
+
+
+def merge_index_segments(seg_dirs: list[str], out_dir: str, num_buckets: int = 16) -> None:
+    """Merge N inverted-index SEGMENTS (each the
+    :func:`build_inverted_index` layout) into one index — the
+    compaction step of every segment-based index (Lucene's merge, the
+    IVF compaction's text twin): per-crawl segments accumulate, then a
+    merge folds them so lookups stop fanning out over generations.
+
+    Semantics: postings union with per-(token, doc_id) tf SUM (a doc
+    re-indexed in two segments contributes its combined counts).
+
+    Scale shape: segments are read as ONE union dataset (partition-
+    pruned columns), folded by a single bucketed grouped_sum keyed
+    (token, doc_id) — per-batch partials bound viral tokens — and the
+    bucket-partitioned write is the routing, exactly like the builder;
+    atomic publish by rename (same crash contract)."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    parts = [
+        ray.data.read_parquet(
+            os.path.join(d, "data"), columns=["token", "doc_id", "tf"]
+        )
+        for d in seg_dirs
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.union(p)
+    merged = grouped_sum(union, ["token", "doc_id"], ["tf"])
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = [hashing.stable_hash64(t) % num_buckets for t in b["token"]]
+        return b
+
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp_dir = tempfile.mkdtemp(prefix=os.path.basename(out_dir) + ".merging-", dir=parent)
+    merged.map_batches(bucketed, batch_format="pandas").write_parquet(
+        os.path.join(tmp_dir, "data"), partition_cols=["bucket"]
+    )
+    with open(os.path.join(tmp_dir, "_META"), "w") as f:
+        f.write(str(num_buckets))
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if os.path.exists(os.path.join(out_dir, "_META")):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            raise
+
+
+def merged_index_postings(sf_dir: str, tokens: tuple[str, ...] = ("data", "spark", "window")) -> pd.DataFrame:
+    """Driver carrier for the merge: build TWO segment indexes (even /
+    odd doc ids — two 'crawls'), merge them, and look the fixed token
+    set up through the merged index's pruned path. The oracle is the
+    FULL-corpus postings SQL (:data:`INVINDEX_SQL`), so the carrier
+    only matches if segment build + merge fold + bucket routing +
+    pruned lookup all compose to exactly the single-index answer."""
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as _pq
+
+    src = _docs_path(sf_dir)
+    st = os.stat(src)
+    tag = _hashlib.blake2b(
+        f"mrg1:{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    merged_dir = os.path.join("/tmp", f"inv_index_merged_{tag}")
+    if not os.path.exists(os.path.join(merged_dir, "_META")):
+        # two segment corpora: even / odd doc ids (two crawl slices)
+        t = _pq.read_table(src, columns=["doc_id", "text"])
+        seg_dirs = []
+        for parity in (0, 1):
+            seg_src = os.path.join("/tmp", f"inv_seg_src_{tag}_{parity}")
+            os.makedirs(seg_src, exist_ok=True)
+            mask = [int(v) % 2 == parity for v in t.column("doc_id").to_pylist()]
+            _pq.write_table(t.filter(mask), os.path.join(seg_src, "documents.parquet"))
+            seg_dir = os.path.join("/tmp", f"inv_seg_{tag}_{parity}")
+            if not os.path.exists(os.path.join(seg_dir, "_META")):
+                build_inverted_index(seg_src, seg_dir)
+            seg_dirs.append(seg_dir)
+        merge_index_segments(seg_dirs, merged_dir)
+    parts = [lookup_postings(merged_dir, t_) for t_ in tokens]
+    return pd.concat(parts, ignore_index=True)
+
+
+# merged two-segment index over the same corpus ≡ the one-shot index
+MERGED_INVINDEX_SQL = INVINDEX_SQL

@@ -613,3 +613,69 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM x GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the ANN memory-compression path)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension int8 scalar quantization of the embedding table —
+    the 4× memory compression every large ANN deployment runs before
+    indexing (FAISS SQ8-style): codes ``q_d = round(255·(v_d - min_d)
+    / (max_d - min_d))`` clipped to [0, 255], with a constant
+    dimension quantizing to 0. Emits per-vector verification stats
+    ``(vec_id, code_sum, code_min, code_max)`` rather than the raw
+    code bytes (rows-only query; the codes themselves are pinned by
+    the bit-exact replica test).
+
+    Scale shape: pass 1 folds per-BATCH per-dim min/max partials (one
+    dims-sized row per batch) and reduces the bounded partial set on
+    the driver (dims × blocks rows, never vector count); the (min,
+    scale) table broadcasts via closure; pass 2 quantizes vectorized —
+    zero shuffle end to end. Float note: one float32→float64 widening
+    per value (exact) and one rounding per (value, dim) — deterministic
+    across partitionings because min/max reduction is order-free."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(m.shape[1], dtype=np.int64),
+                "mn": m.min(axis=0),
+                "mx": m.max(axis=0),
+            }
+        )
+
+    parts = ds.map_batches(mm_partial, batch_format="pandas", batch_size=4096).to_pandas()
+    g = parts.groupby("dim")
+    mn = g["mn"].min().sort_index().to_numpy()
+    mx = g["mx"].max().sort_index().to_numpy()
+    span = mx - mn
+    span[span == 0] = 1.0  # constant dims quantize to 0
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        q = np.clip(np.floor((m - mn) * (255.0 / span) + 0.5), 0, 255).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy(np.int64),
+                "code_sum": q.sum(axis=1),
+                "code_min": q.min(axis=1),
+                "code_max": q.max(axis=1),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pandas", batch_size=4096)
+
+
+def quantize_reference(emb: "np.ndarray") -> "np.ndarray":
+    """Sequential replica of the quantizer (bit-exact pin for tests)."""
+    m = emb.astype(np.float64)
+    mn, mx = m.min(axis=0), m.max(axis=0)
+    span = mx - mn
+    span[span == 0] = 1.0
+    return np.clip(np.floor((m - mn) * (255.0 / span) + 0.5), 0, 255).astype(np.int64)

@@ -1097,3 +1097,98 @@ FROM w
 
 
 CRAWL_ETA_SQL = _crawl_eta_sql()
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 longest-match robots compliance (Allow exceptions honored)
+# --------------------------------------------------------------------------
+
+
+def derive_allow_robots() -> dict[str, str]:
+    """Per-host robots bodies exercising longest-match precedence over
+    the varied-path url corpus (paths are ``/p0[/p1[/p2[/p3]]]``):
+
+    - h0: ``Disallow /p0`` + ``Allow /p0/p1`` — only 1-segment paths
+      stay blocked (the Allow re-opens everything deeper);
+    - h1: ``Disallow /p0/p1/p2`` + ``Allow /p0/p1/p2/p3`` — exactly
+      3-segment paths blocked, 4-segment re-allowed (deepest wins);
+    - h2: ``Disallow /p0`` + ``Allow /p0`` — EQUAL length tie →
+      allow wins (RFC 9309 §2.2.2), nothing blocked;
+    - h3: ``Disallow /`` + ``Allow /p0`` — root block overridden for
+      every real path (all start /p0);
+    - h4: empty Disallow (allow-all) + foreign-group noise."""
+    return {
+        "h0.example.org": "User-agent: *\nDisallow: /p0\nAllow: /p0/p1\n",
+        "h1.example.org": (
+            "User-agent: *\nDisallow: /p0/p1/p2\nAllow: /p0/p1/p2/p3\n"
+        ),
+        "h2.example.org": "User-agent: *\nDisallow: /p0\nAllow: /p0\n",
+        "h3.example.org": "User-agent: *\nDisallow: /\nAllow: /p0\n",
+        "h4.example.org": (
+            "User-agent: *\nDisallow:\n\nUser-agent: OtherBot\nDisallow: /\n"
+        ),
+    }
+
+
+def robots_allow_filter_documents(sf_dir: str) -> ray.data.Dataset:
+    """Longest-match robots compliance over the varied-path corpus:
+    parse each host's FULL rule set (:func:`functions.urls.
+    parse_robots_rules`), canonicalize the messy urls, and keep pages
+    :func:`functions.urls.robots_path_allowed` admits — ``(doc_id,
+    url)`` survivors. Against the conservative Disallow-only filter
+    (:func:`robots_filter_documents`) this is the precision upgrade:
+    Allow exceptions re-open exactly the subtrees the publisher
+    re-opened (h0/h1), equal-length ties resolve to allow (h2), and a
+    root Disallow with an Allow carve-out keeps the site crawlable
+    (h3). Matching is on the canonical PATH (query stripped —
+    documented subset). Zero shuffle; the rule table is host-bounded
+    and ships once in the closure."""
+    from pdf_extractor_ray.functions.urls import (
+        canonical_url,
+        parse_robots_rules,
+        robots_path_allowed,
+        site_domain,
+    )
+
+    rules = {h: parse_robots_rules(b) for h, b in derive_allow_robots().items()}
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids, urls = [], []
+        for doc_id, url in zip(b["doc_id"], b["url"]):
+            canon = canonical_url(url)
+            host = site_domain(canon)  # www./port/case-normalized host
+            after = canon.split("://", 1)[-1]
+            slash = after.find("/")
+            path_q = after[slash:] if slash >= 0 else "/"
+            path = path_q.split("?", 1)[0]
+            if robots_path_allowed(rules.get(host, []), path):
+                ids.append(int(doc_id))
+                urls.append(f"https://{host}{path_q}")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "url": pd.Series(urls, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# canonical url replay matches SURT/url_path_stats family arithmetic;
+# blocked: h0 (d%5=0) at 1 segment, h1 (d%5=1) at exactly 3 segments
+ROBOTS_ALLOW_FILTER_SQL = """
+WITH u AS (
+  SELECT doc_id, 1 + doc_id % 4 AS segs, doc_id % 5 AS h
+  FROM documents
+)
+SELECT doc_id,
+       'https://h' || CAST(h AS VARCHAR) || '.example.org'
+       || CASE segs WHEN 1 THEN '/p0' WHEN 2 THEN '/p0/p1'
+               WHEN 3 THEN '/p0/p1/p2' ELSE '/p0/p1/p2/p3' END
+       || CASE WHEN doc_id % 7 = 0 THEN '?q=1' ELSE '' END AS url
+FROM u
+WHERE NOT (h = 0 AND segs = 1) AND NOT (h = 1 AND segs = 3)
+"""

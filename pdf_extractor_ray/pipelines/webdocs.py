@@ -3526,3 +3526,121 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_revisit
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Heading-anchored passage extraction (RAG/passage-indexing layout)
+# ---------------------------------------------------------------------------
+
+
+def derive_section_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc with ``k = 2 + d % 3`` heading-anchored sections
+    inside the boosted ``div#content``: section ``j`` is
+    ``<h2>S{j}</h2><p>{chunk j}</p>`` where chunk j is the j-th
+    contiguous ``ceil(n/k)``-token slice of the text (later chunks may
+    be empty — heading with no body, the real-page case). A demoted
+    sidebar heading and nav BOILER ride along as decoys."""
+    htmls = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        k = 2 + d % 3
+        toks = text.split()
+        m = -(-len(toks) // k) if toks else 0
+        secs = []
+        for j in range(k):
+            chunk = " ".join(toks[j * m : (j + 1) * m])
+            secs.append(f"<h2>S{j}</h2><p>{html_escape(chunk)}</p>")
+        htmls.append(
+            (
+                "<html><body><nav><a href='/x'>BOILER nav</a></nav>"
+                f"<div id=\"content\">{''.join(secs)}</div>"
+                "<div class=\"sidebar\"><h3>BOILER promo</h3></div>"
+                "</body></html>"
+            ).encode("utf-8")
+        )
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_passages_documents(sf_dir: str) -> ray.data.Dataset:
+    """Passage segmentation: REAL outline harvest
+    (:func:`kernels.html_extract.html_extract_headings`) + REAL
+    main-content extraction (:func:`kernels.html_extract.html_extract`)
+    composed — walk the extracted block lines, cut a new passage at
+    each harvested heading → ``(doc_id, passage_idx, heading,
+    n_chars)``. This is the layout step a RAG / passage-retrieval
+    index runs after extraction (heading-anchored passages beat
+    fixed-token windows on section-structured pages); the demoted
+    sidebar heading must NOT open a passage, which pins the hint model
+    inside the passage cutter. Zero shuffle."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract, html_extract_headings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_section_pages, batch_format="pandas", batch_size=1024)
+
+    def passages(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, heads, sizes = [], [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            raw = bytes(raw)
+            outline = [h for _, h in html_extract_headings(raw)]
+            text, _ = html_extract(raw)
+            lines = text.split("\n") if text else []
+            expected = iter(outline)
+            nxt = next(expected, None)
+            cur_head: str | None = None
+            body: list[str] = []
+            out_rows: list[tuple[str, str]] = []
+            for line in lines:
+                if nxt is not None and line == nxt:
+                    if cur_head is not None:
+                        out_rows.append((cur_head, " ".join(body)))
+                    cur_head = line
+                    body = []
+                    nxt = next(expected, None)
+                elif cur_head is not None:
+                    body.append(line)
+            if cur_head is not None:
+                out_rows.append((cur_head, " ".join(body)))
+            for j, (h, t) in enumerate(out_rows):
+                ids.append(int(doc_id))
+                idxs.append(j)
+                heads.append(h)
+                sizes.append(len(t))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "passage_idx": pd.Series(idxs, dtype="int64"),
+                "heading": pd.Series(heads, dtype="object"),
+                "n_chars": pd.Series(sizes, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(passages, batch_format="pandas", batch_size=1024)
+
+
+def _extract_passages_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr,
+         2 + doc_id % 3 AS k
+  FROM documents
+),
+s AS (
+  SELECT doc_id, arr, k, gs AS pidx,
+         CASE WHEN len(arr) = 0 THEN 0 ELSE (len(arr) + k - 1) // k END AS m
+  FROM t JOIN generate_series(0, 4) g(gs) ON gs < k
+)
+SELECT doc_id, CAST(pidx AS BIGINT) AS passage_idx,
+       'S' || CAST(pidx AS VARCHAR) AS heading,
+       CAST(len(array_to_string(arr[pidx * m + 1 : (pidx + 1) * m], ' ')) AS BIGINT)
+           AS n_chars
+FROM s
+"""
+
+
+EXTRACT_PASSAGES_SQL = _extract_passages_sql()
