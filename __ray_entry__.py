@@ -197,6 +197,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_passages_documents": webdocs.extract_passages_documents,
         "robots_allow_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).robots_allow_filter_documents,
         "quantize_embeddings": similarity.quantize_embeddings,
+        # wave-17: snapshot line delta, OOV rate, largest-remainder
+        # crawl budget, dangling-link rate
+        "snapshot_delta_documents": webdocs.snapshot_delta_documents,
+        "oov_rate_documents": textops.oov_rate_documents,
+        "crawl_budget_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_budget_documents,
+        "dangling_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).dangling_links_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -604,6 +610,10 @@ def oracle_sql() -> dict[str, str]:
         "merged_index_postings": __import__("pdf_extractor_ray.pipelines.invindex", fromlist=["x"]).MERGED_INVINDEX_SQL,
         "extract_passages_documents": webdocs.EXTRACT_PASSAGES_SQL,
         "robots_allow_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_ALLOW_FILTER_SQL,
+        "snapshot_delta_documents": webdocs.SNAPSHOT_DELTA_SQL,
+        "oov_rate_documents": textops.OOV_RATE_SQL,
+        "crawl_budget_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_BUDGET_SQL,
+        "dangling_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DANGLING_LINKS_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

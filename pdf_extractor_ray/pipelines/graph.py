@@ -1779,3 +1779,73 @@ SELECT d.doc_id,
        CAST((d.n_chars + COALESCE(a.s, 0)) // (1 + COALESCE(a.c, 0)) AS BIGINT) AS q_smooth
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Dangling-link rate (frontier-discovery pressure per page)
+# ---------------------------------------------------------------------------
+
+
+def dangling_links(
+    edges: ray.data.Dataset, members: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Per-source dangling-outlink audit: how many of each node's
+    out-edges point OUTSIDE the member set (a ``doc_id`` column) —
+    ``(doc_id, n_links, n_dangling)``. The dangling rate is the
+    frontier-discovery pressure a crawl scheduler budgets against
+    (every dangling edge is an uncrawled URL a BFS round would
+    enqueue) and the mass PageRank loses to the teleport.
+
+    Scale shape: the membership test is ONE adaptive semi/anti-join
+    split of the edge stream against the member id column (byte-gated
+    broadcast or hash exchange, never a driver set); counts fold in
+    one src-keyed grouped_sum with per-batch partials."""
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    docs = members
+
+    def mark(dangling: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": b["src"].to_numpy(np.int64),
+                    "n_links": np.ones(len(b), np.int64),
+                    "n_dangling": np.full(len(b), dangling, np.int64),
+                }
+            )
+
+        return fn
+
+    kept = semi_join(edges, docs, "dst", right_on="doc_id", keep=True)
+    dropped = semi_join(edges, docs, "dst", right_on="doc_id", keep=False)
+    marked = kept.map_batches(mark(0), batch_format="pandas").union(
+        dropped.map_batches(mark(1), batch_format="pandas")
+    )
+    return grouped_sum(marked, ["doc_id"], ["n_links", "n_dangling"])
+
+
+def dangling_links_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver carrier over the derived link graph. NOTE: at dense test
+    ids every 10-id block is fully populated, so the corpus has zero
+    dangling edges — the oracle then pins that the anti-join path
+    produces exactly zero FALSE positives; the planted-dangling test
+    exercises the non-zero path on a sparse member set."""
+    edges = document_link_edges(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return dangling_links(edges, docs)
+
+
+DANGLING_LINKS_SQL = """
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+)
+SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling
+FROM e LEFT JOIN documents d ON d.doc_id = e.dst
+GROUP BY e.src
+"""

@@ -3581,3 +3581,73 @@ WITH s AS (
 SELECT host, v AS p50_chars FROM s
 WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
 """
+
+
+# ---------------------------------------------------------------------------
+# OOV rate vs the corpus top-K vocabulary (tokenizer-coverage audit)
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 100
+
+
+def oov_rate_documents(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-vocabulary audit: per document, how many tokens fall
+    outside the corpus' top-:data:`OOV_VOCAB_K` vocabulary —
+    ``(doc_id, n_tokens, n_oov)``. The coverage check run before
+    freezing any closed vocabulary (classic LM preprocessing: Chen &
+    Goodman's <unk> mapping); a doc that is mostly OOV under the
+    corpus' own head vocabulary is jargon, noise, or another language.
+
+    Scale shape: the vocabulary comes from the distributed top-K fold
+    (:func:`graph._topk_vocab_ordered`: word-count exchange + local
+    prune + K-limit), broadcasts as a frozenset in the closure
+    (K-bounded), and the per-doc count is one zero-shuffle vectorized
+    pass."""
+    from pdf_extractor_ray.pipelines.graph import _topk_vocab_ordered
+
+    vocab = frozenset(_topk_vocab_ordered(sf_dir, OOV_VOCAB_K))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rate(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok = np.zeros(len(b), np.int64)
+        n_oov = np.zeros(len(b), np.int64)
+        for i, t in enumerate(b["text"]):
+            ws = t.split()
+            n_tok[i] = len(ws)
+            n_oov[i] = sum(1 for w in ws if w not in vocab)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok,
+                "n_oov": n_oov,
+            }
+        )
+
+    return ds.map_batches(rate, batch_format="pandas", batch_size=8192)
+
+
+def _oov_rate_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}')) AS token
+  FROM documents WHERE {tw} <> ''
+),
+v AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM w GROUP BY token
+  ) QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= {OOV_VOCAB_K}
+),
+c AS (
+  SELECT w.doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM w LEFT JOIN v ON v.token = w.token
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_oov, 0) AS BIGINT) AS n_oov
+FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+"""
+
+
+OOV_RATE_SQL = _oov_rate_sql()

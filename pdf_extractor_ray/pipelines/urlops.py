@@ -1192,3 +1192,93 @@ SELECT doc_id,
 FROM u
 WHERE NOT (h = 0 AND segs = 1) AND NOT (h = 1 AND segs = 3)
 """
+
+
+# --------------------------------------------------------------------------
+# Crawl-budget allocation (largest-remainder apportionment)
+# --------------------------------------------------------------------------
+
+CRAWL_BUDGET_TOTAL = 100_000  # fetches to apportion across hosts
+
+
+def crawl_budget_documents(sf_dir: str) -> ray.data.Dataset:
+    """Apportion a fixed crawl budget across hosts proportionally to
+    their token mass with the LARGEST-REMAINDER (Hamilton) method —
+    ``(host, n_tokens, quota)`` where quotas are exact integers that
+    SUM EXACTLY to :data:`CRAWL_BUDGET_TOTAL`: ``floor(B·w/W)`` each,
+    then the ``B - Σfloor`` leftover goes to the largest remainders
+    (``(B·w) mod W`` desc, host asc tie-break). Naive rounding
+    over/under-spends the budget; Hamilton is the standard exact fix
+    (same method as US House apportionment).
+
+    Scale shape: per-host token mass is one bucketed grouped_sum
+    (host-bounded result); the apportionment runs on that HOST-BOUNDED
+    table driver-side (millions of hosts = still a bounded fold, never
+    corpus-sized) with pure-integer arithmetic the SQL replays
+    verbatim."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host": pd.Series(
+                    [f"h{int(d) % 13}.example.org" for d in b["doc_id"]],
+                    dtype="object",
+                ),
+                "n_tokens": pd.Series(
+                    [len(t.split()) for t in b["text"]], dtype="int64"
+                ),
+            }
+        )
+
+    per_host = (
+        grouped_sum(ds.map_batches(keyed, batch_format="pandas"), ["host"], ["n_tokens"])
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    w = per_host["n_tokens"].to_numpy(np.int64)
+    total = int(w.sum())
+    b_ = CRAWL_BUDGET_TOTAL
+    floors = (b_ * w) // total
+    rem = (b_ * w) % total
+    leftover = b_ - int(floors.sum())
+    # rank: remainder desc, host asc — deterministic and SQL-replayable
+    order = np.lexsort((per_host["host"].to_numpy(), -rem))
+    bonus = np.zeros(len(w), np.int64)
+    bonus[order[:leftover]] = 1
+    per_host["quota"] = floors + bonus
+    return ray.data.from_pandas(per_host)
+
+
+def _crawl_budget_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    return f"""
+WITH h AS (
+  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host,
+         SUM(CASE WHEN {tw} = '' THEN 0
+                  ELSE len(regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}')) END) AS w
+  FROM documents GROUP BY 1
+),
+t AS (SELECT SUM(w) AS total FROM h),
+f AS (
+  SELECT host, w, ({CRAWL_BUDGET_TOTAL} * w) // ANY_VALUE(t.total) AS fl,
+         ({CRAWL_BUDGET_TOTAL} * w) % ANY_VALUE(t.total) AS rem
+  FROM h, t GROUP BY host, w
+),
+l AS (SELECT {CRAWL_BUDGET_TOTAL} - SUM(fl) AS leftover FROM f)
+SELECT host, CAST(w AS BIGINT) AS n_tokens,
+       CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, host ASC)
+                           <= ANY_VALUE(l.leftover)
+                      THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM f, l GROUP BY host, w, fl, rem
+"""
+
+
+CRAWL_BUDGET_SQL = _crawl_budget_sql()

@@ -3644,3 +3644,80 @@ FROM s
 
 
 EXTRACT_PASSAGES_SQL = _extract_passages_sql()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot line-level delta (what changed between the last two crawls)
+# ---------------------------------------------------------------------------
+
+
+def derive_two_snapshots(b: pd.DataFrame) -> pd.DataFrame:
+    """Two snapshot rows per url with arithmetic-pinned line edits:
+    old = [a{d}, b{d}, c{d%3}]; new replaces the middle line on odd
+    ids (1 added + 1 removed) and appends an extra line on
+    ``d % 5 == 0`` (1 added). Text payloads are REAL multi-line
+    strings; only the counts replay from arithmetic."""
+    urls, tss, texts = [], [], []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        old = [f"a{d}", f"b{d}", f"c{d % 3}"]
+        new = [f"a{d}", (f"B{d}" if d % 2 else f"b{d}"), f"c{d % 3}"]
+        if d % 5 == 0:
+            new.append(f"x{d}")
+        for i, lines in enumerate((old, new)):
+            urls.append(f"https://docs.example.com/{d}")
+            tss.append(1_600_000_000 + d * 7 + i * 86_400)
+            texts.append("\n".join(lines))
+    return pd.DataFrame(
+        {
+            "url": pd.Series(urls, dtype="object"),
+            "ts": pd.Series(tss, dtype="int64"),
+            "text": pd.Series(texts, dtype="object"),
+        }
+    )
+
+
+def snapshot_delta_documents(sf_dir: str) -> ray.data.Dataset:
+    """Line-level snapshot delta: for each url's two most recent
+    captures, diff the LINE SETS → ``(url, n_added, n_removed)`` —
+    the change-summary a recrawl monitor stores per visit (the content
+    twin of :func:`snapshot_diff_documents`'s signature verdicts:
+    not just "changed" but HOW MUCH, which feeds the churn tiers).
+
+    Scale shape: one url-keyed bucketed exchange
+    (:func:`ops.grouped_apply`), per-group cost bounded by the
+    snapshot count per url (two here; top-2-by-ts selection inside
+    the group keeps it bounded under more); the set diff is
+    per-group Python over that bounded pair."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_two_snapshots, batch_format="pandas", batch_size=1024)
+
+    def delta(g: pd.DataFrame) -> pd.DataFrame:
+        urls, added, removed = [], [], []
+        for url, sub in g.groupby("url", sort=False):
+            sub = sub.sort_values("ts")
+            older = set(sub.iloc[-2]["text"].split("\n")) if len(sub) >= 2 else set()
+            newer = set(sub.iloc[-1]["text"].split("\n"))
+            urls.append(url)
+            added.append(len(newer - older))
+            removed.append(len(older - newer))
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "n_added": pd.Series(added, dtype="int64"),
+                "n_removed": pd.Series(removed, dtype="int64"),
+            }
+        )
+
+    return grouped_apply(ds, ["url"], delta)
+
+
+SNAPSHOT_DELTA_SQL = """
+SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(doc_id % 2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_added,
+       CAST(doc_id % 2 AS BIGINT) AS n_removed
+FROM documents
+"""
