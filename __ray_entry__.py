@@ -203,6 +203,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_documents": textops.oov_rate_documents,
         "crawl_budget_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_budget_documents,
         "dangling_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).dangling_links_documents,
+        # wave-18: alias resolution (redirect∘canonical), char entropy,
+        # multi-grain rollup, CDX index generation (rows-only)
+        "alias_resolution_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).alias_resolution_documents,
+        "char_entropy_documents": textops.char_entropy_documents,
+        "url_grain_rollup": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_grain_rollup,
+        "warc_cdx_documents": webdocs.warc_cdx_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -614,6 +620,9 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate_documents": textops.OOV_RATE_SQL,
         "crawl_budget_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).CRAWL_BUDGET_SQL,
         "dangling_links_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).DANGLING_LINKS_SQL,
+        "alias_resolution_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ALIAS_RESOLUTION_SQL,
+        "char_entropy_documents": textops.CHAR_ENTROPY_SQL,
+        "url_grain_rollup": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_GRAIN_ROLLUP_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -1849,3 +1849,65 @@ SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_links,
 FROM e LEFT JOIN documents d ON d.doc_id = e.dst
 GROUP BY e.src
 """
+
+
+# ---------------------------------------------------------------------------
+# Alias resolution: redirect chain ∘ canonical declaration
+# ---------------------------------------------------------------------------
+
+
+def alias_resolution_documents(sf_dir: str) -> ray.data.Dataset:
+    """Unified alias key per document: follow the redirect chain to its
+    final page (path-doubled :func:`resolve_pointers`, the
+    resolve_redirects map), then take THAT page's rel=canonical
+    declaration (REAL head harvest over the canonical-carrier pages) —
+    ``(doc_id, alias_url)``. This is the full identity fold a crawl
+    dedup runs before any content hashing: HTTP-level aliases
+    (redirects) and markup-level aliases (canonical) collapse into one
+    key in the right order — canonical is read off the page you END on,
+    not the one you started at.
+
+    Scale shape: the path-doubling rounds (log chain length), then ONE
+    adaptive join attaching the final page's harvested canonical. The
+    canonical harvest itself is the zero-shuffle batch parse."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.kernels.html_extract import html_extract_meta
+    from pdf_extractor_ray.pipelines.webdocs import derive_canonical_pages
+
+    resolved = resolve_redirects_documents(sf_dir)
+    pages = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_canonical_pages, batch_format="pandas", batch_size=1024)
+
+    def harvest(b: pd.DataFrame) -> pd.DataFrame:
+        ids, keys = [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            d = int(doc_id)
+            canon = html_extract_meta(bytes(raw))["canonical"]
+            ids.append(d)
+            keys.append(canon if canon else f"https://docs.example.com/{d}")
+        return pd.DataFrame(
+            {
+                "final_id": pd.Series(ids, dtype="int64"),
+                "alias_url": pd.Series(keys, dtype="object"),
+            }
+        )
+
+    canon = pages.map_batches(harvest, batch_format="pandas", batch_size=1024)
+    joined = adaptive_inner_join(resolved, canon, on="final_id")
+    return joined.select_columns(["doc_id", "alias_url"])
+
+
+ALIAS_RESOLUTION_SQL = """
+WITH RECURSIVE r AS (
+  SELECT doc_id AS node, doc_id AS cur FROM documents
+  UNION ALL
+  SELECT node, cur - 1 FROM r WHERE cur % 4 != 0 AND cur % 9 != 0
+),
+f AS (SELECT node AS doc_id, cur AS final_id FROM r WHERE cur % 4 = 0 OR cur % 9 = 0)
+SELECT doc_id,
+       'https://docs.example.com/' ||
+           CAST(CASE WHEN final_id % 9 = 0 THEN final_id
+                     ELSE final_id - final_id % 4 END AS VARCHAR) AS alias_url
+FROM f
+"""

@@ -3651,3 +3651,72 @@ FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
 
 
 OOV_RATE_SQL = _oov_rate_sql()
+
+
+# ---------------------------------------------------------------------------
+# Byte/char-level entropy (compressibility proxy, zlib-free)
+# ---------------------------------------------------------------------------
+
+
+def char_entropy_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc CHARACTER entropy in integer micro-nats:
+    ``(doc_id, n_chars, n_distinct, ent_total_micro)`` with
+    ent_total_micro = Σ_chars floor(c·ln(n/c)·1e6 + 0.5) — the
+    distribution-level compressibility proxy (low char entropy ≈ high
+    zlib ratio: repeated-char padding, base64-ish uniformity sits at
+    the top end) that, unlike :func:`compression_ratio_documents`'s
+    zlib byte counts, is EXACTLY replayable in SQL. Zero shuffle;
+    per-term rounding is the shared 1-ulp budget (token_entropy's
+    discipline, char-level)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ent(b: pd.DataFrame) -> pd.DataFrame:
+        n_ch = np.zeros(len(b), np.int64)
+        n_di = np.zeros(len(b), np.int64)
+        total = np.zeros(len(b), np.int64)
+        for i, t in enumerate(b["text"]):
+            if not t:
+                continue
+            _, counts = np.unique(np.frombuffer(t.encode("utf-8"), np.uint8), return_counts=True)
+            c = counts.astype(np.float64)
+            n = float(c.sum())
+            terms = np.floor((c * np.log(n / c)) * 1_000_000 + 0.5).astype(np.int64)
+            n_ch[i], n_di[i], total[i] = int(n), len(counts), int(terms.sum())
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_chars": n_ch,
+                "n_distinct": n_di,
+                "ent_total_micro": total,
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pandas", batch_size=8192)
+
+
+# ASCII corpus precondition (functions/exact.py): one utf-8 byte per
+# char, so SQL string_split over characters replays the byte histogram
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE text <> ''
+),
+f AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+n AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS n_distinct FROM f GROUP BY doc_id),
+e AS (
+  SELECT f.doc_id,
+         CAST(ANY_VALUE(n.n) AS BIGINT) AS n_chars,
+         CAST(ANY_VALUE(n.n_distinct) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(floor((f.cnt * ln(n.n / f.cnt)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS ent_total_micro
+  FROM f JOIN n USING (doc_id) GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.n_chars, 0) AS n_chars,
+       COALESCE(e.n_distinct, 0) AS n_distinct,
+       COALESCE(e.ent_total_micro, 0) AS ent_total_micro
+FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+"""

@@ -1282,3 +1282,74 @@ FROM f, l GROUP BY host, w, fl, rem
 
 
 CRAWL_BUDGET_SQL = _crawl_budget_sql()
+
+
+# --------------------------------------------------------------------------
+# Multi-grain URL rollup (host / registrable domain / TLD in one pass)
+# --------------------------------------------------------------------------
+
+
+def url_grain_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus counts at THREE url grains in ONE pass —
+    ``(grain, key, n_docs)`` with grain ∈ {host, domain, tld}: each
+    page emits one row per grain (host = full site host, domain =
+    PSL registrable domain, tld = the public-suffix tail) and a single
+    bucketed count exchange folds all three — the multi-grain emission
+    pattern that replaces three separate scans with one (the GROUPING
+    SETS shape, streamed). Hosts derive from the PSL carrier so the
+    three grains genuinely differ (co.uk / github.io rows)."""
+    from pdf_extractor_ray.functions.urls import registrable_domain, site_domain
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_psl_hosts, batch_format="pandas")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        grains, keys = [], []
+        for url in b["url"]:
+            host = site_domain(url)
+            dom = registrable_domain(url)
+            tld = dom.split(".", 1)[1] if "." in dom else dom
+            grains += ["host", "domain", "tld"]
+            keys += [host, dom, tld]
+        return pd.DataFrame(
+            {
+                "grain": pd.Series(grains, dtype="object"),
+                "key": pd.Series(keys, dtype="object"),
+                "n_docs": np.ones(len(grains), np.int64),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(explode, batch_format="pandas"), ["grain", "key"], ["n_docs"]
+    )
+
+
+URL_GRAIN_ROLLUP_SQL = """
+WITH u AS (
+  SELECT doc_id, doc_id % 4 AS fam, doc_id // 2 AS art FROM documents
+),
+rows_ AS (
+  SELECT 'host' AS grain,
+         CASE fam WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.ex' || CAST(art % 3 AS VARCHAR) || '.co.uk'
+                  WHEN 1 THEN 'x.u' || CAST(art % 11 AS VARCHAR) || '.github.io'
+                  WHEN 2 THEN 's' || CAST(art % 7 AS VARCHAR) || '.example.com'
+                  ELSE 'deep.a.ex' || CAST(art % 3 AS VARCHAR) || '.com.au' END AS key
+  FROM u
+  UNION ALL
+  SELECT 'domain',
+         CASE fam WHEN 0 THEN 'ex' || CAST(art % 3 AS VARCHAR) || '.co.uk'
+                  WHEN 1 THEN 'u' || CAST(art % 11 AS VARCHAR) || '.github.io'
+                  WHEN 2 THEN 'example.com'
+                  ELSE 'ex' || CAST(art % 3 AS VARCHAR) || '.com.au' END
+  FROM u
+  UNION ALL
+  SELECT 'tld',
+         CASE fam WHEN 0 THEN 'co.uk' WHEN 1 THEN 'github.io'
+                  WHEN 2 THEN 'com' ELSE 'com.au' END
+  FROM u
+)
+SELECT grain, key, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM rows_ GROUP BY grain, key
+"""

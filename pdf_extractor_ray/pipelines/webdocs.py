@@ -3721,3 +3721,61 @@ SELECT 'https://docs.example.com/' || CAST(doc_id AS VARCHAR) AS url,
        CAST(doc_id % 2 AS BIGINT) AS n_removed
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# CDX index generation from WARC (the random-access side of the archive)
+# ---------------------------------------------------------------------------
+
+
+def warc_cdx_documents(sf_dir: str) -> ray.data.Dataset:
+    """CDX-style index generation: for each WARC slice (16 records per
+    blob, the :func:`read_warc_documents` shape), emit one index row
+    per record via :func:`sources.warc.parse_warc_index` —
+    ``(url, warc_ts, record_idx, offset, length)``. The index IS the
+    archive's random-access contract: ``blob[offset : offset+length]``
+    must re-parse as exactly that record (pinned by the slice-identity
+    test); offsets are strictly increasing within a blob. Rows-only
+    query (offsets depend on serialized header byte lengths — not
+    reasonably SQL-replayable; the identity property is the stronger
+    pin). Zero shuffle."""
+    from pdf_extractor_ray.sources.warc import build_warc, parse_warc_index
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_blobs(b: pd.DataFrame) -> pd.DataFrame:
+        recs = [
+            {
+                "url": f"https://docs.example.com/{int(d)}",
+                "ts": f"2026-05-{int(d) % 28 + 1:02d}T00:00:00Z",
+                "body": f"<html><body><p>{html_escape(t)}</p></body></html>".encode(),
+            }
+            for d, t in zip(b["doc_id"], b["text"])
+        ]
+        blobs = [build_warc(recs[i : i + 16]) for i in range(0, len(recs), 16)]
+        return pd.DataFrame({"warc": pd.Series(blobs, dtype="object")})
+
+    def index(b: pd.DataFrame) -> pd.DataFrame:
+        urls, tss, idxs, offs, lens = [], [], [], [], []
+        for raw in b["warc"]:
+            for i, r in enumerate(parse_warc_index(bytes(raw))):
+                urls.append(r["url"])
+                tss.append(r["ts"])
+                idxs.append(i)
+                offs.append(r["offset"])
+                lens.append(r["length"])
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls, dtype="object"),
+                "warc_ts": pd.Series(tss, dtype="object"),
+                "record_idx": pd.Series(idxs, dtype="int64"),
+                "offset": pd.Series(offs, dtype="int64"),
+                "length": pd.Series(lens, dtype="int64"),
+            }
+        )
+
+    return base.map_batches(to_blobs, batch_format="pandas", batch_size=1024).map_batches(
+        index, batch_format="pandas", batch_size=64
+    )

@@ -401,3 +401,56 @@ def parse_warc_revisits(raw: bytes) -> list[dict]:
                 }
             )
     return out
+
+
+def parse_warc_index(raw: bytes) -> list[dict]:
+    """Generate a CDX-style random-access index from WARC bytes: one
+    ``{url, ts, warc_type, offset, length}`` per response/revisit
+    record, where ``raw[offset : offset + length]`` is the COMPLETE
+    record (header block + payload) and re-parses standalone — the
+    write-side companion of :func:`~pdf_extractor_ray.pipelines.urlops.
+    parse_cdxj` (archives serve range requests off exactly this
+    index). Offsets are positions in the UNCOMPRESSED stream; for
+    ``.warc.gz`` input the stream is decompressed first (a production
+    CDX records compressed member offsets — documented simplification,
+    same index semantics). Same framing/truncation contract as
+    :func:`parse_warc`."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = _gunzip_members(raw)
+    out: list[dict] = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        start = raw.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = raw.find(_SEP, start)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[start:head_end].split(_CRLF)[1:]:
+            name, sep, value = line.partition(b":")
+            if sep:
+                headers[name.strip().lower().decode("latin-1")] = value.strip().decode(
+                    "latin-1", "replace"
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = head_end + len(_SEP)
+        if body_start + length > n:
+            break
+        wtype = headers.get("warc-type", "").lower()
+        if wtype in ("response", "revisit"):
+            out.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "ts": headers.get("warc-date", ""),
+                    "warc_type": wtype,
+                    "offset": start,
+                    "length": body_start + length - start,
+                }
+            )
+        pos = body_start + length
+    return out
