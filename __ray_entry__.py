@@ -209,6 +209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_documents": textops.char_entropy_documents,
         "url_grain_rollup": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_grain_rollup,
         "warc_cdx_documents": webdocs.warc_cdx_documents,
+        # wave-19: per-host exact-k sample, n-gram diversity, sitemap
+        # coverage audit, host allowed fraction
+        "sample_k_per_host": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).sample_k_per_host_documents,
+        "ngram_diversity_documents": textops.ngram_diversity_documents,
+        "sitemap_coverage_documents": webdocs.sitemap_coverage_documents,
+        "host_allowed_fraction": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).host_allowed_fraction,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -623,6 +629,10 @@ def oracle_sql() -> dict[str, str]:
         "alias_resolution_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ALIAS_RESOLUTION_SQL,
         "char_entropy_documents": textops.CHAR_ENTROPY_SQL,
         "url_grain_rollup": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_GRAIN_ROLLUP_SQL,
+        "sample_k_per_host": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SAMPLE_K_PER_HOST_SQL,
+        "ngram_diversity_documents": textops.NGRAM_DIVERSITY_SQL,
+        "sitemap_coverage_documents": webdocs.SITEMAP_COVERAGE_SQL,
+        "host_allowed_fraction": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).HOST_ALLOWED_FRACTION_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

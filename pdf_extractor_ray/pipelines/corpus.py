@@ -1768,3 +1768,75 @@ FROM t, tot GROUP BY source
 
 
 CORPUS_MIX_SQL = _corpus_mix_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact-k-per-stratum sample (the per-host/per-lang eval-set cut)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K_PER_HOST = 5
+
+
+def sample_k_per_host_documents(sf_dir: str, k: int = SAMPLE_K_PER_HOST) -> "ray.data.Dataset":
+    """Deterministic EXACT-k sample PER STRATUM (host): within each
+    host, rank docs by the seeded multiplicative hash and keep the k
+    smallest — ``(host, doc_id)``. The per-group twin of
+    :func:`sample_k_documents`: the cut every per-host eval set /
+    spot-check audit uses, stable under partitioning, scan order, and
+    corpus growth (bottom-k semantics per stratum).
+
+    Scale shape: a per-batch per-host partial bottom-k runs BEFORE the
+    exchange (a mega-host contributes ≤ k rows per input batch), then
+    one host-keyed bucketed exchange finishes the fold — group state
+    is k-bounded, never host-sized."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "host": pd.Series(
+                    [f"h{int(v) % 13}.example.org" for v in d], dtype="object"
+                ),
+                "doc_id": d,
+                "__h": _hash32(d.astype(np.uint64), SAMPLE_SEED).astype(np.int64),
+            }
+        )
+        return (
+            out.sort_values(["__h", "doc_id"], kind="mergesort")
+            .groupby("host", sort=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["__h", "doc_id"], kind="mergesort")
+            .groupby("host", sort=False)
+            .head(k)
+        )
+        return g[["host", "doc_id"]]
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pandas"), ["host"], final
+    )
+
+
+SAMPLE_K_PER_HOST_SQL = f"""
+SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host, doc_id
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id % 13
+  ORDER BY (((CAST(xor(doc_id, {SAMPLE_SEED}) AS HUGEINT) * {SAMPLE_HASH_MULT})
+             % 4294967296) + 4294967296) % 4294967296, doc_id
+) <= {SAMPLE_K_PER_HOST}
+"""

@@ -3720,3 +3720,104 @@ SELECT d.doc_id,
        COALESCE(e.ent_total_micro, 0) AS ent_total_micro
 FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity (corpus-level repetitiveness in one number per n)
+# ---------------------------------------------------------------------------
+
+
+def ngram_diversity_documents(sf_dir: str) -> ray.data.Dataset:
+    """Corpus n-gram diversity for n ∈ {1,2,3}: ``(n, n_total,
+    n_distinct, diversity_milli = 1000·distinct // total)`` — the
+    type/token ratio ladder (distinct-trigram ratio is the classic
+    template/boilerplate alarm: heavily templated corpora collapse at
+    n=3 long before n=1; Welleck et al.'s distinct-n metric at corpus
+    scale). N-grams never cross document boundaries.
+
+    Scale shape: totals are pure per-batch partials (one 3-row frame
+    per batch); distinct counts batch-dedupe per (n, gram) first, then
+    ONE gram-keyed distinct exchange and a 3-group count — the exact
+    twin of the per-lang bigram-vocab op, generalized over n."""
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def totals(b: pd.DataFrame) -> pd.DataFrame:
+        t = np.zeros(3, np.int64)
+        for txt in b["text"]:
+            ln = len(txt.split())
+            for n in (1, 2, 3):
+                t[n - 1] += max(0, ln - n + 1)
+        return pd.DataFrame({"n": np.arange(1, 4, dtype=np.int64), "n_total": t})
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        ns, gs = [], []
+        for txt in b["text"]:
+            ws = txt.split()
+            for n in (1, 2, 3):
+                seen = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+                ns.extend([n] * len(seen))
+                gs.extend(seen)
+        return pd.DataFrame(
+            {"n": pd.Series(ns, dtype="int64"), "gram": pd.Series(gs, dtype="object")}
+        )
+
+    total = grouped_sum(
+        ds.map_batches(totals, batch_format="pandas"), ["n"], ["n_total"]
+    ).to_pandas().set_index("n")  # 3 rows
+    dist = (
+        grouped_sum(
+            distinct(
+                ds.map_batches(grams, batch_format="pandas", batch_size=4096),
+                ["n", "gram"],
+            ).map_batches(
+                lambda b: pd.DataFrame(
+                    {"n": b["n"].to_numpy(np.int64), "c": np.ones(len(b), np.int64)}
+                ),
+                batch_format="pandas",
+            ),
+            ["n"],
+            ["c"],
+        )
+        .to_pandas()
+        .set_index("n")
+    )
+    out = pd.DataFrame(
+        {
+            "n": np.arange(1, 4, dtype=np.int64),
+            "n_total": total["n_total"].reindex(range(1, 4), fill_value=0).to_numpy(np.int64),
+            "n_distinct": dist["c"].reindex(range(1, 4), fill_value=0).to_numpy(np.int64),
+        }
+    )
+    out["diversity_milli"] = np.where(
+        out["n_total"] > 0, (1000 * out["n_distinct"]) // out["n_total"].clip(lower=1), 0
+    ).astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+def _ngram_diversity_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+  SELECT CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+  FROM documents
+),
+g AS (
+  SELECT 1 AS n, unnest(arr) AS gram FROM t
+  UNION ALL
+  SELECT 2, arr[p] || ' ' || arr[p + 1]
+  FROM t, unnest(range(1, len(arr))) AS r(p)
+  UNION ALL
+  SELECT 3, arr[p] || ' ' || arr[p + 1] || ' ' || arr[p + 2]
+  FROM t, unnest(range(1, len(arr) - 1)) AS r(p)
+)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST((1000 * COUNT(DISTINCT gram)) // COUNT(*) AS BIGINT) AS diversity_milli
+FROM g GROUP BY n
+"""
+
+
+NGRAM_DIVERSITY_SQL = _ngram_diversity_sql()

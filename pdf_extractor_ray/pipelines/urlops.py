@@ -1353,3 +1353,74 @@ rows_ AS (
 SELECT grain, key, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM rows_ GROUP BY grain, key
 """
+
+
+def host_allowed_fraction(sf_dir: str) -> ray.data.Dataset:
+    """Per-host robots compliance summary: how much of each host's url
+    inventory the longest-match rule set admits —
+    ``(host, n_urls, n_allowed, allowed_milli)``. The number a crawl
+    planner reads before allocating budget to a host (a host that
+    disallows 95% of its paths isn't worth its politeness slots);
+    composes the :func:`robots_allow_filter_documents` matcher with
+    one host-keyed count fold (per-batch partials)."""
+    from pdf_extractor_ray.functions.urls import (
+        canonical_url,
+        parse_robots_rules,
+        robots_path_allowed,
+        site_domain,
+    )
+    from pdf_extractor_ray.ops import grouped_sum
+
+    rules = {h: parse_robots_rules(b) for h, b in derive_allow_robots().items()}
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        hosts, allowed = [], []
+        for url in b["url"]:
+            canon = canonical_url(url)
+            host = site_domain(canon)
+            after = canon.split("://", 1)[-1]
+            slash = after.find("/")
+            path = (after[slash:] if slash >= 0 else "/").split("?", 1)[0]
+            hosts.append(host)
+            allowed.append(int(robots_path_allowed(rules.get(host, []), path)))
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hosts, dtype="object"),
+                "n_urls": np.ones(len(hosts), np.int64),
+                "n_allowed": pd.Series(allowed, dtype="int64"),
+            }
+        )
+
+    summed = grouped_sum(
+        ds.map_batches(mark, batch_format="pandas"), ["host"], ["n_urls", "n_allowed"]
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["allowed_milli"] = (1000 * b["n_allowed"].to_numpy(np.int64)) // b[
+            "n_urls"
+        ].to_numpy(np.int64)
+        return b
+
+    return summed.map_batches(finish, batch_format="pandas")
+
+
+HOST_ALLOWED_FRACTION_SQL = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.org' AS host,
+         doc_id % 5 AS h, 1 + doc_id % 4 AS segs
+  FROM documents
+),
+m AS (
+  SELECT host,
+         CASE WHEN (h = 0 AND segs = 1) OR (h = 1 AND segs = 3) THEN 0 ELSE 1 END AS ok
+  FROM u
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(ok) AS BIGINT) AS n_allowed,
+       CAST((1000 * SUM(ok)) // COUNT(*) AS BIGINT) AS allowed_milli
+FROM m GROUP BY host
+"""

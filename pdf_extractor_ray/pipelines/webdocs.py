@@ -3779,3 +3779,75 @@ def warc_cdx_documents(sf_dir: str) -> ray.data.Dataset:
     return base.map_batches(to_blobs, batch_format="pandas", batch_size=1024).map_batches(
         index, batch_format="pandas", batch_size=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap coverage audit (declared-but-never-crawled URLs)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_coverage_documents(sf_dir: str) -> ray.data.Dataset:
+    """Sitemap → crawl coverage: parse the sitemap bodies (REAL
+    :func:`kernels.html_extract.parse_sitemap` over the
+    :func:`derive_sitemap_bodies` fixtures), anti-join the declared
+    locs against the crawled url set → ``(doc_id, missing_loc)`` —
+    the URLs a site DECLARES that the crawl never fetched (here: every
+    ``/archive`` variant; the page itself is proven covered). This
+    closes the discovery loop the sitemap parser opened: parse →
+    compare → enqueue, the sitemap twin of feed-based discovery.
+
+    Scale shape: parse is a zero-shuffle batch map; the membership
+    test is ONE adaptive anti-join of the declared-loc stream against
+    the crawled-url column (byte-gated broadcast or hash exchange)."""
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.kernels.html_extract import parse_sitemap
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    declared = base.map_batches(derive_sitemap_bodies, batch_format="pandas").map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": pd.Series(
+                    [int(d) for d, sm in zip(b["doc_id"], b["sitemap"]) for _ in parse_sitemap(bytes(sm))],
+                    dtype="int64",
+                ),
+                "loc": pd.Series(
+                    [e["loc"] for sm in b["sitemap"] for e in parse_sitemap(bytes(sm))],
+                    dtype="object",
+                ),
+            }
+        ),
+        batch_format="pandas",
+        batch_size=1024,
+    )
+
+    def crawled(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(
+                    [f"https://docs.example.com/{int(d)}" for d in b["doc_id"]],
+                    dtype="object",
+                )
+            }
+        )
+
+    crawled_urls = base.map_batches(crawled, batch_format="pandas")
+    missing = semi_join(declared, crawled_urls, "loc", right_on="url", keep=False)
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "missing_loc": b["loc"].astype(object),
+            }
+        )
+
+    return missing.map_batches(rename, batch_format="pandas")
+
+
+SITEMAP_COVERAGE_SQL = """
+SELECT doc_id,
+       'https://docs.example.com/' || CAST(doc_id AS VARCHAR) || '/archive' AS missing_loc
+FROM documents
+"""
