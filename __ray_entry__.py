@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_diversity_documents": textops.ngram_diversity_documents,
         "sitemap_coverage_documents": webdocs.sitemap_coverage_documents,
         "host_allowed_fraction": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).host_allowed_fraction,
+        # wave-20: personalized PageRank, two-hop reach, fielded search
+        "ppr_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ppr_documents,
+        "two_hop_reach_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).two_hop_reach_documents,
+        "fielded_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).fielded_search_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -633,6 +637,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_diversity_documents": textops.NGRAM_DIVERSITY_SQL,
         "sitemap_coverage_documents": webdocs.SITEMAP_COVERAGE_SQL,
         "host_allowed_fraction": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).HOST_ALLOWED_FRACTION_SQL,
+        "ppr_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PPR_SQL,
+        "two_hop_reach_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TWO_HOP_REACH_SQL,
+        "fielded_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).FIELDED_SEARCH_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -73,6 +73,7 @@ def pagerank(
     base_micro: int = PAGERANK_BASE_MICRO,
     damp_milli: int = PAGERANK_DAMP_MILLI,
     weight_col: str | None = None,
+    personalization: frozenset | None = None,
 ) -> ray.data.Dataset:
     """Distributed PageRank over an (src, dst) edge Dataset in exact
     int64 fixed-point: ``r0 = 1e6`` per node, then ``iters`` rounds of
@@ -91,6 +92,14 @@ def pagerank(
     their mass, as in the simplified formulation — both engine and
     oracle implement the same formula, so the invariant is exactness,
     not stochasticity. Returns (node, rank_micro).
+
+    ``personalization``: an optional seed-node set — init mass and the
+    per-round base (teleport) land ONLY on seeds, giving exact-integer
+    personalized PageRank (Haveliwala 2002's topic-sensitive form;
+    crawl seed-biased importance). None reproduces the classical
+    update bit-identically. At web scale ship a large seed set via
+    ``ray.put`` + per-actor cache; a closure array is fine for
+    bounded seed lists.
 
     Per round: one adaptive join (ranks onto edges by src) and one
     grouped_sum keyed by dst; ranks materialize between rounds (the
@@ -133,13 +142,20 @@ def pagerank(
     deg = grouped_sum(ew.map_batches(tot, batch_format="pandas"), ["src"], ["wtot"])
     edges_deg = joins.adaptive_inner_join(ew, deg, on="src").materialize()
 
+    seed_arr = (
+        np.array(sorted(personalization), dtype=np.int64)
+        if personalization is not None
+        else None
+    )
+
     def init(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": b["node"].to_numpy(np.int64),
-                "r": np.full(len(b), PAGERANK_INIT_MICRO, np.int64),
-            }
-        )
+        n = b["node"].to_numpy(np.int64)
+        if seed_arr is None:
+            r = np.full(len(b), PAGERANK_INIT_MICRO, np.int64)
+        else:
+            # personalized: the walk starts (and teleports) at seeds only
+            r = np.where(np.isin(n, seed_arr), PAGERANK_INIT_MICRO, 0).astype(np.int64)
+        return pd.DataFrame({"node": n, "r": r})
 
     ranks = nodes.map_batches(init, batch_format="pandas").materialize()
 
@@ -161,10 +177,16 @@ def pagerank(
         )
 
     def update(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["node"].to_numpy(np.int64)
+        if seed_arr is None:
+            base = base_micro
+        else:
+            # teleport mass lands ONLY on the personalization seeds
+            base = np.where(np.isin(n, seed_arr), base_micro, 0).astype(np.int64)
         return pd.DataFrame(
             {
-                "node": b["node"].to_numpy(np.int64),
-                "r": base_micro + (damp_milli * b["c"].to_numpy(np.int64)) // 1000,
+                "node": n,
+                "r": base + (damp_milli * b["c"].to_numpy(np.int64)) // 1000,
             }
         )
 
@@ -1910,4 +1932,142 @@ SELECT doc_id,
            CAST(CASE WHEN final_id % 9 = 0 THEN final_id
                      ELSE final_id - final_id % 4 END AS VARCHAR) AS alias_url
 FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-biased crawl importance)
+# ---------------------------------------------------------------------------
+
+PPR_SEED_MOD = 17  # seeds = doc ids ≡ 0 (mod 17) — deterministic seed set
+
+
+def ppr_documents(sf_dir: str, iters: int = PAGERANK_ITERS) -> ray.data.Dataset:
+    """Personalized PageRank over the document link graph with the
+    deterministic seed set ``doc_id % 17 == 0`` — ``(node,
+    rank_micro)``. Seed-biased importance is how a focused crawl
+    scores the frontier (pages near trusted seeds outrank globally
+    popular ones); exact int64 fixed-point, the classical-PageRank
+    machinery with teleport confined to seeds."""
+    import pyarrow.parquet as _pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ids = _pq.read_table(src, columns=["doc_id"])["doc_id"].to_numpy()
+    seeds = frozenset(int(d) for d in ids if int(d) % PPR_SEED_MOD == 0)
+    return pagerank(document_link_edges(sf_dir), iters=iters, personalization=seeds)
+
+
+def _ppr_sql(iters: int = PAGERANK_ITERS) -> str:
+    """Personalized variant of the unrolled PageRank CTE: init mass and
+    per-round base are CASE-gated on seed membership."""
+    seed = f"node % {PPR_SEED_MOD} = 0"
+    ctes = [
+        f"""e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+it0 AS (SELECT node, CAST(CASE WHEN {seed} THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nodes)"""
+    ]
+    for k in range(1, int(iters) + 1):
+        ctes.append(
+            f"""it{k} AS (
+  SELECT n.node,
+         CAST(CASE WHEN n.node % {PPR_SEED_MOD} = 0 THEN {PAGERANK_BASE_MICRO} ELSE 0 END
+              + ({PAGERANK_DAMP_MILLI} * COALESCE(SUM(rr.r // d.outdeg), 0)) // 1000 AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN deg d ON d.src = e.src
+  LEFT JOIN it{k - 1} rr ON rr.node = e.src
+  GROUP BY n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_micro FROM it{int(iters)}"
+    )
+
+
+PPR_SQL = _ppr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach (friends-of-friends neighborhood size)
+# ---------------------------------------------------------------------------
+
+
+def two_hop_reach_documents(sf_dir: str) -> ray.data.Dataset:
+    """Distinct nodes reachable within TWO directed hops of each page
+    (self excluded) — ``(doc_id, n_reach2)``. The 2-hop neighborhood
+    size separates hub-adjacent pages from cul-de-sacs (a crawl-
+    frontier value signal) and is the cheapest reachability feature a
+    link graph yields beyond degree.
+
+    Scale shape: one self-join of the edge table (hop-2 pairs; per-src
+    fan-out bounded by outdeg², with per-hub caps the production knob
+    on skewed graphs), one union with the hop-1 pairs, one distinct
+    exchange on (src, node), one count fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    edges = document_link_edges(sf_dir)
+
+    def hop1(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(np.int64),
+                "node": b["dst"].to_numpy(np.int64),
+            }
+        )
+
+    def mid(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "mid": b["src"].to_numpy(np.int64),
+                "node": b["dst"].to_numpy(np.int64),
+            }
+        )
+
+    h1 = edges.map_batches(hop1, batch_format="pandas")
+    h2 = adaptive_inner_join(
+        h1.map_batches(
+            lambda b: pd.DataFrame(
+                {"src": b["src"].to_numpy(np.int64), "mid": b["node"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        edges.map_batches(mid, batch_format="pandas"),
+        on="mid",
+    ).select_columns(["src", "node"])
+
+    pairs = distinct(h1.union(h2), ["src", "node"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["src"] != b["node"]]  # self excluded
+        return pd.DataFrame(
+            {
+                "doc_id": b["src"].to_numpy(np.int64),
+                "n_reach2": np.ones(len(b), np.int64),
+            }
+        )
+
+    return grouped_sum(pairs.map_batches(count, batch_format="pandas"), ["doc_id"], ["n_reach2"])
+
+
+TWO_HOP_REACH_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+p AS (
+  SELECT src, dst AS node FROM e
+  UNION
+  SELECT a.src, b.dst AS node FROM e a JOIN e b ON b.src = a.dst
+)
+SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reach2
+FROM p WHERE node <> src GROUP BY src
 """

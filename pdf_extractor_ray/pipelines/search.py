@@ -380,3 +380,90 @@ FROM u WHERE term IN ({inlist})
 
 
 POSITIONAL_POSTINGS_SQL = positional_postings_sql()
+
+
+# ---------------------------------------------------------------------------
+# Fielded retrieval (title-weighted term scoring — BM25F's skeleton)
+# ---------------------------------------------------------------------------
+
+FIELDED_TERMS = ("data", "window")
+FIELDED_TITLE_WEIGHT = 3  # a title hit is worth 3 body hits
+FIELDED_K = 20
+
+
+def fielded_search_documents(sf_dir: str) -> ray.data.Dataset:
+    """Field-weighted retrieval: score = Σ_terms (W·tf_title + tf_body)
+    with the title = the document's first token (the WAT-carrier
+    convention) — exact integer scoring, top-``FIELDED_K`` by (score
+    DESC, doc_id ASC). This is BM25F's structural skeleton (Robertson
+    et al. 2004: per-FIELD term frequencies combined with field
+    weights BEFORE saturation) with the saturation stripped so the
+    oracle is pure-integer; the point under test is the fielded
+    accumulation, which the flat BM25 op cannot express.
+
+    Scale shape: zero-shuffle scoring pass (title + body tf in one
+    tokenize), per-batch local top-k prune, k-rows-per-batch global
+    sort+limit — the bm25_topk shape."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    terms = FIELDED_TERMS
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        ids, scores = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            ws = text.split()
+            title = ws[:1]
+            sc = 0
+            for t in terms:
+                sc += FIELDED_TITLE_WEIGHT * title.count(t) + ws.count(t)
+            if sc > 0:
+                ids.append(int(doc_id))
+                scores.append(sc)
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "score": pd.Series(scores, dtype="int64"),
+            }
+        )
+        if len(out) > FIELDED_K:  # local prune: ≤ k rows leave the batch
+            out = out.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(FIELDED_K)
+        return out
+
+    return (
+        ds.map_batches(score, batch_format="pandas", batch_size=8192)
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(FIELDED_K)
+    )
+
+
+def _fielded_sql() -> str:
+    tw = trim_ws_sql("text")
+    inlist = ", ".join(f"'{t}'" for t in FIELDED_TERMS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         unnest(range(1, len(arr) + 1)) AS pos
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN pos = 1 THEN {FIELDED_TITLE_WEIGHT} + 1 ELSE 1 END) AS score
+  FROM u WHERE term IN ({inlist})
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM s ORDER BY score DESC, doc_id ASC LIMIT {FIELDED_K}
+"""
+
+
+FIELDED_SEARCH_SQL = _fielded_sql()
