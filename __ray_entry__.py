@@ -219,6 +219,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).ppr_documents,
         "two_hop_reach_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).two_hop_reach_documents,
         "fielded_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).fielded_search_documents,
+        # wave-21: oracle-checked MEDIA carriers (PNG dims/pixels, WAV
+        # duration, quarantine contract) + exact DAU
+        "image_dims_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).image_dims_documents,
+        "wav_duration_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).wav_duration_documents,
+        "media_quarantine_stats": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_quarantine_stats,
+        "events_daily_active_users": windows.events_daily_active_users,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -640,6 +646,10 @@ def oracle_sql() -> dict[str, str]:
         "ppr_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).PPR_SQL,
         "two_hop_reach_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).TWO_HOP_REACH_SQL,
         "fielded_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).FIELDED_SEARCH_SQL,
+        "image_dims_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).IMAGE_DIMS_SQL,
+        "wav_duration_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).WAV_DURATION_SQL,
+        "media_quarantine_stats": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).MEDIA_QUARANTINE_SQL,
+        "events_daily_active_users": windows.EVENTS_DAU_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

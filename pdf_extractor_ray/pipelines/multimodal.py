@@ -1103,3 +1103,191 @@ def media_transform_pipeline(media: ray.data.Dataset, concurrency=(1, 4)) -> ray
         max_restarts=0,  # spurious ctor-arg restart error otherwise (ray#53727)
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked media carriers (the media family's first SQL-pinned ops)
+# ---------------------------------------------------------------------------
+
+
+def image_dims_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked IMAGE decode: per doc, a REAL PNG (encoded by
+    :func:`encode_png`, scanline fill ``(d + y) % 251`` so every row's
+    unfilter is live) decoded by the REAL decoder →
+    ``(doc_id, width, height, px_sum)`` with width = 4 + d%13,
+    height = 3 + d%7 and px_sum the exact integer pixel total. The
+    media family's first SQL-pinned operator: signature walk, IHDR
+    parse, zlib inflate, per-scanline unfilter and pixel arithmetic
+    all have to agree with pure doc_id arithmetic for the hash to
+    match. Zero shuffle; small batches (binary payloads)."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            y = np.arange(h, dtype=np.int64).reshape(h, 1)
+            px = np.broadcast_to((d + y) % 251, (h, w)).astype(np.uint8)
+            payloads.append(encode_png(px))
+        out = b[["doc_id"]].copy()
+        out["png"] = payloads
+        return out
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ws, hs, sums = [], [], [], []
+        for doc_id, payload in zip(b["doc_id"], b["png"]):
+            px, _ = _png_decode_pixels(bytes(payload))
+            ids.append(int(doc_id))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            sums.append(int(px.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=256).map_batches(
+        decode, batch_format="pandas", batch_size=64
+    )
+
+
+IMAGE_DIMS_SQL = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+),
+s AS (
+  SELECT doc_id, w, h, SUM(w * ((doc_id + y) % 251)) AS px_sum
+  FROM g, unnest(range(0, h)) AS r(y)
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum
+FROM s
+"""
+
+
+def wav_duration_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked AUDIO decode: per doc, a REAL RIFF/WAV PCM16 clip
+    (:func:`make_wav`, ``n = 100 + d % 500`` samples @ 16 kHz) decoded
+    by the REAL stdlib-wave path → ``(doc_id, n_samples,
+    duration_ms = n·1000 // rate)``. Pins the RIFF header walk and
+    frame count against pure arithmetic. Zero shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["wav"] = [make_wav(int(d), 100 + int(d) % 500) for d in b["doc_id"]]
+        return out
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, ms = [], [], []
+        for doc_id, payload in zip(b["doc_id"], b["wav"]):
+            info = decode_wav(bytes(payload))
+            ids.append(int(doc_id))
+            ns.append(info["n_samples"])
+            ms.append(info["n_samples"] * 1000 // info["sample_rate"])
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "duration_ms": pd.Series(ms, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=512).map_batches(
+        decode, batch_format="pandas", batch_size=128
+    )
+
+
+WAV_DURATION_SQL = """
+SELECT doc_id,
+       CAST(100 + doc_id % 500 AS BIGINT) AS n_samples,
+       CAST((100 + doc_id % 500) * 1000 // 16000 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+
+def media_quarantine_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked QUARANTINE contract: a planted mix — good PNGs,
+    TRUNCATED PNGs (``d % 6 == 1``: payload cut mid-IDAT), and
+    NUL-magic garbage (``d % 6 == 3``) — through the real decode path
+    → ``(media_type, status, n)``. The driver-shaped proof that
+    malformed payloads land in quarantine instead of crashing the
+    stage (the flagship's contract, media-side). Per-batch count
+    partials, one tiny (type,status) exchange."""
+    import os
+
+    import ray.data
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        payloads, types = [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            good = encode_png(np.full((4, 5), d % 200, np.uint8))
+            if d % 6 == 1:
+                payloads.append(good[: len(good) // 2])  # truncated mid-stream
+            elif d % 6 == 3:
+                payloads.append(b"\x00\x01GARBAGE" + bytes([d % 251]))
+            else:
+                payloads.append(good)
+            types.append("image")
+        out = b[["doc_id"]].copy()
+        out["media_type"] = pd.Series(types, dtype="object")
+        out["payload"] = payloads
+        return out
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        stats: dict[tuple[str, str], int] = {}
+        for mt, payload in zip(b["media_type"], b["payload"]):
+            try:
+                _png_decode_pixels(bytes(payload))
+                status = "ok"
+            except ValueError:
+                status = "quarantined"
+            stats[(mt, status)] = stats.get((mt, status), 0) + 1
+        return pd.DataFrame(
+            {
+                "media_type": pd.Series([k[0] for k in stats], dtype="object"),
+                "status": pd.Series([k[1] for k in stats], dtype="object"),
+                "n": pd.Series(list(stats.values()), dtype="int64"),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(build, batch_format="pandas", batch_size=512).map_batches(
+            classify, batch_format="pandas", batch_size=128
+        ),
+        ["media_type", "status"],
+        ["n"],
+    )
+
+
+MEDIA_QUARANTINE_SQL = """
+SELECT 'image' AS media_type,
+       CASE WHEN doc_id % 6 IN (1, 3) THEN 'quarantined' ELSE 'ok' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 2
+"""

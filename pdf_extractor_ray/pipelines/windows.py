@@ -500,3 +500,50 @@ SELECT prev_type AS from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) A
 FROM d WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily active users (the canonical engagement distinct-count)
+# ---------------------------------------------------------------------------
+
+
+def events_daily_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact DAU: distinct users per calendar day — ``(day, dau)``.
+    The canonical engagement metric, and the exact twin of the HLL
+    approx-distinct family: per-batch (day, user) dedup partials →
+    ONE distinct exchange → per-day count fold (the distinct count's
+    exchange carries unique pairs, never raw events)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(b["ts"]).dt.strftime("%Y-%m-%d")
+        out = pd.DataFrame(
+            {"day": day.astype(object), "user_id": b["user_id"].to_numpy(np.int64)}
+        )
+        return out.drop_duplicates()
+
+    pairs = distinct(ds.map_batches(keyed, batch_format="pandas"), ["day", "user_id"])
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": b["day"].astype(object), "dau": np.ones(len(b), np.int64)}
+        )
+
+    return grouped_sum(pairs.map_batches(ones, batch_format="pandas"), ["day"], ["dau"])
+
+
+EVENTS_DAU_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1
+"""
