@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_duration_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).wav_duration_documents,
         "media_quarantine_stats": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_quarantine_stats,
         "events_daily_active_users": windows.events_daily_active_users,
+        # wave-22: media format matrix (GIF/BMP/JPEG/video), thumbnail
+        # decode-transform-encode round-trip
+        "media_format_matrix_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_format_matrix_documents,
+        "thumbnail_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).thumbnail_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -650,6 +654,8 @@ def oracle_sql() -> dict[str, str]:
         "wav_duration_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).WAV_DURATION_SQL,
         "media_quarantine_stats": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).MEDIA_QUARANTINE_SQL,
         "events_daily_active_users": windows.EVENTS_DAU_SQL,
+        "media_format_matrix_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).MEDIA_FORMAT_MATRIX_SQL,
+        "thumbnail_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).THUMBNAIL_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -1291,3 +1291,191 @@ SELECT 'image' AS media_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM documents GROUP BY 2
 """
+
+
+def media_format_matrix_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked FORMAT MATRIX: one payload per doc, format by
+    ``d % 4`` — GIF (flat color, interlaced every 8th id: same pixels,
+    different wire layout), BMP (row-varying fill on odd widths: the
+    stride-padding path), baseline JPEG (flat 200 — the value class
+    the DCT round-trips exactly, dims-pinned), VID1 video (frame bytes
+    summed exactly) — each through its REAL decoder →
+    ``(doc_id, fmt, width, height, px_sum)``. One query pins the GIF
+    LZW walk, BMP bottom-up/padding, JPEG marker walk and the video
+    framing against pure arithmetic. Zero shuffle, small batches."""
+    import os
+    import struct as _struct
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        payloads, fmts = [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 3 + d % 11, 2 + d % 5
+            if d % 4 == 0:
+                px = np.full((h, w, 3), d % 200, np.uint8)
+                payloads.append(encode_gif(px, interlace=bool(d % 8 == 0)))
+                fmts.append("gif")
+            elif d % 4 == 1:
+                y = np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+                px = np.broadcast_to((d + y) % 256, (h, w, 3)).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+                fmts.append("bmp")
+            elif d % 4 == 2:
+                from pdf_extractor_ray.kernels.jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(np.full((h, w), 200, np.uint8)))
+                fmts.append("jpeg")
+            else:
+                n = 1 + d % 4
+                frames = np.full(n * w * h, d % 256, np.uint8)
+                payloads.append(
+                    b"VID1" + _struct.pack(">III", n, w, h) + frames.tobytes()
+                )
+                fmts.append("video")
+        out = b[["doc_id"]].copy()
+        out["fmt"] = pd.Series(fmts, dtype="object")
+        out["payload"] = payloads
+        return out
+
+    def decode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, fmts, ws, hs, sums = [], [], [], [], []
+        for doc_id, fmt, payload in zip(b["doc_id"], b["fmt"], b["payload"]):
+            payload = bytes(payload)
+            if fmt == "gif":
+                px = _gif_decode_pixels(payload)
+                w, h, s = px.shape[1], px.shape[0], int(px.astype(np.int64).sum())
+            elif fmt == "bmp":
+                px = _bmp_decode_pixels(payload)
+                w, h, s = px.shape[1], px.shape[0], int(px.astype(np.int64).sum())
+            elif fmt == "jpeg":
+                from pdf_extractor_ray.kernels.jpeg import decode_jpeg
+
+                px = decode_jpeg(payload)
+                w, h, s = px.shape[1], px.shape[0], int(px.astype(np.int64).sum())
+            else:
+                info = decode_video(payload)  # validates the framing
+                w, h = info["width"], info["height"]
+                s = int(
+                    np.frombuffer(payload, np.uint8, offset=16).astype(np.int64).sum()
+                )
+            ids.append(int(doc_id))
+            fmts.append(fmt)
+            ws.append(w)
+            hs.append(h)
+            sums.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "fmt": pd.Series(fmts, dtype="object"),
+                "width": pd.Series(ws, dtype="int64"),
+                "height": pd.Series(hs, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=256).map_batches(
+        decode, batch_format="pandas", batch_size=64
+    )
+
+
+MEDIA_FORMAT_MATRIX_SQL = """
+WITH g AS (
+  SELECT doc_id, doc_id % 4 AS f, 3 + doc_id % 11 AS w, 2 + doc_id % 5 AS h
+  FROM documents
+),
+v AS (
+  SELECT doc_id, f, w, h,
+         CASE
+           WHEN f = 0 THEN w * h * 3 * (doc_id % 200)
+           WHEN f = 1 THEN (SELECT SUM(3 * w * ((doc_id + y) % 256))
+                            FROM unnest(range(0, h)) AS r(y))
+           WHEN f = 2 THEN w * h * 200
+           ELSE (1 + doc_id % 4) * w * h * (doc_id % 256)
+         END AS px_sum
+  FROM g
+)
+SELECT doc_id,
+       CASE f WHEN 0 THEN 'gif' WHEN 1 THEN 'bmp' WHEN 2 THEN 'jpeg' ELSE 'video' END AS fmt,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum
+FROM v
+"""
+
+
+def thumbnail_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked RESIZE transform: the deterministic PNG carrier
+    decoded, nearest-neighbor downsampled 2× (keep pixels at even
+    (y, x) — the standard decimation grid), RE-ENCODED as PNG and
+    re-decoded → ``(doc_id, thumb_w, thumb_h, px_sum)``. The full
+    decode → transform → encode → decode round-trip in one query, all
+    arithmetic-replayable (thumb pixel (y,x) = (d + 2y) % 251). Zero
+    shuffle; the stage shape a real thumbnail service runs in the
+    media actor pool."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            y = np.arange(h, dtype=np.int64).reshape(h, 1)
+            px = np.broadcast_to((d + y) % 251, (h, w)).astype(np.uint8)
+            payloads.append(encode_png(px))
+        out = b[["doc_id"]].copy()
+        out["png"] = payloads
+        return out
+
+    def thumb(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ws, hs, sums = [], [], [], []
+        for doc_id, payload in zip(b["doc_id"], b["png"]):
+            px, _ = _png_decode_pixels(bytes(payload))
+            small = px[::2, ::2]  # nearest-neighbor 2× decimation
+            reenc = encode_png(small.reshape(small.shape[0], small.shape[1]))
+            out, _ = _png_decode_pixels(reenc)
+            ids.append(int(doc_id))
+            hs.append(out.shape[0])
+            ws.append(out.shape[1])
+            sums.append(int(out.astype(np.int64).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "thumb_w": pd.Series(ws, dtype="int64"),
+                "thumb_h": pd.Series(hs, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=256).map_batches(
+        thumb, batch_format="pandas", batch_size=64
+    )
+
+
+THUMBNAIL_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         (4 + doc_id % 13 + 1) // 2 AS tw,
+         (3 + doc_id % 7 + 1) // 2 AS th
+  FROM documents
+),
+s AS (
+  SELECT doc_id, tw, th,
+         SUM(tw * ((doc_id + 2 * y) % 251)) AS px_sum
+  FROM g, unnest(range(0, th)) AS r(y)
+  GROUP BY doc_id, tw, th
+)
+SELECT doc_id, CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
+       CAST(px_sum AS BIGINT) AS px_sum
+FROM s
+"""

@@ -97,3 +97,55 @@ class TestDailyActiveUsers:
         ev["day"] = pd.to_datetime(ev["ts"]).dt.strftime("%Y-%m-%d")
         want = ev.groupby("day")["user_id"].nunique().to_dict()
         assert got == want
+
+
+class TestMediaFormatMatrix:
+    def test_all_formats_present_and_pinned(self):
+        from pdf_extractor_ray.pipelines.multimodal import (
+            media_format_matrix_documents,
+        )
+
+        got = media_format_matrix_documents(SF_DIR).to_pandas().set_index("doc_id")
+        d = got.index.to_numpy(np.int64)
+        assert set(got["fmt"]) == {"gif", "bmp", "jpeg", "video"}
+        assert (got["width"].to_numpy() == 3 + d % 11).all()
+        assert (got["height"].to_numpy() == 2 + d % 5).all()
+        # spot-check one of each format's exact sum
+        for doc_id, row in got.head(40).iterrows():
+            w, h = 3 + doc_id % 11, 2 + doc_id % 5
+            if row["fmt"] == "gif":
+                want = w * h * 3 * (doc_id % 200)
+            elif row["fmt"] == "bmp":
+                want = sum(3 * w * ((doc_id + y) % 256) for y in range(h))
+            elif row["fmt"] == "jpeg":
+                want = w * h * 200
+            else:
+                want = (1 + doc_id % 4) * w * h * (doc_id % 256)
+            assert row["px_sum"] == want, (doc_id, row["fmt"])
+
+    def test_interlaced_gif_same_pixels(self):
+        from pdf_extractor_ray.pipelines.multimodal import (
+            _gif_decode_pixels,
+            encode_gif,
+        )
+
+        px = np.full((6, 5, 3), 77, np.uint8)
+        px[0, 0] = (1, 2, 3)
+        a = _gif_decode_pixels(encode_gif(px, interlace=False))
+        b = _gif_decode_pixels(encode_gif(px, interlace=True))
+        assert (a == b).all()
+
+
+class TestThumbnail:
+    def test_round_trip_matches_decimation(self):
+        from pdf_extractor_ray.pipelines.multimodal import thumbnail_documents
+
+        got = thumbnail_documents(SF_DIR).to_pandas().set_index("doc_id")
+        d = got.index.to_numpy(np.int64)
+        assert (got["thumb_w"].to_numpy() == (4 + d % 13 + 1) // 2).all()
+        assert (got["thumb_h"].to_numpy() == (3 + d % 7 + 1) // 2).all()
+        for doc_id in got.index[:20]:
+            tw = (4 + doc_id % 13 + 1) // 2
+            th = (3 + doc_id % 7 + 1) // 2
+            want = sum(tw * ((doc_id + 2 * y) % 251) for y in range(th))
+            assert got.loc[doc_id, "px_sum"] == want
