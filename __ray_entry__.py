@@ -229,6 +229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decode-transform-encode round-trip
         "media_format_matrix_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).media_format_matrix_documents,
         "thumbnail_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).thumbnail_documents,
+        # wave-23: TPC-H q4/q14/q17/q18 shapes
+        "q4_late_orders": analytics.q4_late_orders,
+        "q14_promo_share": analytics.q14_promo_share,
+        "q17_small_quantity": analytics.q17_small_quantity,
+        "q18_large_orders": analytics.q18_large_orders,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -656,6 +661,10 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_active_users": windows.EVENTS_DAU_SQL,
         "media_format_matrix_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).MEDIA_FORMAT_MATRIX_SQL,
         "thumbnail_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).THUMBNAIL_SQL,
+        "q4_late_orders": analytics.Q4_SQL,
+        "q14_promo_share": analytics.Q14_SQL,
+        "q17_small_quantity": analytics.Q17_SQL,
+        "q18_large_orders": analytics.Q18_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from pdf_extractor_ray.functions.exact import cents_np
+from pdf_extractor_ray.functions.exact import CENTS_SQL, cents_np
 from pdf_extractor_ray.joins import adaptive_inner_join, broadcast_map, semi_join
 from pdf_extractor_ray.ops import distinct, grouped_sum
 
@@ -886,3 +886,304 @@ def events_value_p95_hist(sf_dir: str) -> ray.data.Dataset:
         out_col="p95_value_cents",
         num_buckets=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-shape: orders with any LATE lineitem, counted by priority
+# ---------------------------------------------------------------------------
+
+Q4_LATE_DAYS = 90
+
+
+def q4_late_orders(sf_dir: str) -> ray.data.Dataset:
+    """Orders with AT LEAST ONE late lineitem (shipped more than
+    :data:`Q4_LATE_DAYS` days after the order date), counted by order
+    priority — TPC-H Q4's EXISTS shape re-keyed to the columns this
+    corpus carries (no commit/receipt dates; ship-vs-order lateness is
+    the same existential semi-join pattern).
+
+    Scale shape: one adaptive join attaches (o_orderdate, priority) to
+    lineitems, a vectorized lateness filter, per-batch (orderkey,
+    priority) dedup partials → ONE distinct exchange (EXISTS = distinct
+    per order, so a 1000-line order contributes one row), then a tiny
+    priority count fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    li = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = adaptive_inner_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def late(b: pd.DataFrame) -> pd.DataFrame:
+        ship = pd.to_datetime(b["l_shipdate"]).to_numpy("datetime64[us]").astype(np.int64)
+        odate = pd.to_datetime(b["o_orderdate"]).to_numpy("datetime64[us]").astype(np.int64)
+        m = ship - odate > Q4_LATE_DAYS * 86_400_000_000
+        sel = b[m]
+        return pd.DataFrame(
+            {
+                "l_orderkey": sel["l_orderkey"].to_numpy(np.int64),
+                "o_orderpriority": sel["o_orderpriority"].astype(object),
+            }
+        ).drop_duplicates()
+
+    pairs = distinct(
+        joined.map_batches(late, batch_format="pandas", batch_size=65536),
+        ["l_orderkey", "o_orderpriority"],
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].astype(object),
+                "n_orders": np.ones(len(b), np.int64),
+            }
+        )
+
+    return grouped_sum(pairs.map_batches(ones, batch_format="pandas"), ["o_orderpriority"], ["n_orders"])
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-shape: promo revenue share (exact integer milli)
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_share(sf_dir: str) -> ray.data.Dataset:
+    """Promotion revenue share: revenue from PROMO-type parts vs total,
+    as an exact integer ``promo_milli = 1000·promo_cents //
+    total_cents`` — TPC-H Q14 with the percentage kept integral. One
+    adaptive join attaches p_type (the part side is small and
+    broadcasts under the byte gate), revenue in cents partials, a
+    single global fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    part = ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    joined = adaptive_inner_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()))
+        promo = (b["p_type"] == "PROMO").to_numpy()
+        return pd.DataFrame(
+            {
+                "one": [1],
+                "promo_revenue_cents": [int(rev[promo].sum())],
+                "total_revenue_cents": [int(rev.sum())],
+            }
+        )
+
+    out = grouped_sum(
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["one"],
+        ["promo_revenue_cents", "total_revenue_cents"],
+        num_buckets=1,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop(columns=["one"]).copy()
+        b["promo_milli"] = (
+            1000 * b["promo_revenue_cents"].to_numpy(np.int64)
+        ) // b["total_revenue_cents"].to_numpy(np.int64)
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+Q14_SQL = f"""
+WITH r AS (
+  SELECT {CENTS_SQL.format(expr='l_extendedprice * (1 - l_discount)')} AS cents,
+         p_type = 'PROMO' AS promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT CAST(SUM(CASE WHEN promo THEN cents ELSE 0 END) AS BIGINT) AS promo_revenue_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_revenue_cents,
+       CAST((1000 * SUM(CASE WHEN promo THEN cents ELSE 0 END)) // SUM(cents) AS BIGINT)
+           AS promo_milli
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17-shape: small-quantity revenue for one brand (correlated avg)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#13"
+
+
+def q17_small_quantity(sf_dir: str) -> ray.data.Dataset:
+    """Revenue locked in SMALL orders of one brand's parts: lineitems
+    whose quantity is below 20% of that part's average quantity —
+    TPC-H Q17's correlated-average shape with the fraction kept exact
+    by cross-multiplication: ``qty < 0.2·(sum/cnt)`` ⇔
+    ``5·qty_c·cnt < sum_c`` in cents integers (no division, no
+    floats). Output one row: ``(n_items, price_cents)``.
+
+    Scale shape: per-part (sum, cnt) partials → ONE partkey exchange →
+    adaptive join back onto the brand-filtered lineitems → global
+    fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join, semi_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    part = ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+
+    def brand_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["p_brand"] == Q17_BRAND, ["p_partkey"]]
+
+    keys = part.map_batches(brand_keys, batch_format="pandas")
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    li_brand = semi_join(li, keys, "l_partkey", right_on="p_partkey")
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"].to_numpy(np.int64),
+                "sum_qc": cents_np(b["l_quantity"].to_numpy()),
+                "cnt": np.ones(len(b), np.int64),
+            }
+        )
+
+    per_part = grouped_sum(
+        li_brand.map_batches(stats, batch_format="pandas", batch_size=65536),
+        ["l_partkey"],
+        ["sum_qc", "cnt"],
+    )
+    joined = adaptive_inner_join(li_brand, per_part, on="l_partkey")
+
+    def small(b: pd.DataFrame) -> pd.DataFrame:
+        qc = cents_np(b["l_quantity"].to_numpy())
+        m = 5 * qc * b["cnt"].to_numpy(np.int64) < b["sum_qc"].to_numpy(np.int64)
+        sel = b[m]
+        return pd.DataFrame(
+            {
+                "one": [1],
+                "n_items": [int(m.sum())],
+                "price_cents": [int(cents_np(sel["l_extendedprice"].to_numpy()).sum())],
+            }
+        )
+
+    return grouped_sum(
+        joined.map_batches(small, batch_format="pandas", batch_size=65536),
+        ["one"],
+        ["n_items", "price_cents"],
+        num_buckets=1,
+    ).map_batches(lambda b: b.drop(columns=["one"]), batch_format="pandas")
+
+
+Q17_SQL = f"""
+WITH b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+),
+a AS (
+  SELECT l_partkey,
+         SUM({CENTS_SQL.format(expr='l_quantity')}) AS sum_qc,
+         COUNT(*) AS cnt
+  FROM b GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM({CENTS_SQL.format(expr='b.l_extendedprice')}), 0) AS BIGINT) AS price_cents
+FROM b JOIN a USING (l_partkey)
+WHERE 5 * {CENTS_SQL.format(expr='b.l_quantity')} * a.cnt < a.sum_qc
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shape: large-volume orders, top-k
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 100  # total units per order
+Q18_TOP_K = 100
+
+
+def q18_large_orders(sf_dir: str) -> ray.data.Dataset:
+    """Large-volume orders: orders whose total lineitem quantity
+    reaches :data:`Q18_MIN_QTY` units, joined to their customer, top
+    :data:`Q18_TOP_K` by (o_totalprice DESC, o_orderkey ASC) — TPC-H
+    Q18's having-sum + top-k shape. Quantities fold in cents integers.
+
+    Scale shape: per-order quantity partials → ONE orderkey exchange →
+    threshold filter (order-bounded rows) → two adaptive joins
+    (orders, customer — both shrink after the filter) → k-bounded
+    sort+limit."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    li = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "sum_qty_c": cents_np(b["l_quantity"].to_numpy()),
+            }
+        )
+
+    per_order = grouped_sum(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"],
+        ["sum_qty_c"],
+    )
+
+    def big(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["sum_qty_c"] >= Q18_MIN_QTY * 100]
+
+    big_orders = per_order.map_batches(big, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    j1 = adaptive_inner_join(big_orders, orders, on="l_orderkey", right_on="o_orderkey")
+    j2 = adaptive_inner_join(j1, cust, on="o_custkey", right_on="c_custkey")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "c_custkey": b["o_custkey"].to_numpy(np.int64),
+                "c_name": b["c_name"].astype(object),
+                "sum_qty_c": b["sum_qty_c"].to_numpy(np.int64),
+                "price_cents": cents_np(b["o_totalprice"].to_numpy()),
+            }
+        )
+
+    return (
+        j2.map_batches(project, batch_format="pandas")
+        .sort(["price_cents", "o_orderkey"], descending=[True, False])
+        .limit(Q18_TOP_K)
+    )
+
+
+Q18_SQL = f"""
+WITH q AS (
+  SELECT l_orderkey, SUM({CENTS_SQL.format(expr='l_quantity')}) AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM({CENTS_SQL.format(expr='l_quantity')}) >= {Q18_MIN_QTY} * 100
+)
+SELECT o_orderkey, c_custkey, c_name,
+       CAST(sum_qty_c AS BIGINT) AS sum_qty_c,
+       {CENTS_SQL.format(expr='o_totalprice')} AS price_cents
+FROM q
+JOIN orders ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT {Q18_TOP_K}
+"""
