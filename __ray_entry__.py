@@ -234,6 +234,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": analytics.q14_promo_share,
         "q17_small_quantity": analytics.q17_small_quantity,
         "q18_large_orders": analytics.q18_large_orders,
+        # wave-24: TPC-H q7/q15/q19/q22 shapes
+        "q7_nation_volume": analytics.q7_nation_volume,
+        "q15_top_supplier": analytics.q15_top_supplier,
+        "q19_disjunctive": analytics.q19_disjunctive,
+        "q22_prospects": analytics.q22_prospects,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -665,6 +670,10 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": analytics.Q14_SQL,
         "q17_small_quantity": analytics.Q17_SQL,
         "q18_large_orders": analytics.Q18_SQL,
+        "q7_nation_volume": analytics.Q7_SQL,
+        "q15_top_supplier": analytics.Q15_SQL,
+        "q19_disjunctive": analytics.Q19_SQL,
+        "q22_prospects": analytics.Q22_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -1187,3 +1187,295 @@ JOIN customer ON c_custkey = o_custkey
 ORDER BY price_cents DESC, o_orderkey ASC
 LIMIT {Q18_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7-shape: cross-nation shipping volume by year
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """Shipping volume between (supplier nation → customer nation)
+    pairs per ship year — TPC-H Q7's two-sided nation join without the
+    nation-pair restriction (all pairs kept; the corpus is small-
+    dimensional). Revenue in exact cents.
+
+    Scale shape: lineitem joins suppliers (small side broadcasts under
+    the byte gate) and orders→customers (order keys exchange when big);
+    nation names attach from the 25-row dimension; the final fold is
+    (nation, nation, year)-bounded."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supp = ray.data.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    import pyarrow.parquet as _pqt
+
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = _pqt.read_table(_pq(sf_dir, "nation")).to_pandas()
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    j = adaptive_inner_join(li, supp, on="l_suppkey", right_on="s_suppkey")
+    j = adaptive_inner_join(j, orders, on="l_orderkey", right_on="o_orderkey")
+    j = adaptive_inner_join(j, cust, on="o_custkey", right_on="c_custkey")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        year = pd.to_datetime(b["l_shipdate"]).dt.year.to_numpy(np.int64)
+        rev = cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "supp_nation": b["s_nationkey"].map(names).astype(object),
+                "cust_nation": b["c_nationkey"].map(names).astype(object),
+                "l_year": year,
+                "revenue_cents": rev,
+            }
+        )
+
+    return grouped_sum(
+        j.map_batches(fold, batch_format="pandas", batch_size=65536),
+        ["supp_nation", "cust_nation", "l_year"],
+        ["revenue_cents"],
+    )
+
+
+Q7_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({CENTS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+           AS revenue_cents
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15-shape: top supplier(s) by revenue (argmax with ties)
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(sf_dir: str) -> ray.data.Dataset:
+    """The supplier(s) with the MAXIMUM total revenue — TPC-H Q15's
+    revenue-view + max shape, ties all kept (the reason Q15 is a view
+    + equality, not a LIMIT 1). Exact cents.
+
+    Scale shape: per-supplier revenue partials → one suppkey exchange;
+    the max is read off the supplier-bounded result and the equality
+    filter runs over the same table — no second corpus pass."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "revenue_cents": cents_np(
+                    b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    per_supp = grouped_sum(
+        li.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["l_suppkey"],
+        ["revenue_cents"],
+    ).materialize()
+    best = max(r["revenue_cents"] for r in per_supp.take_all())  # supplier-bounded
+
+    def winners(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["revenue_cents"] == best]
+
+    supp = ray.data.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    out = adaptive_inner_join(
+        per_supp.map_batches(winners, batch_format="pandas"), supp,
+        on="l_suppkey", right_on="s_suppkey",
+    )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "s_name": b["s_name"].astype(object),
+                "revenue_cents": b["revenue_cents"].to_numpy(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+Q15_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(SUM({CENTS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+             AS revenue_cents
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, revenue_cents
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE revenue_cents = (SELECT MAX(revenue_cents) FROM r)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-shape: disjunctive predicate revenue
+# ---------------------------------------------------------------------------
+
+
+def q19_disjunctive(sf_dir: str) -> ray.data.Dataset:
+    """Revenue under DISJUNCTIVE brand × quantity-band predicates —
+    TPC-H Q19's OR-of-ANDs shape: (Brand#13, 1 ≤ qty ≤ 11) OR
+    (Brand#22, 10 ≤ qty ≤ 20) OR (Brand#25, 20 ≤ qty ≤ 30). One
+    adaptive join attaches p_brand, the predicate evaluates vectorized
+    per batch (a planner cannot push a disjunction to one side — the
+    point of Q19), one global cents fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = ray.data.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    j = adaptive_inner_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        q = b["l_quantity"].to_numpy()
+        br = b["p_brand"].to_numpy()
+        m = (
+            ((br == "Brand#13") & (q >= 1) & (q <= 11))
+            | ((br == "Brand#22") & (q >= 10) & (q <= 20))
+            | ((br == "Brand#25") & (q >= 20) & (q <= 30))
+        )
+        sel = b[m]
+        rev = cents_np(sel["l_extendedprice"].to_numpy() * (1.0 - sel["l_discount"].to_numpy()))
+        return pd.DataFrame(
+            {"one": [1], "n_items": [int(m.sum())], "revenue_cents": [int(rev.sum())]}
+        )
+
+    return grouped_sum(
+        j.map_batches(fold, batch_format="pandas", batch_size=65536),
+        ["one"],
+        ["n_items", "revenue_cents"],
+        num_buckets=1,
+    ).map_batches(lambda b: b.drop(columns=["one"]), batch_format="pandas")
+
+
+Q19_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COALESCE(SUM({CENTS_SQL.format(expr='l_extendedprice * (1 - l_discount)')}), 0) AS BIGINT)
+           AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-shape: prospects (above-average balance, never ordered)
+# ---------------------------------------------------------------------------
+
+
+Q22_BIG_ORDER = 400_000  # shared with customers_without_big_orders
+
+
+def q22_prospects(sf_dir: str) -> ray.data.Dataset:
+    """Prospect customers: account balance above the positive-balance
+    AVERAGE and no BIG order (> :data:`Q22_BIG_ORDER` — every customer
+    on this corpus has SOME order, so TPC-H Q22's literal never-ordered
+    form is degenerate; the big-order variant keeps the exact shape:
+    global exact average + anti-join). The average is kept exact by
+    cross-multiplication (``acct_c · n > sum_c``; no float division).
+    Output per nation: ``(c_nationkey, n_prospects, acctbal_cents)``.
+
+    Scale shape: the (sum, n) of positive balances folds in one
+    1-row exchange; the no-big-order test is ONE adaptive anti-join
+    against the filtered order custkeys; the nation fold is
+    dimension-bounded."""
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    cust = ray.data.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def pos_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = cents_np(b["c_acctbal"].to_numpy())
+        pos = c > 0
+        return pd.DataFrame({"one": [1], "sum_c": [int(c[pos].sum())], "n": [int(pos.sum())]})
+
+    stats = grouped_sum(
+        cust.map_batches(pos_partial, batch_format="pandas", batch_size=65536),
+        ["one"],
+        ["sum_c", "n"],
+        num_buckets=1,
+    ).to_pandas()
+    sum_c, n = int(stats["sum_c"][0]), int(stats["n"][0])
+
+    def rich(b: pd.DataFrame) -> pd.DataFrame:
+        c = cents_np(b["c_acctbal"].to_numpy())
+        sel = b[c * n > sum_c]
+        out = sel[["c_custkey", "c_nationkey"]].copy()
+        out["acct_c"] = cents_np(sel["c_acctbal"].to_numpy())
+        return out
+
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["o_totalprice"].to_numpy() > Q22_BIG_ORDER, ["o_custkey"]]
+
+    prospects = semi_join(
+        cust.map_batches(rich, batch_format="pandas"),
+        orders.map_batches(big_keys, batch_format="pandas"),
+        "c_custkey", right_on="o_custkey", keep=False,
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+                "n_prospects": np.ones(len(b), np.int64),
+                "acctbal_cents": b["acct_c"].to_numpy(np.int64),
+            }
+        )
+
+    return grouped_sum(
+        prospects.map_batches(fold, batch_format="pandas"),
+        ["c_nationkey"],
+        ["n_prospects", "acctbal_cents"],
+    )
+
+
+Q22_SQL = f"""
+WITH pos AS (
+  SELECT SUM({CENTS_SQL.format(expr='c_acctbal')}) AS sum_c, COUNT(*) AS n
+  FROM customer WHERE {CENTS_SQL.format(expr='c_acctbal')} > 0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, {CENTS_SQL.format(expr='c_acctbal')} AS acct_c
+  FROM customer, pos
+  WHERE {CENTS_SQL.format(expr='c_acctbal')} * pos.n > pos.sum_c
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_prospects,
+       CAST(SUM(acct_c) AS BIGINT) AS acctbal_cents
+FROM rich
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > {Q22_BIG_ORDER}
+)
+GROUP BY c_nationkey
+"""
