@@ -239,6 +239,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": analytics.q15_top_supplier,
         "q19_disjunctive": analytics.q19_disjunctive,
         "q22_prospects": analytics.q22_prospects,
+        # wave-25: entity harvest, DOM template mining, schema-evolution
+        # ingestion, day-over-day delta
+        "entity_counts_documents": textops.entity_counts_documents,
+        "dom_template_paths": webdocs.dom_template_paths,
+        "schema_evolution_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).schema_evolution_documents,
+        "events_daily_delta": windows.events_daily_delta,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -674,6 +680,10 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": analytics.Q15_SQL,
         "q19_disjunctive": analytics.Q19_SQL,
         "q22_prospects": analytics.Q22_SQL,
+        "entity_counts_documents": textops.ENTITY_COUNTS_SQL,
+        "dom_template_paths": webdocs.DOM_TEMPLATE_PATHS_SQL,
+        "schema_evolution_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).SCHEMA_EVOLUTION_SQL,
+        "events_daily_delta": windows.EVENTS_DAILY_DELTA_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

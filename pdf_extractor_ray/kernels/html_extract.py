@@ -1613,3 +1613,42 @@ def html_dom_stats(raw: bytes) -> dict:
             cm = _RAWTEXT_CLOSE[tag].search(html, pos)
             pos = cm.start() if cm else n
     return {"n_nodes": n_nodes, "max_depth": max_depth, "n_p": n_p, "n_a": n_a}
+
+
+def html_tag_paths(raw: bytes) -> list[str]:
+    """Root-to-element TAG PATHS (one per element open, ``a>b>c``
+    form, non-void elements only — voids cannot contain content) via
+    the shared tokenizer with the same rawtext/stray-close recovery as
+    :func:`html_dom_stats`. The DOM-path frequency table over a host
+    is the classic template-mining signal (paths on every page =
+    boilerplate skeleton; page-unique paths = content structure) —
+    the structural complement of the text-side boilerplate-prefix
+    mining."""
+    html = _decode_page(raw)
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    stack: list[str] = []
+    out: list[str] = []
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if tag in stack:
+                while stack and stack.pop() != tag:
+                    pass
+            continue
+        if tag in VOID_TAGS or html[pos - 2 : pos] == "/>":
+            continue
+        stack.append(tag)
+        out.append(">".join(stack))
+        if tag in _RAWTEXT_CLOSE:
+            cm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = cm.start() if cm else n
+    return out

@@ -275,3 +275,74 @@ SELECT doc_id, lang, source, n_chars FROM snap
 WHERE NOT EXISTS (SELECT 1 FROM prior WHERE prior.text = snap.text)
 QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution-tolerant ingestion (mixed-generation parquet shards)
+# ---------------------------------------------------------------------------
+
+
+def schema_evolution_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Mixed-schema shard ingestion: the corpus re-serialized as two
+    parquet generations — a NEW shard (even ids: doc_id, lang, text)
+    and an OLD shard missing the ``lang`` column (odd ids) — read back
+    per shard, normalized to the unified schema (missing column filled
+    with ``''``), unioned → ``(doc_id, lang, n_chars)``. Every
+    long-lived crawl hits this (a year of shards spans schema
+    versions); reading them in ONE read_parquet call fails or silently
+    casts, so per-generation read + normalize + union IS the pattern.
+    Zero shuffle."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = pq.read_table(src, columns=["doc_id", "lang", "text"])
+    gen_dir = os.path.join(
+        "/tmp", f"pdfx_schema_gen_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(gen_dir, exist_ok=True)
+    ids = t.column("doc_id").to_numpy()
+    new_path = os.path.join(gen_dir, "gen2.parquet")
+    old_path = os.path.join(gen_dir, "gen1.parquet")
+    pq.write_table(t.filter(ids % 2 == 0), new_path)
+    pq.write_table(
+        t.filter(ids % 2 == 1).select(["doc_id", "text"]), old_path  # lang not yet invented
+    )
+
+    def normalize(has_lang: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].to_numpy(np.int64),
+                    "lang": (
+                        b["lang"].astype(object)
+                        if has_lang
+                        else pd.Series([""] * len(b), dtype="object")
+                    ),
+                    "n_chars": pd.Series(
+                        [len(x) for x in b["text"]], dtype="int64"
+                    ),
+                }
+            )
+
+        return fn
+
+    new_ds = ray.data.read_parquet(new_path).map_batches(
+        normalize(True), batch_format="pandas"
+    )
+    old_ds = ray.data.read_parquet(old_path).map_batches(
+        normalize(False), batch_format="pandas"
+    )
+    return new_ds.union(old_ds)
+
+
+SCHEMA_EVOLUTION_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN lang ELSE '' END AS lang,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+"""

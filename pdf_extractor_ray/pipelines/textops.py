@@ -3821,3 +3821,83 @@ FROM g GROUP BY n
 
 
 NGRAM_DIVERSITY_SQL = _ngram_diversity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Entity harvest (regex NER: the structured-signal extraction pass)
+# ---------------------------------------------------------------------------
+
+# RE2-safe (no lookarounds) so the oracle replays them exactly
+ENTITY_URL_PAT = r"https?://[^\s]+"
+ENTITY_YEAR_PAT = r"\b(19|20)[0-9]{2}\b"
+ENTITY_MONEY_PAT = r"\$[0-9]+(\.[0-9]{2})?"
+
+
+def derive_entity_texts(b: pd.DataFrame) -> pd.DataFrame:
+    """Augmented text per doc with arithmetic-planted entities: every
+    doc gains ``d % 3`` URLs, ``d % 4`` year mentions, and ``d % 5``
+    money amounts appended to its real text — plus decoys that must
+    NOT match (a bare ``2500`` outside year range is a valid year?
+    no — 2500 fails the (19|20)xx class; ``$x`` with no digits; an
+    ``ftp://`` scheme)."""
+    texts = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        extra = []
+        extra += [f"https://e{d}.example.org/{j}" for j in range(d % 3)]
+        extra += [f"in {1900 + (d + j) % 200}" for j in range(d % 4)]
+        extra += [f"${(d + j) % 100}.{d % 100:02d}" for j in range(d % 5)]
+        extra += ["year 2500", "$x", "ftp://not.a.match"]  # decoys
+        texts.append((text + " " + " ".join(extra)).strip())
+    out = b[["doc_id"]].copy()
+    out["aug"] = texts
+    return out
+
+
+def entity_counts_documents(sf_dir: str) -> ray.data.Dataset:
+    """Regex entity harvest: URL / year / money mention counts per doc
+    through compiled RE2-safe patterns — ``(doc_id, n_urls, n_years,
+    n_money)``. The structured-signal pass a metadata enricher runs
+    after extraction (link graphs from body URLs, recency priors from
+    year mentions, commerce classification from price mentions).
+    Planted decoys pin the pattern boundaries; the corpus' own text is
+    proven entity-free by the exact counts. Zero shuffle; patterns
+    compile once per worker closure."""
+    import re
+
+    url_re = re.compile(ENTITY_URL_PAT)
+    year_re = re.compile(ENTITY_YEAR_PAT)
+    money_re = re.compile(ENTITY_MONEY_PAT)
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        derive_entity_texts, batch_format="pandas"
+    )
+
+    def harvest(b: pd.DataFrame) -> pd.DataFrame:
+        n_u = np.empty(len(b), np.int64)
+        n_y = np.empty(len(b), np.int64)
+        n_m = np.empty(len(b), np.int64)
+        for i, t in enumerate(b["aug"]):
+            n_u[i] = len(url_re.findall(t))
+            n_y[i] = len(year_re.findall(t))
+            n_m[i] = len(money_re.findall(t))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_urls": n_u,
+                "n_years": n_y,
+                "n_money": n_m,
+            }
+        )
+
+    return ds.map_batches(harvest, batch_format="pandas", batch_size=4096)
+
+
+# planted counts replay exactly: the corpus text itself contains no
+# entities (lowercase ASCII words), and each decoy matches nothing
+ENTITY_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 3 AS BIGINT) AS n_urls,
+       CAST(doc_id % 4 AS BIGINT) AS n_years,
+       CAST(doc_id % 5 AS BIGINT) AS n_money
+FROM documents
+"""

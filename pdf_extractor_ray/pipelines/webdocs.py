@@ -3851,3 +3851,97 @@ SELECT doc_id,
        'https://docs.example.com/' || CAST(doc_id AS VARCHAR) || '/archive' AS missing_loc
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# DOM template-path mining (structural boilerplate discovery)
+# ---------------------------------------------------------------------------
+
+
+def derive_template_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc on host ``h{d%13}``: a SHARED nav skeleton (the
+    template every page of the host carries) plus a content chain
+    whose depth varies with the doc (``1 + d % 3`` nested divs ending
+    in a ``<p>``) — so path df separates template paths (on every
+    page) from content-depth paths (on a third of them)."""
+    htmls, hosts = [], []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        k = 1 + d % 3
+        htmls.append(
+            (
+                "<html><body><nav><ul><li>BOILER</li></ul></nav>"
+                + "<div>" * k
+                + f"<p>{html_escape(text[:30])}</p>"
+                + "</div>" * k
+                + "</body></html>"
+            ).encode("utf-8")
+        )
+        hosts.append(f"h{d % 13}.example.org")
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    out["host"] = hosts
+    return out
+
+
+def dom_template_paths(sf_dir: str) -> ray.data.Dataset:
+    """Structural template mining: per-page DOM tag paths
+    (:func:`kernels.html_extract.html_tag_paths`, page-deduped) →
+    per-(host, path) page counts — ``(host, path, n_pages)``. Paths
+    present on (nearly) every page of a host are its template
+    skeleton; the rest are content structure — the structural twin of
+    text-side boilerplate-prefix mining, and the feature a wrapper-
+    induction / template-stripping pass trains on.
+
+    Scale shape: parse + per-page dedup is zero-shuffle; ONE bucketed
+    (host, path) count exchange with per-batch partials."""
+    from pdf_extractor_ray.kernels.html_extract import html_tag_paths
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_template_pages, batch_format="pandas", batch_size=1024)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        hosts, paths = [], []
+        for host, raw in zip(b["host"], b["html"]):
+            for p in set(html_tag_paths(bytes(raw))):  # page-level dedup
+                hosts.append(host)
+                paths.append(p)
+        return pd.DataFrame(
+            {
+                "host": pd.Series(hosts, dtype="object"),
+                "path": pd.Series(paths, dtype="object"),
+                "n_pages": np.ones(len(hosts), np.int64),
+            }
+        )
+
+    return grouped_sum(
+        ds.map_batches(explode, batch_format="pandas", batch_size=1024),
+        ["host", "path"],
+        ["n_pages"],
+    )
+
+
+DOM_TEMPLATE_PATHS_SQL = """
+WITH h AS (
+  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.org' AS host,
+         doc_id % 3 AS k3
+  FROM documents
+),
+p AS (
+  SELECT host, 'html' AS path FROM h
+  UNION ALL SELECT host, 'html>body' FROM h
+  UNION ALL SELECT host, 'html>body>nav' FROM h
+  UNION ALL SELECT host, 'html>body>nav>ul' FROM h
+  UNION ALL SELECT host, 'html>body>nav>ul>li' FROM h
+  UNION ALL SELECT host, 'html>body>div' FROM h
+  UNION ALL SELECT host, 'html>body>div>div' FROM h WHERE k3 >= 1
+  UNION ALL SELECT host, 'html>body>div>div>div' FROM h WHERE k3 = 2
+  UNION ALL SELECT host, 'html>body>div>p' FROM h WHERE k3 = 0
+  UNION ALL SELECT host, 'html>body>div>div>p' FROM h WHERE k3 = 1
+  UNION ALL SELECT host, 'html>body>div>div>div>p' FROM h WHERE k3 = 2
+)
+SELECT host, path, CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM p GROUP BY host, path
+"""

@@ -547,3 +547,71 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
 FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day event delta (LAG on an aggregated series)
+# ---------------------------------------------------------------------------
+
+
+def events_daily_delta(sf_dir: str) -> "ray.data.Dataset":
+    """Day-over-day event-count change: per-day totals with
+    ``delta_milli = 1000·(cur − prev) // prev`` against the previous
+    calendar day present in the data (LAG-over-aggregate; first day
+    NULL) — the reporting shape every ops dashboard computes. Exact
+    integer milli (DuckDB ``//`` truncates toward zero vs Python
+    floor, so the numerator is cross-signed carefully: compute on
+    ``1000·cur // prev − 1000`` which keeps the numerator
+    NON-NEGATIVE — cur ≥ 0, prev > 0 — and the two floors agree).
+
+    Scale shape: the day fold is one bucketed count exchange; the LAG
+    runs on the DAY-BOUNDED aggregate (365 rows/year) — never on raw
+    events."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(b["ts"]).dt.strftime("%Y-%m-%d").astype(object),
+                "n_events": np.ones(len(b), np.int64),
+            }
+        )
+
+    daily = (
+        grouped_sum(ds.map_batches(keyed, batch_format="pandas"), ["day"], ["n_events"])
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )  # day-bounded
+    cur = daily["n_events"].to_numpy(np.int64)
+    prev = np.roll(cur, 1)
+    delta = (1000 * cur) // np.where(prev > 0, prev, 1) - 1000
+    out = daily.copy()
+    out["delta_milli"] = delta.astype(np.int64)
+    # the first day has no predecessor: excluded (a NULL would also be
+    # dtype-unstable across the oracle boundary — DuckDB returns
+    # nullable BIGINT as float64)
+    out = out.iloc[1:].reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+EVENTS_DAILY_DELTA_SQL = """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT day, n_events,
+       CAST((1000 * n_events) // lag(n_events) OVER (ORDER BY day) - 1000 AS BIGINT)
+           AS delta_milli
+FROM d
+QUALIFY lag(n_events) OVER (ORDER BY day) IS NOT NULL
+"""
