@@ -245,6 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dom_template_paths": webdocs.dom_template_paths,
         "schema_evolution_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).schema_evolution_documents,
         "events_daily_delta": windows.events_daily_delta,
+        # wave-26: TPC-H q8/q13/q21 shapes
+        "q8_market_share": analytics.q8_market_share,
+        "q13_custdist": analytics.q13_custdist,
+        "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -684,6 +688,9 @@ def oracle_sql() -> dict[str, str]:
         "dom_template_paths": webdocs.DOM_TEMPLATE_PATHS_SQL,
         "schema_evolution_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).SCHEMA_EVOLUTION_SQL,
         "events_daily_delta": windows.EVENTS_DAILY_DELTA_SQL,
+        "q8_market_share": analytics.Q8_SQL,
+        "q13_custdist": analytics.Q13_SQL,
+        "q21_waiting_suppliers": analytics.Q21_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -1479,3 +1479,249 @@ WHERE NOT EXISTS (
 )
 GROUP BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-shape: national market share within a region, per year
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_SUPP_NATION = "NATION_2"
+
+
+def q8_market_share(sf_dir: str) -> ray.data.Dataset:
+    """Market share of one supplier nation within one customer REGION
+    per order year — TPC-H Q8's six-table shape (lineitem × supplier ×
+    nation × orders × customer × nation × region) with the share kept
+    exact: ``share_milli = 1000·nation_cents // total_cents``.
+
+    Scale shape: the two dimension chains (supplier→nation, customer→
+    nation→region) resolve to small key sets that broadcast under the
+    byte gate; the fact table joins orders on the one real exchange;
+    the year fold is bounded."""
+    import pyarrow.parquet as _pqt
+
+    from pdf_extractor_ray.joins import adaptive_inner_join, semi_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    nation = _pqt.read_table(_pq(sf_dir, "nation")).to_pandas()
+    region = _pqt.read_table(_pq(sf_dir, "region")).to_pandas()
+    asia_keys = set(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .loc[lambda m: m["r_name"] == Q8_REGION, "n_nationkey"]
+    )
+    supp_nation_key = int(nation.loc[nation["n_name"] == Q8_SUPP_NATION, "n_nationkey"].iloc[0])
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = ray.data.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+
+    def asia_cust(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["c_nationkey"].isin(asia_keys), ["c_custkey"]]
+
+    j = adaptive_inner_join(li, supp, on="l_suppkey", right_on="s_suppkey")
+    j = adaptive_inner_join(j, orders, on="l_orderkey", right_on="o_orderkey")
+    j = semi_join(j, cust.map_batches(asia_cust, batch_format="pandas"), "o_custkey", right_on="c_custkey")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        year = pd.to_datetime(b["o_orderdate"]).dt.year.to_numpy(np.int64)
+        rev = cents_np(b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy()))
+        mine = (b["s_nationkey"].to_numpy(np.int64) == supp_nation_key).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_year": year,
+                "nation_cents": rev * mine,
+                "total_cents": rev,
+            }
+        )
+
+    out = grouped_sum(
+        j.map_batches(fold, batch_format="pandas", batch_size=65536),
+        ["o_year"],
+        ["nation_cents", "total_cents"],
+    )
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["share_milli"] = (
+            1000 * b["nation_cents"].to_numpy(np.int64)
+        ) // b["total_cents"].to_numpy(np.int64)
+        return b
+
+    return out.map_batches(share, batch_format="pandas")
+
+
+Q8_SQL = f"""
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {CENTS_SQL.format(expr='l_extendedprice * (1 - l_discount)')} AS cents,
+         sn.n_name = '{Q8_SUPP_NATION}' AS mine
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  WHERE r_name = '{Q8_REGION}'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN mine THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((1000 * SUM(CASE WHEN mine THEN cents ELSE 0 END)) // SUM(cents) AS BIGINT)
+           AS share_milli
+FROM v GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13-shape: customer distribution by order count (zero included)
+# ---------------------------------------------------------------------------
+
+
+def q13_custdist(sf_dir: str) -> ray.data.Dataset:
+    """Customer distribution by order count INCLUDING the zero bucket —
+    TPC-H Q13's left-join histogram: ``(c_count, custdist)``. The
+    zero-orders class is the point of the left join (an inner count
+    silently drops it).
+
+    Scale shape: per-customer order counts via one custkey exchange;
+    the zero bucket comes from ONE adaptive anti-join of customers
+    against ordering custkeys (never a driver set); the final
+    histogram is count-of-counts bounded."""
+    from pdf_extractor_ray.joins import semi_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].to_numpy(np.int64),
+                "c_count": np.ones(len(b), np.int64),
+            }
+        )
+
+    per_cust = grouped_sum(orders.map_batches(ones, batch_format="pandas"), ["c_custkey"], ["c_count"])
+    never = semi_join(cust, orders, "c_custkey", right_on="o_custkey", keep=False)
+
+    def zero(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(np.int64),
+                "c_count": np.zeros(len(b), np.int64),
+            }
+        )
+
+    all_counts = per_cust.union(never.map_batches(zero, batch_format="pandas"))
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_count": b["c_count"].to_numpy(np.int64),
+                "custdist": np.ones(len(b), np.int64),
+            }
+        )
+
+    return grouped_sum(all_counts.map_batches(hist, batch_format="pandas"), ["c_count"], ["custdist"])
+
+
+Q13_SQL = """
+WITH c AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21-shape: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """Suppliers who were the SOLE late shipper on a multi-supplier
+    order — TPC-H Q21's double-EXISTS shape on the columns this corpus
+    carries (lateness = ship > order + 90 days): count per supplier of
+    orders where THIS supplier shipped late, ANOTHER supplier is on
+    the order, and NO other supplier shipped late.
+
+    Scale shape: one adaptive join attaches order dates, then ONE
+    orderkey-bucketed exchange co-locates each order's lineitems
+    (per-group cost bounded by order width); the per-order fold
+    evaluates both EXISTS conditions vectorized; the supplier count is
+    a tiny second fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    li = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    j = adaptive_inner_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        ship = pd.to_datetime(b["l_shipdate"]).to_numpy("datetime64[us]").astype(np.int64)
+        odate = pd.to_datetime(b["o_orderdate"]).to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "late": (ship - odate > Q4_LATE_DAYS * 86_400_000_000).astype(np.int64),
+            }
+        )
+
+    marked = j.map_batches(mark, batch_format="pandas", batch_size=65536)
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        out_supp = []
+        for _, sub in g.groupby("l_orderkey", sort=False):
+            supps = sub["l_suppkey"].to_numpy(np.int64)
+            late = sub["late"].to_numpy(np.int64)
+            late_supps = np.unique(supps[late == 1])
+            if len(late_supps) != 1:
+                continue  # nobody late, or blame shared
+            s = int(late_supps[0])
+            if len(np.unique(supps)) < 2:
+                continue  # single-supplier order: no one else to wait on
+            out_supp.append(s)
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series(out_supp, dtype="int64"),
+                "numwait": np.ones(len(out_supp), np.int64),
+            }
+        )
+
+    blamed = grouped_apply(marked, ["l_orderkey"], per_order)
+    return grouped_sum(blamed, ["s_suppkey"], ["numwait"])
+
+
+Q21_SQL = f"""
+WITH m AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM m GROUP BY l_orderkey
+)
+SELECT late_supp AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order
+WHERE n_late = 1 AND n_supps >= 2
+GROUP BY late_supp
+"""
