@@ -249,6 +249,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": analytics.q8_market_share,
         "q13_custdist": analytics.q13_custdist,
         "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
+        # wave-27: RFC-3986 resolution, percent normalization, robots
+        # wildcards, nofollow audit
+        "resolved_links_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).resolved_links_documents,
+        "percent_norm_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).percent_norm_documents,
+        "robots_wildcard_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).robots_wildcard_filter_documents,
+        "nofollow_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).nofollow_stats_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -691,6 +697,10 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": analytics.Q8_SQL,
         "q13_custdist": analytics.Q13_SQL,
         "q21_waiting_suppliers": analytics.Q21_SQL,
+        "resolved_links_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).RESOLVED_LINKS_SQL,
+        "percent_norm_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PERCENT_NORM_SQL,
+        "robots_wildcard_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_WILDCARD_SQL,
+        "nofollow_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).NOFOLLOW_STATS_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

@@ -422,3 +422,128 @@ def surt_key(url: str) -> str:
     if pathq.startswith("?"):
         pathq = "/" + pathq
     return ",".join(reversed(host.split("."))) + ")" + pathq
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 dot-segment removal (the ../ resolution step)."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+                if not out:
+                    out = [""]
+        else:
+            out.append(seg)
+    # preserve a trailing slash produced by '.'/'..' final segments
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    res = "/".join(out)
+    if path.startswith("/") and not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def resolve_url(base: str, href: str) -> str:
+    """RFC 3986 §5 reference resolution — the step that turns a page's
+    raw ``href`` attributes into crawlable absolute URLs (base = the
+    page URL, or its ``<base href>`` when declared):
+
+    - absolute refs (with scheme) pass through;
+    - ``//host/...`` inherits the base scheme (protocol-relative);
+    - ``/path`` replaces the base path; relative paths merge onto the
+      base directory; ``.``/``..`` segments resolve (§5.2.4);
+    - ``?query`` keeps the base path; ``#frag``-only refs return the
+      base without its fragment (same-document reference);
+    - empty href returns the base unchanged.
+
+    Pure string logic (no net, no stdlib urljoin — its pre-3986 quirks
+    around ``..`` overflow differ across versions; this is pinned)."""
+    if not href:
+        return base.split("#", 1)[0]
+    if "://" in href.split("/", 1)[0] if "/" in href else "://" in href:
+        return href
+    # cheap scheme sniff: letters+digits then ':' then '//'
+    head = href.split("://", 1)[0]
+    if "://" in href and head.replace("+", "").replace("-", "").replace(".", "").isalnum():
+        return href
+    scheme = base.split("://", 1)[0] if "://" in base else "https"
+    rest = base.split("://", 1)[-1]
+    slash = rest.find("/")
+    host = rest[:slash] if slash >= 0 else rest
+    base_path = rest[slash:] if slash >= 0 else "/"
+    base_path = base_path.split("#", 1)[0]
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("#"):
+        return f"{scheme}://{host}{base_path}"
+    if href.startswith("?"):
+        return f"{scheme}://{host}{base_path.split('?', 1)[0]}{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{host}{_remove_dot_segments(href)}"
+    # relative: merge onto the base directory (§5.3 merge)
+    base_dir = base_path.split("?", 1)[0]
+    base_dir = base_dir[: base_dir.rfind("/") + 1] if "/" in base_dir else "/"
+    return f"{scheme}://{host}{_remove_dot_segments(base_dir + href)}"
+
+
+# RFC 3986 §2.3 unreserved characters: percent-encodings of these MUST
+# decode for equivalence; all other escapes normalize to UPPERCASE hex
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def normalize_percent_encoding(url: str) -> str:
+    """RFC 3986 §6.2.2 percent-encoding normalization: decode escapes
+    of UNRESERVED characters (``%7E`` → ``~`` — encoded and bare forms
+    are the same resource), uppercase the hex of every other escape
+    (``%2f`` → ``%2F``), and pass malformed escapes (short or non-hex)
+    through untouched. The canonicalization step that makes
+    percent-variant URLs collapse to one dedup key."""
+    out: list[str] = []
+    i = 0
+    n = len(url)
+    while i < n:
+        c = url[i]
+        if c == "%" and i + 2 < n + 1 and i + 3 <= n:
+            hx = url[i + 1 : i + 3]
+            if len(hx) == 2 and all(ch in "0123456789abcdefABCDEF" for ch in hx):
+                val = chr(int(hx, 16))
+                if val in _UNRESERVED:
+                    out.append(val)
+                else:
+                    out.append("%" + hx.upper())
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def robots_path_allowed_wild(rules: list[tuple[bool, str]], path: str) -> bool:
+    """RFC 9309 §2.2.2/§2.2.3 matching WITH the two special characters:
+    ``*`` matches any character sequence, ``$`` anchors the pattern
+    end. Precedence = longest PATTERN (octet count, the RFC's
+    specificity measure); equal-length ties → allow. No matching rule
+    → allowed. The full-protocol upgrade of the prefix-only
+    :func:`robots_path_allowed` (kept: the conservative fast path)."""
+    import re as _re
+
+    best_len = -1
+    best_allow = True
+    for is_allow, pattern in rules:
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+        rx = rx + "$" if anchored else rx
+        if _re.match(rx, path):
+            plen = len(pattern)
+            if plen > best_len:
+                best_len = plen
+                best_allow = is_allow
+            elif plen == best_len and is_allow:
+                best_allow = True
+    return best_allow

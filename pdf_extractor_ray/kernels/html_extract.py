@@ -1652,3 +1652,46 @@ def html_tag_paths(raw: bytes) -> list[str]:
             cm = _RAWTEXT_CLOSE[tag].search(html, pos)
             pos = cm.start() if cm else n
     return out
+
+
+_REL_RE = re.compile(r"""rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def html_extract_links_rel(raw: bytes) -> list[tuple[str, str]]:
+    """ALL anchor links with their ``rel`` attribute —
+    ``[(href, rel_lowercased), ...]`` in document order (rel ``''``
+    when absent). Unlike :func:`html_extract_links` this does NOT
+    apply hint demotion: the rel audit is about what the page ASSERTS
+    (nofollow/sponsored/ugc govern PageRank flow wherever the link
+    sits), not about content extraction. Script/style payloads are
+    skipped via the shared rawtext rule."""
+    html = _decode_page(raw)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        if tag == "a":
+            blob = m.group(2) or ""
+            hm = _HREF_RE.search(blob)
+            href = (hm.group(1) or hm.group(2) or hm.group(3) or "") if hm else ""
+            if not href:
+                continue
+            rm = _REL_RE.search(blob)
+            rel = (rm.group(1) or rm.group(2) or rm.group(3) or "") if rm else ""
+            out.append((href, rel.lower()))
+    return out

@@ -1424,3 +1424,288 @@ SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST((1000 * SUM(ok)) // COUNT(*) AS BIGINT) AS allowed_milli
 FROM m GROUP BY host
 """
+
+
+# --------------------------------------------------------------------------
+# RFC 3986 reference resolution (href → crawlable absolute URL)
+# --------------------------------------------------------------------------
+
+
+def derive_relative_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Page per doc at ``https://h{d%7}.example.org/dir{d%4}/page`` with
+    one link whose FORM rotates by ``d % 6`` through the resolution
+    cases: relative sibling, ``..`` parent climb, absolute path,
+    protocol-relative, fragment-only (same-document), and
+    query-replacement. Every page also carries a decoy link inside
+    a <script> string."""
+    htmls, bases = [], []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        base = f"https://h{d % 7}.example.org/dir{d % 4}/page"
+        href = [
+            f"sib{d % 9}",
+            f"../up{d % 9}",
+            f"/abs{d % 9}",
+            f"//h{(d + 1) % 7}.example.org/x",
+            "#frag",
+            f"?v={d % 9}",
+        ][d % 6]
+        htmls.append(
+            (
+                "<html><body>"
+                f'<a href="{href}">link</a>'
+                '<script>var s = "<a href=/decoy>";</script>'
+                "</body></html>"
+            ).encode("utf-8")
+        )
+        bases.append(base)
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    out["base"] = bases
+    return out
+
+
+def resolved_links_documents(sf_dir: str) -> ray.data.Dataset:
+    """Reference resolution end to end: REAL link harvest
+    (:func:`kernels.html_extract.html_extract_links`) + RFC 3986 §5
+    resolution (:func:`functions.urls.resolve_url`) against the page
+    URL → ``(doc_id, abs_url)``. The step between extraction and the
+    frontier: raw hrefs are relative/protocol-relative/fragment forms
+    a crawler cannot enqueue; the resolver (merge + dot-segment
+    removal, version-pinned — NOT stdlib urljoin) makes them
+    absolute. Zero shuffle."""
+    from pdf_extractor_ray.functions.urls import resolve_url
+    from pdf_extractor_ray.kernels.html_extract import html_extract_links
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_relative_pages, batch_format="pandas", batch_size=1024)
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        ids, urls = [], []
+        for doc_id, raw, base in zip(b["doc_id"], b["html"], b["base"]):
+            for href, _ in html_extract_links(bytes(raw)):
+                ids.append(int(doc_id))
+                urls.append(resolve_url(base, href))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "abs_url": pd.Series(urls, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(resolve, batch_format="pandas", batch_size=1024)
+
+
+RESOLVED_LINKS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/dir'
+                     || CAST(doc_id % 4 AS VARCHAR) || '/sib' || CAST(doc_id % 9 AS VARCHAR)
+         WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/up'
+                     || CAST(doc_id % 9 AS VARCHAR)
+         WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/abs'
+                     || CAST(doc_id % 9 AS VARCHAR)
+         WHEN 3 THEN 'https://h' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example.org/x'
+         WHEN 4 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/dir'
+                     || CAST(doc_id % 4 AS VARCHAR) || '/page'
+         ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/dir'
+              || CAST(doc_id % 4 AS VARCHAR) || '/page?v=' || CAST(doc_id % 9 AS VARCHAR)
+       END AS abs_url
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Percent-encoding normalization (RFC 3986 §6.2.2)
+# --------------------------------------------------------------------------
+
+
+def percent_norm_documents(sf_dir: str) -> ray.data.Dataset:
+    """Percent-encoding normalization carrier: urls with planted
+    escape variants — ``%7E`` (unreserved → decodes to ``~``),
+    lowercase ``%2f`` (reserved → uppercases to ``%2F``), a malformed
+    ``%g5`` (passes through) — normalized by
+    :func:`functions.urls.normalize_percent_encoding` →
+    ``(doc_id, norm_url)``. The equivalence step a dedup key needs
+    BEFORE hashing (encoded and bare unreserved forms are the same
+    resource, RFC 3986 §2.3). Zero shuffle."""
+    from pdf_extractor_ray.functions.urls import normalize_percent_encoding
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        ids, urls = [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            raw = (
+                f"https://docs.example.com/%7Euser{d % 5}/a%2fb"
+                + ("/%g5" if d % 3 == 0 else "")
+                + f"?x=%4{d % 10:x}"
+            )
+            ids.append(d)
+            urls.append(normalize_percent_encoding(raw))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "norm_url": pd.Series(urls, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pandas", batch_size=4096)
+
+
+# %4X decodes iff X makes an unreserved char: %41-%5A → A-Z for hex
+# digits 1-a here: %41..%49, %4a decode to letters; %40 stays (@ is
+# reserved) and uppercases
+PERCENT_NORM_SQL = """
+SELECT doc_id,
+       'https://docs.example.com/~user' || CAST(doc_id % 5 AS VARCHAR) || '/a%2Fb'
+       || CASE WHEN doc_id % 3 = 0 THEN '/%g5' ELSE '' END
+       || '?x=' || CASE WHEN doc_id % 10 = 0 THEN '%40'
+                        ELSE chr(64 + CAST(doc_id % 10 AS INTEGER)) END AS norm_url
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 wildcard matching (* and $)
+# --------------------------------------------------------------------------
+
+
+def robots_wildcard_filter_documents(sf_dir: str) -> ray.data.Dataset:
+    """Full-protocol robots matching over the varied-path corpus:
+    wildcard rules — ``Disallow: /*2`` (any path ending in a segment
+    ...2 — matches 3-segment paths /p0/p1/p2), with
+    ``Allow: /p0/p1/p2?*`` re-opening exactly the query-bearing ones,
+    and ``Disallow: /p0$`` (anchor: ONLY the exact 1-segment path) —
+    evaluated by :func:`functions.urls.robots_path_allowed_wild`
+    (longest-pattern precedence, §2.2.2). Output surviving
+    ``(doc_id, url)``. Matching is on path+query here (the $ and ?*
+    rules are query-sensitive by design). Zero shuffle."""
+    from pdf_extractor_ray.functions.urls import (
+        canonical_url,
+        robots_path_allowed_wild,
+        site_domain,
+    )
+
+    rules = [(False, "/*2"), (True, "/p0/p1/p2?*"), (False, "/p0$")]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_path_urls, batch_format="pandas")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids, urls = [], []
+        for doc_id, url in zip(b["doc_id"], b["url"]):
+            canon = canonical_url(url)
+            host = site_domain(canon)
+            after = canon.split("://", 1)[-1]
+            slash = after.find("/")
+            path_q = after[slash:] if slash >= 0 else "/"
+            if robots_path_allowed_wild(rules, path_q):
+                ids.append(int(doc_id))
+                urls.append(f"https://{host}{path_q}")
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "url": pd.Series(urls, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# paths: segs = 1 + d%4, '?q=1' iff d%7==0. '/*2' matches ANY
+# path+query containing a '2' (so BOTH 3- and 4-segment paths — '*'
+# spans segment boundaries, the defining wildcard property); the
+# longer Allow '/p0/p1/p2?*' re-opens exactly query-bearing 3-segment
+# paths (a 4-segment path has '/' where the Allow needs '?'); '/p0$'
+# blocks the exact 1-segment path only when no query follows.
+ROBOTS_WILDCARD_SQL = """
+WITH u AS (
+  SELECT doc_id, 1 + doc_id % 4 AS segs, doc_id % 7 = 0 AS has_q,
+         doc_id % 5 AS h
+  FROM documents
+)
+SELECT doc_id,
+       'https://h' || CAST(h AS VARCHAR) || '.example.org'
+       || CASE segs WHEN 1 THEN '/p0' WHEN 2 THEN '/p0/p1'
+               WHEN 3 THEN '/p0/p1/p2' ELSE '/p0/p1/p2/p3' END
+       || CASE WHEN has_q THEN '?q=1' ELSE '' END AS url
+FROM u
+WHERE NOT (segs = 4)
+  AND NOT (segs = 3 AND NOT has_q)
+  AND NOT (segs = 1 AND NOT has_q)
+"""
+
+
+# --------------------------------------------------------------------------
+# rel=nofollow link-equity audit
+# --------------------------------------------------------------------------
+
+
+def nofollow_stats_documents(sf_dir: str) -> ray.data.Dataset:
+    """Link-equity audit: per page, followed vs rel=nofollow/sponsored/
+    ugc link counts through the REAL rel-aware harvest
+    (:func:`kernels.html_extract.html_extract_links_rel`) —
+    ``(doc_id, n_links, n_nofollow)``. The PageRank/anchor pipelines
+    upstream should drop nofollow edges (the web's explicit
+    don't-endorse signal); this is the audit that measures how much of
+    the graph that removes. Zero shuffle; token-based rel matching
+    (``rel="external nofollow"`` counts)."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_links_rel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        htmls = []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            links = [f'<a href="/f/{j}">f</a>' for j in range(1 + d % 3)]
+            links += [
+                f'<a href="/n/{j}" rel="external NoFollow">n</a>' for j in range(d % 2)
+            ]
+            if d % 5 == 0:
+                links.append('<a href="/s" rel="sponsored">s</a>')
+            htmls.append(f"<html><body>{''.join(links)}</body></html>".encode())
+        out = b[["doc_id"]].copy()
+        out["html"] = htmls
+        return out
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        ids, n_l, n_nf = [], [], []
+        for doc_id, raw in zip(b["doc_id"], b["html"]):
+            links = html_extract_links_rel(bytes(raw))
+            nf = sum(
+                1
+                for _, rel in links
+                if {"nofollow", "sponsored", "ugc"} & set(rel.split())
+            )
+            ids.append(int(doc_id))
+            n_l.append(len(links))
+            n_nf.append(nf)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_links": pd.Series(n_l, dtype="int64"),
+                "n_nofollow": pd.Series(n_nf, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=1024).map_batches(
+        audit, batch_format="pandas", batch_size=1024
+    )
+
+
+NOFOLLOW_STATS_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 3 + doc_id % 2
+            + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+       CAST(doc_id % 2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_nofollow
+FROM documents
+"""
