@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_norm_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).percent_norm_documents,
         "robots_wildcard_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).robots_wildcard_filter_documents,
         "nofollow_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).nofollow_stats_documents,
+        # wave-28: doc age, JSONL source, hive pruned read, KWIC
+        "doc_age_documents": webdocs.doc_age_documents,
+        "read_jsonl_documents": webdocs.read_jsonl_documents,
+        "hive_pruned_read_documents": webdocs.hive_pruned_read_documents,
+        "kwic_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).kwic_documents,
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
@@ -701,6 +706,10 @@ def oracle_sql() -> dict[str, str]:
         "percent_norm_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).PERCENT_NORM_SQL,
         "robots_wildcard_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).ROBOTS_WILDCARD_SQL,
         "nofollow_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).NOFOLLOW_STATS_SQL,
+        "doc_age_documents": webdocs.DOC_AGE_SQL,
+        "read_jsonl_documents": webdocs.READ_JSONL_SQL,
+        "hive_pruned_read_documents": webdocs.HIVE_PRUNED_SQL,
+        "kwic_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).KWIC_SQL,
         "ccnet_matrix_documents": textops.CCNET_MATRIX_SQL,
         "event_type_transitions": windows.EVENT_TRANSITIONS_SQL,
         "url_rules_filter_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).URL_RULES_FILTER_SQL,

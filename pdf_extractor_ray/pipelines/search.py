@@ -467,3 +467,67 @@ FROM s ORDER BY score DESC, doc_id ASC LIMIT {FIELDED_K}
 
 
 FIELDED_SEARCH_SQL = _fielded_sql()
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance (keyword in context)
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "data"
+KWIC_WINDOW = 2  # tokens of context each side
+
+
+def kwic_documents(sf_dir: str) -> ray.data.Dataset:
+    """Keyword-in-context concordance: every occurrence of
+    :data:`KWIC_TERM` with ±:data:`KWIC_WINDOW` tokens of context —
+    ``(doc_id, pos, context)`` (pos 1-based, context space-joined,
+    clipped at document edges). The qualitative-inspection view every
+    corpus tool ships (what does 'data' actually look like in this
+    corpus?); positions make it the display layer over the positional
+    postings. Zero shuffle, vectorized token walk."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def kwic(b: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, ctxs = [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            ws = text.split()
+            for i, w in enumerate(ws):
+                if w == KWIC_TERM:
+                    lo = max(0, i - KWIC_WINDOW)
+                    hi = min(len(ws), i + KWIC_WINDOW + 1)
+                    ids.append(int(doc_id))
+                    poss.append(i + 1)
+                    ctxs.append(" ".join(ws[lo:hi]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "context": pd.Series(ctxs, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(kwic, batch_format="pandas", batch_size=8192)
+
+
+def _kwic_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+  FROM documents
+),
+u AS (
+  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS pos FROM t
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(arr[greatest(1, pos - {KWIC_WINDOW}) :
+                            least(len(arr), pos + {KWIC_WINDOW})], ' ') AS context
+FROM u WHERE arr[pos] = '{KWIC_TERM}'
+"""
+
+
+KWIC_SQL = _kwic_sql()

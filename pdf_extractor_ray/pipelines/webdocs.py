@@ -3945,3 +3945,142 @@ p AS (
 SELECT host, path, CAST(COUNT(*) AS BIGINT) AS n_pages
 FROM p GROUP BY host, path
 """
+
+
+# ---------------------------------------------------------------------------
+# Document age / staleness (crawl date − extracted publication date)
+# ---------------------------------------------------------------------------
+
+DOC_AGE_CRAWL_DATE = "2026-08-19"  # the corpus' nominal crawl date
+
+
+def doc_age_documents(sf_dir: str) -> ray.data.Dataset:
+    """Document AGE at crawl time: compose the real publication-date
+    extraction (:func:`extract_dates_documents`'s channel-priority
+    harvest) with a fixed crawl date → ``(doc_id, published,
+    age_days)``. Age is the freshness feature recency-weighted
+    sampling and recrawl prioritization both consume; exact integer
+    day difference. Zero shuffle beyond the extraction pass."""
+    import datetime as _dt
+
+    crawl = _dt.date.fromisoformat(DOC_AGE_CRAWL_DATE)
+    dated = extract_dates_documents(sf_dir)
+
+    def age(b: pd.DataFrame) -> pd.DataFrame:
+        days = [
+            (crawl - _dt.date.fromisoformat(p)).days if p else -1
+            for p in b["published"]
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "published": b["published"].astype(object),
+                "age_days": pd.Series(days, dtype="int64"),
+            }
+        )
+
+    return dated.map_batches(age, batch_format="pandas")
+
+
+DOC_AGE_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         DATE '2015-01-01' + CAST((doc_id * 7) % 3000 AS INTEGER) AS pub
+  FROM documents
+)
+SELECT doc_id, strftime(pub, '%Y-%m-%d') AS published,
+       CAST(datediff('day', pub, DATE '{DOC_AGE_CRAWL_DATE}') AS BIGINT) AS age_days
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSONL source (the line-delimited ingestion family)
+# ---------------------------------------------------------------------------
+
+
+def read_jsonl_documents(sf_dir: str) -> ray.data.Dataset:
+    """JSONL ingestion: the documents table serialized to sharded
+    line-delimited JSON and read back through ``ray.data.read_json`` →
+    ``(doc_id, lang, text)``. The companion of the CSV source carrier:
+    JSONL is the interchange format most text corpora actually ship
+    in (Pile/C4 dumps, OpenAI fine-tune files); the hash compare pins
+    escaping and round-trip fidelity. One task per shard at read
+    time."""
+    import json
+
+    import pyarrow.parquet as _pqt
+
+    shard_dir = os.path.join(
+        "/tmp", f"pdfx_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    os.makedirs(shard_dir, exist_ok=True)
+    t = _pqt.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    ).to_pandas()
+    n_shards = 4
+    step = -(-len(t) // n_shards)
+    for i in range(n_shards):
+        with open(os.path.join(shard_dir, f"part-{i}.jsonl"), "w") as f:
+            for _, row in t.iloc[i * step : (i + 1) * step].iterrows():
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": int(row["doc_id"]),
+                            "lang": row["lang"],
+                            "text": row["text"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    return ray.data.read_json(shard_dir)
+
+
+READ_JSONL_SQL = """
+SELECT doc_id, lang, text FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned write + pruned single-partition read
+# ---------------------------------------------------------------------------
+
+
+def hive_pruned_read_documents(sf_dir: str) -> ray.data.Dataset:
+    """Partition-pruned read: the corpus written hive-partitioned by
+    ``lang`` (the resumable layout the brief mandates), then ONE
+    partition read back by explicit file list — ``(doc_id, n_chars)``
+    of the corpus' first lang only. The pruned read IS the 100-TB
+    claim: a per-language pass touches that language's files and
+    nothing else (the IVF-probe / inverted-index bucket pattern,
+    document-side). The write is idempotent per sf_dir."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pqt
+
+    part_dir = os.path.join(
+        "/tmp", f"pdfx_hive_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.isdir(os.path.join(part_dir, "data")):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        ds.write_parquet(os.path.join(part_dir, "data"), partition_cols=["lang"])
+
+    langs = sorted(
+        os.path.basename(p).split("=", 1)[1]
+        for p in _glob.glob(os.path.join(part_dir, "data", "lang=*"))
+    )
+    target = langs[0]  # deterministic: lexicographically first lang
+    files = sorted(
+        _glob.glob(os.path.join(part_dir, "data", f"lang={target}", "*.parquet"))
+    )
+    return ray.data.read_parquet(files, columns=["doc_id", "n_chars"])
+
+
+HIVE_PRUNED_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE lang = (SELECT MIN(lang) FROM documents)
+"""
