@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft404_documents": webdocs.soft404_documents,
         "mirror_hosts_documents": dedup.mirror_hosts_documents,
         "dup_cluster_sizes_documents": dedup.dup_cluster_sizes_documents,
+        "containment_pairs": dedup.containment_pairs,
         "pagination_series_documents": webdocs.pagination_series_documents,
         "robots_meta_documents": webdocs.robots_meta_documents,
         "recrawl_priority_documents": webdocs.recrawl_priority_documents,
@@ -245,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dom_template_paths": webdocs.dom_template_paths,
         "schema_evolution_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).schema_evolution_documents,
         "events_daily_delta": windows.events_daily_delta,
+        "events_running_total": windows.events_running_total,
         # wave-26: TPC-H q8/q13/q21 shapes
         "q8_market_share": analytics.q8_market_share,
         "q13_custdist": analytics.q13_custdist,
@@ -286,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pdfinfo_documents": webdocs.extract_pdfinfo_documents,
         "extract_ldjson_documents": webdocs.extract_ldjson_documents,
         "extract_dates_documents": webdocs.extract_dates_documents,
+        "extract_microdata_documents": webdocs.extract_microdata_documents,
+        "embedded_resources_documents": webdocs.embedded_resources_documents,
         "render_markdown_documents": webdocs.render_markdown_documents,
         "extract_hreflang_documents": webdocs.extract_hreflang_documents,
         "hreflang_reciprocity": webdocs.hreflang_reciprocity,
@@ -640,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404_documents": webdocs.SOFT404_SQL,
         "mirror_hosts_documents": dedup.MIRROR_HOSTS_SQL,
         "dup_cluster_sizes_documents": dedup.DUP_CLUSTER_SIZES_SQL,
+        "containment_pairs": dedup.CONTAINMENT_PAIRS_SQL,
         "pagination_series_documents": webdocs.PAGINATION_SERIES_SQL,
         "robots_meta_documents": webdocs.ROBOTS_META_SQL,
         "recrawl_priority_documents": webdocs.RECRAWL_PRIORITY_SQL,
@@ -699,6 +704,7 @@ def oracle_sql() -> dict[str, str]:
         "dom_template_paths": webdocs.DOM_TEMPLATE_PATHS_SQL,
         "schema_evolution_documents": __import__("pdf_extractor_ray.pipelines.ingest", fromlist=["x"]).SCHEMA_EVOLUTION_SQL,
         "events_daily_delta": windows.EVENTS_DAILY_DELTA_SQL,
+        "events_running_total": windows.EVENTS_RUNNING_TOTAL_SQL,
         "q8_market_share": analytics.Q8_SQL,
         "q13_custdist": analytics.Q13_SQL,
         "q21_waiting_suppliers": analytics.Q21_SQL,
@@ -721,6 +727,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_headings_documents": webdocs.EXTRACT_HEADINGS_SQL,
         "extract_links_documents": webdocs.EXTRACT_LINKS_SQL,
         "extract_meta_documents": webdocs.EXTRACT_META_SQL,
+        "extract_microdata_documents": webdocs.EXTRACT_MICRODATA_SQL,
+        "embedded_resources_documents": webdocs.EMBEDDED_RESOURCES_SQL,
         "extract_opengraph_documents": webdocs.EXTRACT_OPENGRAPH_SQL,
         "extract_images_documents": webdocs.EXTRACT_IMAGES_SQL,
         "lang_mismatch_documents": webdocs.LANG_MISMATCH_SQL,

@@ -1695,3 +1695,186 @@ def html_extract_links_rel(raw: bytes) -> list[tuple[str, str]]:
             rel = (rm.group(1) or rm.group(2) or rm.group(3) or "") if rm else ""
             out.append((href, rel.lower()))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Microdata (schema.org itemscope/itemprop) harvest
+# ---------------------------------------------------------------------------
+
+# itemprop value channel per the HTML microdata algorithm: URL-carrying
+# elements read their URL attribute, meta reads content, time prefers
+# datetime, data prefers value; everything else is the element's text.
+_MICRODATA_URL_ATTR = {
+    "a": "href",
+    "link": "href",
+    "area": "href",
+    "img": "src",
+    "audio": "src",
+    "video": "src",
+    "embed": "src",
+    "iframe": "src",
+    "source": "src",
+    "track": "src",
+    "object": "data",
+}
+
+
+def _has_bare_attr(blob: str, name: str) -> bool:
+    """True if the attribute appears in the tag blob, valued OR bare —
+    ``itemscope`` is a boolean attribute and is usually written bare
+    (``<div itemscope itemtype=…>``), which ``_attr_val`` (requires
+    ``=``) cannot see."""
+    return re.search(rf"(?:^|\s){name}(?=[\s=/>]|$)", blob, re.I) is not None
+
+
+def _md_set(item: dict, prop: str, value) -> None:
+    """Record a property value under each whitespace-separated name in
+    ``prop`` (the spec allows ``itemprop="a b"``), first occurrence
+    wins per name — the same singular-property rule as the OG/meta
+    walkers, so decoy repeats are provably ignored."""
+    for name in prop.split():
+        item["props"].setdefault(name, value)
+
+
+def html_extract_microdata(raw: bytes) -> list[dict]:
+    """Harvest schema.org microdata: one ``{"itemtype": str | None,
+    "props": {name: value}}`` dict per TOP-LEVEL ``itemscope``, in
+    document order — the third structured-data channel next to JSON-LD
+    (:func:`html_extract_ldjson`) and Open Graph, and the one older CMS
+    templates actually emit. Value semantics follow the microdata
+    extraction algorithm: ``meta`` → ``content``; URL elements
+    (a/link/img/iframe/…) → their URL attribute; ``time`` →
+    ``datetime`` when present; ``data`` → ``value`` when present;
+    anything else → the element's text content (descendants included),
+    entity-unescaped and whitespace-collapsed. A nested ``itemscope``
+    carrying ``itemprop`` becomes a nested item dict under its parent's
+    props; an ``itemprop`` OUTSIDE any open scope is ignored (it
+    belongs to no item). First occurrence wins per property name.
+    Lenient tag-soup close handling (a close tag pops to its nearest
+    matching open; unmatched closes are ignored; EOF closes everything)
+    — single pass over the shared token stream, never touches the
+    body-text golden path. Reference analog: none (pdf-extractor's
+    PDFs carry /Info dicts; web pages need the microdata walk)."""
+    html = _decode_page(raw)
+    top: list[dict] = []
+    # element stack: {"tag", "item": dict|None, "caps": [capture]}
+    frames: list[dict] = []
+    scope_stack: list[dict] = []  # open items, innermost last
+    captures: list[dict] = []  # active text captures {"prop","item","parts"}
+
+    def _finish_frame(fr: dict) -> None:
+        for cap in fr["caps"]:
+            captures.remove(cap)
+            _md_set(cap["item"], cap["prop"], collapse_ws(unescape("".join(cap["parts"]))))
+        if fr["item"] is not None and scope_stack and scope_stack[-1] is fr["item"]:
+            scope_stack.pop()
+
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        text_end = m.start() if m else n
+        if text_end > pos and captures:
+            chunk = html[pos:text_end]
+            for cap in captures:
+                cap["parts"].append(chunk)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None:
+            continue
+        tag = name.lower()
+        if html[m.start() + 1] == "/":
+            if any(fr["tag"] == tag for fr in frames):
+                while frames:
+                    fr = frames.pop()
+                    _finish_frame(fr)
+                    if fr["tag"] == tag:
+                        break
+            continue
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            pos = mm.start() if mm else n
+            continue
+        blob = m.group(2) or ""
+        is_void = tag in VOID_TAGS or blob.rstrip().endswith("/")
+        prop = _attr_val(blob, "itemprop")
+        new_item: dict | None = None
+        pending_cap: dict | None = None
+        if _has_bare_attr(blob, "itemscope"):
+            itemtype = _attr_val(blob, "itemtype")
+            new_item = {"itemtype": itemtype if itemtype else None, "props": {}}
+            if prop and scope_stack:
+                _md_set(scope_stack[-1], prop, new_item)
+            else:
+                top.append(new_item)
+        elif prop and scope_stack:
+            item = scope_stack[-1]
+            if tag == "meta":
+                c = _attr_val(blob, "content")
+                _md_set(item, prop, c if c is not None else "")
+            elif tag in _MICRODATA_URL_ATTR:
+                v = _attr_val(blob, _MICRODATA_URL_ATTR[tag])
+                _md_set(item, prop, v if v is not None else "")
+            elif tag == "time" and _attr_val(blob, "datetime") is not None:
+                _md_set(item, prop, _attr_val(blob, "datetime"))
+            elif tag == "data" and _attr_val(blob, "value") is not None:
+                _md_set(item, prop, _attr_val(blob, "value"))
+            elif not is_void:
+                pending_cap = {"prop": prop, "item": item, "parts": []}
+        if not is_void:
+            fr = {"tag": tag, "item": new_item, "caps": []}
+            if pending_cap is not None:
+                fr["caps"].append(pending_cap)
+                captures.append(pending_cap)
+            if new_item is not None:
+                scope_stack.append(new_item)
+            frames.append(fr)
+    while frames:  # EOF closes everything still open
+        _finish_frame(frames.pop())
+    return top
+
+
+def html_extract_resources(raw: bytes) -> list[tuple[str, str]]:
+    """Embedded-resource inventory: ``[(tag, src_url), …]`` in document
+    order over ``script[src]`` / ``iframe[src]`` / ``embed[src]`` /
+    ``object[data]`` — the third-party-embed audit channel (tracker/
+    CDN/widget census; a curation pipeline flags pages whose embed
+    hosts are off-site). Inline scripts (no ``src``) are NOT resources
+    and are skipped; script bodies are skipped as raw text exactly like
+    every other walker, so a ``</iframe>`` inside JS never fabricates
+    an entry. Standalone pass; body-text golden path untouched."""
+    html = _decode_page(raw)
+    out: list[tuple[str, str]] = []
+    pos = 0
+    n = len(html)
+    search = _TOKEN_RE.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(1)
+        if name is None or html[m.start() + 1] == "/":
+            continue
+        tag = name.lower()
+        blob = m.group(2) or ""
+        if tag in _RAWTEXT_CLOSE:
+            mm = _RAWTEXT_CLOSE[tag].search(html, pos)
+            if tag == "script":
+                src = _attr_val(blob, "src")
+                if src:
+                    out.append((tag, src))
+            pos = mm.start() if mm else n
+            continue
+        if tag in ("iframe", "embed"):
+            src = _attr_val(blob, "src")
+            if src:
+                out.append((tag, src))
+        elif tag == "object":
+            src = _attr_val(blob, "data")
+            if src:
+                out.append((tag, src))
+    return out

@@ -2428,3 +2428,106 @@ SELECT host, COUNT(*) AS n_docs, CAST(SUM(mirrored) AS BIGINT) AS n_mirrored,
        CAST(SUM(mirrored) * 1000 // COUNT(*) AS BIGINT) AS mirrored_per_milli
 FROM d GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-set containment between successive documents (asymmetric
+# near-dup audit — containment |A∩B|/|A| catches a short page embedded
+# in a longer one where Jaccard dilutes; Broder's original resemblance
+# paper defines both, and crawl pipelines use containment for
+# subset/superset template detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Distinct-token containment of each document in its successor
+    (``dst = src + 1`` — the snapshot-neighbor linkage shared with
+    ``edit_distance_neighbors``): ``(src, dst, n_src_tokens, n_common,
+    containment_micro)`` with containment = |tok(src) ∩ tok(dst)| /
+    |tok(src)| in integer micro-units (floor — hash-exact vs SQL).
+    Sources with an empty token set are excluded (containment of ∅ is
+    undefined); an empty DST yields containment 0.
+
+    Scale shape: one adaptive equi-join on an int64 key attaches the
+    successor's text (broadcast under the byte gate, hash-partitioned
+    exchange above it); the set intersection is per-pair local work —
+    no token explode, no all-pairs grid. Same cost model as
+    ``edit_distance_neighbors``: work is bounded per EDGE."""
+    from pdf_extractor_ray import joins
+
+    docs = ray.data.read_parquet(_docs_path(sf_dir), columns=["doc_id", "text"])
+
+    def as_src(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": b["doc_id"].to_numpy(np.int64), "src_text": b["text"]})
+
+    def as_dst(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prev": b["doc_id"].to_numpy(np.int64) - 1,
+                "dst": b["doc_id"].to_numpy(np.int64),
+                "dst_text": b["text"],
+            }
+        )
+
+    left = docs.map_batches(as_src, batch_format="pandas")
+    right = docs.map_batches(as_dst, batch_format="pandas")
+    j = joins.adaptive_inner_join(left, right, on="src", right_on="prev")
+
+    def contain(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        na = np.zeros(n, np.int64)
+        ni = np.zeros(n, np.int64)
+        for i, (a, c) in enumerate(zip(b["src_text"], b["dst_text"])):
+            sa = set(a.split())
+            if not sa:
+                continue
+            na[i] = len(sa)
+            ni[i] = len(sa.intersection(c.split()))
+        keep = na > 0
+        return pd.DataFrame(
+            {
+                "src": b["src"].to_numpy(np.int64)[keep],
+                "dst": b["dst"].to_numpy(np.int64)[keep],
+                "n_src_tokens": na[keep],
+                "n_common": ni[keep],
+                "containment_micro": ni[keep] * 1_000_000 // na[keep],
+            }
+        )
+
+    return j.map_batches(contain, batch_format="pandas", batch_size=2048)
+
+
+def _containment_sql() -> str:
+    from pdf_extractor_ray.functions.exact import WS_SPLIT_RE_SQL, trim_ws_sql
+
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+),
+d AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(arr) AS tok FROM t)),
+a AS (SELECT doc_id, COUNT(*) AS na FROM d GROUP BY doc_id),
+pairs AS (
+    SELECT t1.doc_id AS src, t2.doc_id AS dst
+    FROM t t1 JOIN t t2 ON t2.doc_id = t1.doc_id + 1
+    WHERE len(t1.arr) > 0
+),
+i AS (
+    SELECT d1.doc_id AS src, COUNT(*) AS ni
+    FROM d d1 JOIN d d2 ON d2.doc_id = d1.doc_id + 1 AND d2.tok = d1.tok
+    GROUP BY d1.doc_id
+)
+SELECT p.src, p.dst,
+       CAST(a.na AS BIGINT) AS n_src_tokens,
+       CAST(COALESCE(i.ni, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(i.ni, 0) * 1000000 // a.na AS BIGINT) AS containment_micro
+FROM pairs p
+JOIN a ON a.doc_id = p.src
+LEFT JOIN i ON i.src = p.src
+"""
+
+
+CONTAINMENT_PAIRS_SQL = _containment_sql()

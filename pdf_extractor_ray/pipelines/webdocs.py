@@ -4084,3 +4084,226 @@ HIVE_PRUNED_SQL = """
 SELECT doc_id, n_chars FROM documents
 WHERE lang = (SELECT MIN(lang) FROM documents)
 """
+
+
+# ---------------------------------------------------------------------------
+# Microdata (schema.org) harvest through the real walker
+# ---------------------------------------------------------------------------
+
+
+def derive_microdata_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with planted schema.org microdata:
+    an Article item whose headline is the first two tokens (text-content
+    channel, with a ``<b>`` split proving descendant-text capture),
+    datePublished via the ``meta content`` channel, wordCount via plain
+    text content, a NESTED Person item carrying the source column, and
+    the url prop via the ``a href`` channel — plus decoys the walker
+    must provably ignore: an itemprop OUTSIDE any scope, a second
+    in-scope headline (first-wins), and a decoy prop inside the nested
+    Person that must not leak into the Article."""
+    htmls = []
+    for doc_id, text, source in zip(b["doc_id"], b["text"], b["source"]):
+        d = int(doc_id)
+        toks = text.split()
+        head = " ".join(toks[:2]) if toks else "untitled"
+        parts = head.split()
+        h1 = (
+            f"<b>{html_escape(parts[0])}</b> {html_escape(' '.join(parts[1:]))}"
+            if len(parts) > 1
+            else html_escape(head)
+        )
+        htmls.append(
+            (
+                f"<html><body>"
+                f'<span itemprop="headline">BOILER outside scope</span>'
+                f'<div itemscope itemtype="https://schema.org/Article">'
+                f'<h1 itemprop="headline">{h1}</h1>'
+                f'<h2 itemprop="headline">BOILER second</h2>'
+                f'<meta itemprop="datePublished" content="2024-01-{1 + d % 28:02d}">'
+                f'<span itemprop="wordCount">{len(toks)}</span>'
+                f'<div itemprop="author" itemscope itemtype="https://schema.org/Person">'
+                f'<span itemprop="name">{html_escape(source)}</span>'
+                f'<span itemprop="headline">BOILER nested decoy</span>'
+                f"</div>"
+                f'<a itemprop="url" href="/article/{d}">read</a>'
+                f"</div></body></html>"
+            ).encode("utf-8")
+        )
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    return out
+
+
+def extract_microdata_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic microdata-bearing pages →
+    :func:`kernels.html_extract.html_extract_microdata` → ``(doc_id,
+    itemtype, headline, author_name, date_published, url_prop,
+    word_count)``. Exercises the boolean ``itemscope`` attribute, all
+    four value channels (text, meta-content, nested item, URL attr),
+    first-occurrence-wins, and outside-scope/nested-decoy isolation —
+    each against the SQL-derived expectation. Zero shuffle: derive +
+    extract are a single fused vectorized stage, the 100-TB streaming
+    shape shared by every extraction carrier."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_microdata
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    ).map_batches(derive_microdata_pages, batch_format="pandas", batch_size=1024)
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {
+            "itemtype": [],
+            "headline": [],
+            "author_name": [],
+            "date_published": [],
+            "url_prop": [],
+            "word_count": [],
+        }
+        for raw in b["html"]:
+            items = html_extract_microdata(raw)
+            art = items[0] if items else {"itemtype": None, "props": {}}
+            p = art["props"]
+            author = p.get("author") or {"props": {}}
+            rows["itemtype"].append(art["itemtype"])
+            rows["headline"].append(p.get("headline"))
+            rows["author_name"].append(author["props"].get("name"))
+            rows["date_published"].append(p.get("datePublished"))
+            rows["url_prop"].append(p.get("url"))
+            rows["word_count"].append(int(p.get("wordCount", "0")))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "itemtype": pd.Series(rows["itemtype"], dtype="object"),
+                "headline": pd.Series(rows["headline"], dtype="object"),
+                "author_name": pd.Series(rows["author_name"], dtype="object"),
+                "date_published": pd.Series(rows["date_published"], dtype="object"),
+                "url_prop": pd.Series(rows["url_prop"], dtype="object"),
+                "word_count": np.asarray(rows["word_count"], dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=1024)
+
+
+def _extract_microdata_sql() -> str:
+    tw = trim_ws_sql("text")
+    return rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+)
+SELECT doc_id,
+       'https://schema.org/Article' AS itemtype,
+       CASE WHEN len(arr) = 0 THEN 'untitled'
+            ELSE array_to_string(arr[1:LEAST(len(arr), 2)], ' ') END AS headline,
+       source AS author_name,
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS date_published,
+       '/article/' || CAST(doc_id AS VARCHAR) AS url_prop,
+       CAST(len(arr) AS BIGINT) AS word_count
+FROM t
+"""
+
+
+EXTRACT_MICRODATA_SQL = _extract_microdata_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedded-resource (third-party embed) audit through the real walker
+# ---------------------------------------------------------------------------
+
+
+def derive_resource_pages(b: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic page per doc with planted embedded resources: one
+    relative (same-site) script always, ``1 + doc_id % 2`` external CDN
+    scripts, an external iframe when ``doc_id % 3 = 0``, an internal
+    object when ``doc_id % 5 = 0`` — plus an INLINE script whose body
+    contains a fake ``</iframe><iframe src=…>`` string the walker must
+    not count (raw-text skip), and a ``link rel=stylesheet`` that is
+    head metadata, not an embed."""
+    htmls = []
+    for doc_id in b["doc_id"]:
+        d = int(doc_id)
+        tags = ['<script src="/static/app.js"></script>']
+        for i in range(1, 2 + d % 2):
+            tags.append(
+                f'<script src="https://cdn{(d + i) % 5}.example-cdn.com/lib{i}.js"></script>'
+            )
+        if d % 3 == 0:
+            tags.append(f'<iframe src="https://embed{d % 4}.example.org/w/{d}"></iframe>')
+        if d % 5 == 0:
+            tags.append(f'<object data="/media/{d}.svg"></object>')
+        tags.append(
+            '<script>var decoy = "</iframe><iframe src=\\"https://evil.example/x\\">";</script>'
+        )
+        htmls.append(
+            (
+                '<html><head><link rel="stylesheet" href="https://fonts.example-cdn.com/f.css">'
+                f"</head><body><p>content</p>{''.join(tags)}</body></html>"
+            ).encode("utf-8")
+        )
+    out = b[["doc_id"]].copy()
+    out["html"] = htmls
+    return out
+
+
+def embedded_resources_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: documents → deterministic embed-bearing pages →
+    :func:`kernels.html_extract.html_extract_resources` → per-doc embed
+    census ``(doc_id, n_resources, n_scripts, n_iframes, n_external,
+    first_external_host)`` where external = absolute http(s) src. The
+    inline-script decoy proves raw-text skipping; the stylesheet link
+    proves tag scoping. Zero shuffle — a pure streaming audit stage at
+    100 TB, same shape as ``mime_mismatch_documents``."""
+    from pdf_extractor_ray.kernels.html_extract import html_extract_resources
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(derive_resource_pages, batch_format="pandas", batch_size=2048)
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        n_res = np.zeros(n, np.int64)
+        n_scr = np.zeros(n, np.int64)
+        n_ifr = np.zeros(n, np.int64)
+        n_ext = np.zeros(n, np.int64)
+        first_host: list[str | None] = []
+        for i, raw in enumerate(b["html"]):
+            res = html_extract_resources(raw)
+            n_res[i] = len(res)
+            host = None
+            for tag, src in res:
+                n_scr[i] += tag == "script"
+                n_ifr[i] += tag == "iframe"
+                if src.startswith("http://") or src.startswith("https://"):
+                    n_ext[i] += 1
+                    if host is None:
+                        host = src.split("//", 1)[1].split("/", 1)[0]
+            first_host.append(host)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_resources": n_res,
+                "n_scripts": n_scr,
+                "n_iframes": n_ifr,
+                "n_external": n_ext,
+                "first_external_host": pd.Series(first_host, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(audit, batch_format="pandas", batch_size=1024)
+
+
+EMBEDDED_RESOURCES_SQL = """
+SELECT doc_id,
+       CAST(1 + (1 + doc_id % 2)
+              + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_resources,
+       CAST(2 + doc_id % 2 AS BIGINT) AS n_scripts,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_iframes,
+       CAST((1 + doc_id % 2)
+              + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_external,
+       'cdn' || CAST((doc_id + 1) % 5 AS VARCHAR) || '.example-cdn.com' AS first_external_host
+FROM documents
+"""

@@ -615,3 +615,58 @@ SELECT day, n_events,
 FROM d
 QUALIFY lag(n_events) OVER (ORDER BY day) IS NOT NULL
 """
+
+
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running totals over the event stream: every event row
+    with its cumulative cents value and per-user sequence number under
+    the canonical ordering ``(ts, event_id)`` — the windowed-state
+    primitive (SQL ``SUM() OVER (PARTITION BY … ORDER BY … ROWS
+    UNBOUNDED PRECEDING)``) that budget caps / rate limits / LTV
+    accumulators build on, and the prefix-sum complement to
+    ``sessionize``'s gap logic.
+
+    Scale shape: ONE bucketed exchange on user_id (``grouped_apply``,
+    hash buckets — no global sort); the per-bucket pass is a single
+    vectorized cumsum with per-user base subtraction, identical shape
+    to ``sessionize``. Cents (int64) so the running sum is exact and
+    order-proof under the deterministic ordering."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        cents = cents_np(g["value"])
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        first_of_user = np.where(new_user)[0]
+        runlens = np.diff(np.append(first_of_user, len(g)))
+        cs = np.cumsum(cents)
+        base = np.repeat(cs[first_of_user] - cents[first_of_user], runlens)
+        seq = np.arange(len(g), dtype=np.int64) - np.repeat(first_of_user, runlens) + 1
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "ts_str": pd.Series(g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f").to_numpy()),
+                "cum_value_cents": cs - base,
+                "user_seq": seq,
+            }
+        )
+
+    return grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS user_seq
+FROM events
+"""
