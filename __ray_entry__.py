@@ -265,6 +265,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).phrase_search_documents,
         "positional_postings": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).positional_postings,
         "url_path_stats_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).url_path_stats_documents,
+        # wave-31 (fifth session): intra-doc line dedup, train/test
+        # leakage audit, inter-arrival gap stats, DAU/WAU stickiness
+        "line_dedup_documents": textops.line_dedup_documents,
+        "leakage_audit_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).leakage_audit_documents,
+        "events_interarrival_stats": windows.events_interarrival_stats,
+        "events_stickiness": windows.events_stickiness,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -417,6 +423,12 @@ _NEVER_DRIVER_RUN = [
     # CORRECTNESS_r*.json (r4 overflow + every round-5 addition) —
     # the window policy is: ALL of these run first, so each new oracle
     # gets driver coverage the round it lands (VERDICT r4 item #1).
+    # wave-31 (fifth session) oracle newcomers: intra-doc line dedup,
+    # train/test leakage audit, inter-arrival stats, DAU/WAU stickiness
+    "line_dedup_documents",
+    "leakage_audit_documents",
+    "events_interarrival_stats",
+    "events_stickiness",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
@@ -451,13 +463,15 @@ _NEVER_DRIVER_RUN = [
     # harvest, snapshot, and dedup-audit families already in-window).
     # wave-11 newcomers (series_concat, meta_refresh,
     # outlink_diversity, canonical_dedup) → overflow likewise.
-    "setsim_join_documents",
-    "pmi_collocations",
+    # setsim_join / pmi_collocations / funnel_events / retention_cohorts
+    # → overflow for the four wave-31 newcomers above: their families
+    # keep in-window carriers (dedup: span_dedup + line_dedup + leakage;
+    # text-stats: token_entropy + bigram_novelty + ccnet_matrix; events:
+    # event_type_transitions + interarrival + stickiness); each stays
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     "hits_documents",
     "bm25_topk_documents",
     "textrank_keywords",
-    "funnel_events",
-    "retention_cohorts",
     "connected_components_documents",
     "anchor_text_stats",
     "clean_unicode_documents",
@@ -764,4 +778,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_documents": textops.SPAN_DEDUP_SQL,
         "shuffle_rank_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SHUFFLE_RANK_SQL,
         "sliding_chunks_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).SLIDING_CHUNKS_SQL,
+        "line_dedup_documents": textops.LINE_DEDUP_SQL,
+        "leakage_audit_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LEAKAGE_AUDIT_SQL,
+        "events_interarrival_stats": windows.EVENTS_INTERARRIVAL_SQL,
+        "events_stickiness": windows.EVENTS_STICKINESS_SQL,
     }

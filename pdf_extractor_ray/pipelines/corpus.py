@@ -1840,3 +1840,112 @@ QUALIFY row_number() OVER (
              % 4294967296) + 4294967296) % 4294967296, doc_id
 ) <= {SAMPLE_K_PER_HOST}
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/test leakage (decontamination) audit
+# ---------------------------------------------------------------------------
+
+LEAK_TEST_MOD = 10  # doc_id % 10 == 0 → test (split_train_test's rule)
+LEAK_PLANT_MOD = 30  # carrier: every doc_id % 30 == 0 copies doc_id+1's text
+
+
+def leakage_audit_documents(sf_dir: str) -> ray.data.Dataset:
+    """Exact-match leakage between the deterministic train/test split:
+    every TEST doc whose full text also appears in TRAIN →
+    ``(test_doc_id, train_doc_id, n_train_dups)`` with ``train_doc_id``
+    the smallest matching train doc. The decontamination audit every
+    eval-set release needs (GPT-3 §4 / C4 app. C shape).
+
+    Scale shape: the exchange carries ``(hash16, doc_id, is_test)`` —
+    never text — so a 100-TB corpus moves 25 bytes/doc; the content
+    hash is the same 16-byte blake2b the exact-dedup family keys on
+    (collision odds negligible vs the oracle's text equality). The
+    carrier plants leaks via a distributed self-join (doc_id%30==0
+    receives doc_id+1's text), exercising the join path too."""
+    import os
+
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_apply
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    # --- carrier derivation: plant cross-split exact dups -------------
+    def donor_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["doc_id"] % LEAK_PLANT_MOD == 0]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "text": b["text"].to_numpy(object),
+                "donor_id": b["doc_id"].to_numpy(np.int64) + 1,
+            }
+        )
+
+    # recipient ⋈ donor text (LEFT-join semantics: a recipient with no
+    # donor row keeps its own text — matches the oracle's LEFT JOIN)
+    planted = adaptive_inner_join(
+        docs.map_batches(donor_key, batch_format="pandas"),
+        docs.map_batches(
+            lambda b: b.rename(columns={"doc_id": "donor_id", "text": "donor_text"}),
+            batch_format="pandas",
+        ),
+        on="donor_id",
+        how="left_outer",
+    )
+    rest = docs.map_batches(
+        lambda b: b[b["doc_id"] % LEAK_PLANT_MOD != 0], batch_format="pandas"
+    )
+
+    def planted_rows(b: pd.DataFrame) -> pd.DataFrame:
+        text = b["donor_text"].where(b["donor_text"].notna(), b["text"])
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "text": text.to_numpy(object)}
+        )
+
+    derived = rest.union(planted.map_batches(planted_rows, batch_format="pandas"))
+
+    # --- the audit proper: 16-byte-key exchange, text never moves -----
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h": [hashing.content_hash(t) for t in b["text"]],
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "is_test": (b["doc_id"].to_numpy(np.int64) % LEAK_TEST_MOD == 0),
+            }
+        )
+
+    def leaks(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("h", sort=False):
+            tests = grp.loc[grp["is_test"], "doc_id"]
+            trains = grp.loc[~grp["is_test"], "doc_id"]
+            if len(tests) and len(trains):
+                tmin, ntr = int(trains.min()), len(trains)
+                out.extend((int(t), tmin, ntr) for t in tests)
+        return pd.DataFrame(
+            {
+                "test_doc_id": pd.Series([o[0] for o in out], dtype="int64"),
+                "train_doc_id": pd.Series([o[1] for o in out], dtype="int64"),
+                "n_train_dups": pd.Series([o[2] for o in out], dtype="int64"),
+            }
+        )
+
+    return grouped_apply(derived.map_batches(keyed, batch_format="pandas"), ["h"], leaks)
+
+
+LEAKAGE_AUDIT_SQL = f"""
+WITH leaked AS (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % {LEAK_PLANT_MOD} = 0 AND dn.text IS NOT NULL
+                THEN dn.text ELSE d.text END AS text
+    FROM documents d LEFT JOIN documents dn ON dn.doc_id = d.doc_id + 1
+)
+SELECT te.doc_id AS test_doc_id,
+       CAST(MIN(tr.doc_id) AS BIGINT) AS train_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_train_dups
+FROM leaked te JOIN leaked tr ON te.text = tr.text
+WHERE te.doc_id % {LEAK_TEST_MOD} = 0 AND tr.doc_id % {LEAK_TEST_MOD} <> 0
+GROUP BY te.doc_id
+"""

@@ -3901,3 +3901,110 @@ SELECT doc_id,
        CAST(doc_id % 5 AS BIGINT) AS n_money
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document line dedup (RefinedWeb/Gopher "remove duplicate lines
+# within document" cleaner) through a derive carrier
+# ---------------------------------------------------------------------------
+
+LINE_EVERY = SENT_EVERY  # carrier line = one 5-token group
+
+
+def derive_line_corpus(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Line-structured corpus with PLANTED intra-doc repeats: each
+    doc's base lines (``LINE_EVERY``-token groups) are followed by a
+    re-appearance of the first and third base line (nav/menu blocks
+    repeating within a page) and a source-keyed footer line repeated
+    three times (cookie-banner shape). First-occurrence line dedup
+    must drop exactly the re-appearances — the oracle rebuilds the
+    same line array by token arithmetic."""
+    texts = []
+    for text, source in zip(b["text"], b["source"]):
+        toks = text.split()
+        base = [
+            " ".join(toks[i : i + LINE_EVERY]) for i in range(0, len(toks), LINE_EVERY)
+        ]
+        extra = [base[0], base[2]] if len(base) >= 3 else base[:1]
+        lines = base + extra + [f"footer for {source}"] * 3
+        texts.append("\n".join(lines))
+    out = b.copy()
+    out["text"] = texts
+    return out
+
+
+def line_dedup_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-document duplicate-line removal, first occurrence kept —
+    ``(doc_id, n_lines, n_kept, clean_text)``. Purely per-row, so the
+    stage is zero-shuffle ``map_batches``; at 100 TB this is the cheap
+    half of line-level cleaning (the cross-doc half is
+    :func:`webdocs.paragraph_dedup_documents`)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    ).map_batches(derive_line_corpus, batch_format="pandas", batch_size=2048)
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        ids, n_lines, n_kept, clean = [], [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            lines = text.split("\n") if text else []
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            ids.append(int(doc_id))
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            clean.append("\n".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_lines": pd.Series(n_lines, dtype="int64"),
+                "n_kept": pd.Series(n_kept, dtype="int64"),
+                "clean_text": pd.Series(clean, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(dedup, batch_format="pandas", batch_size=2048)
+
+
+def _line_dedup_sql() -> str:
+    tw = trim_ws_sql("text")
+    k = LINE_EVERY
+    return rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           CASE WHEN {tw} = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array({tw}, '{WS_SPLIT_RE_SQL}') END AS arr
+    FROM documents
+), base AS (
+    SELECT doc_id, source,
+           list_transform(generate_series(0, CAST(ceil(len(arr)/{k}.0) AS INT) - 1),
+                          i -> array_to_string(arr[{k}*i+1 : LEAST({k}*i+{k}, len(arr))], ' ')) AS bl
+    FROM t
+), lined AS (
+    SELECT doc_id,
+           bl
+           || (CASE WHEN len(bl) >= 3 THEN [bl[1], bl[3]]
+                    WHEN len(bl) >= 1 THEN [bl[1]]
+                    ELSE CAST([] AS VARCHAR[]) END)
+           || ['footer for ' || source, 'footer for ' || source, 'footer for ' || source] AS lines
+    FROM base
+), ln AS (
+    SELECT doc_id, u.i AS idx, lines[u.i] AS line
+    FROM lined, unnest(generate_series(1, len(lines))) AS u(i)
+), firsts AS (
+    SELECT doc_id, line, MIN(idx) AS first_idx FROM ln GROUP BY doc_id, line
+), tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM ln GROUP BY doc_id
+)
+SELECT f.doc_id, ANY_VALUE(t.n_lines) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(f.line, chr(10) ORDER BY f.first_idx) AS clean_text
+FROM firsts f JOIN tot t USING (doc_id)
+GROUP BY f.doc_id
+"""
+
+
+LINE_DEDUP_SQL = _line_dedup_sql()

@@ -670,3 +670,172 @@ SELECT user_id, event_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS user_seq
 FROM events
 """
+
+
+def events_interarrival_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Inter-arrival gap statistics per event type: for each pair of
+    CONSECUTIVE events of the same user (ordered by ``(ts, event_id)``),
+    the gap is attributed to the LATER event's type →
+    ``(event_type, n_gaps, total_gap_ms, max_gap_ms, avg_gap_ms)``.
+    The per-user diff is vectorized over one user_id-bucketed exchange
+    (the sessionize shape); the fold-down exchange then carries only
+    per-bucket × per-type partials (≤ buckets × types rows). Integer
+    milliseconds end to end; ``avg = total // n`` (non-negative, so
+    Python ``//`` ≡ DuckDB ``//``)."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts_ns = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        gap_ms = (ts_ns[1:] - ts_ns[:-1]) // 1_000_000
+        part = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(object)[1:][same],
+                "n_gaps": np.ones(int(same.sum()), dtype=np.int64),
+                "total_gap_ms": gap_ms[same],
+                "max_gap_ms": gap_ms[same],
+            }
+        )
+        out = part.groupby("event_type", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"),
+            total_gap_ms=("total_gap_ms", "sum"),
+            max_gap_ms=("max_gap_ms", "max"),
+        )
+        return out.astype(
+            {"n_gaps": "int64", "total_gap_ms": "int64", "max_gap_ms": "int64"}
+        )
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"),
+            total_gap_ms=("total_gap_ms", "sum"),
+            max_gap_ms=("max_gap_ms", "max"),
+        )
+        out["avg_gap_ms"] = out["total_gap_ms"] // out["n_gaps"]
+        return out.astype(
+            {
+                "n_gaps": "int64",
+                "total_gap_ms": "int64",
+                "max_gap_ms": "int64",
+                "avg_gap_ms": "int64",
+            }
+        )
+
+    return grouped_apply(partials, ["event_type"], fold, num_buckets=2)
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH d AS (
+    SELECT event_type,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))) // 1000 AS gap_ms
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms,
+       CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms,
+       CAST(SUM(gap_ms) // COUNT(*) AS BIGINT) AS avg_gap_ms
+FROM d WHERE gap_ms IS NOT NULL GROUP BY event_type
+"""
+
+
+STICKY_WINDOW_DAYS = 7
+
+
+def events_stickiness(sf_dir: str) -> "ray.data.Dataset":
+    """DAU/WAU stickiness per day: ``(day, dau, wau,
+    stickiness_permille)`` where WAU counts distinct users over the
+    trailing 7 days (inclusive) and stickiness = 1000·DAU//WAU. The
+    windowed distinct is the replicate-to-window trick: each distinct
+    (day, user) pair is exploded to the 7 target days it can serve
+    (vectorized np.repeat), then ONE distinct exchange + per-day count
+    — the exchange carries unique pairs × 7, never raw events. Only
+    days that themselves have events are reported (inner join with
+    DAU)."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        day_i = b["ts"].to_numpy("datetime64[ns]").astype(np.int64) // (86_400 * 10**9)
+        return pd.DataFrame(
+            {"day_i": day_i, "user_id": b["user_id"].to_numpy(np.int64)}
+        ).drop_duplicates()
+
+    pairs = distinct(ds.map_batches(keyed, batch_format="pandas"), ["day_i", "user_id"])
+
+    def ones(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "day_i": b["day_i"].to_numpy(np.int64),
+                    col: np.ones(len(b), np.int64),
+                }
+            )
+
+        return fn
+
+    dau = grouped_sum(pairs.map_batches(ones("dau"), batch_format="pandas"), ["day_i"], ["dau"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        w = STICKY_WINDOW_DAYS
+        day = np.repeat(b["day_i"].to_numpy(np.int64), w)
+        off = np.tile(np.arange(w, dtype=np.int64), len(b))
+        return pd.DataFrame(
+            {"day_i": day + off, "user_id": np.repeat(b["user_id"].to_numpy(np.int64), w)}
+        )
+
+    wau_pairs = distinct(
+        pairs.map_batches(explode, batch_format="pandas"), ["day_i", "user_id"]
+    )
+    wau = grouped_sum(
+        wau_pairs.map_batches(ones("wau"), batch_format="pandas"), ["day_i"], ["wau"]
+    )
+
+    out = adaptive_inner_join(dau, wau, on="day_i")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(b["day_i"].to_numpy(np.int64) * 86_400, unit="s")
+        return pd.DataFrame(
+            {
+                "day": day.strftime("%Y-%m-%d"),
+                "dau": b["dau"].to_numpy(np.int64),
+                "wau": b["wau"].to_numpy(np.int64),
+                "stickiness_permille": b["dau"].to_numpy(np.int64) * 1000 // b["wau"].to_numpy(np.int64),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
+EVENTS_STICKINESS_SQL = f"""
+WITH pairs AS (
+    SELECT DISTINCT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS day_i,
+           user_id
+    FROM events
+), dau AS (
+    SELECT day_i, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day_i
+), wau AS (
+    SELECT d.day_i, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+    FROM (SELECT DISTINCT day_i FROM pairs) d
+    JOIN pairs p ON p.day_i BETWEEN d.day_i - {STICKY_WINDOW_DAYS - 1} AND d.day_i
+    GROUP BY d.day_i
+)
+SELECT strftime(make_timestamp(d.day_i * 86400000000), '%Y-%m-%d') AS day,
+       d.dau, w.wau,
+       CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_permille
+FROM dau d JOIN wau w USING (day_i)
+"""
