@@ -271,6 +271,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_audit_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).leakage_audit_documents,
         "events_interarrival_stats": windows.events_interarrival_stats,
         "events_stickiness": windows.events_stickiness,
+        # wave-32 (fifth session): local clustering coefficient, audio
+        # level stats, mojibake repair, first-touch attribution
+        "clustering_coeff_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).clustering_coeff_documents,
+        "audio_stats_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).audio_stats_documents,
+        "mojibake_documents": textops.mojibake_documents,
+        "first_touch_attribution": windows.first_touch_attribution,
+        # wave-33 (fifth session): token frequency spectrum, Gini
+        # activity concentration, RFM segmentation, image histogram
+        "token_spectrum_documents": textops.token_spectrum_documents,
+        "gini_user_activity": windows.gini_user_activity,
+        "rfm_segments": windows.rfm_segments,
+        "image_histogram_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).image_histogram_documents,
+        # wave-34 (fifth session): perceptual-hash image dedup, audio
+        # silence runs, common-neighbor link prediction, exact deciles
+        "phash_dup_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).phash_dup_documents,
+        "audio_silence_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).audio_silence_documents,
+        "link_prediction_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).link_prediction_documents,
+        "revenue_decile_bounds": analytics.revenue_decile_bounds,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -429,6 +447,21 @@ _NEVER_DRIVER_RUN = [
     "leakage_audit_documents",
     "events_interarrival_stats",
     "events_stickiness",
+    # wave-32 oracle newcomers
+    "clustering_coeff_documents",
+    "audio_stats_documents",
+    "mojibake_documents",
+    "first_touch_attribution",
+    # wave-33 oracle newcomers
+    "token_spectrum_documents",
+    "gini_user_activity",
+    "rfm_segments",
+    "image_histogram_documents",
+    # wave-34 oracle newcomers
+    "phash_dup_documents",
+    "audio_silence_documents",
+    "link_prediction_documents",
+    "revenue_decile_bounds",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
@@ -469,22 +502,29 @@ _NEVER_DRIVER_RUN = [
     # text-stats: token_entropy + bigram_novelty + ccnet_matrix; events:
     # event_type_transitions + interarrival + stickiness); each stays
     # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
-    "hits_documents",
-    "bm25_topk_documents",
-    "textrank_keywords",
-    "connected_components_documents",
-    "anchor_text_stats",
-    "clean_unicode_documents",
+    # hits / textrank / bm25 / connected_components → overflow for the
+    # four wave-32 newcomers: the graph family keeps pagerank,
+    # crawl_depth, triangle_counts AND the new clustering coefficient
+    # in-window; search keeps phrase_search; all four stay
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
+    # anchor_text_stats / clean_unicode / token_entropy / shuffle_rank
+    # → overflow for the four wave-33 newcomers: text hygiene keeps
+    # mojibake (clean_unicode's direct sibling) in-window, text-stats
+    # keeps token_spectrum + bigram_novelty + ccnet_matrix, the link
+    # graph keeps pagerank/crawl_depth/triangle/clustering, and the
+    # sampling family keeps sample_k + mixture_upsample; all four stay
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     "label_centroids_embeddings",
-    "token_entropy_documents",
-    "bigram_novelty_documents",
-    # cocitation_pairs → overflow for the wave-6 markdown renderer
-    # (extraction is the north-star family; the graph family keeps
-    # pagerank/hits/connected_components/triangle_counts in-window):
-    "render_markdown_documents",
-    "edit_distance_neighbors",
-    # final-session wave 2 (all oracle-checked, never driver-run)
-    "crawl_depth_documents",
+    # bigram_novelty / render_markdown / edit_distance_neighbors /
+    # crawl_depth → overflow for the four wave-34 newcomers: text-stats
+    # keeps token_spectrum + ccnet_matrix, extraction keeps
+    # flagship/fields/headings/links/meta/dates/tables/charset, dedup
+    # keeps span_dedup/line_dedup/leakage plus the NEW perceptual-hash
+    # near-dup carrier, and the graph family keeps pagerank/triangle/
+    # clustering plus the NEW link-prediction carrier; all four stay
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
+    # (cocitation_pairs parked earlier for the wave-6 markdown
+    # renderer, which now parks in turn.)
     "phrase_search_documents",
     # positional_postings → overflow (search family stays in-window via
     # phrase_search + bm25) for the WebTables-style table-structure
@@ -495,7 +535,6 @@ _NEVER_DRIVER_RUN = [
     # direct reference-capability parity (pdf_service opens each doc's
     # metadata before extraction):
     "extract_pdfinfo_documents",
-    "shuffle_rank_documents",
     # sliding_chunks_documents → overflow (chunk/packing family stays
     # in-window via pack_sequences + length_bucketed_batches) for the
     # charset-sniffed decode carrier — extraction is the north-star
@@ -782,4 +821,16 @@ def oracle_sql() -> dict[str, str]:
         "leakage_audit_documents": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).LEAKAGE_AUDIT_SQL,
         "events_interarrival_stats": windows.EVENTS_INTERARRIVAL_SQL,
         "events_stickiness": windows.EVENTS_STICKINESS_SQL,
+        "clustering_coeff_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).CLUSTERING_COEFF_SQL,
+        "audio_stats_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).AUDIO_STATS_SQL,
+        "mojibake_documents": textops.MOJIBAKE_SQL,
+        "first_touch_attribution": windows.FIRST_TOUCH_SQL,
+        "token_spectrum_documents": textops.TOKEN_SPECTRUM_SQL,
+        "gini_user_activity": windows.GINI_SQL,
+        "rfm_segments": windows.RFM_SQL,
+        "image_histogram_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).IMAGE_HISTOGRAM_SQL,
+        "phash_dup_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).PHASH_DUP_SQL,
+        "audio_silence_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).AUDIO_SILENCE_SQL,
+        "link_prediction_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).LINK_PREDICTION_SQL,
+        "revenue_decile_bounds": analytics.REVENUE_DECILES_SQL,
     }

@@ -1725,3 +1725,65 @@ FROM per_order
 WHERE n_late = 1 AND n_supps >= 2
 GROUP BY late_supp
 """
+
+
+def revenue_decile_bounds(sf_dir: str) -> ray.data.Dataset:
+    """Exact decile boundaries of order value → ``(decile, 
+    boundary_cents)`` for deciles 1..9, where boundary d is the
+    ``(d·n)//10``-th smallest cents value (1-based) — the cut table a
+    curation pass uses to stratify orders/documents into equal-count
+    value bands without an approximate sketch.
+
+    Scale shape: NO global sort of the fact table. One exchange folds
+    rows to COUNT-PER-DISTINCT-VALUE (bounded by the value domain, not
+    the row count), :func:`~pdf_extractor_ray.ops.prefix_sum` turns
+    those into global ranks with a num_buckets-sized driver collect,
+    and a final filter emits the ≤ 9 rows whose rank span covers a
+    target. Ties are free: equal values share one row, so the selected
+    boundary is tie-order independent (unlike a row-sort plan)."""
+    from pdf_extractor_ray.ops import prefix_sum
+
+    ds = ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": cents_np(b["o_totalprice"]), "m": np.ones(len(b), np.int64)}
+        )
+
+    counts = grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["v"],
+        ["m"],
+    )
+    n = int(counts.sum("m"))
+    ranked = prefix_sum(counts, "v", "m", "cum")  # exclusive prefix
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        cum = b["cum"].to_numpy(np.int64)
+        m = b["m"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        decs, bounds = [], []
+        for d in range(1, 10):
+            t = (d * n) // 10
+            hit = (cum < t) & (t <= cum + m)
+            for val in v[hit]:
+                decs.append(d)
+                bounds.append(int(val))
+        return pd.DataFrame(
+            {
+                "decile": pd.Series(decs, dtype="int64"),
+                "boundary_cents": pd.Series(bounds, dtype="int64"),
+            }
+        )
+
+    return ranked.map_batches(pick, batch_format="pandas")
+
+
+REVENUE_DECILES_SQL = f"""
+WITH c AS (SELECT {CENTS_SQL.format(expr="o_totalprice")} AS v FROM orders),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+n AS (SELECT COUNT(*) AS n FROM c)
+SELECT CAST(t.d AS BIGINT) AS decile, r.v AS boundary_cents
+FROM r, n, unnest(generate_series(1, 9)) AS t(d)
+WHERE r.rn = (t.d * n.n) // 10
+"""

@@ -2071,3 +2071,206 @@ p AS (
 SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reach2
 FROM p WHERE node <> src GROUP BY src
 """
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (triangles ∘ degrees)
+# ---------------------------------------------------------------------------
+
+
+def clustering_coefficient(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-node local clustering coefficient over the undirected graph
+    of an ``(src, dst)`` edge Dataset: ``(node, degree, n_triangles,
+    clustering_milli)`` with ``clustering_milli = 2000·t(v) //
+    (d(v)·(d(v)−1))`` (integer milli-units; 0 when degree < 2). The
+    community-vs-link-farm discriminator built from parts this engine
+    already has: :func:`triangle_counts` for the numerator, one
+    endpoint-explode + grouped count for the denominator, one
+    node-keyed left join to combine — no new exchange shape."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_sum
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"])
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]),
+                "degree": np.ones(2 * len(b), np.int64),
+            }
+        )
+
+    deg = grouped_sum(und.map_batches(endpoints, batch_format="pandas"), ["node"], ["degree"])
+    tri = triangle_counts(edges)
+    joined = adaptive_inner_join(deg, tri, on="node", how="left_outer")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["degree"].to_numpy(np.int64)
+        t = b["n_triangles"].fillna(0).to_numpy(np.int64)
+        denom = d * (d - 1)
+        coeff = np.where(denom >= 2, 2000 * t // np.maximum(denom, 1), 0)
+        return pd.DataFrame(
+            {
+                "node": b["node"].to_numpy(np.int64),
+                "degree": d,
+                "n_triangles": t,
+                "clustering_milli": coeff.astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+def clustering_coeff_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: local clustering coefficient over the document link
+    graph (same derived edges as :func:`triangle_counts_documents`)."""
+    return clustering_coefficient(document_link_edges(sf_dir))
+
+
+CLUSTERING_COEFF_SQL = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+u AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM u UNION ALL SELECT b AS node FROM u)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM u e1
+  JOIN u e2 ON e2.a = e1.b
+  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN 2000 * COALESCE(t.n_triangles, 0) // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_milli
+FROM deg d LEFT JOIN tn t USING (node)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction (wedge count minus existing edges)
+# ---------------------------------------------------------------------------
+
+
+def common_neighbor_candidates(edges: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """Link-prediction candidates over the undirected graph of an
+    ``(src, dst)`` edge Dataset: the top-``k`` NON-adjacent pairs by
+    common-neighbor count → ``(a, b, n_common)``, tie-broken on
+    ``(a, b)`` for determinism — the classic common-neighbors score
+    (Liben-Nowell & Kleinberg) a crawl uses to propose related-page
+    pairs.
+
+    Scale shape: wedges are emitted per MIDDLE node from its grouped
+    neighbor list (one exchange; per-node cost is degree², the same
+    bound as :func:`triangle_counts` — a viral hub needs a degree cap
+    upstream, documented there), counted with a second exchange, and
+    existing edges are removed by a UNION-tag fold on the pair key
+    (no composite-int key that could overflow on wide id spans, no
+    driver-side edge set). The final top-k sorts the candidate table,
+    which is wedge-bounded, never corpus-sized."""
+    from pdf_extractor_ray.ops import distinct, grouped_apply, grouped_sum
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"])
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]),
+                "nb": np.concatenate([b["b"].to_numpy(np.int64), b["a"].to_numpy(np.int64)]),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("node", sort=False):
+            nb = np.sort(grp["nb"].to_numpy(np.int64))
+            if len(nb) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"a": nb[ia], "b": nb[ib]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["n_common"] = np.int64(1)
+        out["is_edge"] = np.int64(0)
+        return out
+
+    cand = grouped_apply(adj, ["node"], wedges)
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["a", "b"]].copy()
+        out["n_common"] = np.int64(0)
+        out["is_edge"] = np.int64(1)
+        return out
+
+    tagged = cand.union(und.map_batches(tag_edges, batch_format="pandas"))
+    folded = grouped_sum(tagged, ["a", "b"], ["n_common", "is_edge"])
+
+    def keep_nonadjacent(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["is_edge"] == 0) & (b["n_common"] > 0)
+        return b.loc[m, ["a", "b", "n_common"]]
+
+    nonadj = folded.map_batches(keep_nonadjacent, batch_format="pandas")
+    # wedge-bounded table; descending score with (a, b) tiebreak
+    return nonadj.sort(["n_common", "a", "b"], descending=[True, False, False]).limit(k)
+
+
+def link_prediction_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: common-neighbor link prediction over the document link
+    graph (same derived edges as :func:`triangle_counts_documents`)."""
+    return common_neighbor_candidates(document_link_edges(sf_dir))
+
+
+LINK_PREDICTION_SQL = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+u AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+adj AS (
+  SELECT a AS node, b AS nb FROM u UNION ALL SELECT b AS node, a AS nb FROM u
+),
+w AS (
+  SELECT a1.nb AS a, a2.nb AS b, COUNT(*) AS n_common
+  FROM adj a1 JOIN adj a2 ON a1.node = a2.node AND a1.nb < a2.nb
+  GROUP BY 1, 2
+)
+SELECT w.a, w.b, CAST(w.n_common AS BIGINT) AS n_common
+FROM w LEFT JOIN u ON u.a = w.a AND u.b = w.b
+WHERE u.a IS NULL
+ORDER BY w.n_common DESC, w.a, w.b LIMIT 20
+"""

@@ -721,6 +721,7 @@ def decode_wav(payload: bytes) -> dict:
         "sample_rate": int(rate),
         "channels": int(nch),
         "rms": rms,
+        "pcm": frames,  # raw little-endian int16 frames for sample-level stats
     }
 
 
@@ -1478,4 +1479,332 @@ s AS (
 SELECT doc_id, CAST(tw AS BIGINT) AS thumb_w, CAST(th AS BIGINT) AS thumb_h,
        CAST(px_sum AS BIGINT) AS px_sum
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audio level stats (decoded-sample arithmetic, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def make_saw_wav(doc_id: int, n: int, rate: int = 16000) -> bytes:
+    """Closed-form RIFF/WAV PCM16 sawtooth: ``sample[i] = ((i + doc_id)
+    % 201) - 100``. Unlike :func:`make_wav`'s RNG clip this is pure
+    integer arithmetic, so a SQL oracle can recompute every decoded
+    sample — the audio analog of the flat-PNG pixel trick."""
+    import io
+    import wave
+
+    i = np.arange(n, dtype=np.int64)
+    samples = (((i + doc_id) % 201) - 100).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def audio_stats_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked AUDIO level analysis: per doc a real WAV clip
+    (:func:`make_saw_wav`, ``n = 100 + d % 500`` samples) decoded by
+    the real RIFF walk, then integer level stats over the decoded
+    samples → ``(doc_id, n_samples, sum_sq, peak_abs, mean_abs_milli)``
+    — the loudness/clipping screen an audio-corpus curation pass runs.
+    All-integer outputs (``mean_abs_milli = 1000·Σ|s| // n``) so the
+    SQL oracle is exact arithmetic, no float tolerance. Zero shuffle;
+    the binary payload never leaves the batch."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["doc_id"]].copy()
+        out["wav"] = [make_saw_wav(int(d), 100 + int(d) % 500) for d in b["doc_id"]]
+        return out
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, ssq, peak, mam = [], [], [], [], []
+        for doc_id, payload in zip(b["doc_id"], b["wav"]):
+            info = decode_wav(bytes(payload))
+            s = np.frombuffer(info["pcm"], dtype="<i2").astype(np.int64)
+            ids.append(int(doc_id))
+            ns.append(len(s))
+            ssq.append(int(np.dot(s, s)))
+            peak.append(int(np.abs(s).max()) if len(s) else 0)
+            mam.append(int(1000 * np.abs(s).sum() // len(s)) if len(s) else 0)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "sum_sq": pd.Series(ssq, dtype="int64"),
+                "peak_abs": pd.Series(peak, dtype="int64"),
+                "mean_abs_milli": pd.Series(mam, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=512).map_batches(
+        analyze, batch_format="pandas", batch_size=128
+    )
+
+
+AUDIO_STATS_SQL = """
+WITH s AS (
+    SELECT doc_id, ((u.i + doc_id) % 201) - 100 AS v
+    FROM documents, unnest(generate_series(0, 100 + doc_id % 500 - 1)) AS u(i)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+       CAST(1000 * SUM(abs(v)) // COUNT(*) AS BIGINT) AS mean_abs_milli
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image intensity histogram (decoded-pixel arithmetic, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def image_histogram_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Oracle-checked IMAGE histogram: per doc a real PNG whose pixel
+    field varies in BOTH axes (``px[y,x] = (x + y + d) % 256``,
+    w = 8 + d%9, h = 6 + d%5) decoded by the real codec, then an
+    8-bucket intensity histogram (``bucket = px // 32``) →
+    ``(doc_id, bucket, n_px)``, zero-count buckets omitted (matching
+    SQL GROUP BY) — the exposure/contrast screen an image-corpus
+    curation pass runs (all-dark or blown-out scans cluster in the end
+    buckets). Unlike :func:`image_dims_documents`'s per-row constant
+    fill, the 2-D gradient makes every histogram doc-specific. Zero
+    shuffle; the payload never leaves the batch."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 6 + d % 5
+            x = np.arange(w, dtype=np.int64).reshape(1, w)
+            y = np.arange(h, dtype=np.int64).reshape(h, 1)
+            payloads.append(encode_png(((x + y + d) % 256).astype(np.uint8)))
+        out = b[["doc_id"]].copy()
+        out["png"] = payloads
+        return out
+
+    def histogram(b: pd.DataFrame) -> pd.DataFrame:
+        ids, buckets, counts = [], [], []
+        for doc_id, payload in zip(b["doc_id"], b["png"]):
+            px, _ = _png_decode_pixels(bytes(payload))
+            vals, cnts = np.unique(px.astype(np.int64) // 32, return_counts=True)
+            ids.extend([int(doc_id)] * len(vals))
+            buckets.extend(vals.tolist())
+            counts.extend(cnts.tolist())
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bucket": pd.Series(buckets, dtype="int64"),
+                "n_px": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pandas", batch_size=256).map_batches(
+        histogram, batch_format="pandas", batch_size=64
+    )
+
+
+IMAGE_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+),
+p AS (
+  SELECT doc_id, ((x + y + doc_id) % 256) // 32 AS bucket
+  FROM g, unnest(range(0, w)) AS rx(x), unnest(range(0, h)) AS ry(y)
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_px
+FROM p GROUP BY doc_id, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (aHash) near-duplicate image grouping
+# ---------------------------------------------------------------------------
+
+
+def average_hash(px: np.ndarray) -> str:
+    """64-bit average hash of a 16×16 grayscale image as a 64-char bit
+    string: mean-pool to 8×8 blocks, then ``bit = 64·block_sum >
+    total_sum`` (cross-multiplied — no float mean, and invariant to a
+    uniform brightness shift c, since both sides gain 256c). Row-major
+    block order."""
+    if px.shape != (16, 16):
+        raise ValueError(f"average_hash expects 16x16, got {px.shape}")
+    blocks = px.astype(np.int64).reshape(8, 2, 8, 2).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    bits = (64 * blocks > total).astype(np.uint8).ravel()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def phash_dup_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Perceptual-hash NEAR-DUPLICATE image grouping: per doc a real
+    16×16 PNG (``px[y,x] = ((3x + 5y + 7·(d//4)) % 200) + d%4`` — docs
+    in the same quad share a base pattern and differ only by a uniform
+    brightness shift of d%4, the canonical re-encoded-thumbnail case)
+    is decoded by the real codec, average-hashed
+    (:func:`average_hash`), and grouped → ``(phash, n_docs, min_doc)``
+    for groups of ≥ 2 — exact-dedup machinery applied to a
+    brightness-invariant perceptual key, which is how image corpora
+    dedup re-hosted copies that byte-level hashing misses. One
+    64-byte-key exchange; payloads never leave the batch."""
+    import os
+
+    import ray.data
+
+    from pdf_extractor_ray.ops import grouped_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def build_and_hash(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        x = np.arange(16, dtype=np.int64).reshape(1, 16)
+        y = np.arange(16, dtype=np.int64).reshape(16, 1)
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            px0 = (((3 * x + 5 * y + 7 * (d // 4)) % 200) + d % 4).astype(np.uint8)
+            px, _ = _png_decode_pixels(encode_png(px0))
+            ids.append(d)
+            hashes.append(average_hash(px.reshape(16, 16)))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "phash": pd.Series(hashes, dtype="object"),
+                "one": pd.Series(np.ones(len(ids), np.int64)),
+            }
+        )
+
+    groups = grouped_agg(
+        ds.map_batches(build_and_hash, batch_format="pandas", batch_size=256),
+        ["phash"],
+        {"n_docs": ("one", "sum"), "min_doc": ("doc_id", "min")},
+    )
+
+    def dups_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["n_docs"] >= 2, ["phash", "n_docs", "min_doc"]]
+
+    return groups.map_batches(dups_only, batch_format="pandas")
+
+
+PHASH_DUP_SQL = """
+WITH px AS (
+  SELECT doc_id, x, y,
+         ((3 * x + 5 * y + 7 * (doc_id // 4)) % 200) + doc_id % 4 AS v
+  FROM documents, unnest(generate_series(0, 15)) AS rx(x),
+       unnest(generate_series(0, 15)) AS ry(y)
+),
+blk AS (
+  SELECT doc_id, (y // 2) * 8 + (x // 2) AS bi, SUM(v) AS bs
+  FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)
+),
+tot AS (SELECT doc_id, SUM(bs) AS ts FROM blk GROUP BY doc_id),
+bits AS (
+  SELECT b.doc_id,
+         string_agg(CASE WHEN 64 * b.bs > t.ts THEN '1' ELSE '0' END, ''
+                    ORDER BY b.bi) AS phash
+  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM bits GROUP BY phash HAVING COUNT(*) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audio silence-run detection (gaps-and-islands over decoded samples)
+# ---------------------------------------------------------------------------
+
+
+def silence_runs(samples: np.ndarray, threshold: int = 10) -> "tuple[int, int, int]":
+    """(n_runs, longest_run, n_silent) of maximal runs with
+    ``|sample| < threshold`` — vectorized run-length encoding via the
+    padded-diff trick, no Python loop over samples."""
+    sil = (np.abs(samples.astype(np.int64)) < threshold).astype(np.int8)
+    if not sil.any():
+        return 0, 0, 0
+    d = np.diff(np.concatenate([[0], sil, [0]]))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    lens = ends - starts
+    return int(len(lens)), int(lens.max()), int(lens.sum())
+
+
+def audio_silence_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Silence segmentation over real WAV clips (:func:`make_saw_wav`,
+    ``n = 100 + d % 500`` samples): decode with the real RIFF walk,
+    then run-length analysis of ``|s| < 10`` spans →
+    ``(doc_id, n_runs, longest_run, n_silent)``, docs with no silent
+    samples omitted (matching SQL GROUP BY over islands) — the
+    dead-air screen an audio-corpus curation pass runs before ASR
+    (mostly-silent clips waste tokenizer/aligner budget). Zero
+    shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nr, lg, ns = [], [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            info = decode_wav(make_saw_wav(d, 100 + d % 500))
+            s = np.frombuffer(info["pcm"], dtype="<i2")
+            n_runs, longest, n_sil = silence_runs(s)
+            if n_runs == 0:
+                continue
+            ids.append(d)
+            nr.append(n_runs)
+            lg.append(longest)
+            ns.append(n_sil)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_runs": pd.Series(nr, dtype="int64"),
+                "longest_run": pd.Series(lg, dtype="int64"),
+                "n_silent": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas", batch_size=256)
+
+
+AUDIO_SILENCE_SQL = """
+WITH s AS (
+  SELECT doc_id, i,
+         CASE WHEN abs(((i + doc_id) % 201) - 100) < 10 THEN 1 ELSE 0 END AS sil
+  FROM documents, unnest(generate_series(0, 100 + doc_id % 500 - 1)) AS u(i)
+),
+g AS (
+  SELECT doc_id, i, i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM s WHERE sil = 1
+),
+r AS (SELECT doc_id, grp, COUNT(*) AS len FROM g GROUP BY doc_id, grp)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(len) AS BIGINT) AS longest_run,
+       CAST(SUM(len) AS BIGINT) AS n_silent
+FROM r GROUP BY doc_id
 """

@@ -4008,3 +4008,166 @@ GROUP BY f.doc_id
 
 
 LINE_DEDUP_SQL = _line_dedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (UTF-8-read-as-Latin-1) detection and repair
+# ---------------------------------------------------------------------------
+
+# UTF-8 lead bytes 0xC2-0xC5 followed by a continuation byte, both read
+# as Latin-1 codepoints -- the signature of double-encoded crawl text
+_MOJIBAKE_RE = _re.compile("[\u00c2-\u00c5][\u0080-\u00bf]")
+MOJIBAKE_PLANT_MOD = 4
+
+
+def derive_mojibake_corpus(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Carrier: every ``doc_id % 4 == 0`` doc gets a trailing snippet
+    whose accents were mangled by the classic UTF-8->Latin-1 misread
+    ('caf\u00e9 r\u00e9sum\u00e9' stored as 'caf\u00c3\u00a9 ...');
+    other docs get the clean ASCII decoy so a naive substring match
+    can't cheat."""
+    mangled = " menu caf\u00e9 r\u00e9sum\u00e9 end".encode("utf-8").decode("latin-1")
+    texts = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        if int(doc_id) % MOJIBAKE_PLANT_MOD == 0:
+            texts.append(text + mangled)
+        else:
+            texts.append(text + " menu cafe resume end")
+    out = b.copy()
+    out["text"] = texts
+    return out
+
+
+def repair_mojibake(text: str) -> "tuple[int, str]":
+    """(n_hits, repaired): when the double-encoding signature appears
+    and the Latin-1 -> UTF-8 round-trip decodes cleanly, undo it;
+    otherwise return the text unchanged (never corrupt on suspicion)."""
+    hits = _MOJIBAKE_RE.findall(text)
+    if not hits:
+        return 0, text
+    try:
+        return len(hits), text.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return len(hits), text
+
+
+def mojibake_documents(sf_dir: str) -> ray.data.Dataset:
+    """Mojibake screen over the (derived) corpus -> ``(doc_id,
+    n_mojibake, repaired, clean_text)``: detects the UTF-8-as-Latin-1
+    double-encoding signature and repairs it by reversing the misread
+    -- the ftfy-style hygiene pass a web corpus needs before tokenizer
+    training (mangled accents shatter into junk BPE merges). Purely
+    per-row, zero shuffle."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_mojibake_corpus, batch_format="pandas", batch_size=2048)
+
+    def screen(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nm, rep, clean = [], [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            n, fixed = repair_mojibake(text)
+            ids.append(int(doc_id))
+            nm.append(n)
+            rep.append(bool(n) and fixed != text)
+            clean.append(fixed)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_mojibake": pd.Series(nm, dtype="int64"),
+                "repaired": pd.Series(rep, dtype="bool"),
+                "clean_text": pd.Series(clean, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(screen, batch_format="pandas", batch_size=2048)
+
+
+MOJIBAKE_SQL = f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % {MOJIBAKE_PLANT_MOD} = 0 THEN 3 ELSE 0 END AS BIGINT) AS n_mojibake,
+       doc_id % {MOJIBAKE_PLANT_MOD} = 0 AS repaired,
+       text || ' menu caf\u00e9 r\u00e9sum\u00e9 end' AS clean_text
+FROM documents WHERE doc_id % {MOJIBAKE_PLANT_MOD} = 0
+UNION ALL
+SELECT doc_id, 0, FALSE, text || ' menu cafe resume end'
+FROM documents WHERE doc_id % {MOJIBAKE_PLANT_MOD} <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token frequency spectrum (hapax / dis legomena analysis)
+# ---------------------------------------------------------------------------
+
+
+def derive_spectrum_corpus(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Carrier: the synthetic corpus has a tiny always-frequent vocab,
+    so every doc plants one globally-unique token (``id<doc_id>`` →
+    hapax) and one shared-by-≤3 token (``grp<doc_id//3>``) to make the
+    low-frequency buckets live."""
+    out = b[["doc_id"]].copy()
+    out["text"] = [
+        f"{t} id{int(d)} grp{int(d) // 3}" for d, t in zip(b["doc_id"], b["text"])
+    ]
+    return out
+
+
+def token_spectrum_documents(sf_dir: str) -> ray.data.Dataset:
+    """Token frequency SPECTRUM over the (derived) corpus → one row per
+    frequency class ``(freq_bucket, n_types, n_tokens)`` with buckets
+    1..5 exact and 6 = "6+": the count-of-counts view behind hapax-ratio
+    quality screens and Zipf/Heaps fits (a vocabulary dominated by
+    hapaxes signals OCR noise or mangled encodings; one dominated by
+    the 6+ bucket signals boilerplate). Two exchanges, both shrinking:
+    token partials (per-batch ``value_counts`` pre-agg, salted two-level
+    combine for the viral base vocab) then a ≤6-row bucket fold."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_spectrum_corpus, batch_format="pandas", batch_size=4096)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        tokens = b["text"].str.split(" ").explode()
+        tokens = tokens[tokens != ""]
+        g = tokens.value_counts().reset_index()
+        g.columns = ["token", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = grouped_sum(
+        ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+        ["token"],
+        ["n"],
+        two_level=True,
+    )
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        g = pd.DataFrame({"freq_bucket": np.minimum(n, 6), "n_types": 1, "n_tokens": n})
+        out = g.groupby("freq_bucket", as_index=False).agg(
+            n_types=("n_types", "sum"), n_tokens=("n_tokens", "sum")
+        )
+        return out.astype({"freq_bucket": "int64", "n_types": "int64", "n_tokens": "int64"})
+
+    return grouped_sum(
+        counts.map_batches(bucketize, batch_format="pandas"),
+        ["freq_bucket"],
+        ["n_types", "n_tokens"],
+        num_buckets=2,
+    )
+
+
+TOKEN_SPECTRUM_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(
+           text || ' id' || doc_id || ' grp' || (doc_id // 3), ' ')) AS word
+  FROM documents
+),
+c AS (
+  SELECT word, COUNT(*) AS n FROM w WHERE word != '' GROUP BY word
+)
+SELECT CAST(LEAST(n, 6) AS BIGINT) AS freq_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1
+"""

@@ -839,3 +839,226 @@ SELECT strftime(make_timestamp(d.day_i * 86400000000), '%Y-%m-%d') AS day,
        CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_permille
 FROM dau d JOIN wau w USING (day_i)
 """
+
+
+def first_touch_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """First-touch acquisition matrix: group users by their FIRST
+    event's type (order ``(ts, event_id)``) and report how many went
+    on to purchase → ``(first_event_type, n_users, n_purchasers,
+    conversion_permille)``. One user_id-bucketed exchange computes
+    both the per-user first event and the purchase flag in a single
+    vectorized pass; the fold-down exchange carries ≤ buckets × types
+    rows. ``conversion_permille = 1000·p // u`` (non-negative ints,
+    Python ``//`` ≡ DuckDB ``//``)."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        firsts = g.groupby("user_id", sort=False).agg(
+            first_event_type=("event_type", "first")
+        )
+        purch = g.groupby("user_id", sort=False)["event_type"].agg(
+            lambda s: bool((s == "purchase").any())
+        )
+        per_user = firsts.assign(purchased=purch.astype(np.int64)).reset_index()
+        out = per_user.groupby("first_event_type", as_index=False).agg(
+            n_users=("user_id", "size"), n_purchasers=("purchased", "sum")
+        )
+        return out.astype({"n_users": "int64", "n_purchasers": "int64"})
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("first_event_type", as_index=False).agg(
+            n_users=("n_users", "sum"), n_purchasers=("n_purchasers", "sum")
+        )
+        out["conversion_permille"] = out["n_purchasers"] * 1000 // out["n_users"]
+        return out.astype(
+            {"n_users": "int64", "n_purchasers": "int64", "conversion_permille": "int64"}
+        )
+
+    return grouped_apply(partials, ["first_event_type"], fold, num_buckets=2)
+
+
+FIRST_TOUCH_SQL = """
+WITH r AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS purchased
+    FROM events
+)
+SELECT event_type AS first_event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+       CAST(SUM(purchased) * 1000 // COUNT(*) AS BIGINT) AS conversion_permille
+FROM r WHERE rn = 1 GROUP BY event_type
+"""
+
+
+def gini_user_activity(sf_dir: str) -> "pd.DataFrame":
+    """Exact Gini coefficient of per-user event activity → one row
+    ``(n_users, total_events, gini_permille)`` — the inequality screen
+    a crawl/event corpus runs to quantify how concentrated traffic is
+    in power users (Gini 0 = uniform, 1000‰ = one user owns it all).
+
+    Exactness: with per-user counts x sorted ascending and 1-based
+    rank i, G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx); permille via Python
+    big-int cross-multiplication, no division until the final ``//``.
+    Ties need no ordering rule — equal x values commute in Σi·x_i.
+
+    Scale shape: one exchange builds per-user counts, a second folds
+    them to COUNT-OF-COUNTS (multiplicity m per activity level c); only
+    that table — bounded by the number of DISTINCT activity levels,
+    ≤ max events per user, never user-count-sized — reaches the driver,
+    where contiguous rank-range arithmetic (a block of m users with
+    count c after lo users contributes c·(m·lo + m(m+1)/2)) replaces
+    the global sort."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"], "n": np.ones(len(b), np.int64)})
+
+    per_user = grouped_sum(
+        ds.map_batches(ones, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        ["n"],
+    )
+
+    def count_of_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n", as_index=False).agg(m=("user_id", "size"))
+        return g.rename(columns={"n": "c"}).astype({"c": "int64", "m": "int64"})
+
+    coc = grouped_sum(
+        per_user.map_batches(count_of_counts, batch_format="pandas"),
+        ["c"],
+        ["m"],
+        num_buckets=2,
+    ).to_pandas()
+
+    coc = coc.sort_values("c").reset_index(drop=True)
+    lo = 0
+    s1 = 0  # Σ i·x_i over users sorted ascending, exact big-int
+    total = 0
+    for c, m in zip(coc["c"].tolist(), coc["m"].tolist()):
+        c, m = int(c), int(m)
+        s1 += c * (m * lo + m * (m + 1) // 2)
+        total += c * m
+        lo += m
+    n = lo
+    gini = (2000 * s1 - 1000 * (n + 1) * total) // (n * total) if n and total else 0
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n], dtype="int64"),
+            "total_events": pd.Series([total], dtype="int64"),
+            "gini_permille": pd.Series([gini], dtype="int64"),
+        }
+    )
+
+
+GINI_SQL = """
+WITH pc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM pc)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS total_events,
+       CAST((2000 * SUM(i * c) - 1000 * (COUNT(*) + 1) * SUM(c))
+            // (COUNT(*) * SUM(c)) AS BIGINT) AS gini_permille
+FROM r
+"""
+
+
+def rfm_segments(sf_dir: str) -> "ray.data.Dataset":
+    """RFM (recency / frequency / monetary) user segmentation over
+    events → ``(segment, n_users, total_value_cents)`` with
+    ``segment = 100·r + 10·f + m`` from fixed integer bucket edges
+    (recency hours since the global max ts: <12→2, <24→1, else 0;
+    frequency: ≥70→2, ≥60→1, else 0; monetary cents: ≥350000→2,
+    ≥300000→1, else 0) — the classic marketing/engagement matrix,
+    kept exact-integer so the oracle is pure arithmetic.
+
+    Scale shape: pass 1 is a scalar global-max-ts aggregate (driver
+    gets ONE value, closed over by pass 2 — the broadcast-a-scalar
+    pattern); pass 2 builds per-user (count, cents, last_ts) in one
+    exchange; the segment fold moves ≤27 rows per bucket."""
+    from pdf_extractor_ray.functions.exact import cents_np
+    from pdf_extractor_ray.ops import grouped_agg, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    gmax_us = int(pd.Timestamp(ds.max("ts")).value // 1000)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "n": np.ones(len(b), np.int64),
+                "cents": cents_np(b["value"]),
+                # normalize to datetime64[us] first: parquet loads as
+                # us-unit, but .astype(int64) semantics follow the
+                # column's unit, so pin it explicitly
+                "ts_us": b["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    per_user = grouped_agg(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        {"n": ("n", "sum"), "cents": ("cents", "sum"), "last_us": ("ts_us", "max")},
+    )
+
+    def segment(b: pd.DataFrame) -> pd.DataFrame:
+        hours = (gmax_us - b["last_us"].to_numpy(np.int64)) // 3_600_000_000
+        r = np.where(hours < 12, 2, np.where(hours < 24, 1, 0))
+        n = b["n"].to_numpy(np.int64)
+        f = np.where(n >= 70, 2, np.where(n >= 60, 1, 0))
+        cents = b["cents"].to_numpy(np.int64)
+        m = np.where(cents >= 350_000, 2, np.where(cents >= 300_000, 1, 0))
+        return pd.DataFrame(
+            {
+                "segment": (100 * r + 10 * f + m).astype(np.int64),
+                "n_users": np.ones(len(b), np.int64),
+                "total_value_cents": cents,
+            }
+        )
+
+    return grouped_sum(
+        per_user.map_batches(segment, batch_format="pandas"),
+        ["segment"],
+        ["n_users", "total_value_cents"],
+        num_buckets=2,
+    )
+
+
+RFM_SQL = """
+WITH m AS (SELECT MAX(ts) AS gmax FROM events),
+u AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT (CASE WHEN (epoch_us(m.gmax) - epoch_us(u.last_ts)) // 3600000000 < 12 THEN 2
+               WHEN (epoch_us(m.gmax) - epoch_us(u.last_ts)) // 3600000000 < 24 THEN 1
+               ELSE 0 END) * 100
+       + (CASE WHEN u.n >= 70 THEN 2 WHEN u.n >= 60 THEN 1 ELSE 0 END) * 10
+       + (CASE WHEN u.cents >= 350000 THEN 2 WHEN u.cents >= 300000 THEN 1 ELSE 0 END)
+         AS segment,
+         u.cents
+  FROM u, m
+)
+SELECT CAST(segment AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_value_cents
+FROM s GROUP BY segment
+"""
