@@ -289,6 +289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_silence_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).audio_silence_documents,
         "link_prediction_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).link_prediction_documents,
         "revenue_decile_bounds": analytics.revenue_decile_bounds,
+        # wave-35 (fifth session): distributed Naive Bayes classifier,
+        # Zipf slope, token burstiness, video motion score
+        "naive_bayes_documents": __import__("pdf_extractor_ray.pipelines.nbayes", fromlist=["x"]).naive_bayes_documents,
+        "zipf_slope_documents": textops.zipf_slope_documents,
+        "token_burstiness_documents": textops.token_burstiness_documents,
+        "video_motion_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).video_motion_documents,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -462,6 +468,11 @@ _NEVER_DRIVER_RUN = [
     "audio_silence_documents",
     "link_prediction_documents",
     "revenue_decile_bounds",
+    # wave-35 oracle newcomers
+    "naive_bayes_documents",
+    "zipf_slope_documents",
+    "token_burstiness_documents",
+    "video_motion_documents",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
@@ -541,8 +552,15 @@ _NEVER_DRIVER_RUN = [
     # family and non-UTF-8 rows are the real-crawl case:
     "extract_charset_documents",
     # final-session wave 3
+    # pii_stats_by_source / event_type_transitions / length_outliers /
+    # extract_meta → overflow for the four wave-35 newcomers: PII keeps
+    # the (long-driver-green) redact carrier, events keeps
+    # interarrival/stickiness/first_touch/gini/rfm, text-stats keeps
+    # token_spectrum/ccnet_matrix/repetition plus the NEW Zipf slope
+    # and burstiness, extraction keeps flagship/fields/headings/links/
+    # dates/tables/charset; all four stay oracle-verified in CI at
+    # sf0.001 + the sf0.01 pre-flight.
     "ccnet_matrix_documents",
-    "pii_stats_by_source",
     # degree_histogram_documents / reciprocal_links_documents → overflow
     # for the wave-6 newcomers below — the graph family keeps FOUR
     # in-window carriers (pagerank, hits, connected_components,
@@ -551,9 +569,7 @@ _NEVER_DRIVER_RUN = [
     "extract_dates_documents",
     "span_dedup_documents",
     # final-session wave 4
-    "event_type_transitions",
     "url_rules_filter_documents",
-    "length_outliers_documents",
     "triangle_counts_documents",
     # final-session wave 5: the NEW extraction-kernel carriers take
     # window slots (north-star family) from two same-family LM/packing
@@ -565,7 +581,6 @@ _NEVER_DRIVER_RUN = [
     # sf0.01 pre-flight
     "extract_headings_documents",
     "extract_links_documents",
-    "extract_meta_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -833,4 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_silence_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).AUDIO_SILENCE_SQL,
         "link_prediction_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).LINK_PREDICTION_SQL,
         "revenue_decile_bounds": analytics.REVENUE_DECILES_SQL,
+        "naive_bayes_documents": __import__("pdf_extractor_ray.pipelines.nbayes", fromlist=["x"]).NAIVE_BAYES_SQL,
+        "zipf_slope_documents": textops.ZIPF_SLOPE_SQL,
+        "token_burstiness_documents": textops.TOKEN_BURSTINESS_SQL,
+        "video_motion_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).VIDEO_MOTION_SQL,
     }

@@ -1808,3 +1808,91 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
        CAST(SUM(len) AS BIGINT) AS n_silent
 FROM r GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Video frame-difference motion score (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def vid1_frames(payload: bytes) -> np.ndarray:
+    """Decode a VID1 container to its ``(n_frames, h, w)`` uint8 frame
+    array (the metadata-only :func:`decode_video` path doesn't expose
+    frames; motion analysis needs them)."""
+    if not payload.startswith(b"VID1"):
+        raise ValueError("bad VID1 magic")
+    if len(payload) < 16:
+        raise ValueError("truncated VID1 header")
+    n, w, h = struct.unpack(">III", payload[4:16])
+    if len(payload) != 16 + n * w * h:
+        raise ValueError("truncated VID1 frames")
+    return np.frombuffer(payload, dtype=np.uint8, offset=16).reshape(n, h, w)
+
+
+def make_motion_vid1(doc_id: int, n_frames: int, w: int = 8, h: int = 6) -> bytes:
+    """Closed-form VID1 clip: ``frame[t][y, x] = (x + 2y + 5t + d) %
+    256`` — every frame pair differs, so motion analysis has a
+    doc-specific exact expectation (the video analog of the saw WAV)."""
+    t = np.arange(n_frames, dtype=np.int64).reshape(n_frames, 1, 1)
+    y = np.arange(h, dtype=np.int64).reshape(1, h, 1)
+    x = np.arange(w, dtype=np.int64).reshape(1, 1, w)
+    frames = ((x + 2 * y + 5 * t + doc_id) % 256).astype(np.uint8)
+    return b"VID1" + struct.pack(">III", n_frames, w, h) + frames.tobytes()
+
+
+def video_motion_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Frame-difference motion analysis over real VID1 decodes: per doc
+    a ``2 + d % 4``-frame clip (:func:`make_motion_vid1`), motion per
+    consecutive frame pair = Σ|f[t] − f[t−1]| over pixels →
+    ``(doc_id, n_frames, motion_total, motion_max)`` all-integer — the
+    static-clip/slideshow screen a video-corpus curation pass runs
+    (near-zero motion means a thumbnail loop, not footage). Zero
+    shuffle; frames never leave the batch."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nf, mt, mm = [], [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            frames = vid1_frames(make_motion_vid1(d, 2 + d % 4)).astype(np.int64)
+            per_pair = np.abs(np.diff(frames, axis=0)).sum(axis=(1, 2))
+            ids.append(d)
+            nf.append(frames.shape[0])
+            mt.append(int(per_pair.sum()))
+            mm.append(int(per_pair.max()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(nf, dtype="int64"),
+                "motion_total": pd.Series(mt, dtype="int64"),
+                "motion_max": pd.Series(mm, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas", batch_size=512)
+
+
+VIDEO_MOTION_SQL = """
+WITH g AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+p AS (
+  SELECT g.doc_id, t.t,
+         SUM(abs(((x + 2 * y + 5 * t.t + doc_id) % 256)
+                 - ((x + 2 * y + 5 * (t.t - 1) + doc_id) % 256))) AS pair_motion
+  FROM g,
+       unnest(generate_series(1, nf - 1)) AS t(t),
+       unnest(generate_series(0, 7)) AS rx(x),
+       unnest(generate_series(0, 5)) AS ry(y)
+  GROUP BY g.doc_id, t.t
+)
+SELECT p.doc_id, CAST(g.nf AS BIGINT) AS n_frames,
+       CAST(SUM(pair_motion) AS BIGINT) AS motion_total,
+       CAST(MAX(pair_motion) AS BIGINT) AS motion_max
+FROM p JOIN g USING (doc_id)
+GROUP BY p.doc_id, g.nf
+"""

@@ -4171,3 +4171,184 @@ SELECT CAST(LEAST(n, 6) AS BIGINT) AS freq_bucket,
        CAST(SUM(n) AS BIGINT) AS n_tokens
 FROM c GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (corpus health fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope_documents(sf_dir: str) -> "pd.DataFrame":
+    """OLS slope of log(frequency) on log(rank) over the global token
+    counts → one row ``(n_types, slope_neg_milli)`` where
+    ``slope_neg_milli = 1000·(Sx·Sy − n·Sxy) // (n·Sxx − Sx²)`` is the
+    NEGATED Zipf exponent in milli-units (natural text ≈ 1000; a
+    boilerplate-dominated crawl flattens toward 0, OCR noise steepens
+    it) — the one-number corpus-health fingerprint next to
+    ``vocab_growth``'s Heaps fit.
+
+    Exactness: x = ln(rank), y = ln(count) quantized to int64
+    micro-nats (the shared ``floor(ln·1e6 + 0.5)`` quantizer); all
+    sums/products in Python big-ints, one floor division at the end.
+    NEGATING keeps both operands non-negative, sidestepping any
+    floor-vs-truncate divergence on negative integer division. Rank
+    ties are free: tied tokens share y, and {Σx, Σx², Σx·y} are
+    permutation-invariant within a tie group, so the slope doesn't
+    depend on tie order.
+
+    Scale shape: one token-count exchange (per-batch pre-agg, salted);
+    the driver collect is VOCAB-sized (the BPE-materialize argument),
+    never corpus-sized."""
+    import math
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        tokens = b["text"].str.split(" ").explode()
+        tokens = tokens[tokens != ""]
+        g = tokens.value_counts().reset_index()
+        g.columns = ["token", "n"]
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (
+        grouped_sum(
+            ds.map_batches(explode, batch_format="pandas", batch_size=8192),
+            ["token"],
+            ["n"],
+            two_level=True,
+        )
+        .to_pandas()  # vocab-sized collect
+        .sort_values(["n", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    n_types = len(counts)
+    sx = sxx = sy = sxy = 0
+    for rank, c in enumerate(counts["n"].tolist(), start=1):
+        x = math.floor(math.log(rank) * 1e6 + 0.5)
+        y = math.floor(math.log(int(c)) * 1e6 + 0.5)
+        sx += x
+        sxx += x * x
+        sy += y
+        sxy += x * y
+    denom = n_types * sxx - sx * sx
+    slope_neg = (1000 * (sx * sy - n_types * sxy)) // denom if denom else 0
+    return pd.DataFrame(
+        {
+            "n_types": pd.Series([n_types], dtype="int64"),
+            "slope_neg_milli": pd.Series([slope_neg], dtype="int64"),
+        }
+    )
+
+
+ZIPF_SLOPE_SQL = """
+WITH c AS (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, ' ')) AS word FROM documents)
+  WHERE word != '' GROUP BY word
+),
+r AS (
+  SELECT CAST(floor(ln(ROW_NUMBER() OVER (ORDER BY n DESC, word)) * 1000000 + 0.5)
+              AS BIGINT) AS x,
+         CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST((1000 * (SUM(x) * SUM(y) - COUNT(*) * SUM(x * y)))
+            // (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT)
+         AS slope_neg_milli
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token burstiness (variance-to-mean ratio over per-doc counts)
+# ---------------------------------------------------------------------------
+
+
+def token_burstiness_documents(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Top-``k`` burstiest tokens by exact variance-to-mean ratio of
+    per-document counts → ``(token, n_docs_with, total_count,
+    vmr_milli)`` with ``vmr_milli = 1000·(N·S2 − S²) // (N·S)`` over
+    ALL N corpus docs (absent docs contribute zero to S = Σc and
+    S2 = Σc², so only present-doc partials are materialized) — the
+    Church-Gale burstiness screen: content words clump (VMR ≫ 1),
+    function words and injected boilerplate spread evenly (VMR ≈ 1 or
+    below), so the top of this table is a topical-vocabulary report
+    with no model. Numerator is non-negative by Cauchy-Schwarz, so
+    Python ``//`` ≡ DuckDB ``//``.
+
+    Scale shape: a document is one row, so per-(doc, token) counts are
+    exact within a batch; one exchange moves per-token (S, S2, docs)
+    partials; the top-k sorts the vocab-sized table."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_total = ds.count()
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tokens = b["text"].str.split(" ")
+        frame = pd.DataFrame(
+            {"doc": np.repeat(np.arange(len(b)), tokens.str.len()), "token": tokens.explode().to_numpy()}
+        )
+        frame = frame[frame["token"] != ""]
+        per_doc = frame.groupby(["doc", "token"], sort=False).size().reset_index(name="c")
+        per_doc["c"] = per_doc["c"].astype("int64")
+        per_doc["c2"] = per_doc["c"] ** 2
+        per_doc["d"] = np.int64(1)
+        out = per_doc.groupby("token", as_index=False).agg(
+            s=("c", "sum"), s2=("c2", "sum"), n_docs_with=("d", "sum")
+        )
+        return out.astype({"s": "int64", "s2": "int64", "n_docs_with": "int64"})
+
+    agg = grouped_sum(
+        ds.map_batches(partials, batch_format="pandas", batch_size=4096),
+        ["token"],
+        ["s", "s2", "n_docs_with"],
+        two_level=True,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["s"].to_numpy(np.int64)
+        s2 = b["s2"].to_numpy(np.int64)
+        vmr = (1000 * (n_total * s2 - s * s)) // (n_total * s)
+        return pd.DataFrame(
+            {
+                "token": b["token"],
+                "n_docs_with": b["n_docs_with"].astype("int64"),
+                "total_count": s,
+                "vmr_milli": vmr.astype(np.int64),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pandas")
+        .sort(["vmr_milli", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOKEN_BURSTINESS_SQL = """
+WITH pd_ AS (
+  SELECT doc_id, word AS token, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS word
+        FROM documents)
+  WHERE word != '' GROUP BY doc_id, word
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+t AS (
+  SELECT token, SUM(c) AS s, SUM(c * c) AS s2, COUNT(*) AS n_docs_with
+  FROM pd_ GROUP BY token
+)
+SELECT token, CAST(n_docs_with AS BIGINT) AS n_docs_with,
+       CAST(s AS BIGINT) AS total_count,
+       CAST((1000 * (n.n * s2 - s * s)) // (n.n * s) AS BIGINT) AS vmr_milli
+FROM t, n
+ORDER BY vmr_milli DESC, token LIMIT 20
+"""
