@@ -295,6 +295,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_documents": textops.zipf_slope_documents,
         "token_burstiness_documents": textops.token_burstiness_documents,
         "video_motion_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).video_motion_documents,
+        # wave-36 (fifth session): power-law MLE, percentile rank
+        # transform, Simpson diversity, bitext candidate mining
+        "power_law_alpha": windows.power_law_alpha,
+        "length_percentile_documents": textops.length_percentile_documents,
+        "source_lang_simpson": textops.source_lang_simpson,
+        "bitext_candidates": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bitext_candidates,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -473,6 +479,11 @@ _NEVER_DRIVER_RUN = [
     "zipf_slope_documents",
     "token_burstiness_documents",
     "video_motion_documents",
+    # wave-36 oracle newcomers
+    "power_law_alpha",
+    "length_percentile_documents",
+    "source_lang_simpson",
+    "bitext_candidates",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
@@ -567,10 +578,15 @@ _NEVER_DRIVER_RUN = [
     # triangle_counts, cocitation), the densest family coverage in the
     # window; both parked ops stay oracle-verified in CI + pre-flight:
     "extract_dates_documents",
-    "span_dedup_documents",
     # final-session wave 4
-    "url_rules_filter_documents",
-    "triangle_counts_documents",
+    # url_rules_filter / triangle_counts / extract_headings / span_dedup
+    # → overflow for the four wave-36 newcomers: URL filtering keeps
+    # registrable_domain_stats + domain_quota in-window, the graph
+    # family keeps pagerank/clustering/link_prediction (clustering
+    # composes the triangle count internally), extraction keeps
+    # flagship/fields/links/dates/tables/charset, dedup keeps
+    # line_dedup/leakage/paragraph/phash; all four stay oracle-verified
+    # in CI at sf0.001 + the sf0.01 pre-flight.
     # final-session wave 5: the NEW extraction-kernel carriers take
     # window slots (north-star family) from two same-family LM/packing
     # variants (lm_trigram_nll_documents, concat_chunks_documents —
@@ -579,7 +595,6 @@ _NEVER_DRIVER_RUN = [
     # (top_tokens_by_source, source_vocab_jaccard, bigram_vocab_by_lang)
     # park in the OVERFLOW — identical check in CI at sf0.001 + the
     # sf0.01 pre-flight
-    "extract_headings_documents",
     "extract_links_documents",
 ]
 
@@ -852,4 +867,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope_documents": textops.ZIPF_SLOPE_SQL,
         "token_burstiness_documents": textops.TOKEN_BURSTINESS_SQL,
         "video_motion_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).VIDEO_MOTION_SQL,
+        "power_law_alpha": windows.POWER_LAW_SQL,
+        "length_percentile_documents": textops.LENGTH_PERCENTILE_SQL,
+        "source_lang_simpson": textops.SOURCE_LANG_SIMPSON_SQL,
+        "bitext_candidates": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).BITEXT_SQL,
     }

@@ -1949,3 +1949,124 @@ FROM leaked te JOIN leaked tr ON te.text = tr.text
 WHERE te.doc_id % {LEAK_TEST_MOD} = 0 AND tr.doc_id % {LEAK_TEST_MOD} <> 0
 GROUP BY te.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual bitext candidate mining (rare-token blocking)
+# ---------------------------------------------------------------------------
+
+BITEXT_PLANT_MOD = 250
+BITEXT_MAX_DF = 4
+
+
+def derive_bitext_corpus(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Carrier: append an alignment anchor ``xl<doc_id % 250>`` to each
+    doc — the shared numbers / named entities / URLs that survive
+    translation and make cross-lingual pairs discoverable. Docs
+    ``doc_id % 250`` apart become planted translation candidates iff
+    their languages differ."""
+    out = b[["doc_id", "lang"]].copy()
+    out["text"] = [
+        f"{t} xl{int(d) % BITEXT_PLANT_MOD}" for d, t in zip(b["doc_id"], b["text"])
+    ]
+    return out
+
+
+def bitext_candidates(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Cross-lingual bitext CANDIDATE mining (WikiMatrix/CCAligned
+    blocking stage): pair docs of DIFFERENT languages that share rare
+    tokens (global df ≤ 4 — numbers, entities, URLs; frequent tokens
+    block nothing) → top-``k`` ``(doc_a, doc_b, n_shared)`` pairs by
+    shared-rare-token count, tie-broken on ``(doc_a, doc_b)``.
+
+    Scale shape: tokens explode with per-batch dedup, one exchange
+    counts global df, rare tokens fan out ≤ df² pairs per token GROUPED
+    BY TOKEN (the df cap bounds the blowup — the same per-bucket bound
+    the LSH band join uses), and one pair-count exchange folds
+    candidates. The full alignment stage (margin-scored embeddings)
+    would consume these candidates; blocking is the part that must
+    scale."""
+    import os
+
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "text"]
+    ).map_batches(derive_bitext_corpus, batch_format="pandas", batch_size=4096)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, lang, text in zip(b["doc_id"], b["lang"], b["text"]):
+            for t in set(text.split(" ")):
+                if t:
+                    rows.append((t, int(doc_id), lang))
+        return pd.DataFrame(rows, columns=["token", "doc_id", "lang"]).astype(
+            {"doc_id": "int64"}
+        )
+
+    occ = ds.map_batches(explode, batch_format="pandas", batch_size=2048)
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("token", as_index=False).agg(df=("doc_id", "size"))
+        g["df"] = g["df"].astype("int64")
+        return g
+
+    dfs = grouped_sum(
+        occ.map_batches(df_partial, batch_format="pandas"), ["token"], ["df"]
+    )
+
+    def rare_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[(b["df"] >= 2) & (b["df"] <= BITEXT_MAX_DF), ["token"]]
+
+    rare = dfs.map_batches(rare_only, batch_format="pandas")
+
+    # semi-join BEFORE the pair exchange: frequent (viral) tokens never
+    # enter it, so no bucket sees more than BITEXT_MAX_DF rows per key
+    from pdf_extractor_ray.joins import semi_join
+
+    rare_occ = semi_join(occ, rare, on="token")
+
+    def pairs_per_token(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("token", sort=False):
+            recs = sorted(zip(grp["doc_id"].tolist(), grp["lang"].tolist()))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    if recs[i][1] != recs[j][1]:
+                        rows.append((recs[i][0], recs[j][0]))
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        out["n_shared"] = np.int64(1)
+        return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+    pairs = grouped_apply(rare_occ, ["token"], pairs_per_token)
+    counted = grouped_sum(pairs, ["doc_a", "doc_b"], ["n_shared"])
+    return counted.sort(
+        ["n_shared", "doc_a", "doc_b"], descending=[True, False, False]
+    ).limit(k)
+
+
+BITEXT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, text || ' xl' || (doc_id % {BITEXT_PLANT_MOD}) AS text
+  FROM documents
+),
+occ AS (
+  SELECT DISTINCT doc_id, lang, w AS token
+  FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(text, ' ')) AS w FROM d)
+  WHERE w != ''
+),
+rare AS (
+  SELECT token FROM occ GROUP BY token
+  HAVING COUNT(*) BETWEEN 2 AND {BITEXT_MAX_DF}
+),
+p AS (
+  SELECT o1.doc_id AS doc_a, o2.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM occ o1
+  JOIN occ o2 ON o1.token = o2.token AND o1.doc_id < o2.doc_id
+               AND o1.lang <> o2.lang
+  JOIN rare r ON r.token = o1.token
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM p ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20
+"""

@@ -4352,3 +4352,128 @@ SELECT token, CAST(n_docs_with AS BIGINT) AS n_docs_with,
 FROM t, n
 ORDER BY vmr_milli DESC, token LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile rank-transform (length percentile per doc)
+# ---------------------------------------------------------------------------
+
+
+def length_percentile_documents(sf_dir: str) -> ray.data.Dataset:
+    """Exact rank-transform of document length → ``(doc_id, n_chars,
+    pct_milli)`` with ``pct_milli = 1000·n_less // (n − 1)`` where
+    ``n_less`` counts docs STRICTLY shorter (ties share a percentile,
+    matching SQL ``RANK() − 1``) — the normalization a curation mix
+    uses to compare lengths across heterogeneous sources (raw lengths
+    aren't comparable between a news crawl and a forum dump; ranks
+    are).
+
+    Scale shape: the rank function is learned as COUNT-PER-DISTINCT-
+    VALUE (bounded by the value domain — document lengths, not row
+    count), prefix-summed into value → n_less, broadcast once via
+    ``ray.put``, and applied per batch as a vectorized lookup — the
+    rank-transform analog of the broadcast-a-scalar pattern. No
+    per-row exchange at all."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": b["n_chars"].astype("int64"), "m": np.ones(len(b), np.int64)})
+
+    counts = (
+        grouped_sum(ds.map_batches(ones, batch_format="pandas"), ["v"], ["m"])
+        .to_pandas()  # value-domain-sized collect
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    n = int(counts["m"].sum())
+    n_less = np.concatenate([[0], np.cumsum(counts["m"].to_numpy(np.int64))[:-1]])
+    lookup_ref = _ray.put(dict(zip(counts["v"].astype(int), n_less.tolist())))
+
+    def transform(b: pd.DataFrame) -> pd.DataFrame:
+        lk = _cached_get(lookup_ref)
+        v = b["n_chars"].astype("int64")
+        less = v.map(lk).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_chars": v,
+                "pct_milli": (1000 * less // max(n - 1, 1)).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(transform, batch_format="pandas")
+
+
+LENGTH_PERCENTILE_SQL = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(1000 * (RANK() OVER (ORDER BY n_chars) - 1)
+            // GREATEST(n.n - 1, 1) AS BIGINT) AS pct_milli
+FROM documents, n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of languages per source (exact rational)
+# ---------------------------------------------------------------------------
+
+
+def source_lang_simpson(sf_dir: str) -> ray.data.Dataset:
+    """Per-source Simpson diversity of document languages →
+    ``(source, n_docs, simpson_permille)`` with ``simpson = 1 −
+    Σ nᵢ(nᵢ−1)/(N(N−1))`` in exact permille (the probability two
+    random docs from the source differ in language) — the
+    monolingual-feed detector a corpus-mix report runs: diversity ≈ 0
+    flags a single-language source, complementing
+    ``host_lang_entropy``'s micro-nat view with a fully RATIONAL
+    statistic (no log quantization at all).
+
+    Scale shape: one (source, lang) count exchange, then a per-source
+    fold over ≤ |langs| rows each."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": b["source"], "lang": b["lang"], "n": np.ones(len(b), np.int64)}
+        )
+
+    by_lang = grouped_sum(
+        ds.map_batches(ones, batch_format="pandas"), ["source", "lang"], ["n"]
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for source, grp in g.groupby("source", sort=False):
+            ni = grp["n"].to_numpy(np.int64)
+            n_total = int(ni.sum())
+            same = int((ni * (ni - 1)).sum())
+            simpson = (
+                1000 - (1000 * same) // (n_total * (n_total - 1)) if n_total >= 2 else 0
+            )
+            rows.append((source, n_total, simpson))
+        return pd.DataFrame(rows, columns=["source", "n_docs", "simpson_permille"]).astype(
+            {"n_docs": "int64", "simpson_permille": "int64"}
+        )
+
+    return grouped_apply(by_lang, ["source"], fold, num_buckets=4)
+
+
+SOURCE_LANG_SIMPSON_SQL = """
+WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN SUM(n) >= 2
+                 THEN 1000 - (1000 * SUM(n * (n - 1))) // (SUM(n) * (SUM(n) - 1))
+                 ELSE 0 END AS BIGINT) AS simpson_permille
+FROM c GROUP BY source
+"""

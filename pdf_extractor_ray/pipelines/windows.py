@@ -1062,3 +1062,73 @@ SELECT CAST(segment AS BIGINT) AS segment,
        CAST(SUM(cents) AS BIGINT) AS total_value_cents
 FROM s GROUP BY segment
 """
+
+
+def power_law_alpha(sf_dir: str) -> "pd.DataFrame":
+    """Discrete power-law MLE (Hill/Clauset estimator) over per-user
+    event counts → one row ``(n_users, x_min, alpha_milli)`` with
+    ``alpha = 1 + n / Σ ln(x_i / x_min)`` — the heavy-tail fit a crawl
+    or event corpus runs next to :func:`gini_user_activity` (Gini says
+    HOW concentrated, alpha says WHAT tail law; alpha ≤ 2000 milli
+    means an infinite-mean tail where per-user quotas are mandatory).
+
+    Exactness: each ``ln(x_i/x_min)`` is quantized to int64 micro-nats
+    with the shared ``floor(ln·1e6 + 0.5)`` quantizer (one IEEE int/int
+    divide + one libm ln, identical in numpy and DuckDB), summed
+    exactly, then ``alpha_milli = 1000 + (1000·n·10⁶) // S``; all-equal
+    counts (S = 0, degenerate fit) report 0.
+
+    Scale shape: one exchange builds per-user counts; ``x_min`` is a
+    scalar aggregate over that (the broadcast-a-scalar pattern); the
+    micro-nat sum is a second scalar aggregate. Nothing user-count-
+    sized reaches the driver."""
+    import math
+
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b["user_id"], "n": np.ones(len(b), np.int64)})
+
+    per_user = grouped_sum(
+        ds.map_batches(ones, batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        ["n"],
+    ).materialize()
+    n_users = per_user.count()
+    x_min = int(per_user.min("n"))
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n"].to_numpy(np.int64)
+        lg = [math.floor(math.log(int(v) / x_min) * 1e6 + 0.5) for v in x]
+        return pd.DataFrame({"s_micro": pd.Series(lg, dtype="int64")})
+
+    s_micro = int(per_user.map_batches(quantize, batch_format="pandas").sum("s_micro"))
+    alpha = 1000 + (1000 * n_users * 1_000_000) // s_micro if s_micro else 0
+    return pd.DataFrame(
+        {
+            "n_users": pd.Series([n_users], dtype="int64"),
+            "x_min": pd.Series([x_min], dtype="int64"),
+            "alpha_milli": pd.Series([alpha], dtype="int64"),
+        }
+    )
+
+
+POWER_LAW_SQL = """
+WITH pc AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+mn AS (SELECT MIN(c) AS x_min FROM pc),
+q AS (
+  SELECT CAST(floor(ln(pc.c / CAST(mn.x_min AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS s
+  FROM pc, mn
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       (SELECT CAST(x_min AS BIGINT) FROM mn) AS x_min,
+       CAST(CASE WHEN SUM(s) = 0 THEN 0
+                 ELSE 1000 + (1000 * COUNT(*) * 1000000) // SUM(s) END
+            AS BIGINT) AS alpha_milli
+FROM q
+"""
