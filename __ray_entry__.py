@@ -301,6 +301,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile_documents": textops.length_percentile_documents,
         "source_lang_simpson": textops.source_lang_simpson,
         "bitext_candidates": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).bitext_candidates,
+        # wave-37 (fifth session): audio zero-crossing rate, image
+        # entropy, edge embeddedness, daily-volume anomaly screen
+        "audio_zcr_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).audio_zcr_documents,
+        "image_entropy_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).image_entropy_documents,
+        "edge_embeddedness_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).edge_embeddedness_documents,
+        "events_anomaly_days": windows.events_anomaly_days,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -484,6 +490,11 @@ _NEVER_DRIVER_RUN = [
     "length_percentile_documents",
     "source_lang_simpson",
     "bitext_candidates",
+    # wave-37 oracle newcomers
+    "audio_zcr_documents",
+    "image_entropy_documents",
+    "edge_embeddedness_documents",
+    "events_anomaly_days",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
@@ -498,7 +509,6 @@ _NEVER_DRIVER_RUN = [
     "pack_sequences_documents",
     "length_bucketed_batches",
     "boilerplate_prefixes",
-    "c4_clean_documents",
     "pagerank_documents",
     # snapshot_diff_documents → overflow (latest_snapshot +
     # ingest_snapshot keep the family in-window) for the north-rule
@@ -563,6 +573,14 @@ _NEVER_DRIVER_RUN = [
     # family and non-UTF-8 rows are the real-crawl case:
     "extract_charset_documents",
     # final-session wave 3
+    # extract_links / extract_dates / ccnet_matrix / c4_clean →
+    # overflow for the four wave-37 newcomers: extraction keeps
+    # flagship/fields/tables/charset (+ the WARC composition), the LM
+    # family keeps lm_nll + repetition_metrics, C4-style filtering
+    # keeps banned_phrase + gopher via the curation keepers, and the
+    # link-structure family keeps pagerank/clustering/link_prediction
+    # plus the NEW embeddedness; all four stay oracle-verified in CI
+    # at sf0.001 + the sf0.01 pre-flight.
     # pii_stats_by_source / event_type_transitions / length_outliers /
     # extract_meta → overflow for the four wave-35 newcomers: PII keeps
     # the (long-driver-green) redact carrier, events keeps
@@ -571,13 +589,11 @@ _NEVER_DRIVER_RUN = [
     # and burstiness, extraction keeps flagship/fields/headings/links/
     # dates/tables/charset; all four stay oracle-verified in CI at
     # sf0.001 + the sf0.01 pre-flight.
-    "ccnet_matrix_documents",
     # degree_histogram_documents / reciprocal_links_documents → overflow
     # for the wave-6 newcomers below — the graph family keeps FOUR
     # in-window carriers (pagerank, hits, connected_components,
     # triangle_counts, cocitation), the densest family coverage in the
     # window; both parked ops stay oracle-verified in CI + pre-flight:
-    "extract_dates_documents",
     # final-session wave 4
     # url_rules_filter / triangle_counts / extract_headings / span_dedup
     # → overflow for the four wave-36 newcomers: URL filtering keeps
@@ -595,7 +611,6 @@ _NEVER_DRIVER_RUN = [
     # (top_tokens_by_source, source_vocab_jaccard, bigram_vocab_by_lang)
     # park in the OVERFLOW — identical check in CI at sf0.001 + the
     # sf0.01 pre-flight
-    "extract_links_documents",
 ]
 
 _WINDOW_KEEPERS = [
@@ -871,4 +886,8 @@ def oracle_sql() -> dict[str, str]:
         "length_percentile_documents": textops.LENGTH_PERCENTILE_SQL,
         "source_lang_simpson": textops.SOURCE_LANG_SIMPSON_SQL,
         "bitext_candidates": __import__("pdf_extractor_ray.pipelines.corpus", fromlist=["x"]).BITEXT_SQL,
+        "audio_zcr_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).AUDIO_ZCR_SQL,
+        "image_entropy_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).IMAGE_ENTROPY_SQL,
+        "edge_embeddedness_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).EDGE_EMBEDDEDNESS_SQL,
+        "events_anomaly_days": windows.EVENTS_ANOMALY_SQL,
     }

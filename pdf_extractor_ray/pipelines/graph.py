@@ -2274,3 +2274,107 @@ FROM w LEFT JOIN u ON u.a = w.a AND u.b = w.b
 WHERE u.a IS NULL
 ORDER BY w.n_common DESC, w.a, w.b LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Edge embeddedness (common neighbors of an edge's endpoints)
+# ---------------------------------------------------------------------------
+
+
+def edge_embeddedness(edges: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """Top-``k`` edges by EMBEDDEDNESS — the number of common neighbors
+    of the edge's endpoints — over the undirected graph of an
+    ``(src, dst)`` edge Dataset → ``(a, b, embeddedness)``, ties broken
+    on ``(a, b)``. Granovetter's strength-of-ties measure: an
+    embeddedness-0 edge is a LOCAL BRIDGE (the only short path between
+    its sides — navigation/spam links), a high-embeddedness edge sits
+    inside a dense community (boilerplate nav clusters).
+
+    Scale shape: identical wedge machinery to
+    :func:`common_neighbor_candidates` (per-middle-node pair emission,
+    degree²-bounded), but the UNION-tag fold now KEEPS pairs that are
+    edges instead of dropping them — one flipped filter turns link
+    prediction into tie-strength scoring, which is the point of
+    composing both from the same exchange shapes."""
+    from pdf_extractor_ray.ops import distinct, grouped_apply, grouped_sum
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"])
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]),
+                "nb": np.concatenate([b["b"].to_numpy(np.int64), b["a"].to_numpy(np.int64)]),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pandas")
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("node", sort=False):
+            nb = np.sort(grp["nb"].to_numpy(np.int64))
+            if len(nb) < 2:
+                continue
+            ia, ib = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"a": nb[ia], "b": nb[ib]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["n_common"] = np.int64(1)
+        out["is_edge"] = np.int64(0)
+        return out
+
+    cand = grouped_apply(adj, ["node"], wedges)
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["a", "b"]].copy()
+        out["n_common"] = np.int64(0)
+        out["is_edge"] = np.int64(1)
+        return out
+
+    tagged = cand.union(und.map_batches(tag_edges, batch_format="pandas"))
+    folded = grouped_sum(tagged, ["a", "b"], ["n_common", "is_edge"])
+
+    def keep_edges(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["is_edge"] == 1, ["a", "b", "n_common"]].copy()
+        return out.rename(columns={"n_common": "embeddedness"})
+
+    scored = folded.map_batches(keep_edges, batch_format="pandas")
+    return scored.sort(["embeddedness", "a", "b"], descending=[True, False, False]).limit(k)
+
+
+def edge_embeddedness_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: edge embeddedness over the document link graph."""
+    return edge_embeddedness(document_link_edges(sf_dir))
+
+
+EDGE_EMBEDDEDNESS_SQL = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+u AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+adj AS (
+  SELECT a AS node, b AS nb FROM u UNION ALL SELECT b AS node, a AS nb FROM u
+),
+w AS (
+  SELECT a1.nb AS a, a2.nb AS b, COUNT(*) AS n_common
+  FROM adj a1 JOIN adj a2 ON a1.node = a2.node AND a1.nb < a2.nb
+  GROUP BY 1, 2
+)
+SELECT u.a, u.b, CAST(COALESCE(w.n_common, 0) AS BIGINT) AS embeddedness
+FROM u LEFT JOIN w ON w.a = u.a AND w.b = u.b
+ORDER BY embeddedness DESC, u.a, u.b LIMIT 20
+"""

@@ -1896,3 +1896,141 @@ SELECT p.doc_id, CAST(g.nf AS BIGINT) AS n_frames,
 FROM p JOIN g USING (doc_id)
 GROUP BY p.doc_id, g.nf
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio zero-crossing rate (pitch/noisiness proxy, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def zero_crossings(samples: np.ndarray) -> int:
+    """Count of strict sign changes between consecutive samples
+    (``s[i]·s[i+1] < 0`` — zeros break a crossing, matching the SQL
+    product rule), vectorized."""
+    s = samples.astype(np.int64)
+    return int(((s[:-1] * s[1:]) < 0).sum())
+
+
+def audio_zcr_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Zero-crossing analysis over real WAV decodes (:func:`make_saw_wav`,
+    ``n = 100 + d % 500`` samples) → ``(doc_id, n_samples,
+    n_crossings, zcr_milli)`` with ``zcr_milli = 1000·crossings //
+    (n − 1)`` — the cheap voiced/unvoiced/noise discriminator an audio
+    curation pass runs next to the level stats (hiss and dial tones
+    sit at extreme ZCR; speech bands in the middle). Zero shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, nc, zr = [], [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            n = 100 + d % 500
+            s = np.frombuffer(decode_wav(make_saw_wav(d, n))["pcm"], dtype="<i2")
+            c = zero_crossings(s)
+            ids.append(d)
+            ns.append(n)
+            nc.append(c)
+            zr.append(1000 * c // (n - 1))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "n_crossings": pd.Series(nc, dtype="int64"),
+                "zcr_milli": pd.Series(zr, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas", batch_size=512)
+
+
+AUDIO_ZCR_SQL = """
+WITH s AS (
+  SELECT doc_id, i, ((i + doc_id) % 201) - 100 AS v
+  FROM documents, unnest(generate_series(0, 100 + doc_id % 500 - 1)) AS u(i)
+),
+x AS (
+  SELECT doc_id,
+         CASE WHEN v * lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0
+              THEN 1 ELSE 0 END AS c
+  FROM s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(c) AS BIGINT) AS n_crossings,
+       CAST(1000 * SUM(c) // (COUNT(*) - 1) AS BIGINT) AS zcr_milli
+FROM x GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Image Shannon entropy (exposure/complexity screen, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def image_entropy_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Pixel-value Shannon entropy over real PNG decodes (the same 2-D
+    gradient carrier as :func:`image_histogram_documents`) →
+    ``(doc_id, n_px, entropy_micro)`` with ``entropy_micro =
+    micro_ln(N) − (Σ cᵥ·micro_ln(cᵥ)) // N`` over exact value counts —
+    the flat-or-synthetic-image screen (near-zero entropy = blank scan
+    or solid color; the identity H = ln N − (1/N)Σ c ln c keeps every
+    log argument an integer, so the shared quantizer applies and the
+    single ``//`` is deterministic on both engines). Zero shuffle."""
+    import math
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        q = lambda x: math.floor(math.log(x) * 1e6 + 0.5)
+        ids, npx, ent = [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 6 + d % 5
+            x = np.arange(w, dtype=np.int64).reshape(1, w)
+            y = np.arange(h, dtype=np.int64).reshape(h, 1)
+            px, _ = _png_decode_pixels(encode_png(((x + y + d) % 256).astype(np.uint8)))
+            _, counts = np.unique(px, return_counts=True)
+            n = int(counts.sum())
+            s = sum(int(c) * q(int(c)) for c in counts if c > 1)
+            ids.append(d)
+            npx.append(n)
+            ent.append(q(n) - s // n)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_px": pd.Series(npx, dtype="int64"),
+                "entropy_micro": pd.Series(ent, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas", batch_size=256)
+
+
+IMAGE_ENTROPY_SQL = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+),
+c AS (
+  SELECT doc_id, (x + y + doc_id) % 256 AS v, COUNT(*) AS cnt
+  FROM g, unnest(generate_series(0, w - 1)) AS rx(x),
+       unnest(generate_series(0, h - 1)) AS ry(y)
+  GROUP BY doc_id, (x + y + doc_id) % 256
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_px,
+       CAST(CAST(floor(ln(SUM(cnt)) * 1000000 + 0.5) AS BIGINT)
+            - SUM(CASE WHEN cnt > 1
+                       THEN cnt * CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT)
+                       ELSE 0 END) // SUM(cnt) AS BIGINT) AS entropy_micro
+FROM c GROUP BY doc_id
+"""

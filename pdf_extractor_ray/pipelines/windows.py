@@ -1132,3 +1132,72 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
             AS BIGINT) AS alpha_milli
 FROM q
 """
+
+
+def events_anomaly_days(sf_dir: str) -> "ray.data.Dataset":
+    """Daily-volume anomaly screen → ``(day, n_events, median_daily,
+    anomaly)`` where ``anomaly`` flags days whose event count is more
+    than 2× the corpus-wide median daily count ('high': traffic spike
+    / bot flood) or under half of it ('low': collection outage) —
+    integer cross-multiplied comparisons (``n > 2·med``, ``2·n <
+    med``), no division, with the LOWER median (rank ``(n_days+1)//2``)
+    so the reference point is itself exact.
+
+    Scale shape: one exchange folds events to daily counts; the median
+    is computed from that table, which is CALENDAR-bounded (days, not
+    events — a decade is ~3.7k rows), the same bounded-domain argument
+    as the count-of-counts Gini."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"day_i": us // 86_400_000_000, "n_events": np.ones(len(b), np.int64)}
+        )
+
+    daily = grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["day_i"],
+        ["n_events"],
+        num_buckets=2,
+    ).to_pandas()  # calendar-bounded collect
+    daily = daily.sort_values("day_i").reset_index(drop=True)
+    c = np.sort(daily["n_events"].to_numpy(np.int64))
+    med = int(c[(len(c) + 1) // 2 - 1])
+    n = daily["n_events"].to_numpy(np.int64)
+    anomaly = np.where(n > 2 * med, "high", np.where(2 * n < med, "low", "normal"))
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(daily["day_i"] * 86_400_000_000, unit="us").dt.strftime(
+                "%Y-%m-%d"
+            ),
+            "n_events": n,
+            "median_daily": np.full(len(n), med, np.int64),
+            "anomaly": pd.Series(anomaly, dtype="object"),
+        }
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_i, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT n_events AS med FROM
+    (SELECT n_events, ROW_NUMBER() OVER (ORDER BY n_events) AS rn,
+            COUNT(*) OVER () AS n FROM d)
+  WHERE rn = (n + 1) // 2
+)
+SELECT strftime(make_timestamp(day_i * 86400000000), '%Y-%m-%d') AS day,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(m.med AS BIGINT) AS median_daily,
+       CASE WHEN n_events > 2 * m.med THEN 'high'
+            WHEN 2 * n_events < m.med THEN 'low'
+            ELSE 'normal' END AS anomaly
+FROM d, m
+"""
