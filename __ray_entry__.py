@@ -307,6 +307,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_entropy_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).image_entropy_documents,
         "edge_embeddedness_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).edge_embeddedness_documents,
         "events_anomaly_days": windows.events_anomaly_days,
+        # wave-38 (fifth session): ORC source, market-basket lift,
+        # event-type affinity projection, median time-to-convert
+        "read_orc_documents": webdocs.read_orc_documents,
+        "basket_pairs_lineitem": analytics.basket_pairs_lineitem,
+        "event_type_affinity": windows.event_type_affinity,
+        "conversion_time_median": windows.conversion_time_median,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -495,6 +501,11 @@ _NEVER_DRIVER_RUN = [
     "image_entropy_documents",
     "edge_embeddedness_documents",
     "events_anomaly_days",
+    # wave-38 oracle newcomers
+    "read_orc_documents",
+    "basket_pairs_lineitem",
+    "event_type_affinity",
+    "conversion_time_median",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
@@ -507,8 +518,6 @@ _NEVER_DRIVER_RUN = [
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
     "pack_sequences_documents",
-    "length_bucketed_batches",
-    "boilerplate_prefixes",
     "pagerank_documents",
     # snapshot_diff_documents → overflow (latest_snapshot +
     # ingest_snapshot keep the family in-window) for the north-rule
@@ -561,7 +570,6 @@ _NEVER_DRIVER_RUN = [
     # positional_postings → overflow (search family stays in-window via
     # phrase_search + bm25) for the WebTables-style table-structure
     # harvest — extraction is the north-star family:
-    "extract_tables_documents",
     # url_path_stats_documents → overflow (URL family stays in-window
     # via url_rules_filter) for the PDF /Info metadata harvest —
     # direct reference-capability parity (pdf_service opens each doc's
@@ -571,8 +579,13 @@ _NEVER_DRIVER_RUN = [
     # in-window via pack_sequences + length_bucketed_batches) for the
     # charset-sniffed decode carrier — extraction is the north-star
     # family and non-UTF-8 rows are the real-crawl case:
-    "extract_charset_documents",
     # final-session wave 3
+    # extract_tables / extract_charset / boilerplate_prefixes /
+    # length_bucketed_batches → overflow for the four wave-38
+    # newcomers: extraction keeps flagship/fields plus the WARC
+    # byte-identity composition, curation keeps banned_phrase and the
+    # paragraph-dedup keeper, packing keeps pack_sequences; all four
+    # stay oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     # extract_links / extract_dates / ccnet_matrix / c4_clean →
     # overflow for the four wave-37 newcomers: extraction keeps
     # flagship/fields/tables/charset (+ the WARC composition), the LM
@@ -890,4 +903,8 @@ def oracle_sql() -> dict[str, str]:
         "image_entropy_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).IMAGE_ENTROPY_SQL,
         "edge_embeddedness_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).EDGE_EMBEDDEDNESS_SQL,
         "events_anomaly_days": windows.EVENTS_ANOMALY_SQL,
+        "read_orc_documents": webdocs.READ_ORC_SQL,
+        "basket_pairs_lineitem": analytics.BASKET_PAIRS_SQL,
+        "event_type_affinity": windows.EVENT_TYPE_AFFINITY_SQL,
+        "conversion_time_median": windows.CONVERSION_TIME_SQL,
     }

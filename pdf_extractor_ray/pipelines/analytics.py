@@ -1787,3 +1787,104 @@ SELECT CAST(t.d AS BIGINT) AS decile, r.v AS boundary_cents
 FROM r, n, unnest(generate_series(1, 9)) AS t(d)
 WHERE r.rn = (t.d * n.n) // 10
 """
+
+
+def basket_pairs_lineitem(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Market-basket association mining over lineitem → the top-``k``
+    co-ordered part pairs ``(part_a, part_b, n_both, lift_milli)`` by
+    support, with exact integer lift ``1000·n_both·N // (nₐ·n_b)``
+    (lift > 1000 means the parts co-occur more than independence
+    predicts — the association-rule signal; a web-corpus analog ranks
+    co-linked or co-cited pages the same way).
+
+    Scale shape: baskets group on ``l_orderkey`` (an order holds ≤ 7
+    lineitems, so per-basket pair fan-out is constant-bounded — the
+    association-mining equivalent of the LSH band-width bound); pair
+    support and per-part order counts are two independent exchanges;
+    the two lift joins run on the TOP-K-pruned pair table only, so the
+    part-counts side, not the pair fan-out, bounds them."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    n_orders = int(
+        ray.data.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"]).count()
+    )
+
+    def pairs_per_order(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            parts = np.unique(grp["l_partkey"].to_numpy(np.int64))
+            if len(parts) < 2:
+                continue
+            ia, ib = np.triu_indices(len(parts), k=1)
+            outs.append(pd.DataFrame({"part_a": parts[ia], "part_b": parts[ib]}))
+        if not outs:
+            return pd.DataFrame(
+                {"part_a": pd.Series(dtype="int64"), "part_b": pd.Series(dtype="int64")}
+            )
+        out = pd.concat(outs, ignore_index=True)
+        out["n_both"] = np.int64(1)
+        return out
+
+    pair_support = grouped_sum(
+        grouped_apply(ds, ["l_orderkey"], pairs_per_order),
+        ["part_a", "part_b"],
+        ["n_both"],
+    )
+    topk = pair_support.sort(
+        ["n_both", "part_a", "part_b"], descending=[True, False, False]
+    ).limit(k)
+
+    def part_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = g.groupby("l_partkey", as_index=False).agg(n_orders=("l_orderkey", "size"))
+        return out.astype({"n_orders": "int64"})
+
+    part_counts = grouped_sum(
+        ds.map_batches(part_partial, batch_format="pandas", batch_size=65536),
+        ["l_partkey"],
+        ["n_orders"],
+    )
+    # k-row left side; the join planner broadcasts whichever side fits
+    j1 = adaptive_inner_join(topk, part_counts, on="part_a", right_on="l_partkey")
+    j1 = j1.map_batches(
+        lambda b: b.rename(columns={"n_orders": "n_a"}), batch_format="pandas"
+    )
+    j2 = adaptive_inner_join(j1, part_counts, on="part_b", right_on="l_partkey")
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n_both = b["n_both"].to_numpy(np.int64)
+        na = b["n_a"].to_numpy(np.int64)
+        nb = b["n_orders"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part_a": b["part_a"].astype("int64"),
+                "part_b": b["part_b"].astype("int64"),
+                "n_both": n_both,
+                "lift_milli": (1000 * n_both * n_orders) // (na * nb),
+            }
+        ).astype({"lift_milli": "int64"})
+
+    return j2.map_batches(finalize, batch_format="pandas")
+
+
+BASKET_PAIRS_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT b1.l_partkey AS part_a, b2.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM b b1 JOIN b b2 ON b1.l_orderkey = b2.l_orderkey
+                      AND b1.l_partkey < b2.l_partkey
+  GROUP BY 1, 2
+),
+topk AS (SELECT * FROM p ORDER BY n_both DESC, part_a, part_b LIMIT 20),
+pc AS (SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS n_ord FROM lineitem GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM orders)
+SELECT t.part_a, t.part_b, CAST(t.n_both AS BIGINT) AS n_both,
+       CAST((1000 * t.n_both * n.n) // (pa.n_ord * pb.n_ord) AS BIGINT) AS lift_milli
+FROM topk t
+JOIN pc pa ON pa.l_partkey = t.part_a
+JOIN pc pb ON pb.l_partkey = t.part_b, n
+"""

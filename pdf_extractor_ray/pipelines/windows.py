@@ -1201,3 +1201,118 @@ SELECT strftime(make_timestamp(day_i * 86400000000), '%Y-%m-%d') AS day,
             ELSE 'normal' END AS anomaly
 FROM d, m
 """
+
+
+def event_type_affinity(sf_dir: str) -> "ray.data.Dataset":
+    """Bipartite co-engagement projection: project the user ↔
+    event-type bipartite graph onto event types → ``(type_a, type_b,
+    n_users_both)`` for every unordered type pair at least one user
+    shares — the feature-affinity matrix (which behaviors co-occur in
+    the same accounts) behind recommendation priors and funnel design.
+
+    Scale shape: one exchange dedups (user, type); the per-user pair
+    fan-out is |types|² — bounded by the type VOCABULARY, not by user
+    activity (a power user with a million events still contributes ≤
+    C(|types|, 2) pairs because dedup precedes the explode); one final
+    exchange folds pair counts."""
+    from pdf_extractor_ray.ops import distinct, grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    ut = distinct(ds, ["user_id", "event_type"])
+
+    def pairs_per_user(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("user_id", sort=False):
+            types = sorted(grp["event_type"].tolist())
+            for i in range(len(types)):
+                for j in range(i + 1, len(types)):
+                    outs.append((types[i], types[j]))
+        out = pd.DataFrame(outs, columns=["type_a", "type_b"])
+        out["n_users_both"] = np.int64(1)
+        return out
+
+    pairs = grouped_apply(ut, ["user_id"], pairs_per_user)
+    return grouped_sum(pairs, ["type_a", "type_b"], ["n_users_both"], num_buckets=2)
+
+
+EVENT_TYPE_AFFINITY_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users_both
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def conversion_time_median(sf_dir: str) -> "pd.DataFrame":
+    """Exact (lower-)median seconds from a user's FIRST 'view' to their
+    FIRST 'purchase' → one row ``(n_converters, median_delta_s)``,
+    converters being users whose first purchase is at or after their
+    first view — the time-to-convert headline metric next to the funnel
+    counts.
+
+    Scale shape: one exchange builds per-user (first view, first
+    purchase); the median over the per-converter deltas — whose value
+    domain is unbounded, unlike the count-of-counts cases — uses
+    :func:`~pdf_extractor_ray.ops.exact_kth_smallest`, the
+    histogram-guided distributed quickselect (nbins-bounded driver
+    collects, no global sort)."""
+    from pdf_extractor_ray.ops import exact_kth_smallest, grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        g = g.assign(ts_us=us)
+        rows = []
+        for uid, grp in g.groupby("user_id", sort=False):
+            views = grp.loc[grp["event_type"] == "view", "ts_us"]
+            purch = grp.loc[grp["event_type"] == "purchase", "ts_us"]
+            if len(views) and len(purch):
+                v, p = int(views.min()), int(purch.min())
+                if p >= v:
+                    rows.append((p - v) // 1_000_000)
+        return pd.DataFrame({"delta_s": pd.Series(rows, dtype="int64")})
+
+    deltas = grouped_apply(ds, ["user_id"], per_user, num_buckets=16).materialize()
+    n = deltas.count()
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_converters": pd.Series([0], dtype="int64"),
+                "median_delta_s": pd.Series([0], dtype="int64"),
+            }
+        )
+    (med,) = exact_kth_smallest(deltas, "delta_s", [(n + 1) // 2])
+    return pd.DataFrame(
+        {
+            "n_converters": pd.Series([n], dtype="int64"),
+            "median_delta_s": pd.Series([med], dtype="int64"),
+        }
+    )
+
+
+CONVERSION_TIME_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT (epoch_us(p_ts) - epoch_us(v_ts)) // 1000000 AS delta_s
+  FROM pu WHERE v_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= v_ts
+),
+r AS (
+  SELECT delta_s, ROW_NUMBER() OVER (ORDER BY delta_s) AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_converters, CAST(delta_s AS BIGINT) AS median_delta_s
+FROM r WHERE rn = (n + 1) // 2
+"""
