@@ -313,6 +313,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs_lineitem": analytics.basket_pairs_lineitem,
         "event_type_affinity": windows.event_type_affinity,
         "conversion_time_median": windows.conversion_time_median,
+        # wave-39 (fifth session): LPA communities, bag-of-words dedup,
+        # bot-regularity screen, audio decimation round-trip
+        "community_lpa_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).community_lpa_documents,
+        "bow_dedup_documents": textops.bow_dedup_documents,
+        "bot_regularity_users": windows.bot_regularity_users,
+        "audio_decimate_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).audio_decimate_documents,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -506,19 +512,20 @@ _NEVER_DRIVER_RUN = [
     "basket_pairs_lineitem",
     "event_type_affinity",
     "conversion_time_median",
+    # wave-39 oracle newcomers
+    "community_lpa_documents",
+    "bow_dedup_documents",
+    "bot_regularity_users",
+    "audio_decimate_documents",
     "repetition_metrics",
     "banned_phrase_documents",
     "sample_k_documents",
-    "mixture_upsample_documents",
     "domain_quota_documents",
-    "latest_snapshot_documents",
     "ingest_snapshot_documents",
-    "registrable_domain_stats",
     "lm_nll_documents",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
     "pack_sequences_documents",
-    "pagerank_documents",
     # snapshot_diff_documents → overflow (latest_snapshot +
     # ingest_snapshot keep the family in-window) for the north-rule
     # WARC→extraction byte-identity composition:
@@ -580,6 +587,14 @@ _NEVER_DRIVER_RUN = [
     # charset-sniffed decode carrier — extraction is the north-star
     # family and non-UTF-8 rows are the real-crawl case:
     # final-session wave 3
+    # pagerank / latest_snapshot / mixture_upsample /
+    # registrable_domain_stats → overflow for the four wave-39
+    # newcomers: the graph family keeps clustering/link_prediction/
+    # embeddedness plus the NEW LPA communities (pagerank was
+    # driver-green in r1-r4), snapshots keep ingest_snapshot, sampling
+    # keeps sample_k + domain_quota, URL curation keeps domain_quota +
+    # crawl_schedule-family carriers; all four stay oracle-verified in
+    # CI at sf0.001 + the sf0.01 pre-flight.
     # extract_tables / extract_charset / boilerplate_prefixes /
     # length_bucketed_batches → overflow for the four wave-38
     # newcomers: extraction keeps flagship/fields plus the WARC
@@ -907,4 +922,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs_lineitem": analytics.BASKET_PAIRS_SQL,
         "event_type_affinity": windows.EVENT_TYPE_AFFINITY_SQL,
         "conversion_time_median": windows.CONVERSION_TIME_SQL,
+        "community_lpa_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).COMMUNITY_LPA_SQL,
+        "bow_dedup_documents": textops.BOW_DEDUP_SQL,
+        "bot_regularity_users": windows.BOT_REGULARITY_SQL,
+        "audio_decimate_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).AUDIO_DECIMATE_SQL,
     }

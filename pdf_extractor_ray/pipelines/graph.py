@@ -2378,3 +2378,131 @@ SELECT u.a, u.b, CAST(COALESCE(w.n_common, 0) AS BIGINT) AS embeddedness
 FROM u LEFT JOIN w ON w.a = u.a AND w.b = u.b
 ORDER BY embeddedness DESC, u.a, u.b LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Synchronous label propagation communities (deterministic LPA)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def label_propagation(edges: ray.data.Dataset, iters: int = LPA_ITERS) -> ray.data.Dataset:
+    """Deterministic synchronous label-propagation communities over the
+    undirected graph of an ``(src, dst)`` edge Dataset → ``(node,
+    community)`` after ``iters`` rounds: every node starts as its own
+    label and each round adopts its neighbors' MOST FREQUENT label,
+    ties broken by SMALLEST label (the determinism rule that makes an
+    oracle possible — textbook LPA breaks ties randomly and is
+    therefore unverifiable). Communities after a fixed small round
+    count are the cheap mesoscale view between connected components
+    (too coarse) and k-core (too strict).
+
+    Scale shape: per round, ONE label-lookup join (labels keyed by
+    node, fact-sized — the adaptive planner broadcasts while it fits,
+    exchanges beyond) and ONE (node, label) count exchange; tables stay
+    node-sized throughout, the same iteration discipline as
+    :func:`pagerank`. Sequential rounds are inherent to synchronous
+    LPA."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_apply, grouped_sum
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"])
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]),
+                "nb": np.concatenate([b["b"].to_numpy(np.int64), b["a"].to_numpy(np.int64)]),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pandas").materialize()
+    labels = distinct(
+        adj.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "label": b["node"]}),
+            batch_format="pandas",
+        ),
+        ["node", "label"],
+    )
+
+    for _ in range(iters):
+        # key the label table as "nb" before joining so the left's own
+        # "node" column never collides with the right key
+        nb_keyed = labels.map_batches(
+            lambda b: b.rename(columns={"node": "nb"}), batch_format="pandas"
+        )
+        nb_labels = adaptive_inner_join(adj, nb_keyed, on="nb")  # (node, nb, label)
+
+        def vote_partial(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(["node", "label"], as_index=False).size()
+            g = g.rename(columns={"size": "c"})
+            return g.astype({"c": "int64"})
+
+        votes = grouped_sum(
+            nb_labels.map_batches(vote_partial, batch_format="pandas"),
+            ["node", "label"],
+            ["c"],
+        )
+
+        def adopt(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node", "c", "label"], ascending=[True, False, True])
+            top = g.groupby("node", sort=False).head(1)
+            return top[["node", "label"]].astype({"node": "int64", "label": "int64"})
+
+        labels = grouped_apply(votes, ["node"], adopt).materialize()
+
+    return labels.map_batches(
+        lambda b: b.rename(columns={"label": "community"}), batch_format="pandas"
+    )
+
+
+def community_lpa_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: 3-round deterministic LPA over the document link
+    graph."""
+    return label_propagation(document_link_edges(sf_dir))
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    head = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+u AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nb FROM u UNION ALL SELECT b AS node, a AS nb FROM u
+),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM adj)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+v{i} AS MATERIALIZED (
+  SELECT a.node, l.label, COUNT(*) AS c
+  FROM adj a JOIN l{i - 1} l ON l.node = a.nb GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM v{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(label AS BIGINT) AS community FROM l{iters}"""
+    )
+    return "".join(parts)
+
+
+COMMUNITY_LPA_SQL = _lpa_sql()

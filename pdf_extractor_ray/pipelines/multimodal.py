@@ -2034,3 +2034,77 @@ SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_px,
                        ELSE 0 END) // SUM(cnt) AS BIGINT) AS entropy_micro
 FROM c GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio decimation round-trip (downsample transform, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def decimate_wav(payload: bytes, factor: int = 2) -> bytes:
+    """Downsample a PCM16 WAV by keeping every ``factor``-th sample
+    (integer decimation — the anti-alias filter is the caller's job for
+    synthetic integer carriers) and re-encode at ``rate // factor``."""
+    import io
+    import wave
+
+    info = decode_wav(payload)
+    s = np.frombuffer(info["pcm"], dtype="<i2")[::factor]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(info["channels"])
+        w.setsampwidth(2)
+        w.setframerate(info["sample_rate"] // factor)
+        w.writeframes(s.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def audio_decimate_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Audio TRANSFORM round-trip: decode the saw WAV → decimate ×2 →
+    re-encode → decode AGAIN → integer stats of the final clip →
+    ``(doc_id, n_samples_out, rate_out, sum_abs)`` — the audio analog
+    of the thumbnail decode→resize→re-encode carrier: both encoder and
+    decoder sit in the hot path, so a framing bug in either breaks the
+    arithmetic oracle. Zero shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def roundtrip(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, rs, sa = [], [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            out = decimate_wav(make_saw_wav(d, 100 + d % 500))
+            info = decode_wav(out)
+            s = np.frombuffer(info["pcm"], dtype="<i2").astype(np.int64)
+            ids.append(d)
+            ns.append(info["n_samples"])
+            rs.append(info["sample_rate"])
+            sa.append(int(np.abs(s).sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_samples_out": pd.Series(ns, dtype="int64"),
+                "rate_out": pd.Series(rs, dtype="int64"),
+                "sum_abs": pd.Series(sa, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pandas", batch_size=512)
+
+
+AUDIO_DECIMATE_SQL = """
+WITH s AS (
+  SELECT doc_id, abs(((i + doc_id) % 201) - 100) AS a
+  FROM documents, unnest(generate_series(0, 100 + doc_id % 500 - 1)) AS u(i)
+  WHERE i % 2 = 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples_out,
+       CAST(8000 AS BIGINT) AS rate_out,
+       CAST(SUM(a) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id
+"""

@@ -4477,3 +4477,104 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
                  ELSE 0 END AS BIGINT) AS simpson_permille
 FROM c GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words (word-order-insensitive) duplicate grouping
+# ---------------------------------------------------------------------------
+
+
+BOW_PLANT_MOD = 7
+BOW_PHRASE = "bowdup shuffled nav footer template boilerplate block"
+
+
+def derive_bow_corpus(b: "pd.DataFrame") -> "pd.DataFrame":
+    """Carrier: every ``doc_id % 7 == 0`` doc becomes a ROTATED
+    permutation of a fixed phrase plus a group token ``g<doc_id%5>`` —
+    identical token multisets in different orders, the shuffled-
+    boilerplate case exact-hash dedup misses. The oracle never needs
+    the permutation (the key sorts), only the multiset."""
+    out = b[["doc_id"]].copy()
+    texts = []
+    for doc_id, text in zip(b["doc_id"], b["text"]):
+        d = int(doc_id)
+        if d % BOW_PLANT_MOD == 0:
+            toks = BOW_PHRASE.split(" ") + [f"g{d % 5}"]
+            r = (d // BOW_PLANT_MOD) % len(toks)
+            texts.append(" ".join(toks[r:] + toks[:r]))
+        else:
+            texts.append(text)
+    out["text"] = texts
+    return out
+
+
+def bow_dedup_documents(sf_dir: str) -> ray.data.Dataset:
+    """Word-order-insensitive duplicate groups over the (derived)
+    corpus: key each doc by its SORTED token multiset and report groups
+    of ≥ 2 → ``(n_docs, min_doc, n_tokens)`` — catches shuffled
+    boilerplate (reordered nav/footer text, template variable
+    reorderings) that exact-hash dedup misses and MinHash only finds
+    probabilistically; the strictest of the cheap near-dup keys
+    (multiset equality, not similarity).
+
+    Scale shape: one exchange keyed by the sorted-token string (at
+    100 TB the key would be its 16-byte hash, same as
+    ``dedup_exact_documents``'s content-hash trade — the raw key here
+    keeps the oracle exact); per-batch key building is local. Docs with
+    zero tokens form one (empty-key) group, matching the oracle's
+    COALESCE."""
+    from pdf_extractor_ray.ops import grouped_agg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive_bow_corpus, batch_format="pandas", batch_size=2048)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        keys, ntok = [], []
+        for text in b["text"]:
+            toks = sorted(t for t in text.split(" ") if t)
+            keys.append(" ".join(toks))
+            ntok.append(len(toks))
+        return pd.DataFrame(
+            {
+                "bow": pd.Series(keys, dtype="object"),
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tokens": pd.Series(ntok, dtype="int64"),
+                "one": pd.Series(np.ones(len(b), np.int64)),
+            }
+        )
+
+    groups = grouped_agg(
+        ds.map_batches(key, batch_format="pandas", batch_size=2048),
+        ["bow"],
+        {"n_docs": ("one", "sum"), "min_doc": ("doc_id", "min"), "n_tokens": ("n_tokens", "min")},
+    )
+
+    def dups_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["n_docs"] >= 2, ["n_docs", "min_doc", "n_tokens"]].astype("int64")
+
+    return groups.map_batches(dups_only, batch_format="pandas")
+
+
+BOW_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {BOW_PLANT_MOD} = 0
+              THEN '{BOW_PHRASE}' || ' g' || (doc_id % 5)
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY w) AS bow, COUNT(*) AS n_tokens
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w FROM d)
+  WHERE w != '' GROUP BY doc_id
+),
+k AS (
+  SELECT d.doc_id, COALESCE(t.bow, '') AS bow, COALESCE(t.n_tokens, 0) AS n_tokens
+  FROM d LEFT JOIN t USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+FROM k GROUP BY bow HAVING COUNT(*) >= 2
+"""

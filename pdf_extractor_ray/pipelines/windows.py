@@ -1316,3 +1316,63 @@ r AS (
 SELECT CAST(n AS BIGINT) AS n_converters, CAST(delta_s AS BIGINT) AS median_delta_s
 FROM r WHERE rn = (n + 1) // 2
 """
+
+
+def bot_regularity_users(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Bot screen: the ``k`` users with the most REGULAR event timing →
+    ``(user_id, n_deltas, iv_vmr_milli)`` ordered by ascending
+    variance-to-mean ratio of consecutive inter-arrival seconds (ties
+    on user_id) — humans are bursty (VMR ≫ 0), schedulers and scrapers
+    tick (VMR ≈ 0), the timing analog of the Church-Gale token
+    burstiness screen. Users with fewer than 2 gaps or an all-zero gap
+    sum (sub-second bursts) are excluded, matching the oracle's WHERE.
+
+    ``iv_vmr_milli = 1000·(n·S2 − S²) // (n·S)`` over per-user deltas
+    (order ``(ts, event_id)``), all integer. One user-bucketed
+    exchange; the top-k sorts the per-user table."""
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        rows = []
+        start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or uid[i] != uid[start]:
+                d = np.diff(us[start:i]) // 1_000_000
+                if len(d) >= 2:
+                    s, s2 = int(d.sum()), int((d.astype(object) ** 2).sum())
+                    if s > 0:
+                        n = len(d)
+                        rows.append((int(uid[start]), n, (1000 * (n * s2 - s * s)) // (n * s)))
+                start = i
+        return pd.DataFrame(rows, columns=["user_id", "n_deltas", "iv_vmr_milli"]).astype(
+            "int64"
+        )
+
+    per = grouped_apply(ds, ["user_id"], per_user, num_buckets=16)
+    return per.sort(["iv_vmr_milli", "user_id"], descending=[False, False]).limit(k)
+
+
+BOT_REGULARITY_SQL = """
+WITH d AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS delta_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n, SUM(delta_s) AS s, SUM(delta_s * delta_s) AS s2
+  FROM d WHERE delta_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_deltas,
+       CAST((1000 * (n * s2 - s * s)) // (n * s) AS BIGINT) AS iv_vmr_milli
+FROM a WHERE n >= 2 AND s > 0
+ORDER BY iv_vmr_milli, user_id LIMIT 20
+"""
