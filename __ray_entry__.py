@@ -319,6 +319,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bow_dedup_documents": textops.bow_dedup_documents,
         "bot_regularity_users": windows.bot_regularity_users,
         "audio_decimate_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).audio_decimate_documents,
+        # wave-40 (fifth session): snippet extraction, RRF fusion,
+        # community top terms, Feather/IPC source
+        "snippet_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).snippet_documents,
+        "rrf_fusion_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).rrf_fusion_documents,
+        "community_top_terms": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).community_top_terms,
+        "read_feather_documents": webdocs.read_feather_documents,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -517,11 +523,13 @@ _NEVER_DRIVER_RUN = [
     "bow_dedup_documents",
     "bot_regularity_users",
     "audio_decimate_documents",
-    "repetition_metrics",
+    # wave-40 oracle newcomers
+    "snippet_documents",
+    "rrf_fusion_documents",
+    "community_top_terms",
+    "read_feather_documents",
     "banned_phrase_documents",
-    "sample_k_documents",
     "domain_quota_documents",
-    "ingest_snapshot_documents",
     "lm_nll_documents",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
@@ -573,7 +581,6 @@ _NEVER_DRIVER_RUN = [
     # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     # (cocitation_pairs parked earlier for the wave-6 markdown
     # renderer, which now parks in turn.)
-    "phrase_search_documents",
     # positional_postings → overflow (search family stays in-window via
     # phrase_search + bm25) for the WebTables-style table-structure
     # harvest — extraction is the north-star family:
@@ -587,6 +594,13 @@ _NEVER_DRIVER_RUN = [
     # charset-sniffed decode carrier — extraction is the north-star
     # family and non-UTF-8 rows are the real-crawl case:
     # final-session wave 3
+    # repetition_metrics / sample_k / ingest_snapshot / phrase_search
+    # → overflow for the four wave-40 newcomers: text-stats keeps
+    # token_spectrum + zipf + burstiness, sampling keeps domain_quota +
+    # the hash-rank machinery driver-covered via latest_snapshot in r4
+    # rounds, snapshots keep the WARC composition, and search gains the
+    # NEW snippet carrier (phrase matching stays CI-verified); all four
+    # stay oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     # pagerank / latest_snapshot / mixture_upsample /
     # registrable_domain_stats → overflow for the four wave-39
     # newcomers: the graph family keeps clustering/link_prediction/
@@ -926,4 +940,8 @@ def oracle_sql() -> dict[str, str]:
         "bow_dedup_documents": textops.BOW_DEDUP_SQL,
         "bot_regularity_users": windows.BOT_REGULARITY_SQL,
         "audio_decimate_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).AUDIO_DECIMATE_SQL,
+        "snippet_documents": __import__("pdf_extractor_ray.pipelines.search", fromlist=["x"]).SNIPPET_SQL,
+        "rrf_fusion_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RRF_FUSION_SQL,
+        "community_top_terms": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).COMMUNITY_TOP_TERMS_SQL,
+        "read_feather_documents": webdocs.READ_FEATHER_SQL,
     }

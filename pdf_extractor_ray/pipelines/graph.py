@@ -2506,3 +2506,197 @@ SELECT node, CAST(label AS BIGINT) AS community FROM l{iters}"""
 
 
 COMMUNITY_LPA_SQL = _lpa_sql()
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (authority × content rankings)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def rrf_fusion_documents(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two document rankings — link AUTHORITY
+    (in-degree, descending) and CONTENT length (n_chars, descending) —
+    → the top-``k`` docs by ``rrf_micro = Σ 10⁶ // (60 + rank)`` with
+    RANK semantics (ties share the best rank; Cormack et al.'s fusion
+    constant 60), ties on doc_id — the standard zero-training way to
+    merge heterogeneous rankers in a search/curation stack.
+
+    Scale shape: NO global sort for either ranking — with RANK
+    semantics, ``rank(x) = 1 + #{strictly better}``, so each ranking is
+    a COUNT-PER-DISTINCT-VALUE table (value-domain-bounded) suffix-
+    summed on the driver and broadcast as a value → rank lookup; the
+    in-degree attaches via the adaptive left join (never a doc-sized
+    driver dict), the per-doc pass scores, and a top-k prune closes.
+    The fused score is exact integer floor division on both engines."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get, adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_sum
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    edges = document_link_edges(sf_dir)
+
+    def dst_ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["dst"].to_numpy(np.int64), "indeg": np.ones(len(b), np.int64)}
+        )
+
+    indeg = grouped_sum(
+        edges.map_batches(dst_ones, batch_format="pandas"), ["doc_id"], ["indeg"]
+    )
+    docs_deg = adaptive_inner_join(docs, indeg, on="doc_id", how="left_outer")
+
+    def clean(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_chars": b["n_chars"].astype("int64"),
+                "indeg": b["indeg"].fillna(0).astype("int64"),
+            }
+        )
+
+    docs_deg = docs_deg.map_batches(clean, batch_format="pandas").materialize()
+
+    def value_counts(col: str) -> "pd.DataFrame":
+        def ones(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": b[col].astype("int64"), "m": np.ones(len(b), np.int64)})
+
+        return (
+            grouped_sum(docs_deg.map_batches(ones, batch_format="pandas"), ["v"], ["m"])
+            .to_pandas()  # value-domain-bounded collect
+            .sort_values("v", ascending=False)
+            .reset_index(drop=True)
+        )
+
+    def rank_lookup(vc: "pd.DataFrame") -> dict:
+        greater = np.concatenate([[0], np.cumsum(vc["m"].to_numpy(np.int64))[:-1]])
+        return dict(zip(vc["v"].astype(int), (greater + 1).tolist()))
+
+    lookups = _ray.put((rank_lookup(value_counts("indeg")), rank_lookup(value_counts("n_chars"))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        rr1, rr2 = _cached_get(lookups)
+        rank1 = b["indeg"].map(rr1).to_numpy(np.int64)
+        rank2 = b["n_chars"].map(rr2).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "indeg": b["indeg"].astype("int64"),
+                "rrf_micro": (
+                    1_000_000 // (RRF_K + rank1) + 1_000_000 // (RRF_K + rank2)
+                ).astype(np.int64),
+            }
+        )
+
+    scored = docs_deg.map_batches(score, batch_format="pandas")
+    return scored.sort(["rrf_micro", "doc_id"], descending=[True, False]).limit(k)
+
+
+RRF_FUSION_SQL = f"""
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+deg AS (SELECT dst, COUNT(*) AS indeg FROM e0 GROUP BY dst),
+d AS (
+  SELECT doc_id, n_chars, COALESCE(deg.indeg, 0) AS indeg
+  FROM documents LEFT JOIN deg ON deg.dst = doc_id
+),
+r AS (
+  SELECT doc_id, indeg,
+         RANK() OVER (ORDER BY indeg DESC) AS r1,
+         RANK() OVER (ORDER BY n_chars DESC) AS r2
+  FROM d
+)
+SELECT doc_id, CAST(indeg AS BIGINT) AS indeg,
+       CAST(1000000 // ({RRF_K} + r1) + 1000000 // ({RRF_K} + r2) AS BIGINT)
+         AS rrf_micro
+FROM r ORDER BY rrf_micro DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top term per LPA community (community ∘ token-count composition)
+# ---------------------------------------------------------------------------
+
+
+def community_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Characteristic term per link community: join the 3-round LPA
+    labels (:func:`community_lpa_documents`) onto the documents they
+    label, count tokens per community, keep each community's top token
+    (count desc, token asc) → ``(community, top_token, n)`` — the
+    composition a crawl analyst actually runs ("what is each link
+    cluster ABOUT?"), and a cross-module pipeline proof: graph
+    iteration output feeding a text aggregation with one label join.
+
+    Scale shape: LPA's node-sized label table joins the corpus
+    (adaptive: broadcast while it fits), token partials pre-aggregate
+    per batch, one (community, token) exchange, then a per-community
+    top-1 fold."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    labels = community_lpa_documents(sf_dir).map_batches(
+        lambda b: b.rename(columns={"node": "doc_id"}), batch_format="pandas"
+    )
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    joined = adaptive_inner_join(docs, labels, on="doc_id")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for community, grp in b.groupby("community", sort=False):
+            tokens = grp["text"].str.split(" ").explode()
+            tokens = tokens[tokens != ""]
+            g = tokens.value_counts().reset_index()
+            g.columns = ["token", "n"]
+            g["n"] = g["n"].astype("int64")
+            g["community"] = np.int64(community)
+            outs.append(g)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "community": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    counts = grouped_sum(
+        joined.map_batches(explode, batch_format="pandas", batch_size=2048),
+        ["community", "token"],
+        ["n"],
+        two_level=True,
+    )
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["community", "n", "token"], ascending=[True, False, True])
+        top = g.groupby("community", sort=False).head(1)
+        return top.rename(columns={"token": "top_token"})[
+            ["community", "top_token", "n"]
+        ].astype({"community": "int64", "n": "int64"})
+
+    return grouped_apply(counts, ["community"], top1)
+
+
+COMMUNITY_TOP_TERMS_SQL = f"""
+WITH lpa AS ({COMMUNITY_LPA_SQL}),
+tok AS (
+  SELECT lpa.community, w.w AS token
+  FROM lpa
+  JOIN documents d ON d.doc_id = lpa.node,
+  unnest(regexp_split_to_array(d.text, ' ')) AS w(w)
+  WHERE w.w != ''
+),
+c AS (SELECT community, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+SELECT community, token AS top_token, CAST(n AS BIGINT) AS n
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY community ORDER BY n DESC, token) = 1
+"""

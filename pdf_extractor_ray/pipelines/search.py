@@ -531,3 +531,98 @@ FROM u WHERE arr[pos] = '{KWIC_TERM}'
 
 
 KWIC_SQL = _kwic_sql()
+
+
+# ---------------------------------------------------------------------------
+# Query-biased snippet extraction (search-result summaries)
+# ---------------------------------------------------------------------------
+
+SNIPPET_TERMS = ("hash", "join", "merge")
+SNIPPET_W = 8
+
+
+def snippet_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Query-biased SNIPPET extraction for the fixed query
+    ``{hash, join, merge}``: per matching doc, the ``SNIPPET_W``-token
+    window with the most query-term occurrences (leftmost window on
+    ties) → ``(doc_id, best_start, n_matches, snippet)`` with
+    ``best_start`` 1-based — the result-page summary stage of a search
+    stack (BM25 ranks the doc, this picks what to SHOW). Docs with no
+    query term are omitted.
+
+    Scale shape: pure per-row batch work — the indicator vector's
+    sliding-window sums come from one cumsum, argmax is vectorized, and
+    nothing leaves the batch. Zero shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    terms = set(SNIPPET_TERMS)
+
+    def extract(b: "pd.DataFrame") -> "pd.DataFrame":
+        ids, starts, matches, snips = [], [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = [t for t in text.split(" ") if t]
+            n = len(toks)
+            if n == 0:
+                continue
+            ind = np.fromiter((1 if t in terms else 0 for t in toks), np.int64, n)
+            if not ind.any():
+                continue
+            cs = np.concatenate([[0], np.cumsum(ind)])
+            n_starts = max(n - SNIPPET_W + 1, 1)
+            ends = np.minimum(np.arange(n_starts) + SNIPPET_W, n)
+            sums = cs[ends] - cs[np.arange(n_starts)]
+            s = int(np.argmax(sums))  # first max = leftmost tie
+            ids.append(int(doc_id))
+            starts.append(s + 1)
+            matches.append(int(sums[s]))
+            snips.append(" ".join(toks[s : s + SNIPPET_W]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "best_start": pd.Series(starts, dtype="int64"),
+                "n_matches": pd.Series(matches, dtype="int64"),
+                "snippet": pd.Series(snips, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pandas", batch_size=2048)
+
+
+SNIPPET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS arr,
+         len(regexp_split_to_array(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i, arr[i] AS w, n FROM t, unnest(generate_series(1, n)) AS u(i)
+),
+hits AS (
+  SELECT doc_id, i FROM pos WHERE w IN ('hash', 'join', 'merge')
+),
+starts AS (
+  SELECT t.doc_id, s.s, t.n
+  FROM t, unnest(generate_series(1, GREATEST(n - {SNIPPET_W} + 1, 1))) AS s(s)
+),
+scored AS (
+  SELECT st.doc_id, st.s, st.n, COUNT(h.i) AS cnt
+  FROM starts st
+  LEFT JOIN hits h ON h.doc_id = st.doc_id
+                   AND h.i >= st.s AND h.i < st.s + {SNIPPET_W}
+  GROUP BY st.doc_id, st.s, st.n
+),
+best AS (
+  SELECT doc_id, s, n, cnt FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s) = 1
+)
+SELECT b.doc_id, CAST(b.s AS BIGINT) AS best_start,
+       CAST(b.cnt AS BIGINT) AS n_matches,
+       array_to_string(t.arr[b.s : LEAST(b.s + {SNIPPET_W} - 1, b.n)], ' ') AS snippet
+FROM best b JOIN t USING (doc_id)
+WHERE b.cnt >= 1
+"""
