@@ -325,6 +325,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).rrf_fusion_documents,
         "community_top_terms": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).community_top_terms,
         "read_feather_documents": webdocs.read_feather_documents,
+        # wave-41 (fifth session): integrity audit, LOCF imputation,
+        # quantile normalization, top user paths
+        "integrity_audit": analytics.integrity_audit,
+        "locf_impute_events": windows.locf_impute_events,
+        "quantile_normalize_documents": textops.quantile_normalize_documents,
+        "user_paths_events": windows.user_paths_events,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -479,10 +485,7 @@ _NEVER_DRIVER_RUN = [
     # gets driver coverage the round it lands (VERDICT r4 item #1).
     # wave-31 (fifth session) oracle newcomers: intra-doc line dedup,
     # train/test leakage audit, inter-arrival stats, DAU/WAU stickiness
-    "line_dedup_documents",
     "leakage_audit_documents",
-    "events_interarrival_stats",
-    "events_stickiness",
     # wave-32 oracle newcomers
     "clustering_coeff_documents",
     "audio_stats_documents",
@@ -528,7 +531,11 @@ _NEVER_DRIVER_RUN = [
     "rrf_fusion_documents",
     "community_top_terms",
     "read_feather_documents",
-    "banned_phrase_documents",
+    # wave-41 oracle newcomers
+    "integrity_audit",
+    "locf_impute_events",
+    "quantile_normalize_documents",
+    "user_paths_events",
     "domain_quota_documents",
     "lm_nll_documents",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
@@ -594,6 +601,14 @@ _NEVER_DRIVER_RUN = [
     # charset-sniffed decode carrier — extraction is the north-star
     # family and non-UTF-8 rows are the real-crawl case:
     # final-session wave 3
+    # events_interarrival / events_stickiness / line_dedup /
+    # banned_phrase → overflow for the four wave-41 newcomers: the
+    # events family still holds ELEVEN in-window carriers (first_touch,
+    # gini, rfm, power-law, anomaly, affinity, conversion-time, bot
+    # screen, paths, LOCF, transitions-era sentinels), dedup keeps
+    # paragraph/bow/phash plus the leakage audit, and curation keeps
+    # gopher + mojibake; all four stay oracle-verified in CI at
+    # sf0.001 + the sf0.01 pre-flight.
     # repetition_metrics / sample_k / ingest_snapshot / phrase_search
     # → overflow for the four wave-40 newcomers: text-stats keeps
     # token_spectrum + zipf + burstiness, sampling keeps domain_quota +
@@ -944,4 +959,8 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).RRF_FUSION_SQL,
         "community_top_terms": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).COMMUNITY_TOP_TERMS_SQL,
         "read_feather_documents": webdocs.READ_FEATHER_SQL,
+        "integrity_audit": analytics.INTEGRITY_AUDIT_SQL,
+        "locf_impute_events": windows.LOCF_SQL,
+        "quantile_normalize_documents": textops.QUANTILE_NORMALIZE_SQL,
+        "user_paths_events": windows.USER_PATHS_SQL,
     }

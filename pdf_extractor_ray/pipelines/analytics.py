@@ -1888,3 +1888,55 @@ FROM topk t
 JOIN pc pa ON pa.l_partkey = t.part_a
 JOIN pc pb ON pb.l_partkey = t.part_b, n
 """
+
+
+def integrity_audit(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit across the fact tables →
+    ``(check, n_violations)`` for the three joins a warehouse load
+    verifies before anything downstream runs: lineitems whose order is
+    missing, orders whose customer is missing, and orders with no
+    lineitems at all (childless heads — legal in TPC-H, counted here as
+    an inventory stat). The data-quality gate every ingest pipeline
+    needs; always emits all three rows so a clean corpus hashes
+    identically to `0` counts rather than an empty frame.
+
+    Scale shape: each check is one distributed ANTI join
+    (:func:`~pdf_extractor_ray.joins.semi_join` with ``keep=False``) —
+    the key side broadcasts while it fits, exchanges beyond — followed
+    by a scalar count; nothing row-sized reaches the driver."""
+    from pdf_extractor_ray.joins import semi_join
+
+    li = ray.data.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+
+    orphan_li = semi_join(li, orders, on="l_orderkey", right_on="o_orderkey", keep=False).count()
+    orphan_ord = semi_join(orders, cust, on="o_custkey", right_on="c_custkey", keep=False).count()
+    childless = semi_join(orders, li, on="o_orderkey", right_on="l_orderkey", keep=False).count()
+    return ray.data.from_items(
+        [
+            {"check": "lineitem_orphans", "n_violations": orphan_li},
+            {"check": "order_missing_customer", "n_violations": orphan_ord},
+            {"check": "childless_orders", "n_violations": childless},
+        ]
+    )
+
+
+INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem_orphans' AS check,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'order_missing_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'childless_orders',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+            AS BIGINT)
+"""

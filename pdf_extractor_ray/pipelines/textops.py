@@ -4578,3 +4578,108 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
 FROM k GROUP BY bow HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (distribution matching)
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_documents(sf_dir: str) -> ray.data.Dataset:
+    """Quantile-normalize document length ACROSS sources → ``(doc_id,
+    n_chars, normalized_chars)`` where each doc's length is replaced by
+    the GLOBAL length at its source-LOCAL percentile position
+    (``gi = n_less_source · (N_global − 1) // (N_source − 1)``, strict-
+    less rank, then the global order statistic at index ``gi``) — the
+    microarray-style distribution matching a curation mix runs so
+    per-source length filters compare like with like (source quirks in
+    raw length vanish, order within a source is preserved).
+
+    Scale shape: the rank functions are COUNT-PER-DISTINCT-VALUE tables
+    (global: value-domain-bounded; per-source: sources × domain), both
+    broadcast once; the global order statistic is answered by
+    ``searchsorted`` on the cumulative counts — the N-sized sorted
+    array is never materialized. Per-doc work is one vectorized lookup
+    pass, zero per-row exchange."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "v": b["n_chars"].astype("int64"),
+                "m": np.ones(len(b), np.int64),
+            }
+        )
+
+    sv = (
+        grouped_sum(ds.map_batches(ones, batch_format="pandas"), ["source", "v"], ["m"])
+        .to_pandas()  # sources × value-domain — bounded collect
+        .sort_values(["source", "v"])
+        .reset_index(drop=True)
+    )
+    # global cumulative counts (inclusive) over sorted distinct values
+    gl = sv.groupby("v", as_index=False)["m"].sum().sort_values("v")
+    g_vals = gl["v"].to_numpy(np.int64)
+    g_cum = np.cumsum(gl["m"].to_numpy(np.int64))
+    n_global = int(g_cum[-1])
+    # per-source: value -> strict-less count, plus source sizes
+    less_maps: dict = {}
+    size_map: dict = {}
+    for source, grp in sv.groupby("source", sort=False):
+        m = grp["m"].to_numpy(np.int64)
+        less = np.concatenate([[0], np.cumsum(m)[:-1]])
+        less_maps[source] = dict(zip(grp["v"].astype(int), less.tolist()))
+        size_map[source] = int(m.sum())
+    ref = _ray.put((less_maps, size_map, g_vals, g_cum, n_global))
+
+    def transform(b: pd.DataFrame) -> pd.DataFrame:
+        lm, sm, gv, gc, ng = _cached_get(ref)
+        gi = np.empty(len(b), np.int64)
+        for i, (source, v) in enumerate(zip(b["source"], b["n_chars"])):
+            ns = sm[source]
+            less = lm[source][int(v)]
+            gi[i] = (less * (ng - 1)) // (ns - 1) if ns >= 2 else 0
+        # value at global index gi = first distinct value whose
+        # inclusive cumulative count exceeds gi
+        ix = np.searchsorted(gc, gi, side="right")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_chars": b["n_chars"].astype("int64"),
+                "normalized_chars": gv[ix],
+            }
+        )
+
+    return ds.map_batches(transform, batch_format="pandas")
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH n AS (SELECT COUNT(*) AS ng FROM documents),
+loc AS (
+  SELECT doc_id, n_chars,
+         RANK() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS less_s,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM documents
+),
+gidx AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN ns >= 2 THEN (less_s * (n.ng - 1)) // (ns - 1) ELSE 0 END AS gi
+  FROM loc, n
+),
+gsorted AS (
+  SELECT n_chars AS v, ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS gi0
+  FROM documents
+)
+SELECT g.doc_id, CAST(g.n_chars AS BIGINT) AS n_chars,
+       CAST(gs.v AS BIGINT) AS normalized_chars
+FROM gidx g JOIN gsorted gs ON gs.gi0 = g.gi
+"""

@@ -1376,3 +1376,115 @@ SELECT user_id, CAST(n AS BIGINT) AS n_deltas,
 FROM a WHERE n >= 2 AND s > 0
 ORDER BY iv_vmr_milli, user_id LIMIT 20
 """
+
+
+LOCF_NULL_MOD = 5
+
+
+def locf_impute_events(sf_dir: str) -> "ray.data.Dataset":
+    """Last-observation-carried-forward imputation over a (derived)
+    events stream where every ``event_id % 5 == 0`` value is nulled —
+    the sensor-gap/telemetry-dropout repair — filling each null from
+    the user's most recent non-null value in ``(ts, event_id)`` order →
+    per user ``(user_id, n_imputed, sum_cents_after)`` where leading
+    nulls (no prior observation) stay null and are excluded from the
+    sum but counted separately: ``n_imputed`` counts FILLED nulls only.
+
+    Scale shape: one user-bucketed exchange; the forward fill is a
+    vectorized per-bucket pass (pandas ffill within user groups), the
+    same ordered-per-key discipline as sessionize."""
+    from pdf_extractor_ray.functions.exact import cents_np
+    from pdf_extractor_ray.ops import grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).copy()
+        cents = cents_np(g["value"]).astype("float64")
+        nulled = (g["event_id"].to_numpy(np.int64) % LOCF_NULL_MOD) == 0
+        cents[nulled] = np.nan
+        g["cents"] = cents
+        filled = g.groupby("user_id", sort=False)["cents"].ffill()
+        out_rows = []
+        for uid, grp_ix in g.groupby("user_id", sort=False).groups.items():
+            f = filled.loc[grp_ix]
+            was_null = pd.isna(g.loc[grp_ix, "cents"])
+            n_imputed = int((was_null & f.notna()).sum())
+            s = int(f.dropna().astype("int64").sum())
+            out_rows.append((int(uid), n_imputed, s))
+        return pd.DataFrame(
+            out_rows, columns=["user_id", "n_imputed", "sum_cents_after"]
+        ).astype("int64")
+
+    return grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+
+
+LOCF_SQL = f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % {LOCF_NULL_MOD} = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+),
+f AS (
+  SELECT user_id,
+         cents,
+         LAST_VALUE(cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS filled
+  FROM d
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN cents IS NULL AND filled IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_imputed,
+       CAST(SUM(COALESCE(filled, 0)) AS BIGINT) AS sum_cents_after
+FROM f GROUP BY user_id
+"""
+
+
+def user_paths_events(sf_dir: str, k: int = 20, depth: int = 3) -> "ray.data.Dataset":
+    """Top-``k`` onboarding paths: each user's first ``depth`` event
+    types in ``(ts, event_id)`` order joined with '>' → ``(path,
+    n_users)``, ordered by count desc then path — the entry-funnel
+    report (which 3-step behavior sequences dominate) behind funnel
+    design and bot triage (scrapers share one path). Users with fewer
+    than ``depth`` events contribute their full shorter path.
+
+    One user-bucketed exchange + a path-count fold (path vocabulary ≤
+    |types|^depth, tiny)."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        heads = g.groupby("user_id", sort=False).head(depth)
+        paths = heads.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        out = paths.value_counts().reset_index()
+        out.columns = ["path", "n_users"]
+        return out.astype({"n_users": "int64"})
+
+    partials = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16)
+    counts = grouped_sum(partials, ["path"], ["n_users"], num_buckets=2)
+    return counts.sort(["n_users", "path"], descending=[True, False]).limit(k)
+
+
+USER_PATHS_SQL = """
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+"""
