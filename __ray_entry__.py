@@ -331,6 +331,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_impute_events": windows.locf_impute_events,
         "quantile_normalize_documents": textops.quantile_normalize_documents,
         "user_paths_events": windows.user_paths_events,
+        # wave-42 (fifth session): trending types, change-point
+        # detection, token fertility, projection profiles
+        "trending_event_types": windows.trending_event_types,
+        "events_changepoint": windows.events_changepoint,
+        "token_fertility_by_lang": textops.token_fertility_by_lang,
+        "projection_profile_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).projection_profile_documents,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -485,7 +491,6 @@ _NEVER_DRIVER_RUN = [
     # gets driver coverage the round it lands (VERDICT r4 item #1).
     # wave-31 (fifth session) oracle newcomers: intra-doc line dedup,
     # train/test leakage audit, inter-arrival stats, DAU/WAU stickiness
-    "leakage_audit_documents",
     # wave-32 oracle newcomers
     "clustering_coeff_documents",
     "audio_stats_documents",
@@ -536,11 +541,13 @@ _NEVER_DRIVER_RUN = [
     "locf_impute_events",
     "quantile_normalize_documents",
     "user_paths_events",
-    "domain_quota_documents",
-    "lm_nll_documents",
+    # wave-42 oracle newcomers
+    "trending_event_types",
+    "events_changepoint",
+    "token_fertility_by_lang",
+    "projection_profile_documents",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
-    "pack_sequences_documents",
     # snapshot_diff_documents → overflow (latest_snapshot +
     # ingest_snapshot keep the family in-window) for the north-rule
     # WARC→extraction byte-identity composition:
@@ -601,6 +608,13 @@ _NEVER_DRIVER_RUN = [
     # charset-sniffed decode carrier — extraction is the north-star
     # family and non-UTF-8 rows are the real-crawl case:
     # final-session wave 3
+    # leakage_audit / lm_nll / pack_sequences / domain_quota →
+    # overflow for the four wave-42 newcomers: contamination screening
+    # keeps its driver-green r1-r4 sentinel lineage + CI, the LM family
+    # keeps the bigram-novelty/trigram CI coverage, packing keeps
+    # concat_chunks in CI, and per-domain curation keeps
+    # registrable-domain + crawl-side carriers in CI; all four stay
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     # events_interarrival / events_stickiness / line_dedup /
     # banned_phrase → overflow for the four wave-41 newcomers: the
     # events family still holds ELEVEN in-window carriers (first_touch,
@@ -963,4 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "locf_impute_events": windows.LOCF_SQL,
         "quantile_normalize_documents": textops.QUANTILE_NORMALIZE_SQL,
         "user_paths_events": windows.USER_PATHS_SQL,
+        "trending_event_types": windows.TRENDING_SQL,
+        "events_changepoint": windows.EVENTS_CHANGEPOINT_SQL,
+        "token_fertility_by_lang": textops.TOKEN_FERTILITY_SQL,
+        "projection_profile_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).PROJECTION_PROFILE_SQL,
     }

@@ -2108,3 +2108,83 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples_out,
        CAST(SUM(a) AS BIGINT) AS sum_abs
 FROM s GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Image projection profiles (layout-analysis primitive)
+# ---------------------------------------------------------------------------
+
+
+def projection_profile_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Row/column PROJECTION PROFILES over real PNG decodes (the 2-D
+    gradient carrier) → ``(doc_id, max_row_sum, argmax_row,
+    max_col_sum, argmax_col)`` — the deskew/line-segmentation primitive
+    of document-layout analysis (text lines are valleys of the row
+    profile; the reference's PDF layout sort is the vector analog).
+    First index wins ties, matching the SQL rank rule. Zero shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        ids, mrs, ari, mcs, aci = [], [], [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 6 + d % 5
+            x = np.arange(w, dtype=np.int64).reshape(1, w)
+            y = np.arange(h, dtype=np.int64).reshape(h, 1)
+            px, _ = _png_decode_pixels(encode_png(((x + y + d) % 256).astype(np.uint8)))
+            px = px.reshape(h, w).astype(np.int64)
+            rows = px.sum(axis=1)
+            cols = px.sum(axis=0)
+            ids.append(d)
+            mrs.append(int(rows.max()))
+            ari.append(int(rows.argmax()))
+            mcs.append(int(cols.max()))
+            aci.append(int(cols.argmax()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "max_row_sum": pd.Series(mrs, dtype="int64"),
+                "argmax_row": pd.Series(ari, dtype="int64"),
+                "max_col_sum": pd.Series(mcs, dtype="int64"),
+                "argmax_col": pd.Series(aci, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas", batch_size=256)
+
+
+PROJECTION_PROFILE_SQL = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, x, y, (x + y + doc_id) % 256 AS v
+  FROM g, unnest(generate_series(0, w - 1)) AS rx(x),
+       unnest(generate_series(0, h - 1)) AS ry(y)
+),
+rows_ AS (
+  SELECT doc_id, y, SUM(v) AS s FROM px GROUP BY doc_id, y
+),
+cols_ AS (
+  SELECT doc_id, x, SUM(v) AS s FROM px GROUP BY doc_id, x
+),
+br AS (
+  SELECT doc_id, s AS max_row_sum, y AS argmax_row FROM rows_
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, y) = 1
+),
+bc AS (
+  SELECT doc_id, s AS max_col_sum, x AS argmax_col FROM cols_
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, x) = 1
+)
+SELECT doc_id, CAST(max_row_sum AS BIGINT) AS max_row_sum,
+       CAST(argmax_row AS BIGINT) AS argmax_row,
+       CAST(max_col_sum AS BIGINT) AS max_col_sum,
+       CAST(argmax_col AS BIGINT) AS argmax_col
+FROM br JOIN bc USING (doc_id)
+"""

@@ -4683,3 +4683,68 @@ SELECT g.doc_id, CAST(g.n_chars AS BIGINT) AS n_chars,
        CAST(gs.v AS BIGINT) AS normalized_chars
 FROM gidx g JOIN gsorted gs ON gs.gi0 = g.gi
 """
+
+
+# ---------------------------------------------------------------------------
+# Token fertility by language (chars per token)
+# ---------------------------------------------------------------------------
+
+
+def token_fertility_by_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-language token FERTILITY → ``(lang, n_docs, sum_chars,
+    sum_tokens, fertility_milli)`` with ``fertility_milli =
+    1000·sum_chars // sum_tokens`` — the chars-per-token budget planner
+    (how many bytes of corpus buy a training token varies ~2× across
+    languages; mixture weights set in tokens need this table to convert
+    from bytes). Whitespace tokens here; the BPE variant composes the
+    same fold over ``bpe_token_counts``.
+
+    One pre-aggregated exchange on lang; zero per-row state."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text", "n_chars"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].str.split(" ").map(lambda ts: sum(1 for t in ts if t))
+        return pd.DataFrame(
+            {
+                "lang": b["lang"],
+                "n_docs": np.ones(len(b), np.int64),
+                "sum_chars": b["n_chars"].astype("int64"),
+                "sum_tokens": toks.astype("int64"),
+            }
+        )
+
+    agg = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192),
+        ["lang"],
+        ["n_docs", "sum_chars", "sum_tokens"],
+        num_buckets=2,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["fertility_milli"] = (
+            1000 * b["sum_chars"].to_numpy(np.int64)
+            // np.maximum(b["sum_tokens"].to_numpy(np.int64), 1)
+        )
+        return b.astype({"fertility_milli": "int64"})
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+TOKEN_FERTILITY_SQL = """
+WITH t AS (
+  SELECT lang, n_chars,
+         len(list_filter(regexp_split_to_array(text, ' '), x -> x != '')) AS n_tok
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(1000 * SUM(n_chars) // GREATEST(SUM(n_tok), 1) AS BIGINT)
+         AS fertility_milli
+FROM t GROUP BY lang
+"""

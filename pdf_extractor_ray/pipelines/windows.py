@@ -1488,3 +1488,192 @@ p AS (
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 20
 """
+
+
+def trending_event_types(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Hour-over-hour trending screen → the top-``k`` ``(event_type,
+    hour_epoch_s, n, prev_n, trend_milli)`` rows by ``trend_milli =
+    1000·n // prev_n`` (ties: type, hour), only hours whose PREVIOUS
+    hour had traffic for that type — the burst detector a feed/crawl
+    monitor runs (a type suddenly 3× its previous hour is a bot wave or
+    a breaking story). Integer ratio, no floats.
+
+    Scale shape: one (type, hour) count exchange; the hour-over-hour
+    join is per-type WITHIN the fold bucket (type-keyed grouped_apply),
+    so no second exchange and no window sort over the fact table."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "hour": (us // 3_600_000_000) * 3600,
+                "n": np.ones(len(b), np.int64),
+            }
+        )
+
+    hourly = grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["event_type", "hour"],
+        ["n"],
+    )
+
+    def lag_join(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("hour")
+            h = grp["hour"].to_numpy(np.int64)
+            n = grp["n"].to_numpy(np.int64)
+            prev = np.full(len(grp), -1, np.int64)
+            # previous CALENDAR hour, not previous row
+            prev_map = dict(zip(h, n))
+            for i, hh in enumerate(h):
+                prev[i] = prev_map.get(hh - 3600, -1)
+            m = prev > 0
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": et,
+                        "hour_epoch_s": h[m],
+                        "n": n[m],
+                        "prev_n": prev[m],
+                        "trend_milli": 1000 * n[m] // prev[m],
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "hour_epoch_s": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "prev_n": pd.Series(dtype="int64"),
+                    "trend_milli": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    trends = grouped_apply(hourly, ["event_type"], lag_join, num_buckets=2)
+    return trends.sort(
+        ["trend_milli", "event_type", "hour_epoch_s"], descending=[True, False, False]
+    ).limit(k)
+
+
+TRENDING_SQL = """
+WITH h AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch_s,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT cur.event_type, cur.hour_epoch_s, cur.n, prev.n AS prev_n
+  FROM h cur JOIN h prev
+    ON prev.event_type = cur.event_type
+   AND prev.hour_epoch_s = cur.hour_epoch_s - 3600
+  WHERE prev.n > 0
+)
+SELECT event_type, CAST(hour_epoch_s AS BIGINT) AS hour_epoch_s,
+       CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(1000 * n // prev_n AS BIGINT) AS trend_milli
+FROM j ORDER BY trend_milli DESC, event_type, hour_epoch_s LIMIT 20
+"""
+
+
+def events_changepoint(sf_dir: str) -> "pd.DataFrame":
+    """Single change-point detection on the daily event-count series →
+    one row ``(split_day, n_days_left, n_days_right, mean_left_milli,
+    mean_right_milli, score)``: the calendar split maximizing the
+    CUSUM-style statistic ``score = |n_r·S_l − n_l·S_r|`` (exact
+    integer cross-multiplication of the mean difference, scaled by
+    n_l·n_r — no division until the reported milli-means), first split
+    on ties. The collection-regime-shift detector (crawler rollout,
+    outage boundary) behind recrawl scheduling.
+
+    Scale shape: one exchange folds events to the CALENDAR-bounded
+    daily table; the split scan is a cumsum sweep over that table on
+    the driver — the bounded-domain argument, same as the anomaly
+    screen."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"day_i": us // 86_400_000_000, "n": np.ones(len(b), np.int64)}
+        )
+
+    daily = (
+        grouped_sum(
+            ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+            ["day_i"],
+            ["n"],
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("day_i")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.int64)
+    days = daily["day_i"].to_numpy(np.int64)
+    total = int(n.sum())
+    m = len(n)
+    best = None  # (score, split_idx)
+    s_l = 0
+    for i in range(m - 1):  # split AFTER day i: left = [0..i]
+        s_l += int(n[i])
+        n_l, n_r = i + 1, m - i - 1
+        s_r = total - s_l
+        score = abs(n_r * s_l - n_l * s_r)
+        if best is None or score > best[0]:
+            best = (score, i, n_l, n_r, s_l, s_r)
+    score, i, n_l, n_r, s_l, s_r = best
+    return pd.DataFrame(
+        {
+            "split_day": [
+                pd.to_datetime(int(days[i]) * 86_400_000_000, unit="us").strftime(
+                    "%Y-%m-%d"
+                )
+            ],
+            "n_days_left": pd.Series([n_l], dtype="int64"),
+            "n_days_right": pd.Series([n_r], dtype="int64"),
+            "mean_left_milli": pd.Series([1000 * s_l // n_l], dtype="int64"),
+            "mean_right_milli": pd.Series([1000 * s_r // n_r], dtype="int64"),
+            "score": pd.Series([score], dtype="int64"),
+        }
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_i, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT day_i, n,
+         SUM(n) OVER (ORDER BY day_i ROWS UNBOUNDED PRECEDING) AS s_l,
+         ROW_NUMBER() OVER (ORDER BY day_i) AS i,
+         SUM(n) OVER () AS total,
+         COUNT(*) OVER () AS m
+  FROM d
+),
+sc AS (
+  SELECT day_i, i AS n_l, m - i AS n_r, s_l, total - s_l AS s_r,
+         abs((m - i) * s_l - i * (total - s_l)) AS score
+  FROM o WHERE i < m
+)
+SELECT strftime(make_timestamp(day_i * 86400000000), '%Y-%m-%d') AS split_day,
+       CAST(n_l AS BIGINT) AS n_days_left, CAST(n_r AS BIGINT) AS n_days_right,
+       CAST(1000 * s_l // n_l AS BIGINT) AS mean_left_milli,
+       CAST(1000 * s_r // n_r AS BIGINT) AS mean_right_milli,
+       CAST(score AS BIGINT) AS score
+FROM sc
+QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, day_i) = 1
+"""
