@@ -337,6 +337,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": windows.events_changepoint,
         "token_fertility_by_lang": textops.token_fertility_by_lang,
         "projection_profile_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).projection_profile_documents,
+        # wave-43 (fifth session): held-out NB with live OOV path,
+        # Hamming-radius phash retrieval, weighted SSSP, decile funnel
+        "naive_bayes_holdout": __import__("pdf_extractor_ray.pipelines.nbayes", fromlist=["x"]).naive_bayes_holdout,
+        "phash_near_pairs": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).phash_near_pairs,
+        "sssp_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).sssp_documents,
+        "conversion_by_activity_decile": windows.conversion_by_activity_decile,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -493,14 +499,18 @@ _NEVER_DRIVER_RUN = [
     # train/test leakage audit, inter-arrival stats, DAU/WAU stickiness
     # wave-32 oracle newcomers
     "clustering_coeff_documents",
-    "audio_stats_documents",
     "mojibake_documents",
-    "first_touch_attribution",
+    # audio_stats / image_histogram / first_touch / token_spectrum →
+    # overflow for the four wave-43 newcomers: audio keeps
+    # silence/ZCR/decimation in-window, images keep entropy/projection/
+    # phash (exact + Hamming), events keep gini/rfm/power-law/anomaly/
+    # affinity/conversion/bot/paths/LOCF/trending/changepoint plus the
+    # NEW decile funnel, text-stats keep zipf/burstiness/fertility/
+    # percentile; all four stay oracle-verified in CI at sf0.001 + the
+    # sf0.01 pre-flight.
     # wave-33 oracle newcomers
-    "token_spectrum_documents",
     "gini_user_activity",
     "rfm_segments",
-    "image_histogram_documents",
     # wave-34 oracle newcomers
     "phash_dup_documents",
     "audio_silence_documents",
@@ -546,6 +556,11 @@ _NEVER_DRIVER_RUN = [
     "events_changepoint",
     "token_fertility_by_lang",
     "projection_profile_documents",
+    # wave-43 oracle newcomers
+    "naive_bayes_holdout",
+    "phash_near_pairs",
+    "sssp_documents",
+    "conversion_by_activity_decile",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
     # snapshot_diff_documents → overflow (latest_snapshot +
@@ -981,4 +996,8 @@ def oracle_sql() -> dict[str, str]:
         "events_changepoint": windows.EVENTS_CHANGEPOINT_SQL,
         "token_fertility_by_lang": textops.TOKEN_FERTILITY_SQL,
         "projection_profile_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).PROJECTION_PROFILE_SQL,
+        "naive_bayes_holdout": __import__("pdf_extractor_ray.pipelines.nbayes", fromlist=["x"]).NAIVE_BAYES_HOLDOUT_SQL,
+        "phash_near_pairs": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).PHASH_NEAR_SQL,
+        "sssp_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).SSSP_SQL,
+        "conversion_by_activity_decile": windows.CONVERSION_DECILE_SQL,
     }

@@ -2700,3 +2700,133 @@ SELECT community, token AS top_token, CAST(n AS BIGINT) AS n
 FROM c
 QUALIFY ROW_NUMBER() OVER (PARTITION BY community ORDER BY n DESC, token) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4
+
+
+def weighted_sssp(
+    edges: ray.data.Dataset,
+    seeds_mod: int = 100,
+    rounds: int = SSSP_ROUNDS,
+) -> ray.data.Dataset:
+    """Weighted multi-source shortest paths over the undirected graph of
+    an ``(src, dst)`` edge Dataset with integer weight ``w = 1 +
+    (a + b) % 3`` per undirected pair → ``(node, dist)`` for every node
+    reached within ``rounds`` Bellman-Ford relaxation rounds from the
+    seed set ``{node : node % seeds_mod == 0}`` — the link-distance
+    prior behind crawl-frontier cost models, where hop counts
+    (:func:`crawl_depth`'s BFS) under-price heavy edges.
+
+    Scale shape: per round ONE frontier-lookup join (dist table,
+    node-sized, adaptive broadcast/exchange) and ONE min-fold exchange
+    — exactly :func:`pagerank`'s iteration discipline with ``min``
+    replacing ``sum``. ``rounds`` bounds path length explored, the
+    standard frontier-limited form; unreached nodes are absent (the
+    oracle's semantics too)."""
+    from pdf_extractor_ray.joins import adaptive_inner_join
+    from pdf_extractor_ray.ops import distinct, grouped_agg
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+
+    und = distinct(edges.map_batches(orient, batch_format="pandas"), ["a", "b"])
+
+    def both_dirs_w(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(np.int64)
+        bb = b["b"].to_numpy(np.int64)
+        w = 1 + (a + bb) % 3
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([a, bb]),
+                "nb": np.concatenate([bb, a]),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    adj = und.map_batches(both_dirs_w, batch_format="pandas").materialize()
+
+    def seed(b: pd.DataFrame) -> pd.DataFrame:
+        m = (b["node"].to_numpy(np.int64) % seeds_mod) == 0
+        return pd.DataFrame(
+            {"node": b["node"].to_numpy(np.int64)[m], "dist": np.zeros(int(m.sum()), np.int64)}
+        )
+
+    dist = distinct(adj.map_batches(seed, batch_format="pandas"), ["node", "dist"])
+
+    for _ in range(rounds):
+        keyed = dist.map_batches(
+            lambda b: b.rename(columns={"node": "nb", "dist": "dist_nb"}),
+            batch_format="pandas",
+        )
+        relaxed = adaptive_inner_join(adj, keyed, on="nb")
+
+        def candidates(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["node"].astype("int64"),
+                    "dist": (b["dist_nb"].astype("int64") + b["w"].astype("int64")),
+                }
+            )
+
+        cand = relaxed.map_batches(candidates, batch_format="pandas")
+        dist = grouped_agg(
+            dist.union(cand), ["node"], {"dist": ("dist", "min")}
+        ).materialize()
+
+    return dist
+
+
+def sssp_documents(sf_dir: str) -> ray.data.Dataset:
+    """Carrier: 4-round weighted SSSP over the document link graph from
+    the ``doc_id % 100 == 0`` seed set."""
+    return weighted_sssp(document_link_edges(sf_dir))
+
+
+def _sssp_sql(rounds: int = SSSP_ROUNDS) -> str:
+    head = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % 10) + ((doc_id + 3 * gs) % 10) AS dst
+  FROM documents JOIN generate_series(1, 3) AS t(gs) ON gs <= 1 + doc_id % 3
+),
+u AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+adj AS MATERIALIZED (
+  SELECT a AS node, b AS nb, 1 + (a + b) % 3 AS w FROM u
+  UNION ALL
+  SELECT b AS node, a AS nb, 1 + (a + b) % 3 AS w FROM u
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM adj WHERE node % 100 = 0
+)"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT a.node, d.dist + a.w FROM adj a JOIN d{i - 1} d ON d.node = a.nb
+  ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"""
+    )
+    return "".join(parts)
+
+
+SSSP_SQL = _sssp_sql()

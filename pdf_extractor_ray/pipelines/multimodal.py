@@ -2188,3 +2188,136 @@ SELECT doc_id, CAST(max_row_sum AS BIGINT) AS max_row_sum,
        CAST(argmax_col AS BIGINT) AS argmax_col
 FROM br JOIN bc USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Hamming-radius perceptual-hash retrieval (banded near-dup images)
+# ---------------------------------------------------------------------------
+
+
+def make_block_png(doc_id: int) -> bytes:
+    """16×16 PNG of constant 2×2 blocks: block ``(by, bx)`` holds
+    ``20·((bx + by + doc_id//2) % 13)``; ODD docs swap the values of
+    blocks (0,0) and (7,7) — if those blocks' aHash bits differ in the
+    even twin, the odd twin's hash is at Hamming distance exactly 2
+    (total sum unchanged), the engineered near-miss an exact-match
+    phash group would drop."""
+    k = doc_id // 2
+    by = np.arange(8).reshape(8, 1)
+    bx = np.arange(8).reshape(1, 8)
+    # two coprime moduli -> base pattern period 91 in k, so identical-
+    # image groups stay small and candidate pairs near-linear
+    v = 10 * ((bx + by + k) % 13) + 10 * ((bx + 2 * by + k) % 7)
+    if doc_id % 2 == 1:
+        v = v.copy()
+        v[0, 0], v[7, 7] = v[7, 7], v[0, 0]
+    px = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1).astype(np.uint8)
+    return encode_png(px)
+
+
+def phash_near_pairs(sf_dir: str, radius: int = 2) -> "ray.data.Dataset":
+    """Hamming-radius perceptual-hash retrieval → ``(doc_a, doc_b,
+    hamming)`` for image pairs within ``radius`` bit flips of each
+    other, found WITHOUT all-pairs comparison: the 64-bit aHash splits
+    into 4 bands of 16 bits, and by pigeonhole any pair within radius 2
+    shares at least one intact band — band-exact blocking (the simhash
+    trick applied to image hashes), then exact Hamming verification on
+    the candidates only. Catches re-encoded thumbnails that differ in a
+    couple of blocks, which :func:`phash_dup_documents`' exact grouping
+    drops.
+
+    Scale shape: one (band, bits) exchange groups candidates (a viral
+    band key needs the hot-key cap documented at the LSH band join);
+    verification touches candidate pairs only. The planted odd/even
+    twins land at Hamming ∈ {0, 2}."""
+    import os
+
+    import ray.data
+
+    from pdf_extractor_ray.ops import distinct, grouped_apply
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def hash_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            px, _ = _png_decode_pixels(make_block_png(d))
+            ids.append(d)
+            hashes.append(average_hash(px.reshape(16, 16)))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"), "phash": pd.Series(hashes, dtype="object")}
+        )
+
+    hashes = ds.map_batches(hash_batch, batch_format="pandas", batch_size=256).materialize()
+
+    def band_explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, h in zip(b["doc_id"], b["phash"]):
+            for band in range(4):
+                rows.append((band, h[band * 16 : (band + 1) * 16], int(doc_id), h))
+        return pd.DataFrame(rows, columns=["band", "bits", "doc_id", "phash"]).astype(
+            {"band": "int64", "doc_id": "int64"}
+        )
+
+    banded = hashes.map_batches(band_explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby(["band", "bits"], sort=False):
+            recs = sorted(zip(grp["doc_id"].tolist(), grp["phash"].tolist()))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    (a, ha), (b_, hb) = recs[i], recs[j]
+                    ham = sum(x != y for x, y in zip(ha, hb))
+                    if ham <= radius:
+                        rows.append((a, b_, ham))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]).astype("int64")
+
+    cand = grouped_apply(banded, ["band", "bits"], pairs)
+    return distinct(cand, ["doc_a", "doc_b", "hamming"])
+
+
+PHASH_NEAR_SQL = """
+WITH blk AS (
+  SELECT d.doc_id, by_.by, bx_.bx,
+         CASE WHEN d.doc_id % 2 = 1 AND by_.by = 0 AND bx_.bx = 0
+                THEN 10 * ((14 + d.doc_id // 2) % 13) + 10 * ((21 + d.doc_id // 2) % 7)
+              WHEN d.doc_id % 2 = 1 AND by_.by = 7 AND bx_.bx = 7
+                THEN 10 * ((0 + d.doc_id // 2) % 13) + 10 * ((0 + d.doc_id // 2) % 7)
+              ELSE 10 * ((bx_.bx + by_.by + d.doc_id // 2) % 13)
+                   + 10 * ((bx_.bx + 2 * by_.by + d.doc_id // 2) % 7)
+         END AS v
+  FROM documents d,
+       unnest(generate_series(0, 7)) AS by_(by),
+       unnest(generate_series(0, 7)) AS bx_(bx)
+),
+tot AS (SELECT doc_id, SUM(4 * v) AS ts FROM blk GROUP BY doc_id),
+bits AS (
+  SELECT b.doc_id,
+         string_agg(CASE WHEN 64 * 4 * b.v > t.ts THEN '1' ELSE '0' END, ''
+                    ORDER BY b.by * 8 + b.bx) AS phash
+  FROM blk b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+),
+banded AS (
+  SELECT doc_id, phash, band, substr(phash, band * 16 + 1, 16) AS bits_
+  FROM bits, unnest(generate_series(0, 3)) AS g(band)
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b,
+         b1.phash AS h1, b2.phash AS h2
+  FROM banded b1
+  JOIN banded b2 ON b1.band = b2.band AND b1.bits_ = b2.bits_
+                 AND b1.doc_id < b2.doc_id
+),
+ham AS (
+  SELECT doc_a, doc_b,
+         (SELECT COUNT(*) FROM unnest(generate_series(1, 64)) AS g(i)
+          WHERE substr(h1, i, 1) != substr(h2, i, 1)) AS hamming
+  FROM cand
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 2
+"""

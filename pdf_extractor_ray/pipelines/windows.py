@@ -1677,3 +1677,94 @@ SELECT strftime(make_timestamp(day_i * 86400000000), '%Y-%m-%d') AS split_day,
 FROM sc
 QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, day_i) = 1
 """
+
+
+def conversion_by_activity_decile(sf_dir: str) -> "ray.data.Dataset":
+    """Conversion rate stratified by activity decile → ``(decile,
+    n_users, n_purchasers, conversion_permille)`` with users ranked by
+    event count and cut into deciles by ``decile = 1 + 10·n_less //
+    n_users`` (strict-less rank, ties share a decile) — the classic
+    product-analytics cut answering "do heavy users convert more?"
+    without any model. Integer permille throughout.
+
+    Scale shape: one per-user exchange builds (count, purchased); the
+    decile rank function is a COUNT-OF-COUNTS table broadcast once
+    (bounded by distinct activity levels, the Gini argument); the fold
+    exchange moves ≤ 10 rows per bucket."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", sort=False).agg(
+            n=("event_type", "size"),
+            purchased=("event_type", lambda s: int((s == "purchase").any())),
+        )
+        return agg.reset_index().astype({"n": "int64", "purchased": "int64"})
+
+    per_user = grouped_apply(ds, ["user_id"], per_bucket, num_buckets=16).materialize()
+
+    def coc(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("n", as_index=False).agg(m=("user_id", "size"))
+        return g.rename(columns={"n": "c"}).astype({"c": "int64", "m": "int64"})
+
+    counts = (
+        grouped_sum(per_user.map_batches(coc, batch_format="pandas"), ["c"], ["m"], num_buckets=2)
+        .to_pandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    n_users = int(counts["m"].sum())
+    less = np.concatenate([[0], np.cumsum(counts["m"].to_numpy(np.int64))[:-1]])
+    ref = _ray.put(dict(zip(counts["c"].astype(int), less.tolist())))
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        lk = _cached_get(ref)
+        n_less = b["n"].map(lk).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "decile": (1 + 10 * n_less // n_users).astype(np.int64),
+                "n_users": np.ones(len(b), np.int64),
+                "n_purchasers": b["purchased"].astype("int64"),
+            }
+        )
+
+    folded = grouped_sum(
+        per_user.map_batches(bucket, batch_format="pandas"),
+        ["decile"],
+        ["n_users", "n_purchasers"],
+        num_buckets=2,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["conversion_permille"] = (
+            1000 * b["n_purchasers"].to_numpy(np.int64) // b["n_users"].to_numpy(np.int64)
+        )
+        return b.astype({"conversion_permille": "int64"})
+
+    return folded.map_batches(finalize, batch_format="pandas")
+
+
+CONVERSION_DECILE_SQL = """
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS n,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT purchased,
+         1 + 10 * (RANK() OVER (ORDER BY n) - 1) // (COUNT(*) OVER ()) AS decile
+  FROM pu
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(purchased) AS BIGINT) AS n_purchasers,
+       CAST(1000 * SUM(purchased) // COUNT(*) AS BIGINT) AS conversion_permille
+FROM r GROUP BY decile
+"""
