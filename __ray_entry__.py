@@ -343,6 +343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near_pairs": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).phash_near_pairs,
         "sssp_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).sssp_documents,
         "conversion_by_activity_decile": windows.conversion_by_activity_decile,
+        # wave-44 (fifth session): watermark late-event accounting,
+        # source drift, PRF query expansion, token HHI
+        "late_events": windows.late_events,
+        "source_drift_documents": textops.source_drift_documents,
+        "prf_expansion_documents": textops.prf_expansion_documents,
+        "token_hhi_documents": textops.token_hhi_documents,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -499,7 +505,6 @@ _NEVER_DRIVER_RUN = [
     # train/test leakage audit, inter-arrival stats, DAU/WAU stickiness
     # wave-32 oracle newcomers
     "clustering_coeff_documents",
-    "mojibake_documents",
     # audio_stats / image_histogram / first_touch / token_spectrum →
     # overflow for the four wave-43 newcomers: audio keeps
     # silence/ZCR/decimation in-window, images keep entropy/projection/
@@ -508,12 +513,17 @@ _NEVER_DRIVER_RUN = [
     # NEW decile funnel, text-stats keep zipf/burstiness/fertility/
     # percentile; all four stay oracle-verified in CI at sf0.001 + the
     # sf0.01 pre-flight.
+    # mojibake / gini / audio_silence / image_entropy → overflow for
+    # the four wave-44 newcomers: text hygiene keeps the bow-dedup +
+    # spectrum-era carriers plus clean-unicode in CI, events keep a
+    # dozen in-window carriers (power-law covers the concentration
+    # axis gini shares), audio keeps ZCR + decimation, images keep
+    # projection profiles + both phash ops; all four stay
+    # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
     # wave-33 oracle newcomers
-    "gini_user_activity",
     "rfm_segments",
     # wave-34 oracle newcomers
     "phash_dup_documents",
-    "audio_silence_documents",
     "link_prediction_documents",
     "revenue_decile_bounds",
     # wave-35 oracle newcomers
@@ -528,7 +538,6 @@ _NEVER_DRIVER_RUN = [
     "bitext_candidates",
     # wave-37 oracle newcomers
     "audio_zcr_documents",
-    "image_entropy_documents",
     "edge_embeddedness_documents",
     "events_anomaly_days",
     # wave-38 oracle newcomers
@@ -561,6 +570,11 @@ _NEVER_DRIVER_RUN = [
     "phash_near_pairs",
     "sssp_documents",
     "conversion_by_activity_decile",
+    # wave-44 oracle newcomers
+    "late_events",
+    "source_drift_documents",
+    "prf_expansion_documents",
+    "token_hhi_documents",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
     # snapshot_diff_documents → overflow (latest_snapshot +
@@ -1000,4 +1014,8 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_pairs": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).PHASH_NEAR_SQL,
         "sssp_documents": __import__("pdf_extractor_ray.pipelines.graph", fromlist=["x"]).SSSP_SQL,
         "conversion_by_activity_decile": windows.CONVERSION_DECILE_SQL,
+        "late_events": windows.LATE_EVENTS_SQL,
+        "source_drift_documents": textops.SOURCE_DRIFT_SQL,
+        "prf_expansion_documents": textops.PRF_EXPANSION_SQL,
+        "token_hhi_documents": textops.TOKEN_HHI_SQL,
     }

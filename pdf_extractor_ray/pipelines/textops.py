@@ -4748,3 +4748,241 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS fertility_milli
 FROM t GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Source token-distribution drift (exact L1 distance vs corpus)
+# ---------------------------------------------------------------------------
+
+
+def source_drift_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-source DRIFT of the token distribution vs the whole corpus →
+    ``(source, n_tokens, drift_permille)`` with the exact L1 (total
+    variation ×2) distance cross-multiplied to integers:
+    ``D = Σ_t |c_{s,t}·T − c_t·T_s|`` and ``drift_permille =
+    1000·D // (2·T_s·T)`` ∈ [0, 1000] — the two-sample screen a corpus
+    monitor runs per ingest batch (a source whose unigram mix walks
+    away from the corpus signals a template change or spam takeover).
+    No division inside the sum, so no float and no micro-nat needed.
+
+    Scale shape: one (source, token) exchange with per-batch pre-agg;
+    the per-source fold joins the corpus-level counts, which are
+    VOCAB-bounded and broadcast once."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for source, grp in b.groupby("source", sort=False):
+            tokens = grp["text"].str.split(" ").explode()
+            tokens = tokens[tokens != ""]
+            g = tokens.value_counts().reset_index()
+            g.columns = ["token", "c"]
+            g["c"] = g["c"].astype("int64")
+            g["source"] = source
+            outs.append(g)
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series(dtype="object"),
+                    "c": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="object"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    st = grouped_sum(
+        ds.map_batches(explode, batch_format="pandas", batch_size=4096),
+        ["source", "token"],
+        ["c"],
+        two_level=True,
+    ).materialize()
+
+    corpus = (
+        grouped_sum(st, ["token"], ["c"], num_buckets=2)
+        .to_pandas()  # vocab-bounded
+    )
+    corpus_map = dict(zip(corpus["token"], corpus["c"].astype(int)))
+    t_total = int(corpus["c"].sum())
+    cref = _ray.put((corpus_map, t_total))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cm, t = _cached_get(cref)
+        rows = []
+        for source, grp in g.groupby("source", sort=False):
+            cs = dict(zip(grp["token"], grp["c"].astype(int)))
+            ts = sum(cs.values())
+            d = 0
+            for tok, c_all in cm.items():
+                c_s = cs.get(tok, 0)
+                d += abs(c_s * t - c_all * ts)
+            rows.append((source, ts, (1000 * d) // (2 * ts * t) if ts else 0))
+        return pd.DataFrame(rows, columns=["source", "n_tokens", "drift_permille"]).astype(
+            {"n_tokens": "int64", "drift_permille": "int64"}
+        )
+
+    return grouped_apply(st, ["source"], fold, num_buckets=4)
+
+
+SOURCE_DRIFT_SQL = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(text, ' ')) AS w FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE w != ''),
+cs AS (SELECT source, w, COUNT(*) AS c FROM t2 GROUP BY source, w),
+call AS (SELECT w, COUNT(*) AS c FROM t2 GROUP BY w),
+tot AS (SELECT COUNT(*) AS t FROM t2),
+stot AS (SELECT source, COUNT(*) AS ts FROM t2 GROUP BY source),
+grid AS (
+  SELECT s.source, a.w, a.c AS c_all, COALESCE(cs.c, 0) AS c_s, s.ts, tot.t
+  FROM stot s CROSS JOIN call a
+  LEFT JOIN cs ON cs.source = s.source AND cs.w = a.w, tot
+)
+SELECT source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+       CAST((1000 * SUM(abs(c_s * t - c_all * ts))) // (2 * MAX(ts) * MAX(t))
+            AS BIGINT) AS drift_permille
+FROM grid GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (Rocchio-lite)
+# ---------------------------------------------------------------------------
+
+PRF_TERM = "hash"
+
+
+def prf_expansion_documents(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Query EXPANSION by pseudo-relevance feedback for the seed term
+    ``'hash'``: take the docs containing the term (the pseudo-relevant
+    set), rank their OTHER tokens by lift vs the corpus →
+    top-``k`` ``(token, n_rel, lift_milli)`` with ``lift_milli =
+    1000·(c_rel·T) // (c_all·T_rel)`` (ties: token asc) — the
+    zero-training expansion stage of a search stack (run the query,
+    mine co-occurring terms, re-query).
+
+    Scale shape: the relevant set is marked per batch (no join — the
+    predicate is per-row), both token-count exchanges pre-aggregate per
+    batch, the lift fold runs on the vocab-bounded tables."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for text in b["text"]:
+            toks = [t for t in text.split(" ") if t]
+            rel = PRF_TERM in toks
+            for t in toks:
+                rows.append((t, 1, 1 if rel else 0))
+        out = pd.DataFrame(rows, columns=["token", "c_all", "c_rel"])
+        g = out.groupby("token", as_index=False).sum()
+        return g.astype({"c_all": "int64", "c_rel": "int64"})
+
+    counts = (
+        grouped_sum(
+            ds.map_batches(explode, batch_format="pandas", batch_size=4096),
+            ["token"],
+            ["c_all", "c_rel"],
+            two_level=True,
+        )
+        .to_pandas()  # vocab-bounded
+    )
+    t_all = int(counts["c_all"].sum())
+    t_rel = int(counts["c_rel"].sum())
+    out = counts[(counts["c_rel"] > 0) & (counts["token"] != PRF_TERM)].copy()
+    out["lift_milli"] = (
+        1000 * out["c_rel"].astype(np.int64) * t_all
+        // (out["c_all"].astype(np.int64) * t_rel)
+    )
+    out = out.rename(columns={"c_rel": "n_rel"})[["token", "n_rel", "lift_milli"]]
+    out = out.astype({"n_rel": "int64", "lift_milli": "int64"})
+    return (
+        out.sort_values(["lift_milli", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+PRF_EXPANSION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE w != ''),
+rel AS (SELECT DISTINCT doc_id FROM t2 WHERE w = '{PRF_TERM}'),
+ca AS (SELECT w, COUNT(*) AS c_all FROM t2 GROUP BY w),
+cr AS (
+  SELECT w, COUNT(*) AS c_rel FROM t2 JOIN rel USING (doc_id) GROUP BY w
+),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM t2) AS t_all,
+         (SELECT COUNT(*) FROM t2 JOIN rel USING (doc_id)) AS t_rel
+)
+SELECT ca.w AS token, CAST(cr.c_rel AS BIGINT) AS n_rel,
+       CAST(1000 * cr.c_rel * tots.t_all // (ca.c_all * tots.t_rel) AS BIGINT)
+         AS lift_milli
+FROM cr JOIN ca USING (w), tots
+WHERE ca.w != '{PRF_TERM}'
+ORDER BY lift_milli DESC, token LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token concentration (Herfindahl index per doc)
+# ---------------------------------------------------------------------------
+
+
+def token_hhi_documents(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc Herfindahl-Hirschman token concentration →
+    ``(doc_id, n_tokens, hhi_permille)`` with ``hhi_permille =
+    1000·Σ cᵢ² // T²`` over the doc's token counts — the exact-rational
+    repetition screen next to token entropy (HHI → 1000 means one token
+    dominates: keyword stuffing, stuck templates; ≈ 1000/T means fully
+    diverse). Pure per-row batch work, zero shuffle."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def analyze(b: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, hhi = [], [], []
+        for doc_id, text in zip(b["doc_id"], b["text"]):
+            toks = [t for t in text.split(" ") if t]
+            if not toks:
+                continue
+            _, counts = np.unique(toks, return_counts=True)
+            t = int(counts.sum())
+            ids.append(int(doc_id))
+            nt.append(t)
+            hhi.append(int(1000 * int((counts.astype(np.int64) ** 2).sum()) // (t * t)))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_tokens": pd.Series(nt, dtype="int64"),
+                "hhi_permille": pd.Series(hhi, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(analyze, batch_format="pandas", batch_size=4096)
+
+
+TOKEN_HHI_SQL = """
+WITH c AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY doc_id, w
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(1000 * SUM(c * c) // (SUM(c) * SUM(c)) AS BIGINT) AS hhi_permille
+FROM c GROUP BY doc_id
+"""

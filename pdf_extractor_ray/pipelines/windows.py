@@ -1768,3 +1768,99 @@ SELECT CAST(decile AS BIGINT) AS decile,
        CAST(1000 * SUM(purchased) // COUNT(*) AS BIGINT) AS conversion_permille
 FROM r GROUP BY decile
 """
+
+
+def late_events(sf_dir: str) -> "ray.data.Dataset":
+    """Watermark accounting: an event is LATE if its event-time hour
+    precedes the maximum event-time hour already seen in ARRIVAL order
+    (``event_id``) — the out-of-orderness audit that sizes streaming
+    watermark delays → ``(hour_epoch_s, n_events, n_late)`` per
+    event-time hour.
+
+    Scale shape: the running max over arrival order uses the same
+    range-bucket scan as :func:`~pdf_extractor_ray.ops.prefix_sum` —
+    per-bucket maxima fold to a driver-side cumulative (num_buckets
+    rows), each bucket then scans locally with its predecessor offset;
+    no global sort. Arrival ids must be unique integers (they are the
+    event PK)."""
+    import ray as _ray
+
+    from pdf_extractor_ray.joins import _cached_get
+    from pdf_extractor_ray.ops import auto_num_buckets, grouped_agg, grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "hour": (us // 3_600_000_000) * 3600,
+            }
+        )
+
+    hours = ds.map_batches(derive, batch_format="pandas", batch_size=65536).materialize()
+    nb = auto_num_buckets()
+    lo = int(hours.min("event_id"))
+    hi = int(hours.max("event_id"))
+    width = -(-(hi - lo + 1) // nb)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__rb"] = (b["event_id"].to_numpy(np.int64) - lo) // width
+        return b
+
+    bucketed = hours.map_batches(add_bucket, batch_format="pandas")
+    bmax = (
+        grouped_agg(bucketed, ["__rb"], {"mx": ("hour", "max")})
+        .to_pandas()
+        .sort_values("__rb")
+    )
+    # exclusive running max of the PRECEDING buckets
+    run = np.maximum.accumulate(bmax["mx"].to_numpy(np.int64))
+    offsets = dict(
+        zip(bmax["__rb"].astype(int), np.concatenate([[np.iinfo(np.int64).min], run[:-1]]).tolist())
+    )
+    oref = _ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        off = _cached_get(oref)
+        g = g.sort_values(["__rb", "event_id"], kind="mergesort")
+        h = g["hour"].to_numpy(np.int64)
+        out_rows = []
+        for rb, grp_ix in g.groupby("__rb", sort=False).groups.items():
+            hh = g.loc[grp_ix, "hour"].to_numpy(np.int64)
+            prev = np.concatenate([[off[int(rb)]], np.maximum.accumulate(hh)[:-1]])
+            prev = np.maximum(prev, off[int(rb)])
+            late = (hh < prev).astype(np.int64)
+            out_rows.append(
+                pd.DataFrame({"hour": hh, "n_events": np.ones(len(hh), np.int64), "n_late": late})
+            )
+        return pd.concat(out_rows, ignore_index=True)
+
+    per_event = grouped_apply(bucketed, ["__rb"], scan, num_buckets=nb)
+    out = grouped_sum(per_event, ["hour"], ["n_events", "n_late"], num_buckets=2)
+    return out.map_batches(
+        lambda b: b.rename(columns={"hour": "hour_epoch_s"}), batch_format="pandas"
+    )
+
+
+LATE_EVENTS_SQL = """
+WITH h AS (
+  SELECT event_id, (epoch_us(ts) // 3600000000) * 3600 AS hour FROM events
+),
+m AS (
+  SELECT hour,
+         MAX(hour) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS seen
+  FROM h
+)
+SELECT CAST(hour AS BIGINT) AS hour_epoch_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN seen IS NOT NULL AND hour < seen THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late
+FROM m GROUP BY hour
+"""
