@@ -349,6 +349,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_drift_documents": textops.source_drift_documents,
         "prf_expansion_documents": textops.prf_expansion_documents,
         "token_hhi_documents": textops.token_hhi_documents,
+        # wave-45 (fifth session): bilinear upscale round-trip, order
+        # cohort repeat rate, weekday uniformity, Benford screen
+        "upscale_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).upscale_documents,
+        "order_cohort_repeat": analytics.order_cohort_repeat,
+        "traffic_uniformity": windows.traffic_uniformity,
+        "benford_values": windows.benford_values,
         # oracle-checked; runs in the overflow slot (hash-rank machinery
         # already driver-covered via sample_k/domain_quota)
         "crawl_schedule_documents": __import__("pdf_extractor_ray.pipelines.urlops", fromlist=["x"]).crawl_schedule_documents,
@@ -504,7 +510,6 @@ _NEVER_DRIVER_RUN = [
     # wave-31 (fifth session) oracle newcomers: intra-doc line dedup,
     # train/test leakage audit, inter-arrival stats, DAU/WAU stickiness
     # wave-32 oracle newcomers
-    "clustering_coeff_documents",
     # audio_stats / image_histogram / first_touch / token_spectrum →
     # overflow for the four wave-43 newcomers: audio keeps
     # silence/ZCR/decimation in-window, images keep entropy/projection/
@@ -520,17 +525,21 @@ _NEVER_DRIVER_RUN = [
     # axis gini shares), audio keeps ZCR + decimation, images keep
     # projection profiles + both phash ops; all four stay
     # oracle-verified in CI at sf0.001 + the sf0.01 pre-flight.
+    # rfm / clustering_coeff / video_motion / zipf_slope → overflow
+    # for the four wave-45 newcomers: events keep the decile funnel +
+    # a dozen carriers, the graph family keeps link_prediction/
+    # embeddedness/LPA/SSSP, media keeps projection/upscale + both
+    # phash ops, text-stats keeps burstiness/fertility/HHI/drift; all
+    # four stay oracle-verified in CI at sf0.001 + the sf0.01
+    # pre-flight.
     # wave-33 oracle newcomers
-    "rfm_segments",
     # wave-34 oracle newcomers
     "phash_dup_documents",
     "link_prediction_documents",
     "revenue_decile_bounds",
     # wave-35 oracle newcomers
     "naive_bayes_documents",
-    "zipf_slope_documents",
     "token_burstiness_documents",
-    "video_motion_documents",
     # wave-36 oracle newcomers
     "power_law_alpha",
     "length_percentile_documents",
@@ -575,6 +584,11 @@ _NEVER_DRIVER_RUN = [
     "source_drift_documents",
     "prf_expansion_documents",
     "token_hhi_documents",
+    # wave-45 oracle newcomers
+    "upscale_documents",
+    "order_cohort_repeat",
+    "traffic_uniformity",
+    "benford_values",
     # lm_nll_buckets_documents moved to overflow: ccnet_matrix_documents
     # (in-window) composes the identical bucketing end to end
     # snapshot_diff_documents → overflow (latest_snapshot +
@@ -1018,4 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         "source_drift_documents": textops.SOURCE_DRIFT_SQL,
         "prf_expansion_documents": textops.PRF_EXPANSION_SQL,
         "token_hhi_documents": textops.TOKEN_HHI_SQL,
+        "upscale_documents": __import__("pdf_extractor_ray.pipelines.multimodal", fromlist=["x"]).UPSCALE_SQL,
+        "order_cohort_repeat": analytics.ORDER_COHORT_SQL,
+        "traffic_uniformity": windows.TRAFFIC_UNIFORMITY_SQL,
+        "benford_values": windows.BENFORD_SQL,
     }

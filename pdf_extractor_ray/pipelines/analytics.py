@@ -1940,3 +1940,67 @@ SELECT 'childless_orders',
              WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
             AS BIGINT)
 """
+
+
+def order_cohort_repeat(sf_dir: str) -> ray.data.Dataset:
+    """Repeat-purchase rate by acquisition cohort → ``(cohort_month,
+    n_customers, n_repeat, repeat_permille)`` where a customer's cohort
+    is the calendar month of their FIRST order and ``n_repeat`` counts
+    those who ordered again in ANY later month — the orders-side
+    companion to the events retention matrix (did the acquisition
+    batch come back at all?). Integer permille.
+
+    One custkey-bucketed exchange computes first-month + any-later per
+    customer; the cohort fold moves ≤ months rows per bucket."""
+    from pdf_extractor_ray.ops import grouped_apply, grouped_sum
+
+    ds = ray.data.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["o_orderdate"].to_numpy("datetime64[M]")
+        g = g.assign(month=us)
+        agg = g.groupby("o_custkey", sort=False)["month"].agg(["min", "max"])
+        out = pd.DataFrame(
+            {
+                "cohort_month": pd.Series(agg["min"]).dt.strftime("%Y-%m"),
+                "n_customers": np.ones(len(agg), np.int64),
+                "n_repeat": (agg["max"] > agg["min"]).astype(np.int64),
+            }
+        )
+        return out.groupby("cohort_month", as_index=False).sum()
+
+    folded = grouped_sum(
+        grouped_apply(ds, ["o_custkey"], per_bucket, num_buckets=16),
+        ["cohort_month"],
+        ["n_customers", "n_repeat"],
+        num_buckets=2,
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["repeat_permille"] = (
+            1000 * b["n_repeat"].to_numpy(np.int64) // b["n_customers"].to_numpy(np.int64)
+        )
+        return b.astype(
+            {"n_customers": "int64", "n_repeat": "int64", "repeat_permille": "int64"}
+        )
+
+    return folded.map_batches(finalize, batch_format="pandas")
+
+
+ORDER_COHORT_SQL = """
+WITH pc AS (
+  SELECT o_custkey,
+         MIN(date_trunc('month', o_orderdate)) AS first_m,
+         MAX(date_trunc('month', o_orderdate)) AS last_m
+  FROM orders GROUP BY o_custkey
+)
+SELECT strftime(first_m, '%Y-%m') AS cohort_month,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN last_m > first_m THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(1000 * SUM(CASE WHEN last_m > first_m THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS repeat_permille
+FROM pc GROUP BY first_m
+"""

@@ -2321,3 +2321,99 @@ ham AS (
 SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
 FROM ham WHERE hamming <= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Bilinear 2× upscale round-trip (super-resolution plumbing)
+# ---------------------------------------------------------------------------
+
+
+def upscale2x(px: np.ndarray) -> np.ndarray:
+    """Exact-integer bilinear 2× upscale of a grayscale image: even
+    outputs copy source pixels, odd columns/rows average the two
+    flanking sources with floor division (edge rows/cols clamp) —
+    ``(h, w) → (2h−1, 2w−1)``, the co-located-grid convention whose
+    half-pixel values are EXACT integer means, so an arithmetic oracle
+    can replay them."""
+    a = px.astype(np.int64)
+    h, w = a.shape
+    out = np.zeros((2 * h - 1, 2 * w - 1), np.int64)
+    out[::2, ::2] = a
+    out[::2, 1::2] = (a[:, :-1] + a[:, 1:]) // 2
+    out[1::2, ::2] = (a[:-1, :] + a[1:, :]) // 2
+    out[1::2, 1::2] = (a[:-1, :-1] + a[:-1, 1:] + a[1:, :-1] + a[1:, 1:]) // 4
+    return out
+
+
+def upscale_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Super-resolution PLUMBING round-trip: decode the 2-D gradient
+    PNG → bilinear 2× upscale → RE-ENCODE → decode again → integer
+    stats → ``(doc_id, up_w, up_h, px_sum)`` — the upsample analog of
+    the thumbnail (downscale) carrier, putting encoder and decoder in
+    the hot path on the LARGER image. The oracle replays the four
+    parity cases of the co-located bilinear grid in pure doc_id
+    arithmetic. Zero shuffle."""
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def roundtrip(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ws, hs, sums = [], [], [], []
+        for doc_id in b["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 9, 6 + d % 5
+            x = np.arange(w, dtype=np.int64).reshape(1, w)
+            y = np.arange(h, dtype=np.int64).reshape(h, 1)
+            px, _ = _png_decode_pixels(encode_png(((x + y + d) % 256).astype(np.uint8)))
+            up = upscale2x(px.reshape(h, w))
+            px2, _ = _png_decode_pixels(encode_png(up.astype(np.uint8)))
+            px2 = px2.reshape(up.shape)
+            ids.append(d)
+            hs.append(px2.shape[0])
+            ws.append(px2.shape[1])
+            sums.append(int(px2.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "up_w": pd.Series(ws, dtype="int64"),
+                "up_h": pd.Series(hs, dtype="int64"),
+                "px_sum": pd.Series(sums, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pandas", batch_size=256)
+
+
+UPSCALE_SQL = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h FROM documents
+),
+up AS (
+  SELECT g.doc_id, g.w, g.h, ux.ux, uy.uy,
+         CASE
+           WHEN ux.ux % 2 = 0 AND uy.uy % 2 = 0 THEN
+             (ux.ux // 2 + uy.uy // 2 + doc_id) % 256
+           WHEN ux.ux % 2 = 1 AND uy.uy % 2 = 0 THEN
+             (((ux.ux // 2) + uy.uy // 2 + doc_id) % 256
+              + ((ux.ux // 2 + 1) + uy.uy // 2 + doc_id) % 256) // 2
+           WHEN ux.ux % 2 = 0 AND uy.uy % 2 = 1 THEN
+             ((ux.ux // 2 + (uy.uy // 2) + doc_id) % 256
+              + (ux.ux // 2 + (uy.uy // 2 + 1) + doc_id) % 256) // 2
+           ELSE
+             ((ux.ux // 2 + uy.uy // 2 + doc_id) % 256
+              + (ux.ux // 2 + 1 + uy.uy // 2 + doc_id) % 256
+              + (ux.ux // 2 + uy.uy // 2 + 1 + doc_id) % 256
+              + (ux.ux // 2 + 1 + uy.uy // 2 + 1 + doc_id) % 256) // 4
+         END AS v
+  FROM g,
+       unnest(generate_series(0, 2 * w - 2)) AS ux(ux),
+       unnest(generate_series(0, 2 * h - 2)) AS uy(uy)
+)
+SELECT doc_id, CAST(2 * w - 1 AS BIGINT) AS up_w, CAST(2 * h - 1 AS BIGINT) AS up_h,
+       CAST(SUM(v) AS BIGINT) AS px_sum
+FROM up GROUP BY doc_id, w, h
+"""

@@ -1864,3 +1864,114 @@ SELECT CAST(hour AS BIGINT) AS hour_epoch_s,
             AS BIGINT) AS n_late
 FROM m GROUP BY hour
 """
+
+
+def traffic_uniformity(sf_dir: str) -> "pd.DataFrame":
+    """Weekday traffic profile with an exact non-uniformity statistic →
+    one row per observed weekday ``(weekday, n_events, l1_x7)`` where
+    ``l1_x7 = Σ_d |7·n_d − N|`` (weekdays with zero traffic contribute
+    |0 − N| = N each) is the L1 distance to the uniform profile scaled
+    by 7 — exact integer cross-multiplication, no division convention
+    to drift; l1_x7 = 0 means perfectly level traffic, large values
+    mean weekend cliffs or batch-job spikes. Normalization (the max is
+    12·N) is left to the consumer so the oracle stays pure integer.
+
+    One ≤7-row exchange; the scalar folds in driver-side."""
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        # 1970-01-01 was a Thursday -> weekday (Mon=0): (day + 3) % 7
+        return pd.DataFrame(
+            {"weekday": (day + 3) % 7, "n_events": np.ones(len(b), np.int64)}
+        )
+
+    daily = (
+        grouped_sum(
+            ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+            ["weekday"],
+            ["n_events"],
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("weekday")
+        .reset_index(drop=True)
+    )
+    n = int(daily["n_events"].sum())
+    l1_x7 = int(np.abs(7 * daily["n_events"].to_numpy(np.int64) - n).sum())
+    # weekdays with zero events still contribute |0 - N| = N each
+    missing = 7 - len(daily)
+    l1_x7 += missing * n
+    out = daily.copy()
+    out["l1_x7"] = np.int64(l1_x7)
+    return out.astype({"weekday": "int64", "n_events": "int64", "l1_x7": "int64"})
+
+
+TRAFFIC_UNIFORMITY_SQL = """
+WITH d AS (
+  SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS n, COUNT(*) AS present FROM d),
+l1 AS (
+  SELECT SUM(abs(7 * n_events - tot.n)) + (7 - tot.present) * tot.n AS l1_x7
+  FROM d, tot GROUP BY tot.present, tot.n
+)
+SELECT CAST(weekday AS BIGINT) AS weekday,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(l1.l1_x7 AS BIGINT) AS l1_x7
+FROM d, l1
+"""
+
+
+def benford_values(sf_dir: str) -> "ray.data.Dataset":
+    """Benford first-digit screen over event values (in cents) →
+    ``(digit, n_events, share_milli)`` for digits 1-9 — synthetic or
+    fabricated numeric columns flunk Benford's log-law long before a
+    model can tell; the share table is the raw evidence (expected
+    ≈ log10(1+1/d)). First digit extracted from the DECIMAL STRING of
+    the integer cents (exact — no float log10). Zero-cent rows are
+    excluded, matching the oracle. One tiny exchange."""
+    from pdf_extractor_ray.functions.exact import cents_np
+    from pdf_extractor_ray.ops import grouped_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        cents = cents_np(b["value"])
+        cents = cents[cents > 0]
+        digits = np.array([int(str(int(c))[0]) for c in cents], np.int64)
+        return pd.DataFrame({"digit": digits, "n_events": np.ones(len(digits), np.int64)})
+
+    counts = grouped_sum(
+        ds.map_batches(derive, batch_format="pandas", batch_size=65536),
+        ["digit"],
+        ["n_events"],
+        num_buckets=2,
+    ).to_pandas()  # ≤ 9 rows
+    n = int(counts["n_events"].sum())
+    counts = counts.sort_values("digit").reset_index(drop=True)
+    counts["share_milli"] = 1000 * counts["n_events"].astype(np.int64) // n
+    return counts.astype({"digit": "int64", "n_events": "int64", "share_milli": "int64"})
+
+
+BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+n AS (SELECT COUNT(*) AS n FROM d)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(1000 * COUNT(*) // n.n AS BIGINT) AS share_milli
+FROM d, n GROUP BY digit, n.n
+"""
